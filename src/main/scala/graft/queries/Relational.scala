@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator inventory mapped onto the synthetic star schema.
+  *
+  * Each query exercises one family from SURVEY.md §2 (the reference's
+  * operator inventory, re-expressed Spark-first): filters/projections (F*),
+  * joins incl. semi/anti/self (J*), aggregations (A*), windows (W*), set ops
+  * (SO*), scalar functions (C*), and triple generation (G*).
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer) are
+  * broadcast explicitly; fact-side scans carry pushed filters; every group-by
+  * is partial-aggregated map-side by Catalyst. No collect()s, no driver loops.
+  */
+object Relational {
+
+  /** A1/A3-style pricing summary (ref: omim groupBy+first+collect patterns,
+    * omim_txt_parser.py:478-493). TPC-H Q1 shape: one shuffle, map-side
+    * partial agg, 4-way aggregate over two low-cardinality keys. */
+  val q01PricingSummary = QueryDef(
+    "q01_pricing_summary",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """),
+    bench = true)
+
+  /** F1/F4/F7: projection + conjunctive predicates, all pushed to the parquet
+    * scan (ref: early `continue` filters, omim_txt_parser.py:456-460). */
+  val q02FilterProject = QueryDef(
+    "q02_filter_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") > lit(0.05) &&
+          col("l_quantity") < lit(24.0))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 6).as("disc_revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * l_discount, 6) AS disc_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount > 0.05 AND l_quantity < 24.0
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** J1/J6-style multi-join: fact table joined through broadcast dimension
+    * chain (ref: chained hash-map lookups, main.py:390-394). Dims are
+    * explicitly broadcast — at 100 TB the lineitem side never shuffles. */
+  val q03JoinRevenue = QueryDef(
+    "q03_join_revenue_by_nation",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """),
+    bench = true)
+
+  /** J9-style LEFT SEMI (EXISTS) — ref: `(p_mim,'3',gene_mim) in morbidmap`
+    * membership probe, omim_txt_parser.py:150-157. */
+  val q04SemiJoin = QueryDef(
+    "q04_semi_join",
+    (s, d) => {
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= lit(48.0))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 48.0)
+      ORDER BY o_orderkey
+    """))
+
+  /** J5/J8-style LEFT ANTI (NOT EXISTS) — ref: protected-assoc leftover
+    * anti-join main.py:483-488; cache-merge anti-join omim_txt_parser.py:579-583. */
+  val q05AntiJoin = QueryDef(
+    "q05_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      ORDER BY c_custkey
+    """))
+
+  /** W1/W2: partitioned window rank with deterministic tie-breaks — ref:
+    * per-phenotype count routing main.py:466-468; self-ref numbering
+    * omim_entry_parser.py:469-475. */
+  val q06WindowTopK = QueryDef(
+    "q06_window_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_suppkey", "rn")
+    },
+    Some("""
+      SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice
+      FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 3
+      ORDER BY l_suppkey, rn
+    """),
+    bench = true)
+
+  /** J14: equivalence-clique self-join — ref: rows sharing a key listed on
+    * each other, analyses/equivalency_cliques.py:68-94. */
+  val q07SelfJoinClique = QueryDef(
+    "q07_self_join_clique",
+    (s, d) => {
+      val s1 = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      val s2 = Tables.supplier(s, d).select(
+        col("s_suppkey").as("peer_key"), col("s_name").as("peer_name"),
+        col("s_nationkey").as("peer_nation"))
+      s1.join(s2, col("s_nationkey") === col("peer_nation") &&
+                  col("s_suppkey") =!= col("peer_key"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(array_join(sort_array(collect_list(col("peer_name"))), ",").as("peers"),
+             count(lit(1)).as("n_peers"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      SELECT s1.s_suppkey, s1.s_name,
+             string_agg(s2.s_name, ',' ORDER BY s2.s_name) AS peers,
+             count(*) AS n_peers
+      FROM supplier s1
+      JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey
+                      AND s1.s_suppkey <> s2.s_suppkey
+      GROUP BY s1.s_suppkey, s1.s_name
+      ORDER BY s1.s_suppkey
+    """))
+
+  /** SO2/SO3: EXCEPT / set difference — ref: `mims_all - mims_cached`,
+    * omim_txt_parser.py:540-543. */
+  val q08SetExcept = QueryDef(
+    "q08_set_except",
+    (s, d) => {
+      val hi = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey"))
+      val lo = Tables.orders(s, d).filter(col("o_totalprice") < 50000.0)
+        .select(col("o_custkey").as("custkey"))
+      hi.except(lo).orderBy("custkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice < 50000.0
+      ORDER BY custkey
+    """))
+
+  /** F2/C14: multi-way conditional routing (when/otherwise cascade) — ref:
+    * 6-way MIM-type dispatch main.py:276-321 + mapping-key decode table
+    * omim_txt_parser.py:33-64. */
+  val q09CaseRouting = QueryDef(
+    "q09_case_routing",
+    (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("category",
+          when(col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0, "big-finished")
+            .when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O" && col("o_orderpriority").startsWith("1"), "urgent-open")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("category"),
+    Some("""
+      SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice > 200000.0 THEN 'big-finished'
+                  WHEN o_orderstatus = 'F' THEN 'finished'
+                  WHEN o_orderstatus = 'O' AND o_orderpriority LIKE '1%' THEN 'urgent-open'
+                  WHEN o_orderstatus = 'O' THEN 'open'
+                  ELSE 'other' END AS category,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY category
+    """))
+
+  /** C9/F6: regex extraction with no-match→'' semantics — ref: morbidmap
+    * phenotype-field regexes omim_txt_parser.py:449-476, MIM-id repair
+    * :281-308. */
+  val q10RegexExtract = QueryDef(
+    "q10_regex_extract",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "(sc[a-z]+)", 1).as("first_sc_word"),
+          size(regexp_extract_all(col("text"), lit("\\b(join|merge)\\b"), lit(1))).as("n_join_merge"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             regexp_extract(text, '(sc[a-z]+)', 1) AS first_sc_word,
+             len(regexp_extract_all(text, '\b(join|merge)\b', 1)) AS n_join_merge
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** C18: deterministic md5 surrogate ids — ref: DeterministicBNode
+    * main.py:178-186 (md5 of source ref). */
+  val q11Md5Id = QueryDef(
+    "q11_md5_id",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          md5(concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+            .as("row_id"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus)) AS row_id
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  /** G15/J2-style explode + re-aggregate — ref: pipe-list explode
+    * main.py:500-509; phenotype→genes inversion omim_txt_parser.py:673-688. */
+  val q12ExplodeTokens = QueryDef(
+    "q12_explode_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token"),
+    Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE len(token) > 0
+      GROUP BY token
+      ORDER BY token
+    """),
+    bench = true)
+
+  /** A1/A2/A5: grouped list collection with deterministic ordering — ref:
+    * per-gene assoc nesting omim_txt_parser.py:478-493; omim→mondo multimap
+    * main.py:105-107. */
+  val q13GroupCollect = QueryDef(
+    "q13_group_collect",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+            ",").as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey,
+             string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """))
+
+  /** C19/W3: date bucketing + ordered sink shape — ref: date arithmetic
+    * omim_txt_parser.py:548-552; sorted TSV sinks main.py:524-525. */
+  val q14DateBuckets = QueryDef(
+    "q14_date_buckets",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_year", "o_month"),
+    Some("""
+      SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY o_year, o_month
+    """))
+
+  /** G2-G5: triple (edge-table) generation — each entity row fans out to
+    * 1..n (subject, predicate, obj) rows; ref: class/label/link triple
+    * emission main.py:271-330. Pure projection + explode: no shuffle. */
+  val q15TripleGen = QueryDef(
+    "q15_triple_gen",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(
+          concat(lit("C:"), col("c_custkey")).as("subject"),
+          array(
+            struct(lit("rdf:type").as("predicate"), lit("graft:Customer").as("obj")),
+            struct(lit("rdfs:label").as("predicate"), col("c_name").as("obj")),
+            struct(lit("graft:nation").as("predicate"),
+                   concat(lit("N:"), col("c_nationkey")).as("obj"))).as("po"))
+        .select(col("subject"), explode(col("po")).as("po"))
+        .select(col("subject"), col("po.predicate").as("predicate"), col("po.obj").as("obj"))
+        .orderBy("subject", "predicate", "obj")
+    },
+    Some("""
+      WITH t AS (
+        SELECT 'C:' || c_custkey AS subject, 'rdf:type' AS predicate, 'graft:Customer' AS obj FROM customer
+        UNION ALL
+        SELECT 'C:' || c_custkey, 'rdfs:label', c_name FROM customer
+        UNION ALL
+        SELECT 'C:' || c_custkey, 'graft:nation', 'N:' || c_nationkey FROM customer)
+      SELECT subject, predicate, obj FROM t
+      ORDER BY subject, predicate, obj
+    """))
+
+  /** A4/A12: exact distinct aggregation — ref: distinct phenotype MIMs
+    * omim_txt_parser.py:498-507. */
+  val q16DistinctCount = QueryDef(
+    "q16_distinct_count",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** SO1 + rollup: union-by-name and hierarchical aggregates (ANSI ROLLUP in
+    * both engines) — ref: pd.concat augmentation omim_txt_parser.py:172,191. */
+  val q17Rollup = QueryDef(
+    "q17_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """))
+
+  val all: Seq[QueryDef] = Seq(
+    q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
+    q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
+    q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
+    q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
+    q17Rollup)
+}
