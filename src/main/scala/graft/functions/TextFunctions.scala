@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline operators
+  * (dedup, fingerprinting, quality scoring, language id).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * no UDFs — so the whole pipeline stays inside whole-stage codegen and is
+  * expressible 1:1 in ANSI SQL for the DuckDB oracle. Where a faster
+  * engine-specific variant exists (xxhash64 vs md5-hex minhash) it lives in
+  * [[graft.operators.Dedup]] with these as the portable reference.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped (ref analog: comment/blank-row
+    * filters, omim_txt_parser.py:331-336). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Word n-grams ("shingles") as space-joined strings; empty array when the
+    * document has fewer than `n` words. Pure per-row array ops: no shuffle. */
+  def shingles(words: Column, n: Int): Column = {
+    require(n >= 1)
+    val out = transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + lit(k))): _*))
+    when(size(words) >= n, out).otherwise(array().cast("array<string>"))
+  }
+
+  /** One MinHash row: the minimum md5 over seed-salted shingles. Hex-string
+    * min is a valid uniform-hash min and is portable to any SQL engine. */
+  def minhashHex(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, x => md5(concat(x, lit("#" + seed)))))
+
+  /** LSH band key: hash of the band's `rowsPerBand` concatenated minhashes.
+    * Two documents collide on a band iff all its rows agree. */
+  def bandHash(shingleCol: Column, band: Int, rowsPerBand: Int): Column =
+    md5(concat(
+      (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(s => minhashHex(shingleCol, s)): _*))
+
+  /** BPE-ish regex tokenizer: letter runs, digit runs, single other symbols.
+    * Count only — the id assignment of a real BPE is out of scope. */
+  val bpeTokenPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * Deterministic across engines; the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Per-document simhash as a `bits`-length '0'/'1' string, computed with
+    * portable arithmetic (hex-nibble bit extraction from md5). For each bit
+    * b: sum over tokens of ±1 by the token-hash's bit b; sign → bit.
+    * O(bits × tokens) per row but fully codegen'd and shuffle-free; the
+    * 8× faster long-based variant is [[graft.operators.Dedup.simhash64]]. */
+  def simhashBits(toks: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 128)
+    val bitCols = transform(sequence(lit(0), lit(bits - 1)), b => {
+      val hexPos = (b / 4).cast("int") + 1        // which hex char of md5
+      val within = pmod(b, lit(4))                // which bit of that nibble
+      val pw = element_at(array(lit(8), lit(4), lit(2), lit(1)), within + 1)
+      val total = aggregate(toks, lit(0), (acc, t) => {
+        val nib = conv(md5(t).substr(hexPos, lit(1)), 16, 10).cast("int")
+        val bit = floor(nib / pw).cast("int") % 2
+        acc + (bit * 2 - 1)
+      })
+      when(total >= 0, lit("1")).otherwise(lit("0"))
+    })
+    array_join(bitCols, "")
+  }
+
+  /** Tiny per-language marker lists for the n-gram/stopword language-id
+    * heuristic. Deliberately small: the operator shape (score-and-argmax
+    * over marker hits) is what scales, not the lexicon. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "und", "ist", "mit", "das"),
+    "fr" -> Seq("le", "et", "est", "avec", "les"),
+    "es" -> Seq("el", "y", "es", "con", "los"))
+
+  /** Count of tokens that appear in `markers`. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators for the 100 TB training-data pipeline.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash-shuffle on the fingerprint (map-side
+  *    partial agg collapses duplicates before the exchange);
+  *  - MinHash-LSH replaces the O(n²) pair space with a shuffle on
+  *    (band, bandHash): only documents colliding in a band ever meet, so
+  *    the join cost is Σ bucket² over near-dup buckets, not n²;
+  *  - verification (exact shingle Jaccard) runs only on candidate pairs;
+  *  - SimHash emits one fingerprint per doc; near-dup lookup is then a
+  *    band-prefix self-join like MinHash.
+  *
+  * All paths are pure `functions._` column composition (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by normalized-text fingerprint.
+    * Returns one row per group with >1 member: (fp, rep_id = smallest id,
+    * n_dups). Ref analog: cache upsert dedup-by-key,
+    * omim_txt_parser.py:575-585. */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(fingerprint(text).as("fp"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+
+  /** Per-document banded MinHash signature rows: (id, band, band_hash).
+    * `numBands * rowsPerBand` hash permutations. Documents shorter than
+    * `shingleN` words are dropped (no signature). */
+  def minhashBands(df: DataFrame, text: Column, id: Column,
+                   shingleN: Int = 3, numBands: Int = 4,
+                   rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingles(tokens(text), shingleN)
+    val withSh = df.select(id.as("id"), sh.as("sh")).filter(size(col("sh")) > 0)
+    val bandStructs = array((0 until numBands).map(b =>
+      struct(lit(b).as("band"), bandHash(col("sh"), b, rowsPerBand).as("band_hash"))): _*)
+    withSh.select(col("id"), explode(bandStructs).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
+
+  /** LSH candidate pairs: ids colliding on at least one band, id_a < id_b.
+    * The self-join shuffles both sides on (band, band_hash) — the scalable
+    * alternative to an all-pairs cross join. */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = bands.select(col("band").as("band_b"),
+      col("band_hash").as("band_hash_b"), col("id").as("id_b"))
+    a.join(b, col("band") === col("band_b") &&
+        col("band_hash") === col("band_hash_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs (the verify stage after
+    * LSH): (id_a, id_b, n_inter, n_a, n_b, jaccard). Distinct shingles are
+    * exploded once per doc; cost is bounded by candidate volume, never n². */
+  def jaccardPairs(df: DataFrame, text: Column, id: Column,
+                   pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(id.as("sid"),
+      explode(array_distinct(shingles(tokens(text), shingleN))).as("s"))
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("sid").as("id_a"), col("s")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("s").as("s_b")), "id_b")
+      .filter(col("s") === col("s_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("sid").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** Portable simhash fingerprints (see TextFunctions.simhashBits). */
+  def simhashPortable(df: DataFrame, text: Column, id: Column,
+                      bits: Int = 60): DataFrame =
+    df.select(id.as("id"), simhashBits(tokens(text), bits).as("simhash"))
+
+  /** Engine-fast simhash: 64-bit fingerprint from xxhash64 token hashes,
+    * pure long bit-ops (no md5 hex decode). Not oracle-portable (xxhash64
+    * is Spark-specific); covered by ScalaTest instead. */
+  def simhash64(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = tokens(text)
+    // One aggregate per bit (Scala-level loop: shift amounts must be
+    // literal ints); all 64 stay in a single codegen'd projection.
+    val fp = (0 until 64).map { b =>
+      val total = aggregate(toks, lit(0), (acc, t) =>
+        acc + (shiftright(xxhash64(t), b).bitwiseAND(lit(1L)).cast("int") * 2 - 1))
+      shiftleft(when(total >= 0, lit(1L)).otherwise(lit(0L)), b)
+    }.reduce(_ bitwiseOR _)
+    df.select(id.as("id"), fp.as("simhash64"))
+  }
+}

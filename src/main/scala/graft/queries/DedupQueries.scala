@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+
+/** Deduplication operator suite over the `documents` / `embeddings` tables
+  * (SURVEY.md north star: exact, MinHash+LSH, n-gram Jaccard, SimHash,
+  * embedding-cosine near-dup).
+  *
+  * The synthetic corpus has no natural duplicates, so each query first
+  * derives a deterministic augmented corpus in-plan (exact copies with
+  * doubled spaces; near-dup copies with the first word dropped; embedding
+  * copies with one perturbed component). Both engines build the same corpus,
+  * so the oracle checks the dedup math end-to-end.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - exact dedup: one hash shuffle on the 128-bit fingerprint;
+  *  - LSH: shuffle on (band, band_hash) only — candidate generation never
+  *    materializes the n² pair space;
+  *  - Jaccard verify: cost bounded by candidate volume;
+  *  - simhash: map-only fingerprint stage;
+  *  - embedding near-dup: broadcast the (small) probe set, stream the corpus.
+  */
+object DedupQueries {
+
+  /** documents ∪ whitespace-variant copies (exact dups after normalization). */
+  private def corpusExact(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    doc.unionByName(doc.select(
+      (col("doc_id") + 200000).as("doc_id"),
+      regexp_replace(col("text"), " ", "  ").as("text")))
+  }
+
+  /** documents ∪ near-dup copies (first word dropped). */
+  private def corpusNear(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    doc.unionByName(doc.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+  }
+
+  private val corpusNearSql = """
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents)"""
+
+  /** Exact duplicate groups by normalized-text fingerprint (ref analog:
+    * cache dedup-by-key, omim_txt_parser.py:575-585). */
+  val q22ExactDedup = QueryDef(
+    "q22_exact_dedup",
+    (s, d) =>
+      Dedup.exactGroups(corpusExact(s, d), col("text"), col("doc_id"))
+        .orderBy("rep_id"),
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, replace(text, ' ', '  ') FROM documents)
+      SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS rep_id, count(*) AS n_dups
+      FROM corpus
+      GROUP BY 1 HAVING count(*) > 1
+      ORDER BY rep_id
+    """))
+
+  /** MinHash + banded LSH candidate pairs: 8 hash permutations in 4 bands of
+    * 2; documents collide iff a full band agrees. The candidate join
+    * shuffles on (band, band_hash), never n². */
+  val q23MinhashLsh = QueryDef(
+    "q23_minhash_lsh",
+    (s, d) => {
+      val bands = Dedup.minhashBands(corpusNear(s, d), col("text"), col("doc_id"))
+      Dedup.lshCandidatePairs(bands).orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH $corpusNearSql,
+      toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          list_transform(range(1, len(words) - 1),
+            i -> concat_ws(' ', words[i], words[i+1], words[i+2])) AS s
+        FROM toks WHERE len(words) >= 3),
+      bands AS (
+        SELECT doc_id, b.band,
+          md5(list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2)::VARCHAR)))) ||
+              list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2+1)::VARCHAR))))) AS band_hash
+        FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b
+    """),
+    bench = true)
+
+  /** Exact 3-gram Jaccard verification of the LSH candidates — the verify
+    * stage that makes LSH dedup precise. Only candidate pairs pay the
+    * set-intersection cost. */
+  val q24JaccardVerify = QueryDef(
+    "q24_jaccard_verify",
+    (s, d) => {
+      val corpus = corpusNear(s, d)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashBands(corpus, col("text"), col("doc_id")))
+      Dedup.jaccardPairs(corpus, col("text"), col("doc_id"), pairs)
+        .filter(col("jaccard") >= 0.4)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH $corpusNearSql,
+      toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          list_transform(range(1, len(words) - 1),
+            i -> concat_ws(' ', words[i], words[i+1], words[i+2])) AS s
+        FROM toks WHERE len(words) >= 3),
+      bands AS (
+        SELECT doc_id, b.band,
+          md5(list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2)::VARCHAR)))) ||
+              list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2+1)::VARCHAR))))) AS band_hash
+        FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id),
+      ex AS (SELECT doc_id AS sid, unnest(list_distinct(s)) AS g FROM sh),
+      sizes AS (SELECT sid, count(*) AS n FROM ex GROUP BY sid),
+      inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN ex a ON a.sid = p.id_a
+        JOIN ex b ON b.sid = p.id_b AND a.g = b.g
+        GROUP BY p.id_a, p.id_b)
+      SELECT i.id_a, i.id_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+             round(i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.sid = i.id_a
+      JOIN sizes sb ON sb.sid = i.id_b
+      WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.4
+      ORDER BY id_a, id_b
+    """))
+
+  /** 16-bit portable SimHash fingerprints + Hamming distance between each
+    * document and its near-dup variant (small distance) — the map-only
+    * near-dup fingerprint family. */
+  val q25SimhashHamming = QueryDef(
+    "q25_simhash_hamming",
+    (s, d) => {
+      val sOrig = simhashBits(tokens(col("text")), 16)
+      val sPert = simhashBits(tokens(regexp_replace(col("text"), "^[^ ]+ ", "")), 16)
+      Tables.documents(s, d)
+        .select(col("doc_id"), sOrig.as("simhash"), sPert.as("simhash_pert"))
+        .withColumn("hamming",
+          size(filter(sequence(lit(1), lit(16)),
+            i => col("simhash").substr(i, lit(1)) =!= col("simhash_pert").substr(i, lit(1))))
+            .cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS w_orig,
+               list_filter(string_split(regexp_replace(text, '^[^ ]+ ', ''), ' '),
+                           w -> len(w) > 0) AS w_pert
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_aggregate(list_transform(range(0, 16), b ->
+            CASE WHEN list_sum(list_transform(w_orig, t ->
+              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '') AS simhash,
+          list_aggregate(list_transform(range(0, 16), b ->
+            CASE WHEN list_sum(list_transform(w_pert, t ->
+              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '') AS simhash_pert
+        FROM t)
+      SELECT doc_id, simhash, simhash_pert,
+             list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN substr(simhash, i::INT, 1) <> substr(simhash_pert, i::INT, 1)
+                    THEN 1 ELSE 0 END))::BIGINT AS hamming
+      FROM sh
+      ORDER BY doc_id
+    """))
+
+  /** Embedding-cosine near-dup: perturbed probe set (one doubled component)
+    * vs the original corpus; cosine ≥ 0.8 keeps exactly the true near-dup
+    * pairs (natural max cross-similarity in this corpus is ~0.51). The probe
+    * side is broadcast — the corpus side streams map-only. */
+  val q26EmbedNearDup = QueryDef(
+    "q26_embed_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val probes = emb.select(
+        (col("vec_id") + 100000).as("probe_id"),
+        concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
+      emb.join(broadcast(probes))
+        .withColumn("cos", VectorFunctions.cosine(col("p"), col("e")))
+        .filter(col("cos") >= 0.8)
+        .select(col("probe_id"), col("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "vec_id")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      probes AS (
+        SELECT vec_id + 100000 AS probe_id, [e[1]*2.0] || e[2:] AS p FROM emb)
+      SELECT probe_id, vec_id,
+             round(list_dot_product(p, e) /
+                   (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e, e))), 9) AS cos
+      FROM emb CROSS JOIN probes
+      WHERE list_dot_product(p, e) /
+            (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e, e))) >= 0.8
+      ORDER BY probe_id, vec_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(
+    q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming, q26EmbedNearDup)
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline (SURVEY.md north
+  * star): language id, quality scoring, token counting, fingerprinting.
+  *
+  * All four are per-row column pipelines — no shuffle except the final
+  * presentation ORDER BY — so they scale linearly with the corpus: at 100 TB
+  * each is a single map-only stage over the parquet scan with full
+  * whole-stage codegen (no UDFs anywhere).
+  */
+object TextAnalytics {
+
+  /** Language id via stopword-marker voting (n-gram heuristic family).
+    * Priority-ordered when-chain = deterministic argmax tie-break. */
+  val q18LangId = QueryDef(
+    "q18_lang_id",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val hits = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+      val Seq(en, de, fr, es) = hits.map(_._2)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          when(en >= greatest(de, fr, es), "en")
+            .when(de >= greatest(fr, es), "de")
+            .when(fr >= es, "fr")
+            .otherwise("es").as("pred_lang"),
+          en.as("h_en"), de.as("h_de"), fr.as("h_fr"), es.as("h_es"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM documents),
+      h AS (
+        SELECT doc_id, lang,
+          len(list_filter(words, w -> list_contains(['the','and','of','is','with'], w))) AS h_en,
+          len(list_filter(words, w -> list_contains(['der','und','ist','mit','das'], w))) AS h_de,
+          len(list_filter(words, w -> list_contains(['le','et','est','avec','les'], w))) AS h_fr,
+          len(list_filter(words, w -> list_contains(['el','y','es','con','los'], w))) AS h_es
+        FROM t)
+      SELECT doc_id, lang,
+             CASE WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+                  WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+                  WHEN h_fr >= h_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang,
+             h_en, h_de, h_fr, h_es
+      FROM h
+      ORDER BY doc_id
+    """))
+
+  /** Document quality scoring: token count, mean token length, stopword
+    * ratio, punctuation ratio → bucketed quality class. */
+  val q19QualityScore = QueryDef(
+    "q19_quality_score",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nTok
+      val stopRatio = markerHits(toks, langMarkers.head._2).cast("double") / nTok
+      val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(meanLen, 6).as("mean_token_len"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(punctRatio, 6).as("punct_ratio"),
+          when(size(toks) >= 50 && stopRatio >= 0.05, "high")
+            .when(size(toks) >= 20, "medium")
+            .otherwise("low").as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          len(words) AS n_tokens,
+          list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words) AS mean_len,
+          len(list_filter(words, w -> list_contains(['the','and','of','is','with'], w)))::DOUBLE
+            / len(words) AS stop_ratio,
+          len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / len(text) AS punct_ratio
+        FROM t)
+      SELECT doc_id, n_tokens,
+             round(mean_len, 6) AS mean_token_len,
+             round(stop_ratio, 6) AS stopword_ratio,
+             round(punct_ratio, 6) AS punct_ratio,
+             CASE WHEN n_tokens >= 50 AND stop_ratio >= 0.05 THEN 'high'
+                  WHEN n_tokens >= 20 THEN 'medium'
+                  ELSE 'low' END AS quality
+      FROM m
+      ORDER BY doc_id
+    """))
+
+  /** Token counting: whitespace tokens vs BPE-ish regex tokens (letter runs,
+    * digit runs, single symbols) + chars-per-token compression proxy. */
+  val q20TokenStats = QueryDef(
+    "q20_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_ws_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"),
+          round(length(col("text")).cast("double") /
+            bpeTokenCount(col("text")).cast("double"), 6).as("chars_per_token"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+             len(text) AS n_chars,
+             round(len(text)::DOUBLE
+               / len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')), 6)
+               AS chars_per_token
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Document fingerprinting: md5 of whitespace-normalized text (exact-dedup
+    * key) + 4-hex-char shard prefix — the partition key a 100 TB dedup would
+    * hash-shuffle on (uniform by construction). */
+  val q21Fingerprint = QueryDef(
+    "q21_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          substring(fingerprint(col("text")), 1, 4).as("shard"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+             substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4) AS shard
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint)
+}

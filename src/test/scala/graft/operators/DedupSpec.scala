@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the  quick brown fox jumps over the lazy  dog"), // ws variant of 1
+    (3L, "quick brown fox jumps over the lazy dog"),       // near-dup of 1
+    (4L, "completely different content about spark plans and shuffles here"),
+    (5L, "an unrelated tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds only the whitespace-normalized duplicate group") {
+    val g = Dedup.exactGroups(docs, $"text", $"doc_id").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("rep_id") == 1L)
+    assert(g.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhashBands emits numBands rows per eligible doc and drops short docs") {
+    val b = Dedup.minhashBands(docs, $"text", $"doc_id", shingleN = 5, numBands = 4)
+    val perDoc = b.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(_ == 4))
+    assert(!perDoc.contains(5L)) // 4 words < shingleN
+  }
+
+  test("lshCandidatePairs recovers the near-dup pair, ordered id_a < id_b") {
+    val bands = Dedup.minhashBands(docs, $"text", $"doc_id")
+    val pairs = Dedup.lshCandidatePairs(bands).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"expected near-dup candidate, got $pairs")
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard on candidates") {
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardPairs(docs, $"text", $"doc_id", pairs).collect().head
+    // doc1 has 7 distinct 3-shingles, doc3 has 6, all of doc3's are in doc1
+    assert(j.getAs[Long]("n_inter") == 6L)
+    assert(j.getAs[Long]("n_a") == 7L)
+    assert(j.getAs[Long]("n_b") == 6L)
+    assert(math.abs(j.getAs[Double]("jaccard") - 6.0 / 7.0) < 1e-12)
+  }
+
+  test("simhash64: identical docs equal, near-dups within small hamming") {
+    val fp = Dedup.simhash64(docs, $"text", $"doc_id").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) <= 20, "near-dup simhash64 too far")
+    assert(hamming(fp(1L), fp(4L)) >= hamming(fp(1L), fp(3L)))
+  }
+
+  test("simhashPortable matches the portable bit-string spec length") {
+    val fp = Dedup.simhashPortable(docs, $"text", $"doc_id", bits = 32)
+      .as[(Long, String)].collect().toMap
+    assert(fp.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+  }
+}
