@@ -10,11 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/codegen warmup so the first timed query doesn't absorb classload.
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // noop sink: evaluates every output column (a bare count() would let
+    // Catalyst prune the projections being benchmarked) without write I/O.
+    val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

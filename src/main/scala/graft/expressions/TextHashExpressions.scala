@@ -1,0 +1,215 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop text-hashing kernels shared by the codegen expressions below.
+  *
+  * Semantics are EXACTLY the portable column compositions in
+  * [[graft.functions.TextFunctions]] (tokens → shingles → md5 → 60-bit
+  * prefix → affine permutations / nibble-bit voting), which is what the
+  * DuckDB oracle runs — these kernels only collapse the interpreted
+  * higher-order-function trees into one JVM loop per row (one md5 per
+  * shingle/token instead of one lambda frame per element per permutation).
+  */
+object TextHashKernels {
+  final val P = 2147483647L // 2^31 - 1, the affine-permutation modulus
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Whitespace tokens with empties dropped — mirrors
+    * `filter(split(text, " "), w -> length(w) > 0)`. */
+  def tokens(text: String): Array[String] = {
+    val parts = text.split(" ", -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    if (n == parts.length) parts
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** First 60 bits of md5(s) — the value of
+    * `conv(substring(md5(s), 1, 15), 16, 10)`: 7 full bytes + the high
+    * nibble of byte 7. */
+  def md5Prefix60(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
+  }
+
+  /** Banded minhash signature: one md5 per word-`shingleN`-gram, then
+    * `numBands × rowsPerBand` affine permutations; band key = the band's
+    * two minhashes packed base-P (rowsPerBand is fixed at 2 here, matching
+    * TextFunctions.bandHashInt). Returns null-free long array; EMPTY when
+    * the doc has fewer than `shingleN` words (caller drops). */
+  def minhashBands(text: UTF8String, shingleN: Int, numBands: Int): ArrayData = {
+    val ws = tokens(text.toString)
+    val nSh = ws.length - shingleN + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val numPerm = numBands * 2
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var k = 0
+      while (k < shingleN) {
+        if (k > 0) sb.append(' ')
+        sb.append(ws(i + k))
+        k += 1
+      }
+      val hp = md5Prefix60(sb.toString) % P
+      var s = 0
+      while (s < numPerm) {
+        val v = (hp * (37L + 61L * s) + (101L + 31L * s)) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      out(b) = mins(2 * b) * P + mins(2 * b + 1)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct word-n-gram shingles in first-occurrence order — mirrors
+    * `array_distinct(shingles(tokens(text), n))`. */
+  def distinctShingles(text: UTF8String, n: Int): ArrayData = {
+    val ws = tokens(text.toString)
+    val nSh = ws.length - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(ws(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** `bits`-length '0'/'1' SimHash string: one md5 per token; bit b reads
+    * hex-nibble b/4, weight 8>>(b%4) — mirrors TextFunctions.simhashBits
+    * (which re-hashes every token once PER BIT). */
+  def simhashBits(text: UTF8String, bits: Int): UTF8String = {
+    val ws = tokens(text.toString)
+    val counts = new Array[Int](bits)
+    val d = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < ws.length) {
+      d.reset()
+      val h = d.digest(ws(i).getBytes("UTF-8"))
+      var b = 0
+      while (b < bits) {
+        val nib =
+          if ((b & 4) == 0) (h(b >> 3) & 0xff) >>> 4
+          else h(b >> 3) & 0x0f
+        val bit = (nib >>> (3 - (b & 3))) & 1
+        counts(b) += 2 * bit - 1
+        b += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(bits)
+    var b = 0
+    while (b < bits) { sb.append(if (counts(b) >= 0) '1' else '0'); b += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+private[expressions] trait TextStringInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.simpleString}")
+}
+
+/** Codegen wrapper for [[TextHashKernels.minhashBands]] (rowsPerBand = 2). */
+case class MinhashBandsExpr(child: Expression, shingleN: Int, numBands: Int)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.minhashBands(t.asInstanceOf[UTF8String], shingleN, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.minhashBands($c, $shingleN, $numBands)")
+
+  override protected def withNewChildInternal(c: Expression): MinhashBandsExpr =
+    copy(child = c)
+}
+
+/** Codegen wrapper for [[TextHashKernels.distinctShingles]]. */
+case class DistinctShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.distinctShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.distinctShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): DistinctShinglesExpr =
+    copy(child = c)
+}
+
+/** Codegen wrapper for [[TextHashKernels.simhashBits]]. */
+case class SimhashBitsExpr(child: Expression, bits: Int)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.simhashBits(t.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.simhashBits($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): SimhashBitsExpr =
+    copy(child = c)
+}

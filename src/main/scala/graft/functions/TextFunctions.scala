@@ -30,16 +30,46 @@ object TextFunctions {
   }
 
   /** One MinHash row: the minimum md5 over seed-salted shingles. Hex-string
-    * min is a valid uniform-hash min and is portable to any SQL engine. */
+    * min is a valid uniform-hash min and is portable to any SQL engine.
+    * Costs one md5 per (shingle × seed) — [[shingleHash]]+[[minhashInt]] is
+    * the production path (one md5 per shingle total). */
   def minhashHex(shingleCol: Column, seed: Int): Column =
     array_min(transform(shingleCol, x => md5(concat(x, lit("#" + seed)))))
 
-  /** LSH band key: hash of the band's `rowsPerBand` concatenated minhashes.
-    * Two documents collide on a band iff all its rows agree. */
+  /** LSH band key over the hex minhash family (portable slow path). */
   def bandHash(shingleCol: Column, band: Int, rowsPerBand: Int): Column =
     md5(concat(
       (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(s => minhashHex(shingleCol, s)): _*))
+
+  /** Prime modulus for the affine minhash permutation family (2^31 - 1).
+    * (h % P) ≤ 2^31, times a small multiplier, stays well inside int64. */
+  val MinhashP = 2147483647L
+
+  /** 60-bit integer hash per shingle: first 15 md5 hex chars as a base-16
+    * long. ONE md5 per shingle — every seed's permutation then reuses these
+    * via cheap affine arithmetic, which is what makes 8-permutation minhash
+    * affordable at corpus scale. Portable: `('0x' || substr(md5(x),1,15))
+    * ::BIGINT` in DuckDB. */
+  def shingleHash(shingleCol: Column): Column =
+    transform(shingleCol, x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+
+  /** MinHash under the seed-th affine permutation of the shingle hashes:
+    * min over h of ((h mod P)·(37+61·seed) + (101+31·seed)) mod P. */
+  def minhashInt(hashCol: Column, seed: Int): Column =
+    array_min(transform(hashCol, h =>
+      ((h % MinhashP) * lit(37L + 61L * seed) + lit(101L + 31L * seed)) % MinhashP))
+
+  /** LSH band key: the band's `rowsPerBand` integer minhashes packed
+    * positionally base-P (exact for rowsPerBand ≤ 2; wider bands fall back
+    * to an md5 of the joined values). Collision iff all band rows agree. */
+  def bandHashInt(hashCol: Column, band: Int, rowsPerBand: Int): Column = {
+    val mhs = (band * rowsPerBand until (band + 1) * rowsPerBand)
+      .map(s => minhashInt(hashCol, s))
+    if (rowsPerBand == 1) mhs.head
+    else if (rowsPerBand == 2) mhs.head * MinhashP + mhs(1)
+    else conv(substring(md5(concat_ws("|", mhs: _*)), 1, 15), 16, 10).cast("long")
+  }
 
   /** BPE-ish regex tokenizer: letter runs, digit runs, single other symbols.
     * Count only — the id assignment of a real BPE is out of scope. */

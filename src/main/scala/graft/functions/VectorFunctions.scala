@@ -2,25 +2,42 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.expressions.DotProduct
 
 /** Column-level dense-vector math over `ArrayType(FloatType)` embedding
   * columns, computed in double precision with strict left-to-right
   * accumulation (bitwise-reproducible across engines — verified identical
   * to DuckDB's list_dot_product).
   *
-  * Pure `functions._` composition: stays in whole-stage codegen, no UDF.
+  * The hot loop is the custom codegen [[graft.expressions.DotProduct]];
+  * everything else is `functions._` composition. No UDFs.
   */
 object VectorFunctions {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product with left-to-right double accumulation. */
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** Dot product with left-to-right double accumulation (codegen'd). */
   def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(asDouble(a)), expression(asDouble(b))))
+
+  /** Reference HOF implementation of [[dot]] — same semantics, interpreted
+    * eval; kept as the parity check for the codegen expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Unit-normalized copy given a precomputed norm column (compute the norm
+    * with `withColumn` first — inlining it here would re-evaluate the dot
+    * product once per element inside the lambda). Normalizing each side
+    * once before a similarity join turns every pair-cosine into a single
+    * dot product — the O(pairs) term drops from 3 array passes to 1. */
+  def unit(a: Column, nrm: Column): Column =
+    transform(asDouble(a), x => x / nrm)
 
   /** Cosine similarity; NaN when either vector is all-zero (caller filters). */
   def cosine(a: Column, b: Column): Column =

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import graft.expressions.{DistinctShinglesExpr, MinhashBandsExpr}
 import graft.functions.TextFunctions._
 
 /** Corpus deduplication operators for the 100 TB training-data pipeline.
@@ -30,17 +32,28 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** Per-document banded MinHash signature rows: (id, band, band_hash).
-    * `numBands * rowsPerBand` hash permutations. Documents shorter than
-    * `shingleN` words are dropped (no signature). */
+    * `numBands * rowsPerBand` affine hash permutations over ONE md5 pass
+    * per shingle (TextFunctions.shingleHash — the md5 is the dominant cost,
+    * so permutations are near-free). Documents shorter than `shingleN`
+    * words are dropped (no signature). */
   def minhashBands(df: DataFrame, text: Column, id: Column,
                    shingleN: Int = 3, numBands: Int = 4,
                    rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingles(tokens(text), shingleN)
-    val withSh = df.select(id.as("id"), sh.as("sh")).filter(size(col("sh")) > 0)
-    val bandStructs = array((0 until numBands).map(b =>
-      struct(lit(b).as("band"), bandHash(col("sh"), b, rowsPerBand).as("band_hash"))): _*)
-    withSh.select(col("id"), explode(bandStructs).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+    val bandArr =
+      if (rowsPerBand == 2)
+        // hot path: one fused codegen kernel per row
+        column(MinhashBandsExpr(expression(text), shingleN, numBands))
+      else {
+        // generic path: portable column composition (empty when doc too short)
+        val words = tokens(text)
+        val h = shingleHash(shingles(words, shingleN))
+        when(size(words) >= shingleN,
+          array((0 until numBands).map(b => bandHashInt(h, b, rowsPerBand)): _*))
+          .otherwise(array().cast("array<long>"))
+      }
+    df.select(id.as("id"), bandArr.as("bands"))
+      .filter(size(col("bands")) > 0)
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "band_hash")))
   }
 
   /** LSH candidate pairs: ids colliding on at least one band, id_a < id_b.
@@ -61,7 +74,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
     val sh = df.select(id.as("sid"),
-      explode(array_distinct(shingles(tokens(text), shingleN))).as("s"))
+      explode(column(DistinctShinglesExpr(expression(text), shingleN))).as("s"))
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.select(col("sid").as("id_a"), col("s")), "id_a")

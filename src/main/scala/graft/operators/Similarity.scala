@@ -9,7 +9,7 @@ import graft.functions.VectorFunctions._
   *
   * Two strategies, per the standard scale ladder:
   *  - [[bruteForceTopK]]: exact baseline. Probe set is broadcast; the corpus
-  *    streams through one map stage computing cosines, then a per-probe
+  *    streams through one map stage computing similarities, then a per-probe
   *    window picks top-k. Linear in |corpus|×|probes| — right answer when
   *    the probe set is small, and the correctness oracle for ANN variants.
   *  - [[ivfTopK]]: inverted-file search. Corpus vectors are assigned to
@@ -19,49 +19,62 @@ import graft.functions.VectorFunctions._
   *    shuffles on the cluster id — at 100 TB the corpus would be written
   *    bucketed by cluster so the probe join is shuffle-free.
   *
-  * All math is [[graft.functions.VectorFunctions]] column composition
-  * (codegen'd, double precision, engine-portable).
+  * Every input side is unit-normalized ONCE map-side (O(rows·d)), so each
+  * pair comparison is a single codegen'd dot product
+  * ([[graft.expressions.DotProduct]]) — the O(pairs·d) term carries no
+  * norm recomputation. No UDFs anywhere.
   */
 object Similarity {
+
+  /** (cols…, unit vector of `vec` as `out`): one normalization pass. */
+  private def unitized(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("__nrm", norm(col(vec)))
+      .withColumn(out, unit(col(vec), col("__nrm")))
+      .drop(vec, "__nrm")
 
   /** Exact top-k by cosine. `corpus`: (id, e); `probes`: (probe_id, p).
     * Deterministic tie-break on ascending corpus id. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
-    corpus.join(broadcast(probes))
+    unitized(corpus, "e", "ue")
+      .join(broadcast(unitized(probes, "p", "up")))
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("p"), col("e")))
+      .withColumn("cos", dot(col("up"), col("ue")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
   }
 
-  /** Assign each corpus vector to its nearest centroid (cosine; ties broken
-    * by ascending centroid id). `centroids`: (c_id, c). Map-only: centroids
-    * are broadcast, corpus streams. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("cos_c").desc, col("c_id"))
-    corpus.join(broadcast(centroids))
-      .withColumn("cos_c", cosine(col("e"), col("c")))
+  /** Assign each unit corpus vector to its nearest centroid (cosine; ties
+    * broken by ascending centroid id). Inputs already unit-normalized. */
+  private def assignUnit(ucorpus: DataFrame, ucent: DataFrame,
+                         idCol: String, vecCol: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("cos_c").desc, col("c_id"))
+    ucorpus.join(broadcast(ucent))
+      .withColumn("cos_c", dot(col(vecCol), col("uc")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("e"), col("c_id"))
+      .filter(col("rn") <= keep)
+      .select(idCol, vecCol, "c_id")
   }
 
-  /** IVF ANN: scan only the `nprobe` clusters nearest each probe. */
+  /** Assign each corpus vector to its nearest centroid. `corpus`: (id, e);
+    * `centroids`: (c_id, c). Map-only: centroids are broadcast. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignUnit(unitized(corpus, "e", "ue"), unitized(centroids, "c", "uc"),
+      "id", "ue", 1)
+
+  /** IVF ANN: scan only the `nprobe` clusters nearest each probe. Returned
+    * `cos` is exact (unit vectors preserve cosine). */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids)
-    val wp = Window.partitionBy("probe_id").orderBy(col("cos_c").desc, col("c_id"))
-    val probeClusters = probes.join(broadcast(centroids))
-      .withColumn("cos_c", cosine(col("p"), col("c")))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
-      .select(col("probe_id"), col("p"), col("c_id"))
+    val ucent = unitized(centroids, "c", "uc")
+    val assigned = assignUnit(unitized(corpus, "e", "ue"), ucent, "id", "ue", 1)
+    val probeClusters =
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     probeClusters.join(assigned, "c_id")
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("p"), col("e")))
+      .withColumn("cos", dot(col("up"), col("ue")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))

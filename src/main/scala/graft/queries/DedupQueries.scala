@@ -49,6 +49,33 @@ object DedupQueries {
         UNION ALL
         SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents)"""
 
+  /** Shared oracle CTE chain: corpus → tokens → 3-shingles → 60-bit shingle
+    * hashes → 4 bands of 2 affine-permutation minhashes (mirrors
+    * TextFunctions.shingleHash/minhashInt/bandHashInt exactly). */
+  private val bandsSql = s"""
+      $corpusNearSql,
+      toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          list_transform(range(1, len(words) - 1),
+            i -> concat_ws(' ', words[i], words[i+1], words[i+2])) AS s
+        FROM toks WHERE len(words) >= 3),
+      hs AS (
+        SELECT doc_id,
+          list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b.band,
+          list_min(list_transform(h, v ->
+            ((v % 2147483647) * (37 + 61*(b.band*2)) + (101 + 31*(b.band*2))) % 2147483647))
+            * 2147483647 +
+          list_min(list_transform(h, v ->
+            ((v % 2147483647) * (37 + 61*(b.band*2+1)) + (101 + 31*(b.band*2+1))) % 2147483647))
+            AS band_hash
+        FROM hs CROSS JOIN (SELECT unnest(range(4)) AS band) b)"""
+
   /** Exact duplicate groups by normalized-text fingerprint (ref analog:
     * cache dedup-by-key, omim_txt_parser.py:575-585). */
   val q22ExactDedup = QueryDef(
@@ -78,20 +105,7 @@ object DedupQueries {
       Dedup.lshCandidatePairs(bands).orderBy("id_a", "id_b")
     },
     Some(s"""
-      WITH $corpusNearSql,
-      toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
-        FROM corpus),
-      sh AS (
-        SELECT doc_id,
-          list_transform(range(1, len(words) - 1),
-            i -> concat_ws(' ', words[i], words[i+1], words[i+2])) AS s
-        FROM toks WHERE len(words) >= 3),
-      bands AS (
-        SELECT doc_id, b.band,
-          md5(list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2)::VARCHAR)))) ||
-              list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2+1)::VARCHAR))))) AS band_hash
-        FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b)
+      WITH $bandsSql
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
@@ -116,20 +130,7 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
     Some(s"""
-      WITH $corpusNearSql,
-      toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
-        FROM corpus),
-      sh AS (
-        SELECT doc_id,
-          list_transform(range(1, len(words) - 1),
-            i -> concat_ws(' ', words[i], words[i+1], words[i+2])) AS s
-        FROM toks WHERE len(words) >= 3),
-      bands AS (
-        SELECT doc_id, b.band,
-          md5(list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2)::VARCHAR)))) ||
-              list_min(list_transform(s, x -> md5(x || ('#' || (b.band*2+1)::VARCHAR))))) AS band_hash
-        FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+      WITH $bandsSql,
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a
@@ -158,8 +159,12 @@ object DedupQueries {
   val q25SimhashHamming = QueryDef(
     "q25_simhash_hamming",
     (s, d) => {
-      val sOrig = simhashBits(tokens(col("text")), 16)
-      val sPert = simhashBits(tokens(regexp_replace(col("text"), "^[^ ]+ ", "")), 16)
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      import graft.expressions.SimhashBitsExpr
+      def sim(c: org.apache.spark.sql.Column) =
+        column(SimhashBitsExpr(expression(c), 16))
+      val sOrig = sim(col("text"))
+      val sPert = sim(regexp_replace(col("text"), "^[^ ]+ ", ""))
       Tables.documents(s, d)
         .select(col("doc_id"), sOrig.as("simhash"), sPert.as("simhash_pert"))
         .withColumn("hamming",
@@ -203,27 +208,38 @@ object DedupQueries {
   val q26EmbedNearDup = QueryDef(
     "q26_embed_neardup",
     (s, d) => {
+      import VectorFunctions.{dot, norm, unit}
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val probes = emb.select(
-        (col("vec_id") + 100000).as("probe_id"),
-        concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
-      emb.join(broadcast(probes))
-        .withColumn("cos", VectorFunctions.cosine(col("p"), col("e")))
+      // Normalize each side ONCE map-side; the O(pairs) term is then a
+      // single codegen'd dot product per pair instead of dot + 2 norms.
+      val corpus = emb
+        .withColumn("nrm", norm(col("e")))
+        .select(col("vec_id"), unit(col("e"), col("nrm")).as("ue"))
+      val probes = emb
+        .select((col("vec_id") + 100000).as("probe_id"),
+          concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
+        .withColumn("nrm", norm(col("p")))
+        .select(col("probe_id"), unit(col("p"), col("nrm")).as("up"))
+      corpus.join(broadcast(probes))
+        .withColumn("cos", dot(col("up"), col("ue")))
         .filter(col("cos") >= 0.8)
         .select(col("probe_id"), col("vec_id"), round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "vec_id")
     },
     Some("""
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      corpus AS (
+        SELECT vec_id, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      praw AS (
+        SELECT vec_id + 100000 AS probe_id, [e[1]*2.0] || e[2:] AS p FROM emb),
       probes AS (
-        SELECT vec_id + 100000 AS probe_id, [e[1]*2.0] || e[2:] AS p FROM emb)
-      SELECT probe_id, vec_id,
-             round(list_dot_product(p, e) /
-                   (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e, e))), 9) AS cos
-      FROM emb CROSS JOIN probes
-      WHERE list_dot_product(p, e) /
-            (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e, e))) >= 0.8
+        SELECT probe_id, list_transform(p, x -> x / nrm) AS up
+        FROM (SELECT probe_id, p, sqrt(list_dot_product(p, p)) AS nrm FROM praw))
+      SELECT probe_id, vec_id, round(list_dot_product(up, ue), 9) AS cos
+      FROM corpus CROSS JOIN probes
+      WHERE list_dot_product(up, ue) >= 0.8
       ORDER BY probe_id, vec_id
     """))
 

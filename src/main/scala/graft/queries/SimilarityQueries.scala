@@ -32,16 +32,15 @@ object SimilarityQueries {
     },
     Some("""
       WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      probes AS (SELECT vec_id AS probe_id, e AS p FROM emb WHERE vec_id < 20),
+      u AS (
+        SELECT vec_id, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      probes AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
       scored AS (
-        SELECT probe_id, vec_id AS id,
-               list_dot_product(p, e) /
-               (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e, e))) AS cos,
+        SELECT probe_id, vec_id AS id, list_dot_product(up, ue) AS cos,
                row_number() OVER (PARTITION BY probe_id
-                 ORDER BY list_dot_product(p, e) /
-                   (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e, e))) DESC,
-                   vec_id) AS rank
-        FROM emb CROSS JOIN probes
+                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
+        FROM u CROSS JOIN probes
         WHERE vec_id <> probe_id)
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM scored WHERE rank <= 5
@@ -69,37 +68,32 @@ object SimilarityQueries {
     },
     Some("""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-      seeds AS (SELECT label, min(vec_id) AS seed_id FROM emb GROUP BY label),
+      u AS (
+        SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
       cent AS (
-        SELECT s.label AS c_id, e.e AS c
-        FROM seeds s JOIN emb e ON e.vec_id = s.seed_id),
+        SELECT s.label AS c_id, u.ue AS uc
+        FROM seeds s JOIN u ON u.vec_id = s.seed_id),
       assigned AS (
-        SELECT vec_id AS id, e, c_id FROM (
-          SELECT emb.vec_id, emb.e, cent.c_id,
-                 row_number() OVER (PARTITION BY emb.vec_id
-                   ORDER BY list_dot_product(e, c) /
-                     (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))) DESC,
-                     cent.c_id) AS rn
-          FROM emb CROSS JOIN cent)
+        SELECT vec_id AS id, ue, c_id FROM (
+          SELECT u.vec_id, u.ue, cent.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
+          FROM u CROSS JOIN cent)
         WHERE rn = 1),
       probes AS (
-        SELECT probe_id, p, c_id FROM (
-          SELECT emb.vec_id AS probe_id, emb.e AS p, cent.c_id,
-                 row_number() OVER (PARTITION BY emb.vec_id
-                   ORDER BY list_dot_product(e, c) /
-                     (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(c, c))) DESC,
-                     cent.c_id) AS rn
-          FROM emb CROSS JOIN cent
-          WHERE emb.vec_id < 20)
+        SELECT probe_id, up, c_id FROM (
+          SELECT u.vec_id AS probe_id, u.ue AS up, cent.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
+          FROM u CROSS JOIN cent
+          WHERE u.vec_id < 20)
         WHERE rn <= 2),
       scored AS (
-        SELECT p.probe_id, a.id,
-               list_dot_product(p.p, a.e) /
-               (sqrt(list_dot_product(p.p, p.p)) * sqrt(list_dot_product(a.e, a.e))) AS cos,
+        SELECT p.probe_id, a.id, list_dot_product(p.up, a.ue) AS cos,
                row_number() OVER (PARTITION BY p.probe_id
-                 ORDER BY list_dot_product(p.p, a.e) /
-                   (sqrt(list_dot_product(p.p, p.p)) * sqrt(list_dot_product(a.e, a.e))) DESC,
-                   a.id) AS rank
+                 ORDER BY list_dot_product(p.up, a.ue) DESC, a.id) AS rank
         FROM probes p JOIN assigned a ON a.c_id = p.c_id
         WHERE a.id <> p.probe_id)
       SELECT probe_id, rank, id, round(cos, 9) AS cos

@@ -28,6 +28,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(c == 0.0)
   }
 
+  test("codegen dot matches the HOF reference implementation bitwise") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val mism = df.select(
+        dot($"e", $"e").as("fast"), dotHof($"e", $"e").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mism == 0)
+  }
+
+  test("unit vectors have norm 1 and preserve cosine as plain dot") {
+    val r = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
+      .select(
+        dot(unit($"a", norm($"a")), unit($"b", norm($"b"))).as("c"),
+        cosine($"a", $"b").as("ref"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(r._1 - 24.0 / 25.0) < 1e-15)
+    assert(math.abs(r._1 - r._2) < 1e-15)
+  }
+
   test("dot accumulates left-to-right (deterministic on float-typed input)") {
     // float -> double cast then strict sequential sum: result is exactly
     // reproducible run-to-run (the cross-engine oracle relies on this).
