@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the 100 TB training-data pipeline:
+  * image/audio/video payloads travel as opaque `binary` columns with a
+  * typed metadata struct; decode/feature-extraction runs per-partition in
+  * batches.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment): [[FakeCodec.decode]] derives deterministic pseudo-metadata
+  * from the payload's md5. Everything AROUND the stub — schema, binary
+  * column handling, partition-batched processing shape, metadata structs —
+  * is real and tested, so swapping in a real codec is a one-function
+  * change.
+  *
+  * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
+  * extraction stage is map-only over partitions (no shuffle, no driver
+  * materialization); `spark.sql.files.maxPartitionBytes` governs batch
+  * size per task at 100 TB.
+  */
+object Multimodal {
+
+  /** One media row: payload + metadata struct, as a parquet-friendly
+    * schema. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            width: Int, height: Int, n_bytes: Long)
+
+  /** Extracted per-media features (the stub's deterministic output). */
+  final case class MediaFeatures(media_id: Long, content_hash: String,
+                                 width: Int, height: Int, aspect_bucket: String)
+
+  /** STUB decode: deterministic pseudo-dimensions from md5(payload).
+    * Replace with a real codec (javax.imageio etc.) for production. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (String, Int, Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val width = (h % 640).toInt + 1
+      val height = ((h / 640) % 480).toInt + 1
+      (hex, width, height)
+    }
+  }
+
+  /** Attach a binary payload + metadata to a text corpus (stands in for
+    * reading a real media table; demonstrates the binary-column schema). */
+  def attachPayload(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      lit("text/fake").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+
+  /** Partition-batched feature extraction: the mapPartitions shape a real
+    * decoder needs (amortized per-partition setup, streaming iterator —
+    * no per-row codec init, no collect). */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would init the real codec here, once
+      rows.map { r =>
+        val (hash, w, h) = FakeCodec.decode(r.payload)
+        val aspect = if (w >= h) "landscape" else "portrait"
+        MediaFeatures(r.media_id, hash, w, h, aspect)
+      }
+    }
+  }
+}

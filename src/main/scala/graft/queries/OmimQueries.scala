@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.OmimFunctions
+import graft.text.{MimFields, Roman, Titles}
+
+/** OMIM-domain operators (SURVEY.md §2.7/§2.8/§2.3 J13) exercised over the
+  * synthetic star schema so the DuckDB oracle can hash-check them: the
+  * text pipeline (roman numerals C2, cleanup C1, MIM repair F6, phenotype
+  * field C9), triple-pattern graph joins (J13), and the cache upsert
+  * (A8/J8). The Spark side runs the REAL library functions (graft.text /
+  * graft.functions); the oracle recomputes expectations independently
+  * (e.g. roman via the repeat/replace identity), so a semantic drift in
+  * either implementation breaks the hash match.
+  */
+object OmimQueries {
+
+  private val toRomanUdf = udf { (n: Int) => Roman.toRoman(n) }
+  private val fromRomanUdf = udf { (s: String) => Roman.fromRoman(s) }
+  private val cleanupUdf = udf { (s: String) => Titles.cleanupTitle(s, Map.empty) }
+  private val phenoFieldUdf = udf { (s: String) =>
+    val r = MimFields.parsePhenotypeField(s)
+    (r.label, r.phenotypeMim, r.mappingKey)
+  }
+
+  /** C2: roman codec round-trip. Oracle derives the numeral independently
+    * via the classic repeat('I',n) + replace-folding identity. */
+  val q29Roman = QueryDef(
+    "q29_roman_roundtrip",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), ((col("p_partkey") % 99) + 1).cast("int").as("n"))
+        .withColumn("roman", toRomanUdf(col("n")))
+        .withColumn("decoded", fromRomanUdf(col("roman")))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey, n,
+             replace(replace(replace(replace(replace(replace(replace(
+               repeat('I', n),
+               'IIIII','V'), 'VV','X'), 'XXXXX','L'), 'LXXXX','XC'),
+               'XXXX','XL'), 'VIIII','IX'), 'IIII','IV') AS roman,
+             n AS decoded
+      FROM (SELECT p_partkey, ((p_partkey % 99) + 1)::INT AS n FROM part)
+      ORDER BY p_partkey
+    """))
+
+  /** C1: cleanup_title over synthesized ALL-CAPS titles with a roman
+    * suffix; the oracle computes the expected cleaned form from the
+    * construction (lowercased name + arabic number). */
+  val q30TitleCleanup = QueryDef(
+    "q30_title_cleanup",
+    (s, d) => {
+      val n = ((col("p_partkey") % 99) + 1).cast("int")
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat(upper(col("p_name")), lit(" TYPE "), toRomanUdf(n)).as("title"))
+        .withColumn("cleaned", cleanupUdf(col("title")))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+             upper(p_name) || ' TYPE ' ||
+               replace(replace(replace(replace(replace(replace(replace(
+                 repeat('I', n), 'IIIII','V'), 'VV','X'), 'XXXXX','L'),
+                 'LXXXX','XC'), 'XXXX','XL'), 'VIIII','IX'), 'IIII','IV') AS title,
+             p_name || ' type ' || n::VARCHAR AS cleaned
+      FROM (SELECT p_partkey, p_name, ((p_partkey % 99) + 1)::INT AS n FROM part)
+      ORDER BY p_partkey
+    """))
+
+  /** J13: SPARQL-style triple-pattern chain over an edge table built from
+    * customer/nation/region — customer −inNation→ nation −inRegion→ region
+    * −label→ name, as self-joins of ONE triples DataFrame. */
+  val q31SparqlChain = QueryDef(
+    "q31_sparql_chain",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val triples =
+        c.select(concat(lit("C:"), col("c_custkey")).as("s"),
+            lit("graft:inNation").as("p"), concat(lit("N:"), col("c_nationkey")).as("o"))
+          .unionByName(n.select(concat(lit("N:"), col("n_nationkey")).as("s"),
+            lit("graft:inRegion").as("p"), concat(lit("R:"), col("n_regionkey")).as("o")))
+          .unionByName(n.select(concat(lit("N:"), col("n_nationkey")).as("s"),
+            lit("rdfs:label").as("p"), col("n_name").as("o")))
+          .unionByName(r.select(concat(lit("R:"), col("r_regionkey")).as("s"),
+            lit("rdfs:label").as("p"), col("r_name").as("o")))
+      val t1 = triples.filter(col("p") === "graft:inNation")
+        .select(col("s").as("cust"), col("o").as("nat"))
+      val t2 = triples.filter(col("p") === "graft:inRegion")
+        .select(col("s").as("nat"), col("o").as("reg"))
+      val t3 = triples.filter(col("p") === "rdfs:label")
+        .select(col("s").as("reg"), col("o").as("region_name"))
+      t1.join(t2, "nat").join(t3, "reg")
+        .select(col("cust").as("customer"), col("region_name"))
+        .orderBy("customer", "region_name")
+    },
+    Some("""
+      WITH triples AS (
+        SELECT 'C:' || c_custkey AS s, 'graft:inNation' AS p, 'N:' || c_nationkey AS o FROM customer
+        UNION ALL
+        SELECT 'N:' || n_nationkey, 'graft:inRegion', 'R:' || n_regionkey FROM nation
+        UNION ALL
+        SELECT 'N:' || n_nationkey, 'rdfs:label', n_name FROM nation
+        UNION ALL
+        SELECT 'R:' || r_regionkey, 'rdfs:label', r_name FROM region)
+      SELECT t1.s AS customer, t3.o AS region_name
+      FROM triples t1
+      JOIN triples t2 ON t2.s = t1.o AND t2.p = 'graft:inRegion'
+      JOIN triples t3 ON t3.s = t2.o AND t3.p = 'rdfs:label'
+      WHERE t1.p = 'graft:inNation'
+      ORDER BY customer, region_name
+    """))
+
+  /** F6: MIM-id repair over synthesized malformed ids (valid / braced /
+    * trailing-comma / unrepairable). Oracle derives expectations from the
+    * construction. */
+  val q32MimRepair = QueryDef(
+    "q32_mim_repair",
+    (s, d) => {
+      val six = (lit(100000) + (col("o_orderkey") % 899999)).cast("string")
+      val raw = when(col("o_orderkey") % 4 === 0, six)
+        .when(col("o_orderkey") % 4 === 1, concat(lit("{"), six, lit("}")))
+        .when(col("o_orderkey") % 4 === 2, concat(six, lit(", extra")))
+        .otherwise(concat(lit("bad-"), six))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("repaired", OmimFunctions.repairMimId(col("raw")))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN six WHEN 1 THEN '{' || six || '}'
+               WHEN 2 THEN six || ', extra' ELSE 'bad-' || six END AS raw,
+             CASE WHEN o_orderkey % 4 = 3 THEN NULL ELSE six END AS repaired
+      FROM (SELECT o_orderkey, (100000 + (o_orderkey % 899999))::VARCHAR AS six FROM orders)
+      ORDER BY o_orderkey
+    """))
+
+  /** C9: morbidmap phenotype-field parse over synthesized fields covering
+    * all four regex branches; oracle expectations from the construction. */
+  val q33PhenotypeField = QueryDef(
+    "q33_phenotype_field",
+    (s, d) => {
+      val six = (lit(100000) + (col("p_partkey") % 899999)).cast("string")
+      val key = ((col("p_partkey") % 4) + 1).cast("string")
+      val field = when(col("p_partkey") % 4 === 0,
+          concat(col("p_name"), lit(", "), six, lit(" ("), key, lit(")")))
+        .when(col("p_partkey") % 4 === 1, concat(col("p_name"), lit(", "), six))
+        .when(col("p_partkey") % 4 === 2, concat(col("p_name"), lit(" ("), key, lit(")")))
+        .otherwise(col("p_name"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), field.as("field"))
+        .withColumn("pf", phenoFieldUdf(col("field")))
+        .select(col("p_partkey"), col("field"),
+          col("pf._1").as("label"), col("pf._2").as("p_mim"), col("pf._3").as("map_key"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH t AS (
+        SELECT p_partkey, p_name,
+               (100000 + (p_partkey % 899999))::VARCHAR AS six,
+               ((p_partkey % 4) + 1)::VARCHAR AS key, p_partkey % 4 AS v
+        FROM part)
+      SELECT p_partkey,
+             CASE v WHEN 0 THEN p_name || ', ' || six || ' (' || key || ')'
+                    WHEN 1 THEN p_name || ', ' || six
+                    WHEN 2 THEN p_name || ' (' || key || ')'
+                    ELSE p_name END AS field,
+             CASE v WHEN 0 THEN p_name || ', ' WHEN 1 THEN p_name || ', '
+                    WHEN 2 THEN p_name ELSE '' END AS label,
+             CASE v WHEN 0 THEN six WHEN 1 THEN six ELSE '' END AS p_mim,
+             CASE v WHEN 0 THEN key WHEN 2 THEN key ELSE '' END AS map_key
+      FROM t
+      ORDER BY p_partkey
+    """))
+
+  /** A8/J8: incremental cache upsert — delete re-fetched keys, append
+    * fresh rows, sort by key (ref: omim_txt_parser.py:575-585). */
+  val q34CacheUpsert = QueryDef(
+    "q34_cache_upsert",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cached = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("key"), lit("cached").as("src"), col("o_totalprice"))
+      val fresh = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("key"), lit("fresh").as("src"), col("o_totalprice"))
+      graft.pipeline.OmimPipeline.cacheUpsert(cached, fresh, "key")
+    },
+    Some("""
+      WITH cached AS (
+        SELECT o_orderkey AS key, 'cached' AS src, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      fresh AS (
+        SELECT o_orderkey AS key, 'fresh' AS src, o_totalprice FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT * FROM (
+        SELECT c.* FROM cached c WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.key = c.key)
+        UNION ALL
+        SELECT * FROM fresh)
+      ORDER BY key
+    """))
+
+  /** W1-analog on events + C19: tumbling 1-hour windows with exact decimal
+    * sums (float sums are accumulation-order-sensitive; decimals hash-match
+    * across engines). Batch twin of the streaming pipeline
+    * (graft.streaming.EventsStreams — same plan under readStream). */
+  val q35TumblingWindow = QueryDef(
+    "q35_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).as("total"))
+        .orderBy("window_start", "event_type"),
+    Some("""
+      SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+             count(*) AS n, sum(value::DECIMAL(14,2)) AS total
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type
+    """),
+    bench = true)
+
+  /** Sessionization: per-user sessions split on >30-minute gaps (lag +
+    * running sum), then per-session aggregates — the batch shape of
+    * streaming session windows. */
+  val q36Sessionize = QueryDef(
+    "q36_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+      lagged AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM ev),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+        FROM lagged),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess
+      GROUP BY 1, 2
+      ORDER BY user_id, session_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(
+    q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
+    q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize)
+}

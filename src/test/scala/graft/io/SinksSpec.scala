@@ -1,0 +1,47 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.model.Triple
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toTurtleLines quotes+escapes literals, passes URIs/bnodes through") {
+    val ds = Seq(
+      Triple.uri("OMIM:1", "rdf:type", "owl:Class"),
+      Triple.lit("OMIM:1", "rdfs:label", "a \"quoted\" label\nline2"),
+      Triple.uri(Triple.bnode("x"), "owl:onProperty", "RO:0004003")
+    ).toDS()
+    val lines = Sinks.toTurtleLines(ds).as[String].collect().toSet
+    assert(lines.contains("OMIM:1 rdf:type owl:Class ."))
+    assert(lines.contains("OMIM:1 rdfs:label \"a \\\"quoted\\\" label\\nline2\" ."))
+    assert(lines.exists(l => l.startsWith("_:") && l.endsWith("RO:0004003 .")))
+  }
+
+  test("writeTurtle produces prefix header then sorted body") {
+    val dir = Files.createTempDirectory("ttl").toString
+    val ds = Seq(
+      Triple.uri("OMIM:2", "rdf:type", "owl:Class"),
+      Triple.uri("OMIM:1", "rdf:type", "owl:Class")).toDS()
+    Sinks.writeTurtle(spark, ds, s"$dir/out", Map("OMIM" -> "https://omim.org/entry/"))
+    val part = Files.list(Paths.get(s"$dir/out")).iterator().asScala
+      .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc")).get
+    val lines = Files.readAllLines(part).asScala.toList
+    assert(lines.head == "@prefix OMIM: <https://omim.org/entry/> .")
+    assert(lines.tail == List("OMIM:1 rdf:type owl:Class .", "OMIM:2 rdf:type owl:Class ."))
+  }
+
+  test("writeOrderedTsv sorts, headers, and appends sub-header rows") {
+    val dir = Files.createTempDirectory("tsv").toString
+    val df = Seq(("b", 2), ("a", 1)).toDF("name", "n")
+    Sinks.writeOrderedTsv(df, s"$dir/out", Seq("name"),
+      extraHeaderRows = Seq(Seq("ID", ">A oboInOwl:source")))
+    val part = Files.list(Paths.get(s"$dir/out")).iterator().asScala
+      .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc")).get
+    val lines = Files.readAllLines(part).asScala.toList
+    assert(lines == List("name\tn", "ID\t>A oboInOwl:source", "a\t1", "b\t2"))
+  }
+}
