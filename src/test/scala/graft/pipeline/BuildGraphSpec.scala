@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.model.Triple
+
+/** Full end-to-end build over the synthetic fixtures: every source feeds
+  * one triples DF; artifacts written and spot-checked. */
+class BuildGraphSpec extends SparkSpec {
+
+  private val d = "src/test/resources/omim"
+  private lazy val out = BuildGraph.build(spark, BuildGraph.Inputs(
+    mimTitlesPath = s"$d/mimTitles.txt",
+    mim2genePath = s"$d/mim2gene.txt",
+    morbidmapPath = s"$d/morbidmap.txt",
+    phenotypicSeriesPath = s"$d/phenotypicSeries.txt",
+    genemap2Path = s"$d/genemap2.txt",
+    hgncPath = s"$d/hgnc_complete_set.txt",
+    exclusionsPath = s"$d/exclusions-disease-gene.tsv",
+    protectedPath = s"$d/protected-disease-gene.tsv",
+    capitalizationsPath = s"$d/known_capitalizations.tsv",
+    sssomPath = s"$d/mondo_exactmatch_omim.sssom.tsv",
+    mappingsPath = s"$d/mappings.tsv",
+    pubmedRefsPath = s"$d/pubmed-refs.tsv"), versionDate = "2026-08-12")
+
+  test("build assembles a coherent graph") {
+    val t = out.triples.collect().toSet
+    // header with injected version date
+    assert(t.exists(x => x.p == "owl:versionInfo" && x.o == "2026-08-12"))
+    // entity + cascade + mim2gene + hgnc + ps + links all contributed
+    assert(t.contains(Triple.uri("OMIM:100100", "rdf:type", "owl:Class")))
+    assert(t.exists(x => x.p == "owl:onProperty" && x.o == "RO:0004003"))
+    assert(t.contains(Triple.uri("OMIM:100001", "skos:exactMatch", "NCBIGENE:218")))
+    assert(t.contains(Triple.uri("OMIM:614041", "skos:exactMatch", "HGNC:4132")))
+    assert(t.contains(Triple.uri("OMIM:100700", "rdfs:subClassOf", "OMIMPS:100700")))
+    assert(t.exists(x => x.p == "IAO:0000142" && x.o == "PMID:1852104"))
+    // SPARQL updates ran: flipped mondo mapping present both directions
+    assert(t.contains(Triple.uri("OMIM:182280", "skos:exactMatch", "MONDO:0100537")))
+    // hgnc_links: parallel RO:0004003 restriction targeting an HGNC class
+    assert(t.contains(Triple.uri("HGNC:4132", "rdf:type", "owl:Class")))
+    assert(t.exists(x => x.p == "owl:someValuesFrom" && x.o.startsWith("HGNC:")))
+    // no duplicate triples after the update-stage distinct
+    assert(out.triples.count() == out.triples.distinct().count())
+  }
+
+  test("QC reports are consistent with the graph") {
+    val qc = out.diseaseGeneQc.collect()
+    assert(qc.nonEmpty)
+    assert(qc.forall(r => Set("Disease2Gene", "Gene2Disease")
+      .contains(r.getAs[String]("PredDirection"))))
+    val genes = out.mondoOmimGenes.collect()
+    // protected mondo mapping 182280 -> MONDO:0100537 with HGNC:4132 via RO:0004003
+    assert(genes.exists(r => r.getAs[String]("mondo_id") == "MONDO:0100537" &&
+      r.getAs[String]("hgnc_id") == "HGNC:4132"))
+    assert(out.reviewCases.count() > 0)
+    assert(out.susceptibilityRows.count() == 2)
+  }
+
+  test("writeArtifacts produces the five release files") {
+    val dir = Files.createTempDirectory("build").toString
+    BuildGraph.writeArtifacts(spark, out, dir)
+    val names = Seq("omim.ttl", "review.tsv",
+      "mondo-omim-susceptibility-subset.robot.tsv",
+      "mondo-omim-genes.robot.tsv", "disease-gene-relationships-qc.tsv")
+    names.foreach { n =>
+      val part = Files.list(Paths.get(s"$dir/$n")).iterator().asScala
+        .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc"))
+      assert(part.isDefined, s"$n missing")
+      assert(Files.readAllLines(part.get).size() > 0, s"$n empty")
+    }
+    val ttl = Files.list(Paths.get(s"$dir/omim.ttl")).iterator().asScala
+      .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc")).get
+    val lines = Files.readAllLines(ttl).asScala
+    assert(lines.head.startsWith("@prefix"))
+    assert(lines.exists(_.startsWith("OMIM:100100 rdf:type owl:Class .")))
+  }
+}
