@@ -31,13 +31,14 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Unit-normalized copy given a precomputed norm column (compute the norm
-    * with `withColumn` first — inlining it here would re-evaluate the dot
-    * product once per element inside the lambda). Normalizing each side
-    * once before a similarity join turns every pair-cosine into a single
-    * dot product — the O(pairs) term drops from 3 array passes to 1. */
-  def unit(a: Column, nrm: Column): Column =
-    transform(asDouble(a), x => x / nrm)
+  /** Unit-normalized copy (codegen kernel — a column-composition version
+    * gets its norm inlined into the per-element lambda by CollapseProject,
+    * silently going O(d²) per row; see graft.expressions.NormalizeVector).
+    * Normalizing each side once before a similarity join turns every
+    * pair-cosine into a single dot product — the O(pairs) term drops from
+    * 3 array passes to 1. */
+  def unit(a: Column): Column =
+    column(graft.expressions.NormalizeVector(expression(asDouble(a))))
 
   /** Cosine similarity; NaN when either vector is all-zero (caller filters). */
   def cosine(a: Column, b: Column): Column =

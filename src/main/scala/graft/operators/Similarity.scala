@@ -28,9 +28,7 @@ object Similarity {
 
   /** (cols…, unit vector of `vec` as `out`): one normalization pass. */
   private def unitized(df: DataFrame, vec: String, out: String): DataFrame =
-    df.withColumn("__nrm", norm(col(vec)))
-      .withColumn(out, unit(col(vec), col("__nrm")))
-      .drop(vec, "__nrm")
+    df.withColumn(out, unit(col(vec))).drop(vec)
 
   /** Exact top-k by cosine. `corpus`: (id, e); `probes`: (probe_id, p).
     * Deterministic tie-break on ascending corpus id. */

@@ -208,19 +208,16 @@ object DedupQueries {
   val q26EmbedNearDup = QueryDef(
     "q26_embed_neardup",
     (s, d) => {
-      import VectorFunctions.{dot, norm, unit}
+      import VectorFunctions.{dot, unit}
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       // Normalize each side ONCE map-side; the O(pairs) term is then a
       // single codegen'd dot product per pair instead of dot + 2 norms.
-      val corpus = emb
-        .withColumn("nrm", norm(col("e")))
-        .select(col("vec_id"), unit(col("e"), col("nrm")).as("ue"))
+      val corpus = emb.select(col("vec_id"), unit(col("e")).as("ue"))
       val probes = emb
         .select((col("vec_id") + 100000).as("probe_id"),
           concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
-        .withColumn("nrm", norm(col("p")))
-        .select(col("probe_id"), unit(col("p"), col("nrm")).as("up"))
+        .select(col("probe_id"), unit(col("p")).as("up"))
       corpus.join(broadcast(probes))
         .withColumn("cos", dot(col("up"), col("ue")))
         .filter(col("cos") >= 0.8)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards: the scale properties the library
+  * promises (pushdown to the scan, broadcast dims, no fact-side shuffle
+  * before partial aggregation) must survive refactors. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: all predicates reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThan(l_discount", "LessThan(l_quantity").foreach { f =>
+      assert(p.contains(f), s"missing pushed filter $f\n$p")
+    }
+    // column pruning: payload columns never read
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q03: dimension chain is broadcast, fact side never shuffles pre-agg") {
+    val p = plan("q03_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"dims fell back to SMJ:\n$p")
+  }
+
+  test("q27: probe set is broadcast against the streaming corpus") {
+    val p = plan("q27_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes not broadcast:\n$p")
+  }
+
+  test("q23: LSH pipeline has no cartesian product") {
+    val p = plan("q23_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated to n^2:\n$p")
+  }
+
+  test("q26 uses the codegen vector kernels, norm never inlined into a lambda") {
+    val p = plan("q26_embed_neardup")
+    assert(p.contains("dot_product("), s"custom dot expression missing:\n$p")
+    assert(p.contains("normalize_vector("), s"normalize kernel missing:\n$p")
+    // the CollapseProject O(d^2) regression: dot inside a lambdafunction
+    assert(!p.contains("lambdafunction"), s"norm re-inlined into lambda:\n$p")
+  }
+}

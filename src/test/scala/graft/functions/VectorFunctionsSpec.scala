@@ -41,11 +41,21 @@ class VectorFunctionsSpec extends SparkSpec {
   test("unit vectors have norm 1 and preserve cosine as plain dot") {
     val r = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
       .select(
-        dot(unit($"a", norm($"a")), unit($"b", norm($"b"))).as("c"),
+        dot(unit($"a"), unit($"b")).as("c"),
         cosine($"a", $"b").as("ref"))
       .as[(Double, Double)].collect().head
     assert(math.abs(r._1 - 24.0 / 25.0) < 1e-15)
     assert(math.abs(r._1 - r._2) < 1e-15)
+  }
+
+  test("unit kernel matches the transform(x / sqrt(dot)) column form bitwise") {
+    import org.apache.spark.sql.functions.{col, not, transform => htransform}
+    val df = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val ref = htransform($"e", x => x / org.apache.spark.sql.functions.sqrt(dotHof($"e", $"e")))
+    val mism = df.select(ref.as("r"), unit($"e").as("f"))
+      .filter(not($"r" <=> $"f")).count()
+    assert(mism == 0)
   }
 
   test("dot accumulates left-to-right (deterministic on float-typed input)") {
