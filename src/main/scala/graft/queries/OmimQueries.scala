@@ -267,7 +267,42 @@ object OmimQueries {
       ORDER BY user_id, session_id
     """))
 
+  /** Skew-salted join (operators.SkewJoin): a synthesized hot key covers
+    * ~half the fact table; the salted physical plan must produce EXACTLY
+    * the plain join's result — which is what the (unsalted) oracle
+    * verifies. */
+  val q38SaltedSkewJoin = QueryDef(
+    "q38_salted_skew_join",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(
+          when(col("l_orderkey") % 10 < 5, 0L)
+            .otherwise(col("l_suppkey") % 100).as("k"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = Tables.lineitem(s, d).sparkSession.range(100)
+        .select(col("id").as("k"), concat(lit("grp_"), col("id")).as("grp"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(fact, dim, "k", numSalts = 8,
+          saltBy = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("grp")
+    },
+    Some("""
+      WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0 ELSE l_suppkey % 100 END AS k,
+               l_quantity
+        FROM lineitem),
+      dim AS (SELECT range AS k, 'grp_' || range AS grp FROM range(100))
+      SELECT grp, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM fact JOIN dim USING (k)
+      GROUP BY grp
+      ORDER BY grp
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
-    q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize)
+    q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
+    q38SaltedSkewJoin)
 }
