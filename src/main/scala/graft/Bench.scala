@@ -10,8 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first timed query doesn't absorb classload.
+    // JVM/codegen + parquet-reader warmup so the first timed query doesn't
+    // absorb classloading or scan-path initialization.
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     // noop sink: evaluates every output column (a bare count() would let
     // Catalyst prune the projections being benchmarked) without write I/O.
     val results = SparkEntry.registry.map { q =>
