@@ -76,14 +76,17 @@ object Sinks {
     * parity, plain distributed write for scale. */
   def writeOrderedTsv(df: DataFrame, path: String, sortCols: Seq[String],
                       extraHeaderRows: Seq[Seq[String]] = Nil,
+                      preHeaderLines: Seq[String] = Nil,
                       singleFile: Boolean = true): Unit = {
     val spark = df.sparkSession
     val cols = df.columns
     import spark.implicits._
     // (section, index-within-section) sort key keeps header rows first and
     // in declared order; body sorts by the requested columns inside sec 1.
-    val header = (cols.toSeq +: extraHeaderRows).zipWithIndex
-      .map { case (r, i) => (0, i.toLong, r.mkString("\t")) }
+    // preHeaderLines land before the column header (SSSOM front-matter).
+    val header = (preHeaderLines ++ (cols.toSeq +: extraHeaderRows).map(_.mkString("\t")))
+      .zipWithIndex
+      .map { case (line, i) => (0, i.toLong, line) }
       .toDF("sec", "idx", "line")
     val wBody = org.apache.spark.sql.expressions.Window
       .orderBy(sortCols.map(col): _*)

@@ -83,6 +83,28 @@ object Sssom {
   }
 }
 
+object SssomExport {
+  /** The makefile's `omim.sssom.tsv` artifact (SURVEY.md §3.2): every
+    * skos:exactMatch edge of the graph as an SSSOM mapping row with YAML
+    * front-matter. Write with
+    * `Sinks.writeOrderedTsv(df, path, Seq("subject_id","object_id"),
+    *  preHeaderLines = SssomExport.frontMatter)`. */
+  val frontMatter: Seq[String] = Seq(
+    "# curie_map:",
+    "#   OMIM: https://omim.org/entry/",
+    "#   MONDO: http://purl.obolibrary.org/obo/MONDO_",
+    "# mapping_set_id: omimspark/omim.sssom.tsv",
+    "# license: https://creativecommons.org/publicdomain/zero/1.0/")
+
+  def fromTriples(triples: DataFrame): DataFrame =
+    triples.filter(col("p") === "skos:exactMatch")
+      .select(col("s").as("subject_id"),
+        lit("skos:exactMatch").as("predicate_id"),
+        col("o").as("object_id"),
+        lit("semapv:UnspecifiedMatching").as("mapping_justification"))
+      .distinct()
+}
+
 /** Curator tables (ref: utils.py:25-80, S8). All tiny → broadcast-join
   * candidates; loaded as plain DataFrames. */
 object CuratorTables {

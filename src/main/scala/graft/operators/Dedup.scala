@@ -88,6 +88,63 @@ object Dedup {
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
+  /** Connected components over an undirected pair edge list (id_a, id_b)
+    * by iterative min-label propagation: each node adopts the smallest
+    * label among itself and its neighbors until fixpoint. Iterations are
+    * O(diameter) — near-dup clusters are shallow (pairs share a common
+    * near-copy), so this converges in a few rounds; `maxIter` bounds
+    * pathological chains. Returns (id, component) where component is the
+    * smallest id in the cluster. Lineage is cut with localCheckpoint each
+    * round (iterative-plan blowup is the classic failure mode at scale). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id2")).agg(min(col("comp")).as("n_comp"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"),
+          (col("n_comp") < col("comp")).as("chg"))
+      val materialized = updated.localCheckpoint()
+      changed = materialized.filter(col("chg")).count()
+      labels = materialized.select("id", "comp")
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: exact dups (whitespace/case-normalized) and
+    * near-dups (MinHash-LSH candidates verified by n-gram Jaccard ≥
+    * `jaccardThreshold`) are clustered; one representative (smallest id)
+    * per cluster survives. Returns the deduplicated corpus. */
+  def dedupCorpus(df: DataFrame, text: Column, id: Column,
+                  jaccardThreshold: Double = 0.8): DataFrame = {
+    val base = df.select(id.as("id"), text.as("text"))
+    // exact: same fingerprint -> pair each member with the group min
+    val exactPairs = base
+      .select(col("id"), fingerprint(col("text")).as("fp"))
+      .withColumn("rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    // near: LSH candidates verified by exact Jaccard
+    val nearPairs = jaccardPairs(base, col("text"), col("id"),
+        lshCandidatePairs(minhashBands(base, col("text"), col("id"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(exactPairs.unionByName(nearPairs))
+    base.join(comps, Seq("id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("id"))
+      .select(col("id"), col("text"))
+  }
+
   /** Portable simhash fingerprints (see TextFunctions.simhashBits). */
   def simhashPortable(df: DataFrame, text: Column, id: Column,
                       bits: Int = 60): DataFrame =

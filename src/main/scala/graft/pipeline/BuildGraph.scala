@@ -118,5 +118,9 @@ object BuildGraph {
       extraHeaderRows = Seq(SparqlQueries.robotSubheader))
     Sinks.writeOrderedTsv(out.diseaseGeneQc, s"$dir/disease-gene-relationships-qc.tsv",
       Seq("PredDirection", "SubBiolink", "Pred", "SubId", "ObjBiolink", "ObjId"))
+    Sinks.writeOrderedTsv(
+      graft.io.SssomExport.fromTriples(out.triples.toDF()), s"$dir/omim.sssom.tsv",
+      Seq("subject_id", "object_id"),
+      preHeaderLines = graft.io.SssomExport.frontMatter)
   }
 }

@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j.getAs[Double]("jaccard") - 6.0 / 7.0) < 1e-12)
   }
 
+  test("connectedComponents: chains collapse to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupCorpus keeps one representative per exact/near cluster") {
+    val kept = Dedup.dedupCorpus(docs, $"text", $"doc_id", jaccardThreshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    // 1,2 exact dups (keep 1); 3 near-dup of 1 at jaccard 6/7 (merged);
+    // 4 and 5 unique
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("simhash64: identical docs equal, near-dups within small hamming") {
     val fp = Dedup.simhash64(docs, $"text", $"doc_id").as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)

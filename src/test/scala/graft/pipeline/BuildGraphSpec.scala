@@ -58,12 +58,13 @@ class BuildGraphSpec extends SparkSpec {
     assert(out.susceptibilityRows.count() == 2)
   }
 
-  test("writeArtifacts produces the five release files") {
+  test("writeArtifacts produces the six release files") {
     val dir = Files.createTempDirectory("build").toString
     BuildGraph.writeArtifacts(spark, out, dir)
     val names = Seq("omim.ttl", "review.tsv",
       "mondo-omim-susceptibility-subset.robot.tsv",
-      "mondo-omim-genes.robot.tsv", "disease-gene-relationships-qc.tsv")
+      "mondo-omim-genes.robot.tsv", "disease-gene-relationships-qc.tsv",
+      "omim.sssom.tsv")
     names.foreach { n =>
       val part = Files.list(Paths.get(s"$dir/$n")).iterator().asScala
         .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc"))
@@ -75,5 +76,10 @@ class BuildGraphSpec extends SparkSpec {
     val lines = Files.readAllLines(ttl).asScala
     assert(lines.head.startsWith("@prefix"))
     assert(lines.exists(_.startsWith("OMIM:100100 rdf:type owl:Class .")))
+    val sssom = Files.list(Paths.get(s"$dir/omim.sssom.tsv")).iterator().asScala
+      .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc")).get
+    val sl = Files.readAllLines(sssom).asScala
+    assert(sl.head.startsWith("# curie_map:"))
+    assert(sl.contains("subject_id\tpredicate_id\tobject_id\tmapping_justification"))
   }
 }
