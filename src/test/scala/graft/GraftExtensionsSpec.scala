@@ -1,0 +1,28 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions run the codegen kernels") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d,
+        |       normalize_vector(array(3D, 4D)) AS u,
+        |       minhash_bands('a b c d e', 3, 4) AS mb,
+        |       distinct_shingles('a b c d', 3) AS ds,
+        |       simhash_bits('hello world', 16) AS sh
+        |""".stripMargin).collect().head
+    assert(r.getAs[Double]("d") == 32.0)
+    assert(r.getAs[scala.collection.Seq[Double]]("u") == Seq(0.6, 0.8))
+    assert(r.getAs[scala.collection.Seq[Long]]("mb").length == 4)
+    assert(r.getAs[scala.collection.Seq[String]]("ds") == Seq("a b c", "b c d"))
+    assert(r.getAs[String]("sh").length == 16)
+  }
+
+  test("non-literal shape args are rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_bands('x', 1 + 2, 4)").collect()
+    }
+    assert(e.getMessage.contains("literal int") || e.getCause != null)
+  }
+}
