@@ -73,19 +73,24 @@ object Dedup {
     * exploded once per doc; cost is bounded by candidate volume, never n². */
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(id.as("sid"),
-      explode(column(DistinctShinglesExpr(expression(text), shingleN))).as("s"))
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n"))
+    // carry each doc's distinct-shingle count alongside the exploded rows
+    // (array size, computed once in the same projection) so the set sizes
+    // ride the intersection join instead of a third shingle evaluation
+    val sh = df
+      .select(id.as("sid"),
+        column(DistinctShinglesExpr(expression(text), shingleN)).as("arr"))
+      .select(col("sid"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("s"))
     val inter = pairs
-      .join(sh.select(col("sid").as("id_a"), col("s")), "id_a")
-      .join(sh.select(col("sid").as("id_b"), col("s").as("s_b")), "id_b")
+      .join(sh.select(col("sid").as("id_a"), col("n").as("n_a"), col("s")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("n").as("n_b"),
+        col("s").as("s_b")), "id_b")
       .filter(col("s") === col("s_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("sid").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("sid").as("id_b"), col("n").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+    inter.withColumn("jaccard",
+      col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
   /** Connected components over an undirected pair edge list (id_a, id_b)
