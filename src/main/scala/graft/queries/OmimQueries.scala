@@ -301,8 +301,32 @@ object OmimQueries {
     """),
     bench = true)
 
+  /** JSON scalar extraction (schema-on-read family, SURVEY §1.1.2): the
+    * events `props` column holds JSON strings; extract + cast + aggregate.
+    * get_json_object is codegen'd; at scale prefer from_json with an
+    * explicit schema once the shape stabilizes. */
+  val q39JsonExtract = QueryDef(
+    "q39_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
+             max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
-    q38SaltedSkewJoin)
+    q38SaltedSkewJoin, q39JsonExtract)
 }

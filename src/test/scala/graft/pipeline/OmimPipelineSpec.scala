@@ -29,13 +29,17 @@ class OmimPipelineSpec extends SparkSpec {
 
   test("parseMimTitles: counts, type decode, replacement lists") {
     val rows = titles.collect()
-    assert(rows.length == 15) // 16 data rows minus none (all known prefixes)
+    assert(rows.length == 16) // all data rows carry known prefixes
     val byMim = rows.map(r => r.getAs[String]("mim") -> r).toMap
     assert(byMim("100001").getAs[String]("omim_type") == "GENE")
     assert(byMim("100300").getAs[String]("omim_type") == "SUSPECTED")
     assert(byMim("100400").getAs[scala.collection.Seq[String]]("replaced_by") == Seq("100100"))
     assert(byMim("100500").getAs[scala.collection.Seq[String]]("replaced_by") == Seq("100100", "100200"))
     assert(byMim("100600").getAs[scala.collection.Seq[String]]("replaced_by").isEmpty)
+    // the reference's own invariant: 162820 -> [147060, 150550, 252270]
+    // (tests/omim2obo/parsers/test_omim_txt_parser.py:37-39)
+    assert(byMim("162820").getAs[scala.collection.Seq[String]]("replaced_by") ==
+      Seq("147060", "150550", "252270"))
   }
 
   test("entityTriples: golden asserts per branch") {
