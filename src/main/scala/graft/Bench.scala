@@ -16,7 +16,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     // noop sink: evaluates every output column (a bare count() would let
     // Catalyst prune the projections being benchmarked) without write I/O.
-    val results = SparkEntry.registry.map { q =>
+    val results = SparkEntry.registry.filterNot(_.benchSkip).map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }

@@ -325,8 +325,35 @@ object OmimQueries {
       ORDER BY event_type
     """))
 
+  /** The complete OMIM pipeline (BuildGraph) over the synthetic fixtures,
+    * surfaced in the verified query registry. No SQL oracle — the graph
+    * semantics are validated by the 30+ golden asserts in
+    * OmimPipelineSpec/BuildGraphSpec; the driver records a rows>0 check.
+    * Output: the full sorted triple set. */
+  val q40OmimBuild = QueryDef(
+    "q40_omim_build_graph",
+    (s, _) => {
+      val d = "/root/repo/src/test/resources/omim"
+      val out = graft.pipeline.BuildGraph.build(s, graft.pipeline.BuildGraph.Inputs(
+        mimTitlesPath = s"$d/mimTitles.txt",
+        mim2genePath = s"$d/mim2gene.txt",
+        morbidmapPath = s"$d/morbidmap.txt",
+        phenotypicSeriesPath = s"$d/phenotypicSeries.txt",
+        genemap2Path = s"$d/genemap2.txt",
+        hgncPath = s"$d/hgnc_complete_set.txt",
+        exclusionsPath = s"$d/exclusions-disease-gene.tsv",
+        protectedPath = s"$d/protected-disease-gene.tsv",
+        capitalizationsPath = s"$d/known_capitalizations.tsv",
+        sssomPath = s"$d/mondo_exactmatch_omim.sssom.tsv",
+        mappingsPath = s"$d/mappings.tsv",
+        pubmedRefsPath = s"$d/pubmed-refs.tsv"), versionDate = "2026-08-12")
+      out.triples.toDF().orderBy("s", "p", "o", "oIsLiteral")
+    },
+    None,
+    benchSkip = true) // fixture-scale; does not vary with sfDir
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
-    q38SaltedSkewJoin, q39JsonExtract)
+    q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild)
 }

@@ -18,4 +18,5 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    benchSkip: Boolean = false) // fixture-scale queries that ignore sfDir
