@@ -124,6 +124,35 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash as a long: one md5 per token, bit b votes with bit b
+    * of the 128-bit digest (first 8 bytes); sign of the vote count sets
+    * the fingerprint bit. Engine-fast variant of [[simhashBits]] (not
+    * oracle-portable — covered by property tests on hamming distance). */
+  def simhash64(text: UTF8String): Long = {
+    val ws = tokens(text.toString)
+    val counts = new Array[Int](64)
+    val d = md5Local.get()
+    var i = 0
+    while (i < ws.length) {
+      d.reset()
+      val h = d.digest(ws(i).getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        val bit = (h(b >> 3) >>> (7 - (b & 7))) & 1
+        counts(b) += 2 * bit - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
   /** `bits`-length '0'/'1' SimHash string: one md5 per token; bit b reads
     * hex-nibble b/4, weight 8>>(b%4) — mirrors TextFunctions.simhashBits
     * (which re-hashes every token once PER BIT). */
@@ -211,5 +240,22 @@ case class SimhashBitsExpr(child: Expression, bits: Int)
       s"graft.expressions.TextHashKernels.simhashBits($c, $bits)")
 
   override protected def withNewChildInternal(c: Expression): SimhashBitsExpr =
+    copy(child = c)
+}
+
+/** Codegen wrapper for [[TextHashKernels.simhash64]]. */
+case class Simhash64Expr(child: Expression)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.simhash64(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Simhash64Expr =
     copy(child = c)
 }

@@ -155,18 +155,11 @@ object Dedup {
                       bits: Int = 60): DataFrame =
     df.select(id.as("id"), simhashBits(tokens(text), bits).as("simhash"))
 
-  /** Engine-fast simhash: 64-bit fingerprint from xxhash64 token hashes,
-    * pure long bit-ops (no md5 hex decode). Not oracle-portable (xxhash64
-    * is Spark-specific); covered by ScalaTest instead. */
-  def simhash64(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val toks = tokens(text)
-    // One aggregate per bit (Scala-level loop: shift amounts must be
-    // literal ints); all 64 stay in a single codegen'd projection.
-    val fp = (0 until 64).map { b =>
-      val total = aggregate(toks, lit(0), (acc, t) =>
-        acc + (shiftright(xxhash64(t), b).bitwiseAND(lit(1L)).cast("int") * 2 - 1))
-      shiftleft(when(total >= 0, lit(1L)).otherwise(lit(0L)), b)
-    }.reduce(_ bitwiseOR _)
-    df.select(id.as("id"), fp.as("simhash64"))
-  }
+  /** Engine-fast simhash: 64-bit long fingerprint via the codegen kernel
+    * (one md5 per token, all 64 bit-votes in one JVM loop — the earlier
+    * 64-HOF-aggregates form was interpreted and ~50× slower). Not
+    * oracle-portable as a long; covered by hamming-property ScalaTests. */
+  def simhash64(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("id"),
+      column(graft.expressions.Simhash64Expr(expression(text))).as("simhash64"))
 }

@@ -328,6 +328,21 @@ object OmimPipeline {
     good.select(col("symbol"), col("hgnc_id"))
   }
 
+  /** Equivalency cliques (ref: analyses/equivalency_cliques.py:68-94,
+    * J14): rows sharing an approved gene symbol are listed on each other.
+    * Window + collect_set over the symbol partition — no self-join
+    * materialization. Output: (mim, symbol, peers sorted-without-self,
+    * n_peers). */
+  def equivalencyCliques(mim2gene: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+    mim2gene
+      .filter(coalesce(col("symbol"), lit("")) =!= "")
+      .withColumn("clique", collect_set(col("mim")).over(w))
+      .select(col("mim"), col("symbol"),
+        sort_array(array_remove(col("clique"), col("mim"))).as("peers"),
+        (size(col("clique")) - 1).as("n_peers"))
+  }
+
   // ------------------------------------------------------ phenotypic series
 
   /** phenotypicSeries rows → PS class/label/category + membership (ref:

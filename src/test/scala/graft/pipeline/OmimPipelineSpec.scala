@@ -194,6 +194,18 @@ class OmimPipelineSpec extends SparkSpec {
     assert(merged == Seq(("100100", "new"), ("100300", "keep"), ("100900", "new2")))
   }
 
+  test("equivalency cliques: mims sharing a symbol list each other") {
+    val m2g = Seq(("1", "A"), ("2", "A"), ("3", "A"), ("4", "B"), ("5", ""))
+      .toDF("mim", "symbol")
+    val rows = OmimPipeline.equivalencyCliques(m2g)
+      .as[(String, String, Seq[String], Int)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(rows("1") == (Seq("2", "3"), 2))
+    assert(rows("2") == (Seq("1", "3"), 2))
+    assert(rows("4") == (Seq.empty[String], 0))
+    assert(!rows.contains("5")) // empty symbols dropped
+  }
+
   test("cyto triples: one restriction per distinct gene with location") {
     val t = OmimPipeline.cytoTriples(morbid).collect()
     val svf = t.filter(_.p == "owl:someValuesFrom").map(_.o).toSet
