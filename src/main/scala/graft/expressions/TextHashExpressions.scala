@@ -153,6 +153,32 @@ object TextHashKernels {
     fp
   }
 
+
+  /** Winnowing fingerprints: k-gram md5-prefix hashes, min per w-window,
+    * distinct, sorted. Empty when the text is shorter than k+w-1. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val nGrams = s.length - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { hs(i) = md5Prefix60(s.substring(i, i + k)); i += 1 }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j <= nGrams - w) {
+      var m = hs(j)
+      var x = j + 1
+      while (x < j + w) { if (hs(x) < m) m = hs(x); x += 1 }
+      fps.add(m)
+      j += 1
+    }
+    val out = new Array[Any](fps.size)
+    val it = fps.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** `bits`-length '0'/'1' SimHash string: one md5 per token; bit b reads
     * hex-nibble b/4, weight 8>>(b%4) — mirrors TextFunctions.simhashBits
     * (which re-hashes every token once PER BIT). */
@@ -257,5 +283,27 @@ case class Simhash64Expr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.simhash64($c)")
 
   override protected def withNewChildInternal(c: Expression): Simhash64Expr =
+    copy(child = c)
+}
+
+/** Codegen wrapper for [[TextHashKernels.winnow]]: winnowing document
+  * fingerprints (Schleimer/Wilkerson/Aiken '03): md5-prefix rolling hashes
+  * of character `k`-grams, minimum per sliding window of `w`, distinct.
+  * Guarantees any shared substring of length ≥ w+k-1 yields a shared
+  * fingerprint — the plagiarism/near-dup detection primitive. Output is
+  * sorted ascending (set semantics; order-free hash comparison). */
+case class WinnowingExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.winnow(t.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowingExpr =
     copy(child = c)
 }

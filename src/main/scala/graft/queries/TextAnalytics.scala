@@ -147,5 +147,42 @@ object TextAnalytics {
       ORDER BY doc_id
     """))
 
-  val all: Seq[QueryDef] = Seq(q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint)
+  /** Winnowing (rolling-hash) document fingerprints — char 8-grams, window
+    * 4 (any shared substring ≥ 11 chars shares a fingerprint). The Spark
+    * side runs the codegen kernel; the oracle recomputes with DuckDB list
+    * ops over the same md5-prefix hash. Scalar outputs (count/min/max)
+    * sidestep array-ordering concerns in the hash compare. */
+  val q41Winnowing = QueryDef(
+    "q41_winnowing",
+    (s, d) => {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val fps = column(graft.expressions.WinnowingExpr(expression(col("text")), 8, 4))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fps.as("fps"))
+        .filter(size(col("fps")) > 0) // docs shorter than k+w-1, like oracle
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+          list_transform(range(1, len(text) - 8 + 2),
+            i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT) AS hs
+        FROM documents WHERE len(text) >= 8),
+      w AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+            j -> list_min(hs[j:j+3]))) AS fps
+        FROM h WHERE len(hs) >= 4)
+      SELECT doc_id, len(fps)::BIGINT AS n_fps,
+             list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      FROM w
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(
+    q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing)
 }

@@ -40,6 +40,27 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("winnowing: shared substrings >= w+k-1 chars share a fingerprint") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    val shared = "the quick brown fox jumps over it" // 33 chars >= k+w-1
+    val df = Seq(
+      ("A" * 20) + shared + ("B" * 20),
+      ("C" * 25) + shared + ("D" * 15),
+      "completely unrelated content with nothing in common at all here"
+    ).toDF("text")
+    val fps = df.select(
+      column(WinnowingExpr(expression(col("text")), k, w)).as("f"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("f").toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty, "guarantee violated")
+    assert((fps(0) intersect fps(2)).isEmpty)
+    // short doc -> empty
+    val short = Seq("tiny").toDF("text")
+      .select(column(WinnowingExpr(expression(col("text")), k, w)).as("f"))
+      .collect().head.getAs[scala.collection.Seq[Long]]("f")
+    assert(short.isEmpty)
+  }
+
   test("kernels handle degenerate inputs") {
     import spark.implicits._
     val edge = Seq("", " ", "one", "a b", "a b c").toDF("text")
