@@ -54,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_bits"),
       info("simhash_bits", "simhash_bits(text, bits) - '0'/'1' simhash string"),
       (args: Seq[Expression]) => SimhashBitsExpr(args.head, intArg(args(1), "bits"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit simhash fingerprint"),
+      (args: Seq[Expression]) => Simhash64Expr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - winnowing document fingerprints"),
+      (args: Seq[Expression]) => WinnowingExpr(args.head,
+        intArg(args(1), "k"), intArg(args(2), "w"))))
   }
 }
 
@@ -81,5 +91,8 @@ object GraftExtensions {
       DistinctShinglesExpr(a.head, intArg(a(1), "n")))
     add("simhash_bits", "simhash bits")(a =>
       SimhashBitsExpr(a.head, intArg(a(1), "bits")))
+    add("simhash64", "64-bit simhash")(a => Simhash64Expr(a.head))
+    add("winnow_fingerprints", "winnowing fingerprints")(a =>
+      WinnowingExpr(a.head, intArg(a(1), "k"), intArg(a(2), "w")))
   }
 }

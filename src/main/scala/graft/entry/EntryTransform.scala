@@ -78,7 +78,9 @@ object EntryTransform {
     out += Triple.uri(u, RdfType, OwlClass)
 
     val label = e.preferredTitle
-    val abbrev = if (label.contains(";")) Some(label.split(";")(1).trim) else None
+    // split with limit -1: Scala drops trailing empties by default, which
+    // would throw on "TITLE;" where Python's split()[1] returns ''
+    val abbrev = if (label.contains(";")) Some(label.split(";", -1)(1).trim) else None
     val otherLabels =
       e.alternativeTitles.toSeq.flatMap(t => Titles.parseTitleSymbolPairs(t)._1) ++
         e.includedTitles.toSeq.flatMap(t => Titles.parseTitleSymbolPairs(t)._1)

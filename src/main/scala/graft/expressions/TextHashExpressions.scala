@@ -185,7 +185,7 @@ object TextHashKernels {
   def simhashBits(text: UTF8String, bits: Int): UTF8String = {
     val ws = tokens(text.toString)
     val counts = new Array[Int](bits)
-    val d = MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
     var i = 0
     while (i < ws.length) {
       d.reset()

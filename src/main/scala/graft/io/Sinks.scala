@@ -81,21 +81,25 @@ object Sinks {
     val spark = df.sparkSession
     val cols = df.columns
     import spark.implicits._
-    // (section, index-within-section) sort key keeps header rows first and
-    // in declared order; body sorts by the requested columns inside sec 1.
+    // One distributed range sort over (__sec, __idx, sortCols...): header
+    // rows carry sec 0 + their declared index (sortCols null there); body
+    // rows carry sec 1 and sort by the requested columns. No global
+    // row_number window (which would funnel everything through one task).
     // preHeaderLines land before the column header (SSSOM front-matter).
-    val header = (preHeaderLines ++ (cols.toSeq +: extraHeaderRows).map(_.mkString("\t")))
+    var header = (preHeaderLines ++ (cols.toSeq +: extraHeaderRows).map(_.mkString("\t")))
       .zipWithIndex
       .map { case (line, i) => (0, i.toLong, line) }
-      .toDF("sec", "idx", "line")
-    val wBody = org.apache.spark.sql.expressions.Window
-      .orderBy(sortCols.map(col): _*)
+      .toDF("__sec", "__idx", "__line")
+    sortCols.foreach { sc =>
+      header = header.withColumn(sc, lit(null).cast(df.schema(sc).dataType))
+    }
     val body = df
-      .withColumn("idx", row_number().over(wBody).cast("long"))
-      .select(lit(1).as("sec"), col("idx"),
+      .select((Seq(lit(1).as("__sec"), lit(0L).as("__idx"),
         concat_ws("\t", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-          .as("line"))
-    val out = header.unionByName(body).orderBy("sec", "idx").select("line")
+          .as("__line")) ++ sortCols.map(col)): _*)
+    val out = header.unionByName(body)
+      .orderBy((Seq(col("__sec"), col("__idx")) ++ sortCols.map(col)): _*)
+      .select("__line")
     (if (singleFile) out.coalesce(1) else out).write.mode("overwrite").text(path)
   }
 }

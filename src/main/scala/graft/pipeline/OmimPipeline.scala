@@ -111,15 +111,21 @@ object OmimPipeline {
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq
     val wCount = Window.partitionBy(col("p_mim"))
     assocs
+      // per-phenotype count BEFORE the curator joins — and the curator
+      // sides deduplicated on their join keys (the reference loads them
+      // into dicts, so a duplicate curator row can never multiply assoc
+      // rows or inflate len(assocs))
+      .withColumn("n_assocs", count(lit(1)).over(wCount))
       // marker columns distinguish "present in curator table" from
       // "present with a null attribute" after the left joins
-      .join(broadcast(exclusions.withColumn("excl_marker", lit(true))),
+      .join(broadcast(exclusions.dropDuplicates("p_mim")
+        .withColumn("excl_marker", lit(true))),
         Seq("p_mim"), "left")
       .join(broadcast(protected_
         .select(col("p_mim"), col("gene_mim"), col("hgnc_id"), col("prot_orcid"))
+        .dropDuplicates("p_mim", "gene_mim")
         .withColumn("prot_marker", lit(true))),
         Seq("p_mim", "gene_mim"), "left")
-      .withColumn("n_assocs", count(lit(1)).over(wCount))
       .withColumn("excluded", col("excl_marker").isNotNull)
       .withColumn("branch",
         when(col("prot_marker").isNotNull, BranchProtected)
@@ -318,14 +324,15 @@ object OmimPipeline {
     * either column are dropped; the job fails if more than 1% were bad
     * (observe()-style QC as a hard assert). */
   def hgncSymbolIdMap(raw: DataFrame): DataFrame = {
-    val total = raw.count()
-    val good = raw.filter(col("hgnc_id").isNotNull && col("symbol").isNotNull &&
-      trim(col("symbol")) =!= "")
-    val goodCount = good.count()
-    val bad = total - goodCount
-    require(total == 0 || bad <= total * 0.01 || bad <= 1,
-      s"HGNC file has too many invalid rows: $bad/$total")
-    good.select(col("symbol"), col("hgnc_id"))
+    val goodCond = col("hgnc_id").isNotNull && col("symbol").isNotNull &&
+      trim(col("symbol")) =!= ""
+    // one streamed pass for the guard (bad + total together)
+    val m = raw.select(
+      sum(when(goodCond, 0L).otherwise(1L)).as("bad"),
+      count(lit(1)).as("total")).first()
+    val bad = Option(m.getAs[Long]("bad")).getOrElse(0L)
+    graft.io.AuxSources.assertBadRowRate(bad, m.getAs[Long]("total"))
+    raw.filter(goodCond).select(col("symbol"), col("hgnc_id"))
   }
 
   /** Equivalency cliques (ref: analyses/equivalency_cliques.py:68-94,

@@ -46,8 +46,11 @@ object EventsStreams {
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Int)
 
   /** Custom-state sessionizer: emits a session when a >30-minute gap
-    * closes it (mapGroupsWithState with processing-time timeout). The
-    * batch twin is q36's lag+running-sum form. */
+    * closes it; a processing-time timeout flushes (and removes) the state
+    * of users who go quiet, so the state store stays O(open sessions) —
+    * without it, a user's final session would never be emitted and their
+    * state entry would live forever. The batch twin is q36's
+    * lag+running-sum form. */
   def sessionize(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val gapSec = 1800L
@@ -57,22 +60,30 @@ object EventsStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.ProcessingTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(
-            SessionState(sorted.headOption.getOrElse(0L), sorted.headOption.getOrElse(0L), 0))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { t =>
-            if (st.n > 0 && t - st.last > gapSec) {
-              out += SessionOut(userId, st.start, st.n)
-              st = SessionState(t, t, 1)
-            } else {
-              st = SessionState(if (st.n == 0) t else st.start, t, st.n + 1)
+          if (state.hasTimedOut) {
+            val finalOut = state.getOption.filter(_.n > 0)
+              .map(st => SessionOut(userId, st.start, st.n))
+            state.remove()
+            finalOut.iterator
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var st = state.getOption.getOrElse(
+              SessionState(sorted.headOption.getOrElse(0L), sorted.headOption.getOrElse(0L), 0))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              if (st.n > 0 && t - st.last > gapSec) {
+                out += SessionOut(userId, st.start, st.n)
+                st = SessionState(t, t, 1)
+              } else {
+                st = SessionState(if (st.n == 0) t else st.start, t, st.n + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(gapSec * 1000)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }.toDF()
   }
 }

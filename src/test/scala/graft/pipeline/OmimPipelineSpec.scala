@@ -194,6 +194,18 @@ class OmimPipelineSpec extends SparkSpec {
     assert(merged == Seq(("100100", "new"), ("100300", "keep"), ("100900", "new2")))
   }
 
+  test("duplicate curator rows never multiply associations or inflate counts") {
+    // same exclusion listed twice + same protected pair twice: the
+    // reference's dict loading collapses them, so must we
+    val dupExcl = exclusions.unionByName(exclusions)
+    val dupProt = protectd.unionByName(protectd)
+    val t2 = OmimPipeline.tagAssociations(assocs, dupExcl, dupProt)
+    assert(t2.count() == assocs.count())
+    val t1counts = tagged.groupBy("branch").count().as[(String, Long)].collect().toMap
+    val t2counts = t2.groupBy("branch").count().as[(String, Long)].collect().toMap
+    assert(t2counts == t1counts)
+  }
+
   test("equivalency cliques: mims sharing a symbol list each other") {
     val m2g = Seq(("1", "A"), ("2", "A"), ("3", "A"), ("4", "B"), ("5", ""))
       .toDF("mim", "symbol")
