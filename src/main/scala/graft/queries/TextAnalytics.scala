@@ -183,6 +183,55 @@ object TextAnalytics {
       ORDER BY doc_id
     """))
 
+  /** TF-IDF-style top terms per document: term frequency × inverse
+    * document frequency, top-3 per doc. The idf is the RATIONAL form
+    * (N+1)/(df+1) rather than its log — transcendental functions differ
+    * in final ulps between libm implementations, which would make ranking
+    * ties and round() boundaries engine-dependent; the rational form is
+    * exact in both. Shape: one shuffle for tf, one broadcast-sized df
+    * table, window top-k (WindowGroupLimit-optimized). */
+  val q42TfidfTopTerms = QueryDef(
+    "q42_tfidf_top_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).count()
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(dfreq), "token")
+        .withColumn("score",
+          col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"),
+          round(col("score"), 9).as("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (
+        SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * ((n.n + 1.0) / (dfreq.df + 1.0)) DESC, tf.token) AS rank
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      SELECT doc_id, rank, token, round(score, 9) AS score
+      FROM scored WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
-    q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing)
+    q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
+    q42TfidfTopTerms)
 }
