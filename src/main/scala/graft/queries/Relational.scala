@@ -409,10 +409,39 @@ object Relational {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """))
 
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`, verified value-identical at 6 dp). At 100 TB switch
+    * to approx_percentile (t-digest) — exact percentile holds the full
+    * value multiset per group; the exact form here doubles as the
+    * accuracy oracle for the approximate path. */
+  val q43Percentiles = QueryDef(
+    "q43_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+          round(min("l_extendedprice"), 6).as("lo"),
+          round(max("l_extendedprice"), 6).as("hi"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+             round(min(l_extendedprice), 6) AS lo,
+             round(max(l_extendedprice), 6) AS hi
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
-    q17Rollup)
+    q17Rollup, q43Percentiles)
 }
