@@ -213,11 +213,17 @@ object OmimQueries {
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(14,2)")).as("total"))
+          // Sum exactly in decimal, then cast the FINAL value to double:
+          // Spark's decimal sum widens to (24,2) while DuckDB's widens to
+          // (38,2), and the two physical parquet representations hash
+          // differently even when values agree. A final double is
+          // representation-stable (every 2-dp decimal here is far below
+          // 2^53 so the conversion is exact and identical across engines).
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
         .orderBy("window_start", "event_type"),
     Some("""
       SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
-             count(*) AS n, sum(value::DECIMAL(14,2)) AS total
+             count(*) AS n, sum(value::DECIMAL(14,2))::DOUBLE AS total
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type

@@ -410,10 +410,13 @@ object Relational {
     """))
 
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
-    * `quantile_cont`, verified value-identical at 6 dp). At 100 TB switch
-    * to approx_percentile (t-digest) — exact percentile holds the full
-    * value multiset per group; the exact form here doubles as the
-    * accuracy oracle for the approximate path. */
+    * `quantile_cont`, verified value-identical at 6 dp). TEST-SCALE ONLY
+    * (`benchSkip`): exact percentile holds the full value multiset per
+    * group and the group key has cardinality 3, so at 100 TB three
+    * reducers would each hold a third of lineitem. The scale path is
+    * q43b (approx_percentile / QuantileSummaries, bounded memory); this
+    * exact form stays as its accuracy oracle (PercentilesSpec asserts
+    * the rank-error bound between the two). */
   val q43Percentiles = QueryDef(
     "q43_percentiles",
     (s, d) =>
@@ -436,12 +439,55 @@ object Relational {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag
-    """))
+    """),
+    benchSkip = true)
+
+  /** Scale-path percentiles: approx_percentile keeps a bounded
+    * QuantileSummaries sketch per group (mergeable, map-side partial),
+    * so memory is O(1/eps) per group regardless of group size — this is
+    * the form the bench runs and the form a 100 TB job would use.
+    *
+    * Oracle design: DuckDB cannot reproduce Spark's sketch values, but it
+    * CAN assert the invariant the sketch guarantees — the empirical CDF at
+    * the returned value must sit within eps of the requested rank. The
+    * query therefore joins the approx values back to the data (broadcast:
+    * 3 rows), computes each value's empirical rank fraction distributed,
+    * and emits the bound checks as booleans; the oracle states the
+    * expected all-true outcome per group. A broken sketch ⇒ false rows ⇒
+    * hash mismatch. PercentilesSpec additionally pins the numeric error
+    * against the exact q43 form. */
+  val q43bPercentilesApprox = QueryDef(
+    "q43b_percentiles_approx",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"))
+        .select(col("l_returnflag"),
+          col("ap")(0).as("p50"), col("ap")(1).as("p90"), col("ap")(2).as("p99"))
+      def frac(p: String) =
+        (sum(when(col("l_extendedprice") <= col(p), 1L).otherwise(0L)) /
+          count(lit(1))).cast("double")
+      li.join(broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(frac("p50").as("f50"), frac("p90").as("f90"), frac("p99").as("f99"))
+        .select(col("l_returnflag"),
+          col("f50").between(0.49, 0.51).as("p50_ok"),
+          col("f90").between(0.89, 0.91).as("p90_ok"),
+          col("f99").between(0.98, 1.0).as("p99_ok"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, true AS p50_ok, true AS p90_ok, true AS p99_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
-    q17Rollup, q43Percentiles)
+    q17Rollup, q43Percentiles, q43bPercentilesApprox)
 }

@@ -188,8 +188,11 @@ object TextAnalytics {
     * (N+1)/(df+1) rather than its log — transcendental functions differ
     * in final ulps between libm implementations, which would make ranking
     * ties and round() boundaries engine-dependent; the rational form is
-    * exact in both. Shape: one shuffle for tf, one broadcast-sized df
-    * table, window top-k (WindowGroupLimit-optimized). */
+    * exact in both. Shape: one shuffle for tf, a shuffled tf⋈df join
+    * (the vocabulary is unbounded at corpus scale — never broadcast it),
+    * window top-k (WindowGroupLimit-optimized). The corpus size N rides
+    * the plan as a broadcast 1-row aggregate instead of a driver-side
+    * count() action, so the query is a single job with no extra scan. */
   val q42TfidfTopTerms = QueryDef(
     "q42_tfidf_top_terms",
     (s, d) => {
@@ -198,12 +201,13 @@ object TextAnalytics {
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, d).count()
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("token"))
-      tf.join(broadcast(dfreq), "token")
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
         .withColumn("score",
-          col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
+          col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("token"),
