@@ -358,8 +358,99 @@ object OmimQueries {
     None,
     benchSkip = true) // fixture-scale; does not vary with sfDir
 
+  /** The association cascade (main.py:429-488) under a DuckDB oracle.
+    *
+    * q40 runs the full build but is fixture-scale and oracle-less; this
+    * query gives the cascade — the semantically hardest logic in the
+    * repo — a driver-visible correctness row. It synthesizes
+    * morbidmap-shaped associations, exclusions, and protected pairs
+    * in-plan from `orders` (the q32/q33 technique), runs the REAL
+    * `OmimPipeline.tagAssociations`, and the oracle recomputes every
+    * branch tag, per-phenotype count, g2d predicate, and evidence string
+    * independently in SQL. The construction covers all five branches:
+    * protected (o%11), key-1 skip (o%4==0), non-causal (keys 2/4 and
+    * excluded key-3), non-definitive skip (shared p_mim or [{? labels),
+    * and causal (unique p_mim, key 3, plain label).
+    */
+  val q44CascadeTags = QueryDef(
+    "q44_cascade_tags",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val pMim = when(col("o_orderkey") % 3 === 0,
+          (lit(200000) + col("o_orderkey")))
+        .otherwise(lit(100000) + (col("o_orderkey") % 500))
+        .cast("string")
+      val prefix = when(col("o_orderkey") % 5 === 1, "[")
+        .when(col("o_orderkey") % 5 === 2, "{")
+        .when(col("o_orderkey") % 5 === 3, "?")
+        .otherwise("")
+      val assocs = o.select(
+        col("o_orderkey"),
+        pMim.as("p_mim"),
+        (lit(300000) + (col("o_orderkey") % 700)).cast("string").as("gene_mim"),
+        ((col("o_orderkey") % 4) + 1).cast("string").as("map_key"),
+        concat(prefix, lit("Phenotype")).as("p_label"),
+        concat(lit("meaning-"), ((col("o_orderkey") % 4) + 1).cast("string")).as("map_label"))
+      val exclusions = assocs.select("p_mim").distinct()
+        .filter(col("p_mim").cast("long") % 7 === 0)
+        .withColumn("excl_orcid", lit("ORCID:0000-0001"))
+      val protected_ = assocs.filter(col("o_orderkey") % 11 === 0)
+        .select(col("p_mim"), col("gene_mim"))
+        .distinct()
+        .withColumn("hgnc_id", concat(lit("HG"), col("gene_mim")))
+        .withColumn("prot_orcid", lit("ORCID:0000-0002"))
+      graft.pipeline.OmimPipeline.tagAssociations(assocs, exclusions, protected_)
+        .select(col("o_orderkey"), col("p_mim"), col("gene_mim"),
+          col("map_key"), col("n_assocs"), col("excluded"),
+          col("branch"), col("g2d_pred"), col("evidence"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH a AS (
+        SELECT o_orderkey,
+               (CASE WHEN o_orderkey % 3 = 0 THEN 200000 + o_orderkey
+                     ELSE 100000 + (o_orderkey % 500) END)::VARCHAR AS p_mim,
+               (300000 + (o_orderkey % 700))::VARCHAR AS gene_mim,
+               ((o_orderkey % 4) + 1)::VARCHAR AS map_key,
+               (CASE o_orderkey % 5 WHEN 1 THEN '[' WHEN 2 THEN '{'
+                     WHEN 3 THEN '?' ELSE '' END) || 'Phenotype' AS p_label,
+               'meaning-' || ((o_orderkey % 4) + 1)::VARCHAR AS map_label
+        FROM orders),
+      counted AS (
+        SELECT *, count(*) OVER (PARTITION BY p_mim) AS n_assocs FROM a),
+      excl AS (
+        SELECT DISTINCT p_mim FROM a WHERE p_mim::BIGINT % 7 = 0),
+      prot AS (
+        SELECT DISTINCT p_mim, gene_mim FROM a WHERE o_orderkey % 11 = 0),
+      tagged AS (
+        SELECT c.*,
+               (e.p_mim IS NOT NULL) AS excluded,
+               (p.p_mim IS NOT NULL) AS prot_marker
+        FROM counted c
+        LEFT JOIN excl e ON e.p_mim = c.p_mim
+        LEFT JOIN prot p ON p.p_mim = c.p_mim AND p.gene_mim = c.gene_mim)
+      SELECT o_orderkey, p_mim, gene_mim, map_key, n_assocs, excluded,
+             CASE WHEN prot_marker THEN 'protected'
+                  WHEN p_mim = '' OR map_key = '1' THEN 'skip_no_mim_or_key1'
+                  WHEN map_key <> '3' OR excluded THEN 'non_causal'
+                  WHEN n_assocs > 1 OR regexp_matches(p_label, '^[\[{?]')
+                    THEN 'skip_non_definitive'
+                  ELSE 'causal' END AS branch,
+             CASE WHEN NOT prot_marker AND p_mim <> '' AND map_key <> '1'
+                       AND (map_key <> '3' OR excluded)
+                  THEN CASE WHEN n_assocs = 1 AND NOT excluded
+                            THEN CASE map_key WHEN '2' THEN 'RO:0003303'
+                                              WHEN '3' THEN 'RO:0004013'
+                                              WHEN '4' THEN 'RO:0003304' END
+                            ELSE 'RO:0003302' END
+                  END AS g2d_pred,
+             'Evidence: (' || map_key || ') ' || coalesce(map_label, '') AS evidence
+      FROM tagged
+      ORDER BY o_orderkey
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
-    q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild)
+    q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags)
 }
