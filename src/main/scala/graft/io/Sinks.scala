@@ -8,33 +8,28 @@ import graft.model.Triple
 /** Sinks for the OMIM artifact family (SURVEY.md §2.1 S9/S10). */
 object Sinks {
 
-  /** Default CURIE prefix expansions for the Turtle sink (subset of the
-    * reference's 203-namespace map, omim2obo/namespaces.py — extend via
-    * the `prefixes` parameter). */
-  val defaultPrefixes: Map[String, String] = Map(
-    "OMIM" -> "https://omim.org/entry/",
-    "OMIMPS" -> "https://www.omim.org/phenotypicSeries/PS",
-    "MONDO" -> "http://purl.obolibrary.org/obo/mondo#",
-    "MONDONS" -> "http://purl.obolibrary.org/obo/mondo#",
-    "RO" -> "http://purl.obolibrary.org/obo/RO_",
-    "SO" -> "http://purl.obolibrary.org/obo/SO_",
-    "IAO" -> "http://purl.obolibrary.org/obo/IAO_",
-    "OMO" -> "http://purl.obolibrary.org/obo/OMO_",
-    "NCBITaxon" -> "http://purl.obolibrary.org/obo/NCBITaxon_",
-    "NCBIGENE" -> "https://www.ncbi.nlm.nih.gov/gene/",
-    "HGNC" -> "http://identifiers.org/hgnc/",
-    "HGNC_symbol" -> "https://bioregistry.io/hgnc.symbol:",
-    "CHR" -> "http://purl.obolibrary.org/obo/CHR_",
-    "PMID" -> "https://pubmed.ncbi.nlm.nih.gov/",
-    "UMLS" -> "http://linkedlifedata.com/resource/umls/id/",
-    "ORPHANET" -> "http://www.orpha.net/ORDO/Orphanet_",
-    "ORCID" -> "https://orcid.org/",
-    "biolink" -> "https://w3id.org/biolink/vocab/",
-    "oboInOwl" -> "http://www.geneontology.org/formats/oboInOwl#",
-    "skos" -> "http://www.w3.org/2004/02/skos/core#",
-    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
-    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
-    "owl" -> "http://www.w3.org/2002/07/owl#")
+  /** Default CURIE prefix expansions for the Turtle sink: the
+    * reference's full dipper curie_map.yaml (212 bindings) plus the
+    * namespaces.py extras — see [[CurieMap]] (S6). */
+  def defaultPrefixes: Map[String, String] = CurieMap.default
+
+  /** Distinct CURIE prefixes appearing in the triple set: subject,
+    * predicate, and non-literal object terms that are neither
+    * `<>`-wrapped IRIs nor `_:` bnodes. One tiny distinct aggregate
+    * (bounded by the number of namespaces, ≤ a few hundred rows) —
+    * the only driver-side collect in the sink, and it is metadata. */
+  def usedPrefixes(triples: Dataset[Triple]): Set[String] = {
+    val df = triples.toDF()
+    val terms = df.select(col("s").as("t"))
+      .unionAll(df.select(col("p").as("t")))
+      .unionAll(df.filter(!col("oIsLiteral")).select(col("o").as("t")))
+    terms
+      .filter(!col("t").startsWith("<") && !col("t").startsWith("_:"))
+      .select(regexp_extract(col("t"), "^([A-Za-z][A-Za-z0-9_.-]*):", 1).as("pfx"))
+      .filter(col("pfx") =!= "")
+      .distinct()
+      .collect().map(_.getString(0)).toSet
+  }
 
   /** One canonical N-Triples-style line per edge row. Literals are escaped
     * and quoted; bnode ids (`_:`) and already-`<>`-wrapped IRIs pass
@@ -55,15 +50,27 @@ object Sinks {
   }
 
   /** Write the graph as Turtle: @prefix header + sorted triple lines.
+    *
+    * Like rdflib's Turtle serializer (which the reference relies on,
+    * main.py:236-238), the header binds exactly the prefixes the
+    * triple set USES, resolved against `prefixes` (default = the full
+    * 200+-entry dipper map). A used prefix with no binding is an
+    * error: the emitted CURIE would be un-expandable for every
+    * downstream consumer, so fail loudly at write time instead.
+    *
     * `singleFile=true` coalesces to one part (fine ≤10^7 triples; leave
     * false at scale — SURVEY.md §7.4). */
   def writeTurtle(spark: SparkSession, triples: Dataset[Triple], path: String,
                   prefixes: Map[String, String] = defaultPrefixes,
                   singleFile: Boolean = true): Unit = {
     import spark.implicits._
+    val used = usedPrefixes(triples)
+    val unbound = used -- prefixes.keySet
+    require(unbound.isEmpty,
+      s"triples use CURIE prefixes with no binding: ${unbound.toSeq.sorted.mkString(", ")}")
     // Explicit (section, line) sort key: a plain union's branch order is NOT
     // preserved through coalesce, so the header gets section 0.
-    val header = prefixes.toSeq.sorted
+    val header = prefixes.filter(kv => used.contains(kv._1)).toSeq.sorted
       .map { case (p, u) => (0, s"@prefix $p: <$u> .") }.toDF("sec", "line")
     val body = toTurtleLines(triples).select(lit(1).as("sec"), col("line"))
     val out = header.unionByName(body).orderBy("sec", "line").select("line")

@@ -21,17 +21,36 @@ class SinksSpec extends SparkSpec {
     assert(lines.exists(l => l.startsWith("_:") && l.endsWith("RO:0004003 .")))
   }
 
-  test("writeTurtle produces prefix header then sorted body") {
+  test("writeTurtle binds exactly the used prefixes, header then sorted body") {
     val dir = Files.createTempDirectory("ttl").toString
     val ds = Seq(
       Triple.uri("OMIM:2", "rdf:type", "owl:Class"),
       Triple.uri("OMIM:1", "rdf:type", "owl:Class")).toDS()
-    Sinks.writeTurtle(spark, ds, s"$dir/out", Map("OMIM" -> "https://omim.org/entry/"))
+    // default map carries 200+ bindings; only the 3 used ones are emitted
+    Sinks.writeTurtle(spark, ds, s"$dir/out")
     val part = Files.list(Paths.get(s"$dir/out")).iterator().asScala
       .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc")).get
     val lines = Files.readAllLines(part).asScala.toList
     assert(lines.head == "@prefix OMIM: <https://omim.org/entry/> .")
-    assert(lines.tail == List("OMIM:1 rdf:type owl:Class .", "OMIM:2 rdf:type owl:Class ."))
+    assert(lines.take(3).forall(_.startsWith("@prefix ")))
+    assert(lines.drop(3) == List("OMIM:1 rdf:type owl:Class .", "OMIM:2 rdf:type owl:Class ."))
+  }
+
+  test("writeTurtle fails loudly on a used-but-unbound prefix") {
+    val dir = Files.createTempDirectory("ttl").toString
+    val ds = Seq(Triple.uri("NOPE:1", "rdf:type", "owl:Class")).toDS()
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeTurtle(spark, ds, s"$dir/out")
+    }
+    assert(e.getMessage.contains("NOPE"))
+  }
+
+  test("usedPrefixes skips literals, wrapped IRIs, and bnodes") {
+    val ds = Seq(
+      Triple.lit("OMIM:1", "rdfs:label", "a CURIE-shaped literal FAKE:1"),
+      Triple.uri(Triple.bnode("x"), "owl:onProperty", "<http://example.org/x>")
+    ).toDS()
+    assert(Sinks.usedPrefixes(ds) == Set("OMIM", "rdfs", "owl"))
   }
 
   test("writeOrderedTsv sorts, headers, and appends sub-header rows") {

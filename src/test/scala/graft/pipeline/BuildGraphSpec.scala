@@ -76,6 +76,17 @@ class BuildGraphSpec extends SparkSpec {
     val lines = Files.readAllLines(ttl).asScala
     assert(lines.head.startsWith("@prefix"))
     assert(lines.exists(_.startsWith("OMIM:100100 rdf:type owl:Class .")))
+    // S6 acceptance: every CURIE prefix appearing in the body is bound
+    // by an @prefix header line (no unbound prefix in omim.ttl)
+    val bound = lines.takeWhile(_.startsWith("@prefix "))
+      .map(_.stripPrefix("@prefix ").takeWhile(_ != ':')).toSet
+    val curiePfx = "^([A-Za-z][A-Za-z0-9_.-]*):".r
+    val usedInBody = lines.dropWhile(_.startsWith("@prefix "))
+      .flatMap(_.split(" ").take(3)) // s p o terms; literals start with '"'
+      .filter(t => !t.startsWith("\"") && !t.startsWith("_:") && !t.startsWith("<"))
+      .flatMap(t => curiePfx.findFirstMatchIn(t).map(_.group(1))).toSet
+    assert((usedInBody -- bound).isEmpty,
+      s"unbound prefixes in omim.ttl: ${(usedInBody -- bound).mkString(",")}")
     val sssom = Files.list(Paths.get(s"$dir/omim.sssom.tsv")).iterator().asScala
       .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc")).get
     val sl = Files.readAllLines(sssom).asScala
