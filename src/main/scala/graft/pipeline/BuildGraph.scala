@@ -26,7 +26,8 @@ object BuildGraph {
   final case class Outputs(
       triples: Dataset[Triple], reviewCases: DataFrame,
       susceptibilityRows: DataFrame, diseaseGeneQc: DataFrame,
-      mondoOmimGenes: DataFrame)
+      mondoOmimGenes: DataFrame,
+      morbidmapAugmented: DataFrame, mim2geneAugmented: DataFrame)
 
   /** Assemble the full graph + release artifacts. `versionDate` is
     * injected (never now()) for reproducible builds. */
@@ -40,13 +41,22 @@ object BuildGraph {
     val caps = CuratorTables.knownCapitalizations(spark, in.capitalizationsPath)
     val morbidRaw = CommentFramedTsv.read(spark, in.morbidmapPath,
       Some(Seq("phenotype", "gene_symbols", "gene_mim", "cyto")))
-    val morbid = OmimPipeline.parseMorbidMap(morbidRaw).cache()
-    val assocs = morbid.filter(col("p_mim") =!= "")
     val exclusions = CuratorTables.exclusions(spark, in.exclusionsPath)
     val protectd = CuratorTables.protected_(spark, in.protectedPath)
     val omimToMondo = Sssom.readOmimToMondo(spark, in.sssomPath)
+    val symbolToId = OmimPipeline.hgncSymbolIdMap(
+      spark.read.option("sep", "\t").option("header", "true").csv(in.hgncPath))
+    // Protected-augmentation rewrite (J9/J10/SO1, omim_txt_parser.py:
+    // 124-197): morbidmap and mim2gene are augmented ONCE here and every
+    // downstream consumer (cascade, review cases, cyto, hgnc maps) sees
+    // the synthesized rows — the reference's get_mim_file reads the
+    // '-protected-added' variant everywhere (omim_txt_parser.py:240-260).
+    val morbid = OmimPipeline.augmentMorbidMap(
+      OmimPipeline.parseMorbidMap(morbidRaw), protectd, titles, symbolToId).cache()
+    val assocs = morbid.filter(col("p_mim") =!= "")
     val mim2geneRaw = CommentFramedTsv.read(spark, in.mim2genePath,
       Some(Seq("mim", "entry_type", "entrez_id", "hgnc_symbol", "ensembl_id")))
+    val mim2gene = OmimPipeline.augmentMim2Gene(mim2geneRaw, protectd, symbolToId)
     val psRaw = CommentFramedTsv.read(spark, in.phenotypicSeriesPath,
       Some(Seq("ps_id", "a", "b")))
 
@@ -57,8 +67,8 @@ object BuildGraph {
     val tagged = OmimPipeline.tagAssociations(assocs, exclusions, protectd).cache()
     val cascade = OmimPipeline.cascadeTriples(tagged, protectd)
     val cyto = OmimPipeline.cytoTriples(morbid)
-    val m2g = OmimPipeline.mim2geneTriples(mim2geneRaw)
-    val hgncMap1 = mim2geneRaw
+    val m2g = OmimPipeline.mim2geneTriples(mim2gene)
+    val hgncMap1 = mim2gene
       .filter(col("entry_type").isin("gene", "gene/phenotype"))
       .filter(coalesce(col("hgnc_symbol"), lit("")) =!= "")
       .select(col("mim"), col("hgnc_symbol").as("symbol"))
@@ -67,8 +77,6 @@ object BuildGraph {
       col("MIM Number").as("mim"), col("Approved Gene Symbol").as("symbol"))
       .filter(coalesce(col("symbol"), lit("")) =!= "")
     val hgncMerged = OmimPipeline.hgncMapMerged(hgncMap1, hgncMap2)
-    val symbolToId = OmimPipeline.hgncSymbolIdMap(
-      spark.read.option("sep", "\t").option("header", "true").csv(in.hgncPath))
     val hgnc = OmimPipeline.hgncTriples(hgncMerged, symbolToId)
     val ps = OmimPipeline.phenoSeriesTriples(psRaw)
 
@@ -101,7 +109,9 @@ object BuildGraph {
         .orderBy("mondo_id", "omim_id"),
       diseaseGeneQc = SparqlQueries.diseaseGeneRelationships(withUpdates.toDF()),
       mondoOmimGenes = SparqlQueries.mondoOmimGenes(withUpdates.toDF())
-        .orderBy("mondo_id", "hgnc_id", "omim_gene", "omim_disease_xref"))
+        .orderBy("mondo_id", "hgnc_id", "omim_gene", "omim_disease_xref"),
+      morbidmapAugmented = morbid,
+      mim2geneAugmented = mim2gene)
   }
 
   /** Write the release artifacts (stage 3.1-7 sinks + makefile targets). */
@@ -122,5 +132,17 @@ object BuildGraph {
       graft.io.SssomExport.fromTriples(out.triples.toDF()), s"$dir/omim.sssom.tsv",
       Seq("subject_id", "object_id"),
       preHeaderLines = graft.io.SssomExport.frontMatter)
+    // The reference's '-protected-added' table artifacts
+    // (omim_txt_parser.py:138,196-197), in the parsed relational shape —
+    // this engine's canonical morbidmap form (parse once, reuse).
+    Sinks.writeOrderedTsv(
+      out.morbidmapAugmented.select(
+        col("p_label"), col("p_mim"), col("map_key"),
+        concat_ws(", ", col("gene_symbols")).as("gene_symbols"),
+        col("gene_mim"), col("cyto_location"), col("is_added_protection")),
+      s"$dir/morbidmap-protected-added.tsv",
+      Seq("p_mim", "gene_mim", "map_key", "p_label"))
+    Sinks.writeOrderedTsv(out.mim2geneAugmented,
+      s"$dir/mim2gene-protected-added.tsv", Seq("mim", "hgnc_symbol"))
   }
 }

@@ -74,6 +74,81 @@ object OmimPipeline {
         col("gene_symbols"), col("gene_mim"), col("cyto_location"),
         element_at(mappingKeyMeaning, col("pf.key")).as("map_label"))
 
+  // ------------------------------------------- protected augmentation (J9/J10)
+
+  /** Synthesize morbidmap rows for protected associations absent from the
+    * download (ref: update_mim_file_with_protected,
+    * omim_txt_parser.py:124-173 — J9/J10/SO1 as one table-level flow).
+    *
+    * The 3-key dup check (:150-157) skips protected pairs already present
+    * as a disease-defining (map key 3) association; it is computed ONCE
+    * against the unaugmented parse — the reference re-reads and re-parses
+    * the raw morbidmap file per protected row (SURVEY.md §4's noted fix).
+    * The label lookup (:160-164) takes the phenotype's preferred title
+    * with Python `str.capitalize` semantics (first char upper, REST
+    * LOWER); the synthesized phenotype field `<label>, <mim> (3)` goes
+    * through the same [[parseMorbidMap]] as downloaded rows, so parse
+    * quirks stay identical. Inner joins on label/symbol: a protected row
+    * whose phenotype has no title or whose hgnc_id is unknown would
+    * KeyError in the reference (:160-164, :146), so such rows cannot
+    * exist in a build the reference completes; here they drop.
+    *
+    * Scale shape: protected is a curator table («2 GB, broadcast-sized);
+    * the anti-join's morbidmap side reduces to distinct key-3 pairs
+    * (broadcast), so the downloaded fact table streams through exactly
+    * once. Output = parse schema + `is_added_protection` (the reference's
+    * `-with-header.tsv` flag column). */
+  def augmentMorbidMap(parsed: DataFrame, protected_ : DataFrame,
+                       titles: DataFrame, symbolToId: DataFrame): DataFrame = {
+    val existing = parsed.filter(col("map_key") === "3")
+      .select("p_mim", "gene_mim").distinct()
+    val labels = titles.select(col("mim").as("p_mim"), col("pref_titles"))
+      .dropDuplicates("p_mim")
+    val idToSymbol = symbolToId.select(
+        regexp_replace(col("hgnc_id"), "^HGNC:", "").as("hgnc_id"), col("symbol"))
+      .dropDuplicates("hgnc_id")
+    val synthesizedRaw = protected_
+      .select("p_mim", "gene_mim", "hgnc_id")
+      .join(broadcast(existing), Seq("p_mim", "gene_mim"), "left_anti")
+      .join(broadcast(labels), Seq("p_mim"))
+      .join(broadcast(idToSymbol), Seq("hgnc_id"))
+      .select(
+        concat(
+          upper(substring(col("pref_titles"), 1, 1)),
+          lower(substring(col("pref_titles"), 2, Int.MaxValue)),
+          lit(", "), col("p_mim"), lit(" (3)")).as("phenotype"),
+        col("symbol").as("gene_symbols"),
+        col("gene_mim"),
+        lit("").as("cyto"))
+    parsed.withColumn("is_added_protection", lit(false))
+      .unionByName(parseMorbidMap(synthesizedRaw)
+        .withColumn("is_added_protection", lit(true)))
+  }
+
+  /** Same flow for mim2gene (ref: update_mim_file_with_protected,
+    * omim_txt_parser.py:174-193): a protected gene whose (mim, symbol)
+    * pair is absent gets a synthesized 'gene' row with empty Entrez and
+    * Ensembl ids. Missing symbols compare as '' (:139 fillna). */
+  def augmentMim2Gene(raw: DataFrame, protected_ : DataFrame,
+                      symbolToId: DataFrame): DataFrame = {
+    val base = raw.select(
+      col("mim"), col("entry_type"), col("entrez_id"),
+      col("hgnc_symbol"), col("ensembl_id"))
+    val existing = base.select(col("mim").as("gene_mim"),
+      coalesce(col("hgnc_symbol"), lit("")).as("symbol")).distinct()
+    val idToSymbol = symbolToId.select(
+        regexp_replace(col("hgnc_id"), "^HGNC:", "").as("hgnc_id"), col("symbol"))
+      .dropDuplicates("hgnc_id")
+    val synthesized = protected_.select("gene_mim", "hgnc_id")
+      .join(broadcast(idToSymbol), Seq("hgnc_id"))
+      .join(broadcast(existing), Seq("gene_mim", "symbol"), "left_anti")
+      .select(col("gene_mim").as("mim"), lit("gene").as("entry_type"),
+        lit("").as("entrez_id"), col("symbol").as("hgnc_symbol"),
+        lit("").as("ensembl_id"))
+    base.withColumn("is_added_protection", lit(false))
+      .unionByName(synthesized.withColumn("is_added_protection", lit(true)))
+  }
+
   /** Cyto-location restrictions (ref: main.py:412-415, G10): one
     * restriction per distinct gene with a cyto location. */
   def cytoTriples(morbid: DataFrame): Dataset[Triple] = {

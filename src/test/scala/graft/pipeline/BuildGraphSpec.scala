@@ -38,6 +38,14 @@ class BuildGraphSpec extends SparkSpec {
     assert(t.exists(x => x.p == "IAO:0000142" && x.o == "PMID:1852104"))
     // SPARQL updates ran: flipped mondo mapping present both directions
     assert(t.contains(Triple.uri("OMIM:182280", "skos:exactMatch", "MONDO:0100537")))
+    // protected augmentation (J9/J10): the 300000/100001 assoc absent from
+    // morbidmap.txt is synthesized into the table and rides the cascade's
+    // protected branch — its evidence is the map-key-3 meaning, and the
+    // J5 leftover path (fixed 'protected association' string) never fires
+    assert(t.contains(Triple.uri("OMIM:100001", "skos:exactMatch", "HGNC:4100")))
+    assert(t.exists(x => x.p == "biolink:has_evidence" &&
+      x.o == "Evidence: (3) The molecular basis for the disorder is known; a mutation has been found in the gene."))
+    assert(!t.exists(_.o == "Evidence: (3) disease-defining (protected association)"))
     // hgnc_links: parallel RO:0004003 restriction targeting an HGNC class
     assert(t.contains(Triple.uri("HGNC:4132", "rdf:type", "owl:Class")))
     assert(t.exists(x => x.p == "owl:someValuesFrom" && x.o.startsWith("HGNC:")))
@@ -58,13 +66,31 @@ class BuildGraphSpec extends SparkSpec {
     assert(out.susceptibilityRows.count() == 2)
   }
 
-  test("writeArtifacts produces the six release files") {
+  test("augmented tables expose synthesized protected rows (J9/J10)") {
+    import org.apache.spark.sql.functions.col
+    val synth = out.morbidmapAugmented.filter(col("is_added_protection")).collect()
+    assert(synth.length == 1)
+    assert(synth.head.getAs[String]("p_mim") == "300000" &&
+      synth.head.getAs[String]("gene_mim") == "100001" &&
+      synth.head.getAs[String]("p_label") == "Ghost disease, ")
+    // review-visible: the self-ref detection input is the augmented table
+    assert(out.morbidmapAugmented.filter(col("p_mim") === "300000").count() == 1)
+    // protected gene 614041 (GG1) is absent from mim2gene.txt -> one
+    // synthesized 'gene' row; 100001/GA1 is present -> skipped
+    val m2gSynth = out.mim2geneAugmented.filter(col("is_added_protection")).collect()
+    assert(m2gSynth.map(r => (r.getAs[String]("mim"),
+      r.getAs[String]("entry_type"), r.getAs[String]("hgnc_symbol"))).toSeq ==
+      Seq(("614041", "gene", "GG1")))
+  }
+
+  test("writeArtifacts produces the eight release files") {
     val dir = Files.createTempDirectory("build").toString
     BuildGraph.writeArtifacts(spark, out, dir)
     val names = Seq("omim.ttl", "review.tsv",
       "mondo-omim-susceptibility-subset.robot.tsv",
       "mondo-omim-genes.robot.tsv", "disease-gene-relationships-qc.tsv",
-      "omim.sssom.tsv")
+      "omim.sssom.tsv", "morbidmap-protected-added.tsv",
+      "mim2gene-protected-added.tsv")
     names.foreach { n =>
       val part = Files.list(Paths.get(s"$dir/$n")).iterator().asScala
         .find(p => p.toString.contains("part-") && !p.toString.endsWith(".crc"))

@@ -29,7 +29,7 @@ class OmimPipelineSpec extends SparkSpec {
 
   test("parseMimTitles: counts, type decode, replacement lists") {
     val rows = titles.collect()
-    assert(rows.length == 16) // all data rows carry known prefixes
+    assert(rows.length == 17) // all data rows carry known prefixes
     val byMim = rows.map(r => r.getAs[String]("mim") -> r).toMap
     assert(byMim("100001").getAs[String]("omim_type") == "GENE")
     assert(byMim("100300").getAs[String]("omim_type") == "SUSPECTED")
@@ -216,6 +216,52 @@ class OmimPipelineSpec extends SparkSpec {
     assert(rows("2") == (Seq("1", "3"), 2))
     assert(rows("4") == (Seq.empty[String], 0))
     assert(!rows.contains("5")) // empty symbols dropped
+  }
+
+  test("protected augmentation synthesizes morbidmap rows for missing assocs") {
+    val symbolToId = OmimPipeline.hgncSymbolIdMap(
+      spark.read.option("sep", "\t").option("header", "true")
+        .csv(s"$dir/hgnc_complete_set.txt"))
+    val aug = OmimPipeline.augmentMorbidMap(morbid, protectd, titles, symbolToId)
+    // downloaded rows pass through unflagged
+    assert(aug.filter(!$"is_added_protection").count() == morbid.count())
+    val synth = aug.filter($"is_added_protection").collect()
+    // 300000/100001 is protected but absent from morbidmap -> synthesized
+    // with the capitalized preferred title, map key 3, empty cyto
+    assert(synth.length == 1)
+    val r = synth.head
+    assert(r.getAs[String]("p_mim") == "300000")
+    assert(r.getAs[String]("gene_mim") == "100001")
+    // str.capitalize label; the parse keeps the raw ', ' prefix before the
+    // MIM (the reference's no-strip regex group — F4 quirk), exactly as a
+    // downloaded row would
+    assert(r.getAs[String]("p_label") == "Ghost disease, ")
+    assert(r.getAs[String]("map_key") == "3")
+    assert(r.getAs[scala.collection.Seq[String]]("gene_symbols") == Seq("GA1"))
+    assert(r.getAs[String]("cyto_location") == "")
+    // 182280/614041 exists as a key-3 assoc -> 3-key dup check suppresses it
+    assert(!synth.exists(_.getAs[String]("p_mim") == "182280"))
+    // synthesized rows route to the protected cascade branch, emptying J5
+    val taggedAug = OmimPipeline.tagAssociations(
+      aug.filter($"p_mim" =!= ""), exclusions, protectd)
+    assert(taggedAug.filter($"branch" === OmimPipeline.BranchProtected)
+      .select("p_mim").as[String].collect().toSet == Set("182280", "300000"))
+  }
+
+  test("protected augmentation synthesizes mim2gene rows for missing genes") {
+    val symbolToId = OmimPipeline.hgncSymbolIdMap(
+      spark.read.option("sep", "\t").option("header", "true")
+        .csv(s"$dir/hgnc_complete_set.txt"))
+    val raw = Seq(("100001", "gene", "218", "GA1", "ENSG1"))
+      .toDF("mim", "entry_type", "entrez_id", "hgnc_symbol", "ensembl_id")
+    // fixture protected genes: 614041 (HGNC:4132/GG1) absent from raw ->
+    // synthesized; 100001 (HGNC:4100/GA1) present as a pair -> skipped
+    val aug = OmimPipeline.augmentMim2Gene(raw, protectd, symbolToId)
+    val synth = aug.filter($"is_added_protection")
+      .as[(String, String, String, String, String, Boolean)].collect()
+    assert(synth.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq ==
+      Seq(("614041", "gene", "", "GG1", "")))
+    assert(aug.filter(!$"is_added_protection").count() == 1)
   }
 
   test("cyto triples: one restriction per distinct gene with location") {
