@@ -25,12 +25,18 @@ object EntryTransform {
       geneIds: Option[String], umlsIds: Option[String],
       orphanetDiseases: Option[String], phenotypicSeries: Seq[String])
 
-  /** `spark.read.json` over the API envelope (omim→entryList[]→entry),
-    * exploded and projected to [[EntryRow]]. multiLine: the cache stores
-    * pretty-printed documents. */
+  /** `spark.read.json` over the API envelope (omim→entryList[]→entry)
+    * with the full explicit [[EntrySchema]] (no inference scan, no
+    * present-fields drift), exploded and projected to [[EntryRow]].
+    * multiLine: the cache stores pretty-printed documents. Malformed
+    * documents land in `_corrupt_record` (PERMISSIVE warn-and-skip). */
   def readEntries(spark: SparkSession, path: String): Dataset[EntryRow] = {
     import spark.implicits._
-    val raw = spark.read.option("multiLine", "true").json(path)
+    val raw = spark.read.option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(EntrySchema.envelope)
+      .json(path)
     raw.select(explode(col("omim.entryList")).as("e"))
       .select(col("e.entry").as("entry"))
       .select(
