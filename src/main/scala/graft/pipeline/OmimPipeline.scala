@@ -304,9 +304,12 @@ object OmimPipeline {
       .select(col("gene_mim").as("sr_gene"), col("p_label").as("sr_label"),
         col("map_key").as("sr_key"))
     val selfRef = causal.join(selfRefAssocs, causal("p_mim") === col("sr_gene"))
-    val wNum = Window.orderBy("p_mim")
-    val selfRefNumbered = selfRef
-      .withColumn("case_i", dense_rank().over(wNum))
+    // Case numbering runs on the DISTINCT p_mim set (one row per case,
+    // bounded) rather than a global window over the join output — see
+    // graft.operators.Windows.distinctRank's scale guard.
+    val selfRefNumbered = selfRef.join(
+      broadcast(graft.operators.Windows.distinctRank(selfRef, "p_mim", "case_i")),
+      Seq("p_mim"))
     val selfRefHead = selfRefNumbered.select(col("p_mim"), col("case_i"), col("basic"))
       .distinct()
       .select(lit(2).as("classCode"),
