@@ -449,8 +449,135 @@ object OmimQueries {
       ORDER BY o_orderkey
     """))
 
+  /** J9/J10 (omim_txt_parser.py:124-173): the REAL protected-augmentation
+    * rewrite over synthesized morbidmap/protected/titles/hgnc tables.
+    * DuckDB independently recomputes the 3-key dup check, the
+    * str.capitalize label synthesis (incl. the parse-back trailing ', '
+    * quirk), and the flagged union. */
+  val q45ProtectedAugment = QueryDef(
+    "q45_protected_augment",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val geneMim = (lit(300000) + col("o_orderkey") % 400).cast("string")
+      val parsed = o.select(
+        concat(lit("Label-"), (col("o_orderkey") % 7).cast("string")).as("p_label"),
+        (lit(100000) + col("o_orderkey") % 300).cast("string").as("p_mim"),
+        ((col("o_orderkey") % 4) + 1).cast("string").as("map_key"),
+        array(concat(lit("SYM"), geneMim)).as("gene_symbols"),
+        geneMim.as("gene_mim"),
+        lit("1p36").as("cyto_location"),
+        concat(lit("meaning-"), ((col("o_orderkey") % 4) + 1).cast("string")).as("map_label"))
+      val protected_ = o.filter(col("o_orderkey") % 11 === 0)
+        .select(
+          (lit(100000) + col("o_orderkey") % 350).cast("string").as("p_mim"),
+          geneMim.as("gene_mim"))
+        .distinct()
+        .withColumn("hgnc_id", concat(lit("HG"), col("gene_mim")))
+      val titles = parsed.select(col("p_mim"))
+        .unionByName(protected_.select(col("p_mim"))).distinct()
+        .select(col("p_mim").as("mim"),
+          concat(lit("TITLE FOR "), col("p_mim")).as("pref_titles"))
+      val symbolToId = protected_.select(col("hgnc_id")).distinct()
+        .select(
+          concat(lit("SYM"), regexp_replace(col("hgnc_id"), "^HG", "")).as("symbol"),
+          col("hgnc_id"))
+      graft.pipeline.OmimPipeline
+        .augmentMorbidMap(parsed, protected_, titles, symbolToId)
+        .select(col("p_mim"), col("gene_mim"), col("map_key"), col("p_label"),
+          concat_ws(",", col("gene_symbols")).as("gene_symbols"),
+          col("cyto_location"), col("is_added_protection"))
+        .orderBy("is_added_protection", "p_mim", "gene_mim", "map_key", "p_label")
+    },
+    Some("""
+      WITH parsed AS (
+        SELECT 'Label-' || (o_orderkey % 7)::VARCHAR AS p_label,
+               (100000 + o_orderkey % 300)::VARCHAR AS p_mim,
+               ((o_orderkey % 4) + 1)::VARCHAR AS map_key,
+               'SYM' || (300000 + o_orderkey % 400)::VARCHAR AS gene_symbols,
+               (300000 + o_orderkey % 400)::VARCHAR AS gene_mim,
+               '1p36' AS cyto_location
+        FROM orders),
+      prot AS (
+        SELECT DISTINCT (100000 + o_orderkey % 350)::VARCHAR AS p_mim,
+                        (300000 + o_orderkey % 400)::VARCHAR AS gene_mim
+        FROM orders WHERE o_orderkey % 11 = 0),
+      synth AS (
+        SELECT p.p_mim, p.gene_mim, '3' AS map_key,
+               'Title for ' || p.p_mim || ', ' AS p_label,
+               'SYM' || p.gene_mim AS gene_symbols,
+               '' AS cyto_location, true AS is_added_protection
+        FROM prot p
+        WHERE NOT EXISTS (SELECT 1 FROM parsed e
+          WHERE e.map_key = '3' AND e.p_mim = p.p_mim AND e.gene_mim = p.gene_mim))
+      SELECT * FROM (
+        SELECT p_mim, gene_mim, map_key, p_label, gene_symbols, cyto_location,
+               false AS is_added_protection
+        FROM parsed
+        UNION ALL SELECT * FROM synth)
+      ORDER BY is_added_protection, p_mim, gene_mim, map_key, p_label
+    """))
+
+  /** The composed cache-refresh flow (update_cache,
+    * omim_txt_parser.py:516-585) end to end: stale decision (1-day
+    * precaution), batched fetch via a deterministic transport, entry
+    * parse (umls ','-split, orphanet ';;;'/';;'-compound, pubmed refs),
+    * and the anti-join upsert of BOTH cache tables. DuckDB derives every
+    * refreshed value from the mim alone. */
+  val q46CacheRefresh = QueryDef(
+    "q46_cache_refresh",
+    (s, d) => {
+      val mims = Tables.orders(s, d)
+        .select((lit(100000) + col("o_orderkey") % 200).cast("string").as("mim"))
+        .distinct()
+      val even = col("mim").cast("long") % 2 === 0
+      val date = when(even, "2026-01-10").otherwise("2026-03-01")
+      val cached = graft.client.CacheRefresh.CacheTables(
+        mappings = mims.select(col("mim"), lit("False").as("is_phenotype"),
+          date.as("date_fetched"),
+          concat(lit("OLD"), col("mim")).as("umls_ids"),
+          lit("").as("orphanet_ids")),
+        pubmed = mims.select(col("mim"), lit("False").as("is_phenotype"),
+          date.as("date_fetched"),
+          concat(lit("OLDP"), col("mim")).as("pmid_refs")))
+      val phenos = mims.filter(col("mim").cast("long") % 3 === 0)
+      val transport = new graft.client.OmimClient.Transport {
+        def fetchBatch(batch: Seq[String]): String = {
+          val entries = batch.map { m =>
+            s"""{"entry": {"mimNumber": $m, "externalLinks": {"umlsIDs": "U$m,V$m",
+               | "orphanetDiseases": "$m;;a;;;9$m;;b"},
+               | "referenceList": [{"reference": {"pubmedID": 9$m}}]}}""".stripMargin
+          }
+          s"""{"omim": {"entryList": [${entries.mkString(",")}]}}"""
+        }
+      }
+      val out = graft.client.CacheRefresh.refresh(s, cached, mims, phenos,
+        transport, fetchDate = "2026-08-12", sinceDate = Some("2026-02-01"))
+      out.mappings
+        .join(out.pubmed.select(col("mim"), col("pmid_refs")), Seq("mim"))
+        .orderBy("mim")
+    },
+    Some("""
+      WITH mims AS (
+        SELECT DISTINCT (100000 + o_orderkey % 200)::VARCHAR AS mim FROM orders)
+      SELECT mim,
+             CASE WHEN mim::BIGINT % 2 = 0
+                  THEN CASE WHEN mim::BIGINT % 3 = 0 THEN 'True' ELSE 'False' END
+                  ELSE 'False' END AS is_phenotype,
+             CASE WHEN mim::BIGINT % 2 = 0 THEN '2026-08-12' ELSE '2026-03-01' END
+               AS date_fetched,
+             CASE WHEN mim::BIGINT % 2 = 0 THEN 'U' || mim || '|V' || mim
+                  ELSE 'OLD' || mim END AS umls_ids,
+             CASE WHEN mim::BIGINT % 2 = 0 THEN mim || '|9' || mim
+                  ELSE '' END AS orphanet_ids,
+             CASE WHEN mim::BIGINT % 2 = 0 THEN '9' || mim
+                  ELSE 'OLDP' || mim END AS pmid_refs
+      FROM mims
+      ORDER BY mim
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
-    q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags)
+    q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags,
+    q45ProtectedAugment, q46CacheRefresh)
 }
