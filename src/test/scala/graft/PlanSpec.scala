@@ -39,6 +39,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"pair join degenerated to n^2:\n$p")
   }
 
+  test("q45: augmentation joins broadcast the small sides, no cartesian") {
+    val p = plan("q45_protected_augment")
+    assert(p.contains("BroadcastHashJoin"), s"augment dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"augment degenerated to n^2:\n$p")
+  }
+
+  test("q46: cache upsert anti-joins stay broadcast-able, no cartesian") {
+    val p = plan("q46_cache_refresh")
+    assert(!p.contains("CartesianProduct"), s"refresh degenerated:\n$p")
+  }
+
   test("q26 uses the codegen vector kernels, norm never inlined into a lambda") {
     val p = plan("q26_embed_neardup")
     assert(p.contains("dot_product("), s"custom dot expression missing:\n$p")
