@@ -575,9 +575,117 @@ object OmimQueries {
       ORDER BY mim
     """))
 
+  /** G16/W2 (log_review_cases, omim_entry_parser.py:444-482): the REAL
+    * reviewCases — all five classes plus the bounded distinct-rank
+    * self-ref numbering — over associations synthesized so every class
+    * can fire; DuckDB recomputes the cascade's causal filter, the
+    * self-ref join, and the dense-rank numbering independently. */
+  val q47ReviewCases = QueryDef(
+    "q47_review_cases",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val k = col("o_orderkey")
+      val marker = k % 6 === 0
+      val pMim = when(marker, lit(""))
+        .when(k % 10 === 5, lit("100001"))
+        .otherwise((lit(100000) + k).cast("string"))
+      val geneMim = when(marker, (lit(100000) + k + 2).cast("string"))
+        .otherwise((lit(300000) + k % 300).cast("string"))
+      val label = when(k % 5 === 0, "Alpha digenic disease")
+        .when(k % 5 === 1, "Beta somatic tumor")
+        .when(k % 5 === 2, "{Gamma susceptibility}")
+        .when(k % 5 === 3, "?Delta provisional")
+        .otherwise("Epsilon plain")
+      val allAssocs = o.select(
+        pMim.as("p_mim"), geneMim.as("gene_mim"),
+        ((k % 4) + 1).cast("string").as("map_key"),
+        label.as("p_label"), lit("m").as("map_label"))
+      val assocs = allAssocs.filter(col("p_mim") =!= "")
+      val emptyExcl = assocs.select(col("p_mim")).filter(lit(false))
+        .withColumn("excl_orcid", lit(""))
+      val emptyProt = assocs.select(col("p_mim"), col("gene_mim"))
+        .filter(lit(false))
+        .withColumn("hgnc_id", lit("")).withColumn("prot_orcid", lit(""))
+      val tagged = graft.pipeline.OmimPipeline
+        .tagAssociations(assocs, emptyExcl, emptyProt)
+      val m = col("mim").cast("long") % 7
+      val types = assocs.select(col("p_mim").as("mim")).distinct()
+        .withColumn("omim_type",
+          when(m === 0, "GENE").when(m === 1, "OBSOLETE")
+            .when(m === 2, "SUSPECTED").when(m === 3, "HAS_AFFECTED_FEATURE")
+            .otherwise("DISEASE"))
+      graft.pipeline.OmimPipeline.reviewCases(tagged, allAssocs, types)
+    },
+    Some("""
+      WITH base AS (
+        SELECT CASE WHEN o_orderkey % 6 = 0 THEN ''
+                    WHEN o_orderkey % 10 = 5 THEN '100001'
+                    ELSE (100000 + o_orderkey)::VARCHAR END AS p_mim,
+               CASE WHEN o_orderkey % 6 = 0 THEN (100000 + o_orderkey + 2)::VARCHAR
+                    ELSE (300000 + o_orderkey % 300)::VARCHAR END AS gene_mim,
+               ((o_orderkey % 4) + 1)::VARCHAR AS map_key,
+               CASE o_orderkey % 5 WHEN 0 THEN 'Alpha digenic disease'
+                    WHEN 1 THEN 'Beta somatic tumor'
+                    WHEN 2 THEN '{Gamma susceptibility}'
+                    WHEN 3 THEN '?Delta provisional'
+                    ELSE 'Epsilon plain' END AS p_label
+        FROM orders),
+      assocs AS (SELECT * FROM base WHERE p_mim <> ''),
+      counted AS (
+        SELECT *, count(*) OVER (PARTITION BY p_mim) AS n_assocs FROM assocs),
+      causal AS (
+        SELECT *, '(Phenotype: ' || p_mim || ' ' || p_label ||
+               '), (Map key: ' || map_key || '), (Gene: ' || gene_mim || ')'
+               AS basic
+        FROM counted
+        WHERE map_key = '3' AND n_assocs = 1
+          AND NOT regexp_matches(p_label, '^[\[{?]')),
+      types AS (
+        SELECT DISTINCT p_mim AS mim,
+               CASE p_mim::BIGINT % 7 WHEN 0 THEN 'GENE'
+                    WHEN 1 THEN 'OBSOLETE' WHEN 2 THEN 'SUSPECTED'
+                    WHEN 3 THEN 'HAS_AFFECTED_FEATURE'
+                    ELSE 'DISEASE' END AS omim_type
+        FROM assocs),
+      selfref AS (
+        SELECT c.p_mim, c.basic, b.p_label AS sr_label, b.map_key AS sr_key
+        FROM causal c JOIN base b ON b.p_mim = '' AND b.gene_mim = c.p_mim),
+      caseids AS (
+        SELECT p_mim, dense_rank() OVER (ORDER BY p_mim) AS case_i
+        FROM (SELECT DISTINCT p_mim FROM selfref)),
+      unioned AS (
+        SELECT 1 AS classCode, basic AS value FROM causal
+          WHERE lower(p_label) LIKE '%digenic%'
+        UNION ALL
+        SELECT 3, basic FROM causal WHERE lower(p_label) LIKE '%somatic%'
+        UNION ALL
+        SELECT DISTINCT 2, case_i::VARCHAR || ': ' || basic
+          FROM selfref JOIN caseids USING (p_mim)
+        UNION ALL
+        SELECT 2, case_i::VARCHAR || ': (Phenotype: ' || sr_label ||
+               '), (Map key: ' || sr_key || '), (Gene: ' || p_mim || ')'
+          FROM selfref JOIN caseids USING (p_mim)
+        UNION ALL
+        SELECT 4, '(Phenotype MIM type ' || omim_type || '), ' || basic
+          FROM causal JOIN types ON mim = p_mim WHERE omim_type = 'GENE'
+        UNION ALL
+        SELECT 5, '(Phenotype MIM type ' || omim_type || '), ' || basic
+          FROM causal JOIN types ON mim = p_mim
+          WHERE omim_type IN ('OBSOLETE', 'SUSPECTED', 'HAS_AFFECTED_FEATURE'))
+      SELECT classCode,
+             CASE classCode WHEN 1 THEN 'D2G: digenic'
+                  WHEN 2 THEN 'D2G: self-referential'
+                  WHEN 3 THEN 'D2G: somatic'
+                  WHEN 4 THEN 'D2G: Phenotype is gene'
+                  WHEN 5 THEN 'D2G: Phenotype type error' END AS classShortName,
+             value
+      FROM unioned
+      ORDER BY classCode, value
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
     q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags,
-    q45ProtectedAugment, q46CacheRefresh)
+    q45ProtectedAugment, q46CacheRefresh, q47ReviewCases)
 }
