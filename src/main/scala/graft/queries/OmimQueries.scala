@@ -683,9 +683,89 @@ object OmimQueries {
       ORDER BY classCode, value
     """))
 
+  /** Sliding (overlapping) windows — the third streaming-window shape
+    * next to q35 tumbling and q36 sessions: 1-hour windows sliding every
+    * 30 minutes, so every event lands in exactly two windows. The oracle
+    * derives both window starts arithmetically (epoch-floor to the slide,
+    * minus one slide). Decimal-sum-then-double as in q35. */
+  val q48SlidingWindow = QueryDef(
+    "q48_sliding_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("window_start", "event_type"),
+    Some("""
+      WITH ev AS (
+        SELECT (floor(epoch(ts::TIMESTAMP) / 1800)::BIGINT * 1800) AS slot,
+               event_type, value
+        FROM events),
+      expanded AS (
+        SELECT epoch_ms(slot * 1000) AS window_start, event_type, value FROM ev
+        UNION ALL
+        SELECT epoch_ms((slot - 1800) * 1000), event_type, value FROM ev)
+      SELECT window_start, event_type, count(*) AS n,
+             sum(value::DECIMAL(14,2))::DOUBLE AS total
+      FROM expanded
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type
+    """))
+
+  /** J6/J7 (parse_mim2gene merge + chained HGNC lookups,
+    * omim_txt_parser.py:429-437, main.py:390-394): the REAL
+    * conflict-dropping full-outer map merge and the symbol→id chain,
+    * recomputed by DuckDB as FULL JOIN + conflict filter + LEFT JOIN. */
+  val q49HgncMerge = QueryDef(
+    "q49_hgnc_merge",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val m1 = p.filter(col("p_partkey") % 3 =!= 0)
+        .select((lit(100000) + col("p_partkey")).cast("string").as("mim"),
+          concat(lit("S"), (col("p_partkey") % 50).cast("string")).as("symbol"))
+      val m2 = p.filter(col("p_partkey") % 4 =!= 1)
+        .select((lit(100000) + col("p_partkey")).cast("string").as("mim"),
+          when(col("p_partkey") % 2 === 0,
+            concat(lit("S"), (col("p_partkey") % 50).cast("string")))
+            .otherwise(concat(lit("T"), (col("p_partkey") % 50).cast("string")))
+            .as("symbol"))
+      val ids = s.range(0, 50).select(
+        concat(lit("S"), col("id").cast("string")).as("symbol"),
+        concat(lit("HGNC:"), col("id").cast("string")).as("hgnc_id"))
+      graft.pipeline.OmimPipeline.hgncMapMerged(m1, m2)
+        .join(broadcast(ids), Seq("symbol"), "left")
+        .select(col("mim"), col("symbol"), col("hgnc_id"))
+        .orderBy("mim", "symbol")
+    },
+    Some("""
+      WITH m1 AS (
+        SELECT (100000 + p_partkey)::VARCHAR AS mim,
+               'S' || (p_partkey % 50)::VARCHAR AS sym1
+        FROM part WHERE p_partkey % 3 <> 0),
+      m2 AS (
+        SELECT (100000 + p_partkey)::VARCHAR AS mim,
+               CASE WHEN p_partkey % 2 = 0 THEN 'S' || (p_partkey % 50)::VARCHAR
+                    ELSE 'T' || (p_partkey % 50)::VARCHAR END AS sym2
+        FROM part WHERE p_partkey % 4 <> 1),
+      merged AS (
+        SELECT coalesce(m1.mim, m2.mim) AS mim,
+               coalesce(sym1, sym2) AS symbol
+        FROM m1 FULL OUTER JOIN m2 ON m1.mim = m2.mim
+        WHERE sym1 IS NULL OR sym2 IS NULL OR sym1 = sym2),
+      ids AS (
+        SELECT 'S' || i::VARCHAR AS symbol, 'HGNC:' || i::VARCHAR AS hgnc_id
+        FROM (SELECT unnest(range(50)) AS i))
+      SELECT m.mim, m.symbol, ids.hgnc_id
+      FROM merged m LEFT JOIN ids USING (symbol)
+      ORDER BY mim, symbol
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
     q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags,
-    q45ProtectedAugment, q46CacheRefresh, q47ReviewCases)
+    q45ProtectedAugment, q46CacheRefresh, q47ReviewCases, q48SlidingWindow,
+    q49HgncMerge)
 }
