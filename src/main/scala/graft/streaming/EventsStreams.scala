@@ -42,6 +42,20 @@ object EventsStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Sliding 1-hour windows every 30 minutes — the streaming twin of
+    * q48. Each event lands in exactly two overlapping windows; the
+    * watermark bounds state just as for tumbling (state keyed by
+    * (window, event_type), ~2× the tumbling cardinality, still
+    * O(active windows) not O(events)). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: Long, n_events: Int)
 

@@ -39,6 +39,27 @@ class EventsStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("slidingCounts (streaming) == batch sliding window at end of stream") {
+    val q = EventsStreams.slidingCounts(EventsStreams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding")
+      .select("window_start", "event_type", "n", "total")
+      .as[(java.sql.Timestamp, String, Long, java.math.BigDecimal)]
+      .collect().map(r => (r._1, r._2, r._3, r._4.stripTrailingZeros)).toSet
+    val batch = Tables.events(spark, sf001)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(14,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .as[(java.sql.Timestamp, String, Long, java.math.BigDecimal)]
+      .collect().map(r => (r._1, r._2, r._3, r._4.stripTrailingZeros)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize (flatMapGroupsWithState) emits exactly the closed sessions") {
     val q = EventsStreams.sessionize(EventsStreams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("sessions")
