@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, MultimodalQueries, OmimQueries, QueryDef, Relational, SimilarityQueries, TextAnalytics}
+import graft.queries.{CorpusOps, DedupQueries, MultimodalQueries, OmimQueries, QueryDef, Relational, SimilarityQueries, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   /** Registry of all verifiable queries, grouped by module. */
   def registry: Seq[QueryDef] =
     Relational.all ++ TextAnalytics.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ OmimQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ OmimQueries.all ++ MultimodalQueries.all ++
+      CorpusOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-based sampling and corpus-mix operators for
+  * reproducible training-data pipelines.
+  *
+  * Everything here is a map-only column predicate over a 60-bit md5
+  * bucket — no RNG state — so a sample is (a) identical across engines
+  * (DuckDB twin: `('0x'||substr(md5(k),1,15))::BIGINT`), runs,
+  * partitionings, and cluster sizes; (b) resumable after partial
+  * failure; and (c) composable: disjoint seeds give independent samples,
+  * and the same seed with a larger fraction gives a strict superset — a
+  * fraction ramp-up reuses every already-materialized row, which matters
+  * when half of a 100 TB sample is already on disk. `df.sample()` (RNG
+  * per partition) guarantees none of these.
+  */
+object Sampling {
+
+  /** Buckets per unit interval — ppm-resolution fractions. */
+  val Buckets = 1000000L
+
+  /** Uniform bucket in [0, Buckets) from a 60-bit md5 prefix of
+    * (seed ++ key) — the cross-engine hash scheme shared with the
+    * minhash kernels (expressions.TextHashExpressions). */
+  def hashBucket(key: Column, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(Buckets))
+
+  /** Deterministic Bernoulli sample: keep rows whose bucket falls below
+    * `fraction`·Buckets. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          seed: String): DataFrame =
+    df.filter(hashBucket(col(keyCol), seed) < (fraction * Buckets).toLong)
+
+  /** Stratified sample with per-stratum fractions (absent strata fall
+    * back to `defaultFraction`). One map-only pass — no shuffle, no
+    * per-stratum rescans. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double, seed: String): DataFrame = {
+    val rate = fractions.foldLeft(
+      lit((defaultFraction * Buckets).toLong)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), seed) < rate)
+  }
+
+  /** Weighted corpus mix — the "web at 50%, books at 100%" step of a
+    * training-data build: a union of map-only per-source samples with a
+    * provenance tag. */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+                  seed: String): DataFrame =
+    sources.map { case (name, df, rate) =>
+      deterministicSample(df, keyCol, rate, seed)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+
+  /** Per-group quota: the top `n` rows per group by `orderCols` (domain
+    * caps — "≤ n docs per host"). `row_number ≤ n` gets Spark's
+    * WindowGroupLimit partial top-k pushdown: each map task keeps at most
+    * n rows per group BEFORE the shuffle, so the exchange carries
+    * O(groups·n), not the corpus. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, n: Int,
+                    orderCols: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Deterministic training-order shuffle key: ORDER BY this column
+    * (plus the key for tie stability) is a plain distributed range sort —
+    * no global window, no driver state, same order every run. */
+  def shuffleKey(key: Column, seed: String): Column = hashBucket(key, seed)
+}

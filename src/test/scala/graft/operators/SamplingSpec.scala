@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Properties the deterministic sampler must guarantee (reproducible
+  * training mixes): determinism, superset-on-ramp-up, seed independence,
+  * stratified rate targeting, quota bounds, and mix provenance. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 4000L).map(i =>
+    (i, if (i % 3 == 0) "en" else "zh", s"src${i % 4}", i % 977)).toDF(
+    "doc_id", "lang", "source", "n_chars").cache()
+
+  test("sample is deterministic and fraction-accurate") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.2, "s").cache()
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.2, "s")
+    assert(a.select("doc_id").as[Long].collect().toSet ==
+      b.select("doc_id").as[Long].collect().toSet)
+    val n = a.count().toDouble
+    assert(math.abs(n / 4000.0 - 0.2) < 0.03, s"rate ${n / 4000.0}")
+  }
+
+  test("larger fraction with the same seed is a strict superset (ramp-up)") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1, "s")
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.3, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    assert(big.size > small.size)
+  }
+
+  test("different seeds are (near-)independent") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.5, "seedA")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.5, "seedB")
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = a.intersect(b).size.toDouble / 4000.0
+    assert(math.abs(overlap - 0.25) < 0.05, s"overlap $overlap") // 0.5*0.5
+  }
+
+  test("stratified sampling hits per-stratum rates") {
+    val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.6), defaultFraction = 0.1, seed = "s")
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en").toDouble / totals("en") - 0.6) < 0.05)
+    assert(math.abs(byLang("zh").toDouble / totals("zh") - 0.1) < 0.05)
+  }
+
+  test("quotaPerGroup caps each group and keeps the top rows") {
+    val q = Sampling.quotaPerGroup(docs, "source", 7,
+      col("n_chars").desc, col("doc_id").asc)
+    val counts = q.groupBy("source").count().as[(String, Long)].collect()
+    assert(counts.forall(_._2 == 7))
+    // kept rows are the maxima: every kept n_chars >= every dropped one
+    val keptMin = q.groupBy("source").agg(min("n_chars").as("m"))
+    val joined = docs.join(q.select(col("doc_id").as("kept_id")),
+        col("doc_id") === col("kept_id"), "left_anti")
+      .groupBy("source").agg(max("n_chars").as("dropped_max"))
+      .join(keptMin, "source")
+      .filter(col("dropped_max") > col("m"))
+    assert(joined.count() == 0)
+  }
+
+  test("weightedMix tags provenance and respects per-source rates") {
+    val web = docs.filter(col("source") === "src0")
+    val rest = docs.filter(col("source") =!= "src0")
+    val mix = Sampling.weightedMix(
+      Seq(("web", web, 0.5), ("rest", rest, 1.0)), "doc_id", "s").cache()
+    assert(mix.filter(col("mix_source") === "rest").count() == rest.count())
+    val webN = mix.filter(col("mix_source") === "web").count().toDouble
+    assert(math.abs(webN / web.count() - 0.5) < 0.07)
+  }
+}
