@@ -53,6 +53,33 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
 
+  /** Per-media container metadata, header-parsed for REAL where the
+    * format is self-describing ([[HeaderCodec]]: PNG/BMP/GIF/WAV/JPEG);
+    * unrecognized payloads (codec-compressed or text stand-ins) fall
+    * back to the deterministic stub with format 'stub'. */
+  final case class MediaMetaRow(media_id: Long, format: String, width: Int,
+                                height: Int, channels: Int, sample_rate: Int,
+                                bit_depth: Int)
+
+  /** Header-real metadata extraction (same partition-batched shape as
+    * [[extractFeatures]]): the filter/bucket fields a corpus pipeline
+    * needs (dimensions, channels, sample rate) come from the actual
+    * container bytes, no codec library required. */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        HeaderCodec.sniff(r.payload) match {
+          case Some(m) => MediaMetaRow(r.media_id, m.format, m.width,
+            m.height, m.channels, m.sampleRate, m.bitDepth)
+          case None =>
+            val (_, w, h) = FakeCodec.decode(r.payload)
+            MediaMetaRow(r.media_id, "stub", w, h, 0, 0, 0)
+        }
+      }
+    }
+  }
+
   /** Partition-batched feature extraction: the mapPartitions shape a real
     * decoder needs (amortized per-partition setup, streaming iterator —
     * no per-row codec init, no collect). */

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SparkSpec
+import graft.multimodal.HeaderCodec.MediaMeta
+
+/** Byte-exact header parsing over synthesized container files, plus the
+  * distributed extractMeta path with stub fallback. */
+class HeaderCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def png(w: Int, h: Int, depth: Int): Array[Byte] = {
+    val out = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h).put(depth.toByte).put(6.toByte)
+    out.array()
+  }
+
+  private def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val out = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h)
+    out.putShort(1.toShort).putShort(bpp.toShort)
+    out.array()
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    val out = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.array()
+  }
+
+  /** RIFF/WAVE with a JUNK chunk BEFORE fmt (exercises the chunk walk). */
+  private def wav(channels: Int, rate: Int, bits: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(100))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("JUNK".getBytes("US-ASCII")); out.write(le32(4)); out.write(le32(0))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(channels)); out.write(le32(rate))
+    out.write(le32(rate * channels * bits / 8))
+    out.write(le16(channels * bits / 8)); out.write(le16(bits))
+    out.toByteArray
+  }
+
+  /** SOI, APP0 segment, then SOF0 (exercises the marker walk). */
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(Array(0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46).map(_.toByte)) // APP0 len 4
+    out.write(Array(0xff, 0xc0, 0x00, 0x11, 0x08).map(_.toByte)) // SOF0, precision 8
+    out.write(Array((h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 3)
+      .map(_.toByte))
+    out.toByteArray
+  }
+
+  test("sniff parses PNG/BMP/GIF/WAV/JPEG headers byte-exactly") {
+    assert(HeaderCodec.sniff(png(800, 600, 8))
+      .contains(MediaMeta("png", 800, 600, 0, 0, 8)))
+    assert(HeaderCodec.sniff(bmp(1024, 768, 24))
+      .contains(MediaMeta("bmp", 1024, 768, 0, 0, 24)))
+    assert(HeaderCodec.sniff(gif(320, 200))
+      .contains(MediaMeta("gif", 320, 200, 0, 0, 0)))
+    assert(HeaderCodec.sniff(wav(2, 44100, 16))
+      .contains(MediaMeta("wav", 0, 0, 2, 44100, 16)))
+    assert(HeaderCodec.sniff(jpeg(640, 480))
+      .contains(MediaMeta("jpeg", 640, 480, 3, 0, 8)))
+    // negative height BMPs (top-down rows) normalize to positive
+    assert(HeaderCodec.sniff(bmp(10, -20, 32)).get.height == 20)
+  }
+
+  test("unknown and truncated payloads are rejected, not misparsed") {
+    assert(HeaderCodec.sniff("plain text document".getBytes("UTF-8")).isEmpty)
+    assert(HeaderCodec.sniff("BM".getBytes("US-ASCII")).isEmpty) // truncated
+    assert(HeaderCodec.sniff(Array.empty[Byte]).isEmpty)
+    assert(HeaderCodec.sniff(png(1, 1, 8).take(20)).isEmpty)
+  }
+
+  test("extractMeta decodes real containers distributed, stubs the rest") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png(12, 34, 8), 0, 0, 33L),
+      Multimodal.MediaRow(2L, "audio/wav", wav(1, 16000, 16), 0, 0, 100L),
+      Multimodal.MediaRow(3L, "text/fake", "hello".getBytes("UTF-8"), 0, 0, 5L))
+    val out = Multimodal.extractMeta(rows.toDS())
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).format == "png" && out(1L).width == 12 && out(1L).height == 34)
+    assert(out(2L).format == "wav" && out(2L).channels == 1 &&
+      out(2L).sample_rate == 16000 && out(2L).bit_depth == 16)
+    assert(out(3L).format == "stub" && out(3L).width > 0)
+  }
+}
