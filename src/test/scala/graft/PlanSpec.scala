@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"refresh degenerated:\n$p")
   }
 
+  test("q53: per-group quota gets the partial top-k pushdown") {
+    val p = plan("q53_quota_per_source")
+    // partial WindowGroupLimit BEFORE the exchange: map tasks keep <= n
+    // rows per group, so the shuffle carries O(groups*n), not the corpus
+    assert(p.contains("WindowGroupLimit"), s"no partial top-k:\n$p")
+  }
+
   test("q26 uses the codegen vector kernels, norm never inlined into a lambda") {
     val p = plan("q26_embed_neardup")
     assert(p.contains("dot_product("), s"custom dot expression missing:\n$p")
