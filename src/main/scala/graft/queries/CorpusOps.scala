@@ -106,7 +106,55 @@ object CorpusOps {
       ORDER BY shuffle_key, doc_id
     """))
 
+  /** The composed corpus build: exact dedup (keep-first per
+    * fingerprint) → per-source quota cap → stratified language sample,
+    * chaining the real operators end to end the way a production
+    * pipeline would. Every stage is map-only or partial-top-k; the
+    * synthetic duplicates (doubled spaces, shifted ids) come from the
+    * q22 corpus construction. */
+  val q55CorpusPipeline = QueryDef(
+    "q55_corpus_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      val deduped = Sampling.quotaPerGroup(
+          corpus.withColumn("fp",
+            graft.functions.TextFunctions.fingerprint(col("text"))),
+          "fp", 1, col("doc_id").asc)
+        .drop("fp", "text")
+      val capped = Sampling.quotaPerGroup(deduped, "source", 10,
+        col("n_chars").desc, col("doc_id").asc)
+      Sampling.stratifiedSample(capped, "doc_id", "lang",
+          Map("en" -> 0.5), defaultFraction = 0.2, seed = "p7")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, replace(text, ' ', '  '), lang, source, n_chars
+        FROM documents),
+      deduped AS (
+        SELECT doc_id, lang, source, n_chars FROM corpus
+        QUALIFY row_number() OVER (
+          PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) = 1),
+      capped AS (
+        SELECT * FROM deduped
+        QUALIFY row_number() OVER (PARTITION BY source
+          ORDER BY n_chars DESC, doc_id) <= 10)
+      SELECT doc_id, lang, source, n_chars
+      FROM capped
+      WHERE ${bucketSql("p7", "doc_id")} <
+            CASE lang WHEN 'en' THEN 500000 ELSE 200000 END
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
-    q53QuotaPerSource, q54ShuffleOrder)
+    q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline)
 }

@@ -606,6 +606,10 @@ object OmimQueries {
       val emptyProt = assocs.select(col("p_mim"), col("gene_mim"))
         .filter(lit(false))
         .withColumn("hgnc_id", lit("")).withColumn("prot_orcid", lit(""))
+      // reviewCases fans its input into six report branches; measured
+      // here, re-evaluating the codegen'd synthesis per branch beats
+      // caching (columnar cache materialization costs more than the
+      // rescans, and ReuseExchange already shares the count window)
       val tagged = graft.pipeline.OmimPipeline
         .tagAssociations(assocs, emptyExcl, emptyProt)
       val m = col("mim").cast("long") % 7
