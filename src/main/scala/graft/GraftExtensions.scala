@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression, ExpressionInfo, Literal, Md5, Pmod, Substring}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.expressions._
 
@@ -64,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fingerprints(text, k, w) - winnowing document fingerprints"),
       (args: Seq[Expression]) => WinnowingExpr(args.head,
         intArg(args(1), "k"), intArg(args(2), "w"))))
+    ext.injectFunction((
+      FunctionIdentifier("hash_bucket"),
+      info("hash_bucket",
+        "hash_bucket(key, seed) - deterministic sampling bucket in [0, 1e6)"),
+      (args: Seq[Expression]) => GraftExtensions.hashBucketExpr(args(0), args(1))))
   }
 }
 
@@ -77,6 +83,19 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$name expects a literal int argument, got $other")
   }
+
+  /** The [[graft.operators.Sampling.hashBucket]] column as a raw
+    * expression tree (analyzer inserts the string→binary cast for md5):
+    * pmod(conv(substr(md5(seed || cast(key as string)), 1, 15), 16, 10)
+    * :: long, 1e6). */
+  private[graft] def hashBucketExpr(key: Expression, seed: Expression): Expression =
+    Pmod(
+      Cast(Conv(
+        Substring(Md5(Cast(Concat(Seq(seed, Cast(key, StringType))),
+          org.apache.spark.sql.types.BinaryType)),
+          Literal(1), Literal(15)),
+        Literal(16), Literal(10)), LongType),
+      Literal(graft.operators.Sampling.Buckets))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -94,5 +113,7 @@ object GraftExtensions {
     add("simhash64", "64-bit simhash")(a => Simhash64Expr(a.head))
     add("winnow_fingerprints", "winnowing fingerprints")(a =>
       WinnowingExpr(a.head, intArg(a(1), "k"), intArg(a(2), "w")))
+    add("hash_bucket", "deterministic sampling bucket")(a =>
+      hashBucketExpr(a(0), a(1)))
   }
 }

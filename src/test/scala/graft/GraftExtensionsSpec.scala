@@ -18,6 +18,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[String]("sh").length == 16)
   }
 
+  test("hash_bucket SQL function matches the Sampling column form") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).toDF("k")
+    val sqlSide = df.selectExpr("k", "hash_bucket(k, 'seed') AS b")
+      .as[(Long, Long)].collect().toMap
+    val colSide = df.select(col("k"),
+        graft.operators.Sampling.hashBucket(col("k"), "seed").as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(sqlSide == colSide)
+    assert(sqlSide.values.forall(b => b >= 0 && b < 1000000L))
+  }
+
   test("non-literal shape args are rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
