@@ -484,10 +484,38 @@ object Relational {
     """),
     bench = true)
 
+  /** Scale-path distinct counting: approx_count_distinct keeps a
+    * mergeable HLL++ sketch per group (map-side partial, O(2^p) memory
+    * regardless of group size) where exact distinct shuffles every key.
+    * Same oracle design as q43b: DuckDB cannot reproduce the sketch
+    * value, but the 3·rsd relative-error bound against the exact count
+    * is a decidable invariant — emitted as a boolean the oracle expects
+    * all-true (HLL++ is deterministic on fixed data, so this cannot
+    * flake). The exact count doubles as the hash-matched anchor. */
+  val q56ApproxDistinct = QueryDef(
+    "q56_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") /
+            col("exact_nd") <= 0.06).as("within_bound"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS exact_nd,
+             true AS within_bound
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
-    q17Rollup, q43Percentiles, q43bPercentilesApprox)
+    q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct)
 }
