@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"refresh degenerated:\n$p")
   }
 
+  test("q50: sampling prunes the text payload column from the scan") {
+    val p = plan("q50_deterministic_sample")
+    // the hash predicate touches only doc_id; a scan reading `text` for
+    // a metadata sample would drag the whole payload through at 100 TB
+    assert(!p.contains("text"), s"text column not pruned:\n$p")
+  }
+
+  test("q52: corpus-mix source filters reach the parquet scan") {
+    val p = plan("q52_corpus_mix")
+    assert(p.contains("In(source"), s"source filter not pushed:\n$p")
+  }
+
   test("q53: per-group quota gets the partial top-k pushdown") {
     val p = plan("q53_quota_per_source")
     // partial WindowGroupLimit BEFORE the exchange: map tasks keep <= n
