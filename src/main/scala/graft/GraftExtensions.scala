@@ -30,7 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.intArg
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -101,7 +102,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     def add(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
       reg.registerFunction(FunctionIdentifier(name),
-        new ExpressionInfo(getClass.getName, null, name, usage, ""), b)
+        new ExpressionInfo(getClass.getName, null, name, usage,
+          "", "", "", "", "", "", "built-in"), b)
     add("dot_product", "dot product")(a => DotProduct(a(0), a(1)))
     add("normalize_vector", "unit normalize")(a => NormalizeVector(a.head))
     add("minhash_bands", "banded minhash")(a =>

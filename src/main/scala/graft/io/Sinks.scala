@@ -102,7 +102,8 @@ object Sinks {
     }
     val body = df
       .select((Seq(lit(1).as("__sec"), lit(0L).as("__idx"),
-        concat_ws("\t", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+        concat_ws("\t",
+          cols.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
           .as("__line")) ++ sortCols.map(col)): _*)
     val out = header.unionByName(body)
       .orderBy((Seq(col("__sec"), col("__idx")) ++ sortCols.map(col)): _*)
