@@ -34,6 +34,12 @@ final class HttpTransport(entryUrl: String, apiKey: String,
     client.send(req, HttpResponse.BodyHandlers.ofString())
   }
 
+  /** The apiKey query param is a secret; exception messages propagate
+    * into Spark task-failure logs and driver output, so never
+    * interpolate the raw URL into an error. */
+  private def redact(url: String): String =
+    url.replaceAll("apiKey=[^&]+", "apiKey=***")
+
   /** GET with bounded 429 retry. The reference aborts the run and asks
     * the operator to resume later (omim_client.py:203-205 + RATE_ERR);
     * here a bounded paced retry composes with Spark's own task retry,
@@ -45,7 +51,7 @@ final class HttpTransport(entryUrl: String, apiKey: String,
       if (resp.statusCode() == 429 && attempt < maxRetries) attempt += 1
       else if (resp.statusCode() >= 400)
         throw new RuntimeException(
-          s"HTTP ${resp.statusCode()} from $url: ${resp.body().take(500)}")
+          s"HTTP ${resp.statusCode()} from ${redact(url)}: ${resp.body().take(500)}")
       else return resp.body()
     }
     throw new IllegalStateException("unreachable")

@@ -23,12 +23,21 @@ object Sinks {
     val terms = df.select(col("s").as("t"))
       .unionAll(df.select(col("p").as("t")))
       .unionAll(df.filter(!col("oIsLiteral")).select(col("o").as("t")))
-    terms
+    // Every non-IRI non-bnode term must be a CURIE (have a ':'): a term
+    // without one can never expand, so fail loudly instead of silently
+    // skipping it. The prefix is everything before the FIRST colon —
+    // including the dipper map's '' base prefix and any digit-leading
+    // prefix — so unusual prefixes hit the unbound-prefix require()
+    // in writeTurtle rather than bypassing it.
+    val rows = terms
       .filter(!col("t").startsWith("<") && !col("t").startsWith("_:"))
-      .select(regexp_extract(col("t"), "^([A-Za-z][A-Za-z0-9_.-]*):", 1).as("pfx"))
-      .filter(col("pfx") =!= "")
+      .select(when(col("t").contains(":"),
+        substring_index(col("t"), ":", 1)).as("pfx"))
       .distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect()
+    require(rows.forall(!_.isNullAt(0)),
+      "non-literal term is neither <IRI>, _:bnode, nor prefix:CURIE")
+    rows.map(_.getString(0)).toSet
   }
 
   /** One canonical N-Triples-style line per edge row. Literals are escaped

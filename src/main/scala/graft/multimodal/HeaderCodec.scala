@@ -63,18 +63,28 @@ object HeaderCodec {
     None
   }
 
-  /** Walk JPEG markers to the first SOF0/SOF2 frame header. */
+  /** Walk JPEG markers to the first SOF0/SOF2 frame header. Consecutive
+    * 0xFF bytes before a marker are fill/padding (ITU T.81 B.1.1.2) and
+    * are skipped; TEM (0x01) and RSTn/SOI/EOI are standalone markers
+    * with no length field. Truncation anywhere returns None (stub
+    * fallback) rather than reading past the array. */
   private def sniffJpeg(b: Array[Byte]): Option[MediaMeta] = {
     var i = 2
-    while (i + 4 <= b.length && u8(b, i) == 0xff) {
+    while (i + 1 < b.length && u8(b, i) == 0xff) {
+      // skip 0xFF fill bytes: the marker code is the first non-FF byte
+      while (i + 1 < b.length && u8(b, i + 1) == 0xff) i += 1
+      if (i + 1 >= b.length) return None
       val marker = u8(b, i + 1)
       if (marker == 0xc0 || marker == 0xc2) {
-        if (i + 9 > b.length) return None
+        if (i + 10 > b.length) return None // channels byte is at i+9
         return Some(MediaMeta("jpeg", be16(b, i + 7), be16(b, i + 5),
           channels = u8(b, i + 9), sampleRate = 0, bitDepth = u8(b, i + 4)))
       }
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-      else i += 2 + be16(b, i + 2)
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      else {
+        if (i + 4 > b.length) return None
+        i += 2 + be16(b, i + 2)
+      }
     }
     None
   }

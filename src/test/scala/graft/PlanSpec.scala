@@ -53,8 +53,13 @@ class PlanSpec extends SparkSpec {
   test("q50: sampling prunes the text payload column from the scan") {
     val p = plan("q50_deterministic_sample")
     // the hash predicate touches only doc_id; a scan reading `text` for
-    // a metadata sample would drag the whole payload through at 100 TB
-    assert(!p.contains("text"), s"text column not pruned:\n$p")
+    // a metadata sample would drag the whole payload through at 100 TB.
+    // Assert on the scan's ReadSchema field list (not a whole-plan
+    // substring, which 'context'-like tokens elsewhere could trip).
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan:\n$p")
+    assert(!readSchemas.matches("(?s).*[<,]text:.*"),
+      s"text column not pruned from scan:\n$readSchemas")
   }
 
   test("q52: corpus-mix source filters reach the parquet scan") {

@@ -71,6 +71,13 @@ class HttpTransportSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.getMessage.contains("403") && e.getMessage.contains("inactive"))
   }
 
+  test("error messages never leak the apiKey (redacted from the URL)") {
+    val t = new HttpTransport(s"$base/secret", "sekret123", pauseMillis = 1)
+    val e = intercept[RuntimeException] { t.fetchBatch(Seq("1")) }
+    assert(!e.getMessage.contains("sekret123"), s"apiKey leaked: ${e.getMessage}")
+    assert(e.getMessage.contains("apiKey=***")) // URL still diagnosable
+  }
+
   test("downloadText returns file bodies but rejects HTML error pages") {
     assert(transport.downloadText(s"$base/download/morbidmap.txt")
       .startsWith("# Phenotype"))

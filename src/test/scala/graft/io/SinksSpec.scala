@@ -53,6 +53,19 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.usedPrefixes(ds) == Set("OMIM", "rdfs", "owl"))
   }
 
+  test("usedPrefixes catches base ('':x) and digit-leading prefixes too") {
+    // the dipper map's base prefix and non-letter prefixes must NOT
+    // bypass the unbound-prefix gate (they'd be silently un-expandable)
+    val base = Seq(Triple.uri(":x", "rdf:type", "owl:Class")).toDS()
+    assert(Sinks.usedPrefixes(base) == Set("", "rdf", "owl"))
+    val digit = Seq(Triple.uri("9NOPE:1", "rdf:type", "owl:Class")).toDS()
+    assert(Sinks.usedPrefixes(digit).contains("9NOPE"))
+    // a bare non-CURIE term is an error, not a silent skip
+    val bare = Seq(Triple.uri("noColonHere", "rdf:type", "owl:Class")).toDS()
+    val e = intercept[IllegalArgumentException] { Sinks.usedPrefixes(bare) }
+    assert(e.getMessage.contains("CURIE"))
+  }
+
   test("writeOrderedTsv sorts, headers, and appends sub-header rows") {
     val dir = Files.createTempDirectory("tsv").toString
     val df = Seq(("b", 2), ("a", 1)).toDF("name", "n")

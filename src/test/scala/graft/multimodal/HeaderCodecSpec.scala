@@ -83,6 +83,22 @@ class HeaderCodecSpec extends SparkSpec {
     assert(HeaderCodec.sniff(png(1, 1, 8).take(20)).isEmpty)
   }
 
+  test("JPEG edge cases: truncation after SOF width, fill bytes, TEM marker") {
+    val full = jpeg(640, 480)
+    // truncated exactly after the SOF width bytes (channels byte missing):
+    // must return None, not read past the array
+    assert(HeaderCodec.sniff(full.dropRight(1)).isEmpty)
+    // every truncation point must be a clean None (never throws)
+    (0 until full.length).foreach(n => HeaderCodec.sniff(full.take(n)))
+    // 0xFF fill/padding bytes before a marker are skipped, not misread
+    // as a segment whose "length" is the marker byte
+    val padded = full.take(2) ++ Array.fill(3)(0xff.toByte) ++ full.drop(2).tail
+    assert(HeaderCodec.sniff(padded).contains(MediaMeta("jpeg", 640, 480, 3, 0, 8)))
+    // standalone TEM marker (0x01) has no length field
+    val withTem = full.take(2) ++ Array(0xff.toByte, 0x01.toByte) ++ full.drop(2)
+    assert(HeaderCodec.sniff(withTem).contains(MediaMeta("jpeg", 640, 480, 3, 0, 8)))
+  }
+
   test("extractMeta decodes real containers distributed, stubs the rest") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", png(12, 34, 8), 0, 0, 33L),
