@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec {
       s"text column not pruned from scan:\n$readSchemas")
   }
 
+  test("q56b: sketch-only distinct plan carries no exact countDistinct") {
+    val p = plan("q56b_approx_distinct_sketch")
+    // the benched form must be the pure HLL++ path: an exact distinct
+    // would re-introduce the (group, key) expansion the sketch avoids
+    assert(p.toLowerCase.contains("approx_count_distinct"), s"sketch missing:\n$p")
+    assert(!p.toLowerCase.contains("count(distinct"), s"exact distinct leaked in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row anchor not broadcast:\n$p")
+  }
+
   test("q52: corpus-mix source filters reach the parquet scan") {
     val p = plan("q52_corpus_mix")
     assert(p.contains("In(source"), s"source filter not pushed:\n$p")
