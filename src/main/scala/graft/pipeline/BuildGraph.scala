@@ -23,29 +23,73 @@ object BuildGraph {
       exclusionsPath: String, protectedPath: String, capitalizationsPath: String,
       sssomPath: String, mappingsPath: String, pubmedRefsPath: String)
 
+  /** The same inputs at the DataFrame level — the seam that lets any
+    * source (files, synthesized plans, tests, other tables) feed the REAL
+    * stage composition. [[build]] is the file-reading adapter over this.
+    *
+    * Expected columns (the post-read raw shapes):
+    *  - titlesRaw: prefix, mim, pref_titles, alt_titles, inc_titles
+    *  - mim2geneRaw: mim, entry_type, entrez_id, hgnc_symbol, ensembl_id
+    *  - morbidRaw: phenotype, gene_symbols, gene_mim, cyto
+    *  - psRaw: ps_id, a, b (b null on title rows)
+    *  - genemap2: `MIM Number`, `Approved Gene Symbol`
+    *  - hgncRaw: symbol, hgnc_id
+    *  - exclusions: p_mim, excl_orcid
+    *  - protectd: p_mim, gene_mim, hgnc_id, prot_orcid, mondo_id
+    *  - omimToMondo: omim, mondo_ids (array)
+    *  - mappings: mim, umls_ids, orphanet_ids ('|'-delimited)
+    *  - pubmed: mim, pmid_refs ('|'-delimited) */
+  final case class InputTables(
+      titlesRaw: DataFrame, mim2geneRaw: DataFrame, morbidRaw: DataFrame,
+      psRaw: DataFrame, genemap2: DataFrame, hgncRaw: DataFrame,
+      exclusions: DataFrame, protectd: DataFrame, caps: Map[String, String],
+      omimToMondo: DataFrame, mappings: DataFrame, pubmed: DataFrame)
+
   final case class Outputs(
       triples: Dataset[Triple], reviewCases: DataFrame,
       susceptibilityRows: DataFrame, diseaseGeneQc: DataFrame,
       mondoOmimGenes: DataFrame,
       morbidmapAugmented: DataFrame, mim2geneAugmented: DataFrame)
 
-  /** Assemble the full graph + release artifacts. `versionDate` is
-    * injected (never now()) for reproducible builds. */
-  def build(spark: SparkSession, in: Inputs, versionDate: String): Outputs = {
+  /** Assemble the full graph + release artifacts from files. `versionDate`
+    * is injected (never now()) for reproducible builds. */
+  def build(spark: SparkSession, in: Inputs, versionDate: String): Outputs =
+    buildFromTables(spark, InputTables(
+      titlesRaw = CommentFramedTsv.read(spark, in.mimTitlesPath,
+        Some(Seq("prefix", "mim", "pref_titles", "alt_titles", "inc_titles"))),
+      mim2geneRaw = CommentFramedTsv.read(spark, in.mim2genePath,
+        Some(Seq("mim", "entry_type", "entrez_id", "hgnc_symbol", "ensembl_id"))),
+      morbidRaw = CommentFramedTsv.read(spark, in.morbidmapPath,
+        Some(Seq("phenotype", "gene_symbols", "gene_mim", "cyto"))),
+      psRaw = CommentFramedTsv.read(spark, in.phenotypicSeriesPath,
+        Some(Seq("ps_id", "a", "b"))),
+      genemap2 = CommentFramedTsv.read(spark, in.genemap2Path),
+      hgncRaw = spark.read.option("sep", "\t").option("header", "true")
+        .csv(in.hgncPath),
+      exclusions = CuratorTables.exclusions(spark, in.exclusionsPath),
+      protectd = CuratorTables.protected_(spark, in.protectedPath),
+      caps = CuratorTables.knownCapitalizations(spark, in.capitalizationsPath),
+      omimToMondo = Sssom.readOmimToMondo(spark, in.sssomPath),
+      mappings = spark.read.option("sep", "\t").option("header", "true")
+        .csv(in.mappingsPath),
+      pubmed = spark.read.option("sep", "\t").option("header", "true")
+        .csv(in.pubmedRefsPath)), versionDate)
+
+  /** The REAL stage composition (main.py:227-528) over already-loaded
+    * tables — every consumer (file build, q57's in-plan synthesized e2e
+    * oracle, specs) runs exactly this code path. */
+  def buildFromTables(spark: SparkSession, t: InputTables, versionDate: String): Outputs = {
     import spark.implicits._
 
     // Stage 3.1-2: setup + ingest/parse
-    val titlesRaw = CommentFramedTsv.read(spark, in.mimTitlesPath,
-      Some(Seq("prefix", "mim", "pref_titles", "alt_titles", "inc_titles")))
+    val titlesRaw = t.titlesRaw
     val titles = OmimPipeline.parseMimTitles(titlesRaw).cache()
-    val caps = CuratorTables.knownCapitalizations(spark, in.capitalizationsPath)
-    val morbidRaw = CommentFramedTsv.read(spark, in.morbidmapPath,
-      Some(Seq("phenotype", "gene_symbols", "gene_mim", "cyto")))
-    val exclusions = CuratorTables.exclusions(spark, in.exclusionsPath)
-    val protectd = CuratorTables.protected_(spark, in.protectedPath)
-    val omimToMondo = Sssom.readOmimToMondo(spark, in.sssomPath)
-    val symbolToId = OmimPipeline.hgncSymbolIdMap(
-      spark.read.option("sep", "\t").option("header", "true").csv(in.hgncPath))
+    val caps = t.caps
+    val morbidRaw = t.morbidRaw
+    val exclusions = t.exclusions
+    val protectd = t.protectd
+    val omimToMondo = t.omimToMondo
+    val symbolToId = OmimPipeline.hgncSymbolIdMap(t.hgncRaw)
     // Protected-augmentation rewrite (J9/J10/SO1, omim_txt_parser.py:
     // 124-197): morbidmap and mim2gene are augmented ONCE here and every
     // downstream consumer (cascade, review cases, cyto, hgnc maps) sees
@@ -54,11 +98,8 @@ object BuildGraph {
     val morbid = OmimPipeline.augmentMorbidMap(
       OmimPipeline.parseMorbidMap(morbidRaw), protectd, titles, symbolToId).cache()
     val assocs = morbid.filter(col("p_mim") =!= "")
-    val mim2geneRaw = CommentFramedTsv.read(spark, in.mim2genePath,
-      Some(Seq("mim", "entry_type", "entrez_id", "hgnc_symbol", "ensembl_id")))
-    val mim2gene = OmimPipeline.augmentMim2Gene(mim2geneRaw, protectd, symbolToId)
-    val psRaw = CommentFramedTsv.read(spark, in.phenotypicSeriesPath,
-      Some(Seq("ps_id", "a", "b")))
+    val mim2gene = OmimPipeline.augmentMim2Gene(t.mim2geneRaw, protectd, symbolToId)
+    val psRaw = t.psRaw
 
     // Stage 4: entity triples (per-MIM flatMap)
     val entity = OmimPipeline.entityTriples(titles, caps)
@@ -72,8 +113,7 @@ object BuildGraph {
       .filter(col("entry_type").isin("gene", "gene/phenotype"))
       .filter(coalesce(col("hgnc_symbol"), lit("")) =!= "")
       .select(col("mim"), col("hgnc_symbol").as("symbol"))
-    val genemap2 = CommentFramedTsv.read(spark, in.genemap2Path)
-    val hgncMap2 = genemap2.select(
+    val hgncMap2 = t.genemap2.select(
       col("MIM Number").as("mim"), col("Approved Gene Symbol").as("symbol"))
       .filter(coalesce(col("symbol"), lit("")) =!= "")
     val hgncMerged = OmimPipeline.hgncMapMerged(hgncMap1, hgncMap2)
@@ -81,24 +121,32 @@ object BuildGraph {
     val ps = OmimPipeline.phenoSeriesTriples(psRaw)
 
     // Stage 6: enrichment (cached API tables)
-    val mappings = spark.read.option("sep", "\t").option("header", "true")
-      .csv(in.mappingsPath)
-    val pubmed = spark.read.option("sep", "\t").option("header", "true")
-      .csv(in.pubmedRefsPath)
     val links =
-      OmimPipeline.linkTriples(pubmed, "pmid_refs", TripleGen.Mentions, "PMID")
-        .union(OmimPipeline.linkTriples(mappings, "umls_ids", TripleGen.SkosExactMatch, "UMLS"))
-        .union(OmimPipeline.linkTriples(mappings, "orphanet_ids", TripleGen.SkosExactMatch, "ORPHANET"))
+      OmimPipeline.linkTriples(t.pubmed, "pmid_refs", TripleGen.Mentions, "PMID")
+        .union(OmimPipeline.linkTriples(t.mappings, "umls_ids", TripleGen.SkosExactMatch, "UMLS"))
+        .union(OmimPipeline.linkTriples(t.mappings, "orphanet_ids", TripleGen.SkosExactMatch, "ORPHANET"))
 
     val header = spark.createDataset(TripleGen.ontologyHeader(versionDate))
 
+    // Truncate lineage at the graph fan-out boundaries with LAZY
+    // localCheckpoint (not cache): hgncLinks pattern-joins the graph
+    // against itself four times and the reports re-join the result.
+    // cache() dedups COMPUTATION but leaves the logical plan intact, so
+    // every self-join arm re-embeds the entire upstream build tree and
+    // the analyzer (DeduplicateRelations + per-rule tree walks) goes
+    // combinatorial — measured 40 s of driver CPU per action at sf0.1.
+    // localCheckpoint replaces the plan with a LogicalRDD leaf
+    // immediately (eager=false defers the actual materialization to the
+    // first action, which then persists the RDD for the later arms).
     val baseTriples = header
       .union(entity).union(cascade).union(cyto).union(m2g)
       .union(hgnc).union(ps).union(links)
+    val base = baseTriples.toDF().localCheckpoint(eager = false)
+    val flipped = SparqlQueries.addFlippedMondoMappings(base)
+      .localCheckpoint(eager = false)
 
     // Makefile SPARQL UPDATE stage (G17): flipped MONDO mappings + HGNC links
-    val withUpdates = SparqlQueries.hgncLinks(
-      SparqlQueries.addFlippedMondoMappings(baseTriples.toDF())).as[Triple].cache()
+    val withUpdates = SparqlQueries.hgncLinks(flipped).as[Triple].cache()
 
     // Reports (G16/G18)
     val types = titles.select(col("mim"), col("omim_type"))

@@ -722,6 +722,487 @@ object OmimQueries {
     * omim_txt_parser.py:429-437, main.py:390-394): the REAL
     * conflict-dropping full-outer map merge and the symbol→id chain,
     * recomputed by DuckDB as FULL JOIN + conflict filter + LEFT JOIN. */
+  /** The END-TO-END BuildGraph composition (main.py:227-528) under a
+    * DuckDB oracle — the stage GLUE (union ordering, cross-stage dedup,
+    * SPARQL-update rewrites) checked as one multiset, complementing the
+    * per-stage oracles (q44 cascade, q45 augmentation, q47 review, q49
+    * HGNC merge).
+    *
+    * All twelve raw input tables are synthesized in-plan from `orders`
+    * (bounded id space: 240 phenotype + 240 gene + 40 obsolete entities,
+    * plus per-orderkey morbidmap associations), shaped to fire every
+    * composed path: all six mimTitles prefixes, MOVED-TO replacement
+    * routing (single + AND), FORMERLY / symbol-pair / INCLUDED title
+    * handling, all five cascade branches, protected augmentation AND
+    * leftovers, mim2gene routing + augmentation, HGNC conflict merge,
+    * PS membership, pipe-delimited links, and the hgnc_links SPARQL
+    * INSERT (which fires off the causal/protected RO:0004003
+    * restrictions). Titles use lowercase-fixed-point words so the
+    * cleanup pipeline is SQL-reproducible; blank-node ids are nested
+    * md5, which DuckDB recomputes literally. The oracle rebuilds the
+    * entire triple set stage by stage and must match the final DISTINCT
+    * union exactly. */
+  val q57BuildE2e = QueryDef(
+    "q57_build_e2e",
+    (s, d) => {
+      // localCheckpoint the two shared roots: all twelve synthesized
+      // inputs branch off the same orders scan, and analyzer
+      // DeduplicateRelations walks that duplicated subtree
+      // combinatorially (measured: 40+ s of driver CPU at sf0.1 before
+      // truncation, ~1 s after). The checkpoint keys are tiny (orderkeys
+      // + a 240-row id table) and deterministic.
+      val k = col("o_orderkey")
+      val o = Tables.orders(s, d).select(k).localCheckpoint()
+      val ids = o.select((k % 240).cast("long").as("i")).distinct().localCheckpoint()
+      val i = col("i")
+      val P = (lit(100000) + i).cast("string")
+      val G = (lit(300000) + i).cast("string")
+      val SYM = concat(lit("SYMX"), G)
+
+      // --- mimTitles: 240 phenotypes (3 prefixes), 240 genes, 40 obsolete
+      val phenoTitles = ids.select(
+        when(i % 4 === 1, "Percent").when(i % 4 === 3, "NULL")
+          .otherwise("Number Sign").as("prefix"),
+        P.as("mim"),
+        concat(lit("PHENO TITLE "), P).as("pref_titles"),
+        when(i % 7 === 0, "OLD NAME, FORMERLY")
+          .when(i % 6 === 0, concat(lit("ALT PHENO; APSYM"), i.cast("string")))
+          .when(i % 3 === 0, "ALT PHENO").otherwise("").as("alt_titles"),
+        when(i % 5 === 0, "INC TITLE").otherwise("").as("inc_titles"))
+      val geneTitles = ids.select(
+        when(i % 2 === 0, "Asterisk").otherwise("Plus").as("prefix"),
+        G.as("mim"),
+        concat(lit("GENE TITLE "), G, lit("; "), SYM).as("pref_titles"),
+        lit("").as("alt_titles"), lit("").as("inc_titles"))
+      val obsTitles = ids.filter(i < 40).select(
+        lit("Caret").as("prefix"),
+        (lit(500000) + i).cast("string").as("mim"),
+        when(i >= 30, concat(lit("OBSOLETE TITLE "), i.cast("string")))
+          .when(i % 2 === 0, concat(lit("MOVED TO "), P))
+          .otherwise(concat(lit("MOVED TO "), P, lit(" AND "), G)).as("pref_titles"),
+        lit("").as("alt_titles"), lit("").as("inc_titles"))
+      val titlesRaw = phenoTitles.unionByName(geneTitles).unionByName(obsTitles)
+
+      // --- morbidmap: one association per orderkey (q44's branch design)
+      val pAssoc = when(k % 3 === 0, (lit(210000) + k).cast("string"))
+        .otherwise((lit(100000) + (k % 200)).cast("string"))
+      val gAssoc = (lit(300000) + (k % 240)).cast("string")
+      val marker = when(k % 5 === 1, "[").when(k % 5 === 2, "{")
+        .when(k % 5 === 3, "?").otherwise("")
+      val mapKey = ((k % 4) + 1).cast("string")
+      val morbidRaw = o.select(
+        when(k % 17 === 0, concat(lit("NOMIM LBL ("), mapKey, lit(")")))
+          .otherwise(concat(marker, lit("PHENO LBL, "), pAssoc,
+            lit(" ("), mapKey, lit(")"))).as("phenotype"),
+        concat(lit("SYMX"), gAssoc).as("gene_symbols"),
+        gAssoc.as("gene_mim"),
+        when(k % 2 === 0, concat(lit("1p"), (k % 7).cast("string")))
+          .otherwise("").as("cyto"))
+
+      // --- curator tables: exclusions + protected (in-map / augmentable /
+      //     leftover families), attributes functional in the join keys
+      val exclusions = o.select(pAssoc.as("p_mim")).distinct()
+        .filter(col("p_mim").cast("long") % 7 === 0)
+        .withColumn("excl_orcid",
+          when(col("p_mim").cast("long") % 14 === 0, lit(null).cast("string"))
+            .otherwise("ORCID:0000-0001"))
+      val protA = o.filter(k % 11 === 0).select(pAssoc.as("p_mim"), gAssoc.as("gene_mim"))
+      val protB = o.filter(k % 23 === 0).select(
+        (lit(100200) + (k % 40)).cast("string").as("p_mim"), gAssoc.as("gene_mim"))
+      val protC = o.filter(k % 13 === 0).select(
+        (lit(700000) + (k % 10)).cast("string").as("p_mim"), gAssoc.as("gene_mim"))
+      val pgSum = col("p_mim").cast("long") + col("gene_mim").cast("long")
+      val protectd = protA.unionByName(protB).unionByName(protC).distinct()
+        .withColumn("hgnc_id", (col("gene_mim").cast("long") - 300000 + 7000).cast("string"))
+        .withColumn("prot_orcid", when(pgSum % 2 === 0, "ORCID:0000-0002"))
+        .withColumn("mondo_id",
+          when(pgSum % 3 === 0, concat(lit("MONDO:"), (pgSum % 50 + 600000).cast("string"))))
+
+      // --- mim2gene: gene/gene-phenotype/phenotype/predominantly/junk rows
+      val m2gGene = ids.select(G.as("mim"),
+        when(i % 2 === 0, "gene").otherwise("gene/phenotype").as("entry_type"),
+        when(i % 10 === 0, "").otherwise((lit(880000) + i).cast("string")).as("entrez_id"),
+        when(i % 3 === 0, "").otherwise(SYM).as("hgnc_symbol"),
+        lit("").as("ensembl_id"))
+      val m2gPheno = ids.filter(i % 6 === 0).select(P.as("mim"),
+        lit("phenotype").as("entry_type"), (lit(990000) + i).cast("string").as("entrez_id"),
+        lit("").as("hgnc_symbol"), lit("").as("ensembl_id"))
+      val m2gPheno2 = ids.filter(i % 6 === 3).select(P.as("mim"),
+        lit("predominantly phenotypes").as("entry_type"),
+        (lit(991000) + i).cast("string").as("entrez_id"),
+        lit("").as("hgnc_symbol"), lit("").as("ensembl_id"))
+      val m2gJunk = ids.filter(i % 50 === 0).select(P.as("mim"),
+        lit("moved/removed").as("entry_type"), lit("").as("entrez_id"),
+        lit("").as("hgnc_symbol"), lit("").as("ensembl_id"))
+      val mim2geneRaw = m2gGene.unionByName(m2gPheno)
+        .unionByName(m2gPheno2).unionByName(m2gJunk)
+
+      // --- genemap2 (agree / conflict / absent), hgnc symbol↔id, PS, links
+      val genemap2 = ids.filter(i % 2 === 0).select(
+        G.as("MIM Number"),
+        when(i % 10 === 0, concat(lit("CONFL"), G)).otherwise(SYM)
+          .as("Approved Gene Symbol"))
+      val hgncRaw = ids.select(SYM.as("symbol"),
+        concat(lit("HGNC:"), (lit(7000) + i).cast("string")).as("hgnc_id"))
+      val psTitles = ids.filter(i < 12).select(
+        concat(lit("PS"), (lit(910000) + i).cast("string")).as("ps_id"),
+        concat(lit("SERIES TITLE "), i.cast("string")).as("a"),
+        lit(null).cast("string").as("b"))
+      val psMembers = ids.select(
+        concat(lit("PS"), (lit(910000) + (i % 12)).cast("string")).as("ps_id"),
+        P.as("a"), lit("m").as("b"))
+      val psRaw = psTitles.unionByName(psMembers)
+      val mappings = ids.filter(i % 2 === 0).select(P.as("mim"),
+        concat(lit("C"), P, lit("|D"), P).as("umls_ids"),
+        when(i % 4 === 0, concat(lit("ORPH"), i.cast("string"))).otherwise("")
+          .as("orphanet_ids"))
+      val pubmed = ids.filter(i % 3 === 0).select(P.as("mim"),
+        concat(lit("91"), i.cast("string"), lit("|92"), i.cast("string")).as("pmid_refs"))
+      val omimToMondo = ids.filter(i === 0).select(P.as("omim"),
+        array(lit("MONDO:0000001")).as("mondo_ids"))
+
+      val out = graft.pipeline.BuildGraph.buildFromTables(s,
+        graft.pipeline.BuildGraph.InputTables(
+          titlesRaw = titlesRaw, mim2geneRaw = mim2geneRaw, morbidRaw = morbidRaw,
+          psRaw = psRaw, genemap2 = genemap2, hgncRaw = hgncRaw,
+          exclusions = exclusions, protectd = protectd, caps = Map.empty,
+          omimToMondo = omimToMondo, mappings = mappings, pubmed = pubmed),
+        versionDate = "2026-08-12")
+      out.triples.toDF().orderBy("s", "p", "o", "oIsLiteral")
+    },
+    Some("""
+
+WITH ids AS MATERIALIZED (SELECT DISTINCT o_orderkey % 240 AS i FROM orders),
+ok AS MATERIALIZED (SELECT o_orderkey AS k FROM orders),
+meanings AS (SELECT * FROM (VALUES
+  ('1', 'The disorder is placed on the map based on its association with a gene, but the underlying defect is not known.'),
+  ('2', 'The disorder has been placed on the map by linkage or other statistical method; no mutation has been found.'),
+  ('3', 'The molecular basis for the disorder is known; a mutation has been found in the gene.'),
+  ('4', 'A contiguous gene deletion or duplication syndrome, multiple genes are deleted or duplicated causing the phenotype.')) m(mk, mv)),
+
+-- ===================== raw morbidmap parse =====================
+assoc_raw AS MATERIALIZED (
+  SELECT k,
+    CASE WHEN k%17=0 THEN 'NOMIM LBL'
+         ELSE (CASE k%5 WHEN 1 THEN '[' WHEN 2 THEN '{' WHEN 3 THEN '?' ELSE '' END)
+              || 'PHENO LBL, ' END AS p_label,
+    CASE WHEN k%17=0 THEN ''
+         WHEN k%3=0 THEN (210000+k)::VARCHAR
+         ELSE (100000+(k%200))::VARCHAR END AS p_mim,
+    ((k%4)+1)::VARCHAR AS map_key,
+    (300000+(k%240))::VARCHAR AS gene_mim,
+    CASE WHEN k%2=0 THEN '1p'||(k%7)::VARCHAR ELSE '' END AS cyto
+  FROM ok),
+
+-- ===================== curator tables =====================
+excl AS MATERIALIZED (
+  SELECT pv::VARCHAR AS p_mim,
+         CASE WHEN pv%14=0 THEN NULL ELSE 'ORCID:0000-0001' END AS excl_orcid
+  FROM (SELECT DISTINCT CASE WHEN k%3=0 THEN 210000+k ELSE 100000+(k%200) END AS pv
+        FROM ok) WHERE pv%7=0),
+prot AS MATERIALIZED (
+  SELECT DISTINCT p_mim, gene_mim FROM (
+    SELECT CASE WHEN k%3=0 THEN (210000+k)::VARCHAR
+                ELSE (100000+(k%200))::VARCHAR END AS p_mim,
+           (300000+(k%240))::VARCHAR AS gene_mim FROM ok WHERE k%11=0
+    UNION ALL
+    SELECT (100200+(k%40))::VARCHAR, (300000+(k%240))::VARCHAR FROM ok WHERE k%23=0
+    UNION ALL
+    SELECT (700000+(k%10))::VARCHAR, (300000+(k%240))::VARCHAR FROM ok WHERE k%13=0)),
+prot_attr AS MATERIALIZED (
+  SELECT p_mim, gene_mim,
+    (gene_mim::BIGINT - 300000 + 7000)::VARCHAR AS hgnc_id,
+    CASE WHEN (p_mim::BIGINT + gene_mim::BIGINT)%2=0 THEN 'ORCID:0000-0002' END AS prot_orcid,
+    CASE WHEN (p_mim::BIGINT + gene_mim::BIGINT)%3=0
+         THEN 'MONDO:'||((p_mim::BIGINT + gene_mim::BIGINT)%50 + 600000)::VARCHAR END AS mondo_id
+  FROM prot),
+
+-- ===================== protected augmentation (q45 logic) =====================
+-- label lookup joins the FULL titles table: at larger SFs the unique-p
+-- mims (210000+k) reach the gene (300000+i) and obsolete (500000+i)
+-- ranges, so those protected pairs augment with capitalize(raw pref)
+titles_raw AS MATERIALIZED (
+  SELECT (100000+i)::VARCHAR AS mim,
+         'PHENO TITLE '||(100000+i)::VARCHAR AS pref FROM ids
+  UNION ALL
+  SELECT (300000+i)::VARCHAR,
+         'GENE TITLE '||(300000+i)::VARCHAR||'; SYMX'||(300000+i)::VARCHAR FROM ids
+  UNION ALL
+  SELECT (500000+i)::VARCHAR,
+         CASE WHEN i>=30 THEN 'OBSOLETE TITLE '||i::VARCHAR
+              WHEN i%2=0 THEN 'MOVED TO '||(100000+i)::VARCHAR
+              ELSE 'MOVED TO '||(100000+i)::VARCHAR||' AND '||(300000+i)::VARCHAR END
+  FROM ids WHERE i<40),
+aug AS MATERIALIZED (
+  SELECT upper(substr(t.pref,1,1))||lower(substr(t.pref,2))||', ' AS p_label,
+         p.p_mim, '3' AS map_key, p.gene_mim, '' AS cyto
+  FROM prot_attr p
+  JOIN titles_raw t ON t.mim = p.p_mim
+  WHERE NOT EXISTS (SELECT 1 FROM assoc_raw e
+                    WHERE e.map_key='3' AND e.p_mim=p.p_mim AND e.gene_mim=p.gene_mim)),
+
+-- ===================== cascade tagging (q44 logic) =====================
+assocs AS (
+  SELECT p_label, p_mim, map_key, gene_mim FROM assoc_raw WHERE p_mim <> ''
+  UNION ALL
+  SELECT p_label, p_mim, map_key, gene_mim FROM aug),
+counted AS (SELECT *, count(*) OVER (PARTITION BY p_mim) AS n_assocs FROM assocs),
+tagged AS MATERIALIZED (
+  SELECT c.*, m.mv AS map_label,
+         'Evidence: ('||c.map_key||') '||m.mv AS evidence,
+         (e.p_mim IS NOT NULL) AS excluded, e.excl_orcid,
+         (p.p_mim IS NOT NULL) AS prot_marker, p.hgnc_id, p.prot_orcid,
+         CASE WHEN p.p_mim IS NOT NULL THEN 'protected'
+              WHEN c.map_key='1' THEN 'skip'
+              WHEN c.map_key<>'3' OR e.p_mim IS NOT NULL THEN 'non_causal'
+              WHEN c.n_assocs>1 OR regexp_matches(c.p_label, '^[\[{?]') THEN 'skip_nd'
+              ELSE 'causal' END AS branch,
+         CASE WHEN c.n_assocs=1 AND e.p_mim IS NULL
+              THEN CASE c.map_key WHEN '2' THEN 'RO:0003303'
+                                  WHEN '3' THEN 'RO:0004013'
+                                  WHEN '4' THEN 'RO:0003304' END
+              ELSE 'RO:0003302' END AS g2d_pred
+  FROM counted c
+  JOIN meanings m ON m.mk = c.map_key
+  LEFT JOIN excl e ON e.p_mim = c.p_mim
+  LEFT JOIN prot_attr p ON p.p_mim = c.p_mim AND p.gene_mim = c.gene_mim),
+leftover AS MATERIALIZED (
+  SELECT pa.* FROM prot_attr pa
+  WHERE NOT EXISTS (SELECT 1 FROM tagged t
+                    WHERE t.branch='protected' AND t.p_mim=pa.p_mim
+                      AND t.gene_mim=pa.gene_mim)),
+
+-- ===================== restriction-with-evidence instances =====================
+rwe AS (
+  SELECT 'OMIM:'||p_mim AS on_, 'RO:0004003' AS pred, 'OMIM:'||gene_mim AS svf,
+         evidence AS ev, prot_orcid AS orcid FROM tagged WHERE branch='protected'
+  UNION ALL
+  SELECT 'OMIM:'||gene_mim, 'RO:0004013', 'OMIM:'||p_mim, evidence, prot_orcid
+  FROM tagged WHERE branch='protected'
+  UNION ALL
+  SELECT 'OMIM:'||p_mim, 'RO:0004003', 'OMIM:'||gene_mim, evidence, NULL
+  FROM tagged WHERE branch='causal'
+  UNION ALL
+  SELECT 'OMIM:'||gene_mim, 'RO:0004013', 'OMIM:'||p_mim, evidence, NULL
+  FROM tagged WHERE branch='causal'
+  UNION ALL
+  SELECT 'OMIM:'||gene_mim, g2d_pred, 'OMIM:'||p_mim, evidence, excl_orcid
+  FROM tagged WHERE branch='non_causal'
+  UNION ALL
+  SELECT 'OMIM:'||p_mim, 'RO:0004003', 'OMIM:'||gene_mim,
+         'Evidence: (3) disease-defining (protected association)', prot_orcid FROM leftover
+  UNION ALL
+  SELECT 'OMIM:'||gene_mim, 'RO:0004013', 'OMIM:'||p_mim,
+         'Evidence: (3) disease-defining (protected association)', prot_orcid FROM leftover),
+rwe_ax AS MATERIALIZED (
+  SELECT *, '_:'||md5('axiom|'||on_||'|rdfs:subClassOf|'||b) AS ax FROM
+    (SELECT *, '_:'||md5('restriction|'||on_||'|'||pred||'|'||svf) AS b FROM rwe)),
+
+-- ===================== plain restrictions (cyto, m2g phenotype) =====================
+restr AS (
+  SELECT 'OMIM:'||gene_mim AS on_, 'RO:0002525' AS pred,
+         'CHR:9606chr'||cyto AS svf
+  FROM (SELECT DISTINCT gene_mim, cyto FROM assoc_raw WHERE cyto <> '')
+  UNION ALL
+  SELECT 'NCBIGENE:'||(990000+i)::VARCHAR, 'RO:0002200', 'OMIM:'||(100000+i)::VARCHAR
+  FROM ids WHERE i%6=0
+  UNION ALL
+  SELECT 'NCBIGENE:'||(991000+i)::VARCHAR, 'RO:0002200', 'OMIM:'||(100000+i)::VARCHAR
+  FROM ids WHERE i%6=3),
+restr_b AS MATERIALIZED (SELECT *, '_:'||md5('restriction|'||on_||'|'||pred||'|'||svf) AS b FROM restr),
+
+-- ===================== entity title triples =====================
+pheno_e AS MATERIALIZED (
+  SELECT i, (100000+i)::VARCHAR AS mim, 'OMIM:'||(100000+i)::VARCHAR AS u,
+         'pheno title '||(100000+i)::VARCHAR AS ptitle FROM ids),
+gene_e AS MATERIALIZED (
+  SELECT i, (300000+i)::VARCHAR AS mim, 'OMIM:'||(300000+i)::VARCHAR AS u,
+         'gene title '||(300000+i)::VARCHAR AS ptitle,
+         'SYMX'||(300000+i)::VARCHAR AS sym FROM ids),
+obs_e AS MATERIALIZED (
+  SELECT i, 'OMIM:'||(500000+i)::VARCHAR AS u,
+         'OMIM:'||(100000+i)::VARCHAR AS pu, 'OMIM:'||(300000+i)::VARCHAR AS gu
+  FROM ids WHERE i < 40),
+
+-- symbol-axiom helper rows for synonyms with annotations
+sym_ax AS MATERIALIZED (  -- gene pref symbols + pheno APSYM alt symbols: abbreviation axioms
+  SELECT u, sym, '_:'||md5('axiom|'||u||'|oboInOwl:hasExactSynonym|'||sym) AS ax FROM gene_e
+  UNION ALL
+  SELECT u, 'APSYM'||i::VARCHAR,
+         '_:'||md5('axiom|'||u||'|oboInOwl:hasExactSynonym|APSYM'||i::VARCHAR)
+  FROM pheno_e WHERE i%7<>0 AND i%6=0),
+former_ax AS MATERIALIZED (  -- FORMERLY related synonyms (deprecated axiom, no synonym type)
+  SELECT u, 'old name' AS syn,
+         '_:'||md5('axiom|'||u||'|oboInOwl:hasRelatedSynonym|old name') AS ax
+  FROM pheno_e WHERE i%7=0),
+
+ents AS (
+  -- ===== header =====
+  SELECT '<http://purl.obolibrary.org/obo/mondo/omim.owl>' AS s, 'rdf:type' AS p,
+         'owl:Ontology' AS o, false AS l
+  UNION ALL SELECT '<http://purl.obolibrary.org/obo/mondo/omim.owl>', 'owl:versionIRI',
+         '<http://purl.obolibrary.org/obo/mondo/releases/2026-08-12/omim.owl>', false
+  UNION ALL SELECT '<http://purl.obolibrary.org/obo/mondo/omim.owl>', 'owl:versionInfo',
+         '2026-08-12', true
+  UNION ALL SELECT 'oboInOwl:hasSynonymType', 'rdf:type', 'owl:AnnotationProperty', false
+  UNION ALL SELECT 'oboInOwl:source', 'rdf:type', 'owl:AnnotationProperty', false
+  UNION ALL SELECT 'MONDONS:omim_included', 'rdf:type', 'owl:AnnotationProperty', false
+  UNION ALL SELECT 'OMO:0003000', 'rdf:type', 'owl:AnnotationProperty', false
+  UNION ALL SELECT 'biolink:has_evidence', 'rdf:type', 'owl:AnnotationProperty', false
+  UNION ALL SELECT 'NCBITaxon:9606', 'rdf:type', 'owl:Class', false
+  UNION ALL SELECT 'NCBITaxon:9606', 'rdfs:label', 'Homo sapiens', true
+
+  -- ===== phenotype entities =====
+  UNION ALL SELECT u, 'rdf:type', 'owl:Class', false FROM pheno_e
+  UNION ALL SELECT u, 'biolink:category', 'biolink:Disease', false
+            FROM pheno_e WHERE i%4 IN (0,1,2)
+  UNION ALL SELECT u, 'MONDO:exclusionReason', 'MONDO:excludeTrait', false
+            FROM pheno_e WHERE i%4=3
+  UNION ALL SELECT u, 'rdfs:label', ptitle, true FROM pheno_e
+  UNION ALL SELECT u, 'oboInOwl:hasExactSynonym', ptitle, true FROM pheno_e
+  -- alt titles: 'alt pheno' exact synonym (i%6=0 or i%3=0, unless FORMERLY)
+  UNION ALL SELECT u, 'oboInOwl:hasExactSynonym', 'alt pheno', true
+            FROM pheno_e WHERE i%7<>0 AND i%3=0
+  -- APSYM symbol synonyms + abbreviation axiom
+  UNION ALL SELECT u, 'oboInOwl:hasExactSynonym', sym, true FROM sym_ax
+  UNION ALL SELECT ax, 'rdf:type', 'owl:Axiom', false FROM sym_ax
+  UNION ALL SELECT ax, 'owl:annotatedSource', u, false FROM sym_ax
+  UNION ALL SELECT ax, 'owl:annotatedProperty', 'oboInOwl:hasExactSynonym', false FROM sym_ax
+  UNION ALL SELECT ax, 'owl:annotatedTarget', sym, true FROM sym_ax
+  UNION ALL SELECT ax, 'oboInOwl:hasSynonymType', 'OMO:0003000', false FROM sym_ax
+  -- FORMERLY related synonyms + deprecated axiom
+  UNION ALL SELECT u, 'oboInOwl:hasRelatedSynonym', syn, true FROM former_ax
+  UNION ALL SELECT ax, 'rdf:type', 'owl:Axiom', false FROM former_ax
+  UNION ALL SELECT ax, 'owl:annotatedSource', u, false FROM former_ax
+  UNION ALL SELECT ax, 'owl:annotatedProperty', 'oboInOwl:hasRelatedSynonym', false FROM former_ax
+  UNION ALL SELECT ax, 'owl:annotatedTarget', syn, true FROM former_ax
+  UNION ALL SELECT ax, 'owl:deprecated', 'true', true FROM former_ax
+  -- INCLUDED comment + included titles
+  UNION ALL SELECT u, 'rdfs:comment',
+         'This term has one or more labels that end with '', INCLUDED''.', true
+            FROM pheno_e WHERE i%5=0
+  UNION ALL SELECT u, 'MONDONS:omim_included', 'inc title', true FROM pheno_e WHERE i%5=0
+
+  -- ===== gene entities =====
+  UNION ALL SELECT u, 'rdf:type', 'owl:Class', false FROM gene_e
+  UNION ALL SELECT u, 'rdfs:subClassOf', 'SO:0000704', false FROM gene_e
+  UNION ALL SELECT u, 'MONDO:exclusionReason', 'MONDO:nonDisease', false FROM gene_e
+  UNION ALL SELECT u, 'biolink:category', 'biolink:Gene', false FROM gene_e
+  UNION ALL SELECT u, 'rdfs:label', sym, true FROM gene_e
+  UNION ALL SELECT u, 'oboInOwl:hasExactSynonym', ptitle, true FROM gene_e
+
+  -- ===== obsolete entities =====
+  UNION ALL SELECT u, 'rdf:type', 'owl:Class', false FROM obs_e
+  UNION ALL SELECT u, 'owl:deprecated', 'true', true FROM obs_e
+  UNION ALL SELECT u, 'IAO:0100001', pu, false FROM obs_e WHERE i<30 AND i%2=0
+  UNION ALL SELECT u, 'oboInOwl:consider', pu, false FROM obs_e WHERE i<30 AND i%2=1
+  UNION ALL SELECT u, 'oboInOwl:consider', gu, false FROM obs_e WHERE i<30 AND i%2=1
+  UNION ALL SELECT u, 'rdfs:label', 'obsolete title '||i::VARCHAR, true FROM obs_e WHERE i>=30
+  UNION ALL SELECT u, 'oboInOwl:hasExactSynonym', 'obsolete title '||i::VARCHAR, true
+            FROM obs_e WHERE i>=30
+
+  -- ===== cascade restriction-with-evidence =====
+  UNION ALL SELECT b, 'rdf:type', 'owl:Restriction', false FROM rwe_ax
+  UNION ALL SELECT b, 'owl:onProperty', pred, false FROM rwe_ax
+  UNION ALL SELECT b, 'owl:someValuesFrom', svf, false FROM rwe_ax
+  UNION ALL SELECT on_, 'rdfs:subClassOf', b, false FROM rwe_ax
+  UNION ALL SELECT ax, 'rdf:type', 'owl:Axiom', false FROM rwe_ax
+  UNION ALL SELECT ax, 'owl:annotatedSource', on_, false FROM rwe_ax
+  UNION ALL SELECT ax, 'owl:annotatedProperty', 'rdfs:subClassOf', false FROM rwe_ax
+  UNION ALL SELECT ax, 'owl:annotatedTarget', b, false FROM rwe_ax
+  UNION ALL SELECT ax, 'biolink:has_evidence', ev, true FROM rwe_ax
+  UNION ALL SELECT ax, 'rdfs:comment', ev, true FROM rwe_ax
+  UNION ALL SELECT ax, 'oboInOwl:source', orcid, false FROM rwe_ax WHERE orcid IS NOT NULL
+  -- protected + leftover HGNC exactMatch
+  UNION ALL SELECT 'OMIM:'||gene_mim, 'skos:exactMatch', 'HGNC:'||hgnc_id, false
+            FROM tagged WHERE branch='protected'
+  UNION ALL SELECT 'OMIM:'||gene_mim, 'skos:exactMatch', 'HGNC:'||hgnc_id, false FROM leftover
+  -- protected MONDO exactMatch
+  UNION ALL SELECT DISTINCT 'OMIM:'||p_mim, 'skos:exactMatch', mondo_id, false
+            FROM prot_attr WHERE mondo_id IS NOT NULL
+
+  -- ===== plain restrictions (cyto + m2g phenotype) =====
+  UNION ALL SELECT b, 'rdf:type', 'owl:Restriction', false FROM restr_b
+  UNION ALL SELECT b, 'owl:onProperty', pred, false FROM restr_b
+  UNION ALL SELECT b, 'owl:someValuesFrom', svf, false FROM restr_b
+  UNION ALL SELECT on_, 'rdfs:subClassOf', b, false FROM restr_b
+
+  -- ===== mim2gene gene rows =====
+  UNION ALL SELECT 'OMIM:'||(300000+i)::VARCHAR, 'skos:exactMatch',
+         'NCBIGENE:'||(880000+i)::VARCHAR, false FROM ids WHERE i%10<>0
+
+  -- ===== hgnc merged map =====
+  UNION ALL SELECT 'OMIM:'||mim, 'skos:exactMatch', 'HGNC_symbol:'||symbol, false
+            FROM merged
+  UNION ALL SELECT 'OMIM:'||mim, 'skos:exactMatch',
+         'HGNC:'||(mim::BIGINT - 300000 + 7000)::VARCHAR, false
+            FROM merged WHERE symbol = 'SYMX'||mim
+
+  -- ===== phenotypic series =====
+  UNION ALL SELECT 'OMIMPS:'||(910000+i)::VARCHAR, 'rdf:type', 'owl:Class', false
+            FROM ids WHERE i<12
+  UNION ALL SELECT 'OMIMPS:'||(910000+i)::VARCHAR, 'rdfs:label',
+         'SERIES TITLE '||i::VARCHAR, true FROM ids WHERE i<12
+  UNION ALL SELECT 'OMIMPS:'||(910000+i)::VARCHAR, 'biolink:category',
+         'biolink:Disease', false FROM ids WHERE i<12
+  UNION ALL SELECT 'OMIM:'||(100000+i)::VARCHAR, 'rdfs:subClassOf',
+         'OMIMPS:'||(910000+(i%12))::VARCHAR, false FROM ids
+
+  -- ===== links =====
+  UNION ALL SELECT 'OMIM:'||(100000+i)::VARCHAR, 'IAO:0000142',
+         'PMID:91'||i::VARCHAR, false FROM ids WHERE i%3=0
+  UNION ALL SELECT 'OMIM:'||(100000+i)::VARCHAR, 'IAO:0000142',
+         'PMID:92'||i::VARCHAR, false FROM ids WHERE i%3=0
+  UNION ALL SELECT 'OMIM:'||(100000+i)::VARCHAR, 'skos:exactMatch',
+         'UMLS:C'||(100000+i)::VARCHAR, false FROM ids WHERE i%2=0
+  UNION ALL SELECT 'OMIM:'||(100000+i)::VARCHAR, 'skos:exactMatch',
+         'UMLS:D'||(100000+i)::VARCHAR, false FROM ids WHERE i%2=0
+  UNION ALL SELECT 'OMIM:'||(100000+i)::VARCHAR, 'skos:exactMatch',
+         'ORPHANET:ORPH'||i::VARCHAR, false FROM ids WHERE i%4=0),
+
+map1 AS MATERIALIZED (
+  SELECT (300000+i)::VARCHAR AS mim, 'SYMX'||(300000+i)::VARCHAR AS symbol
+  FROM ids WHERE i%3<>0
+  UNION
+  SELECT DISTINCT gene_mim, 'SYMX'||gene_mim FROM prot
+  WHERE (gene_mim::BIGINT - 300000)%3=0),
+map2 AS MATERIALIZED (
+  SELECT (300000+i)::VARCHAR AS mim,
+         CASE WHEN i%10=0 THEN 'CONFL'||(300000+i)::VARCHAR
+              ELSE 'SYMX'||(300000+i)::VARCHAR END AS symbol
+  FROM ids WHERE i%2=0),
+merged AS MATERIALIZED (
+  SELECT coalesce(m1.mim, m2.mim) AS mim, coalesce(m1.symbol, m2.symbol) AS symbol
+  FROM map1 m1 FULL OUTER JOIN map2 m2 ON m1.mim = m2.mim
+  WHERE m1.symbol IS NULL OR m2.symbol IS NULL OR m1.symbol = m2.symbol),
+
+base AS MATERIALIZED (SELECT DISTINCT s, p, o, l FROM ents),
+matches AS (
+  SELECT DISTINCT sub.s AS cls, hg.o AS hgnc
+  FROM base sub
+  JOIN base op ON op.p='owl:onProperty' AND op.o='RO:0004003' AND op.s=sub.o
+  JOIN base sv ON sv.p='owl:someValuesFrom' AND sv.s=sub.o
+  JOIN base hg ON hg.p='skos:exactMatch' AND starts_with(hg.o, 'HGNC:') AND hg.s=sv.o
+  WHERE sub.p='rdfs:subClassOf'),
+ins AS (
+  SELECT *, '_:'||md5('restriction|'||cls||'|RO:0004003|'||hgnc) AS b FROM matches),
+inserted AS (
+  SELECT hgnc AS s, 'rdf:type' AS p, 'owl:Class' AS o, false AS l FROM ins
+  UNION ALL SELECT b, 'rdf:type', 'owl:Restriction', false FROM ins
+  UNION ALL SELECT b, 'owl:onProperty', 'RO:0004003', false FROM ins
+  UNION ALL SELECT b, 'owl:someValuesFrom', hgnc, false FROM ins
+  UNION ALL SELECT cls, 'rdfs:subClassOf', b, false FROM ins)
+
+SELECT DISTINCT s, p, o, l AS "oIsLiteral"
+FROM (SELECT * FROM base UNION ALL SELECT * FROM inserted)
+ORDER BY 1, 2, 3, 4
+
+    """),
+    // e2e CORRECTNESS gate, not a throughput row: the benched operator
+    // family already covers every stage (q44/q45/q46/q47/q49); the full
+    // composition costs ~20 s at sf0.1 and would dominate the bench.
+    benchSkip = true)
+
   val q49HgncMerge = QueryDef(
     "q49_hgnc_merge",
     (s, d) => {
@@ -771,5 +1252,5 @@ object OmimQueries {
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
     q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags,
     q45ProtectedAugment, q46CacheRefresh, q47ReviewCases, q48SlidingWindow,
-    q49HgncMerge)
+    q49HgncMerge, q57BuildE2e)
 }
