@@ -80,6 +80,44 @@ object Multimodal {
     }
   }
 
+  /** Decoded payload statistics: one row per media, with the generic
+    * value-stream stats (n/sum/min/max) plus per-channel sums for images
+    * (a B↔R byte-order bug flips sum_r/sum_b and fails the oracle even
+    * though sum_values survives). Audio rows zero the channel sums. */
+  final case class MediaStatsRow(media_id: Long, format: String, width: Int,
+                                 height: Int, channels: Int, sample_rate: Int,
+                                 n_values: Long, sum_values: Long,
+                                 min_value: Int, max_value: Int,
+                                 sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL payload decode for the uncompressed formats (BMP pixel arrays,
+    * WAV 16-bit PCM — pure byte math, [[HeaderCodec.decodeBmp]] /
+    * [[HeaderCodec.decodeWav]]); [[FakeCodec]]'s remit is now ONLY the
+    * codec-compressed formats (JPEG/PNG/GIF payloads) and unknown blobs,
+    * reported as format 'stub' with zeroed stats. Same partition-batched,
+    * shuffle-free shape as the other extraction stages. */
+  def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        HeaderCodec.decodeBmp(r.payload) match {
+          case Some(px) =>
+            MediaStatsRow(r.media_id, "bmp", px.width, px.height, 3, 0,
+              3L * px.width * px.height, px.sumR + px.sumG + px.sumB,
+              px.minV, px.maxV, px.sumR, px.sumG, px.sumB)
+          case None => HeaderCodec.decodeWav(r.payload) match {
+            case Some(pcm) =>
+              MediaStatsRow(r.media_id, "wav", 0, 0, pcm.channels,
+                pcm.sampleRate, pcm.nSamples, pcm.sumSamples,
+                pcm.minSample, pcm.maxSample, 0L, 0L, 0L)
+            case None =>
+              MediaStatsRow(r.media_id, "stub", 0, 0, 0, 0, 0L, 0L, 0, 0, 0L, 0L, 0L)
+          }
+        }
+      }
+    }
+  }
+
   /** Partition-batched feature extraction: the mapPartitions shape a real
     * decoder needs (amortized per-partition setup, streaming iterator —
     * no per-row codec init, no collect). */

@@ -40,5 +40,71 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
-  val all: Seq[QueryDef] = Seq(q37MultimodalMeta)
+  /** REAL payload decode end to end: byte-valid BMP (24-bit, padded
+    * strides, top-down variants) and WAV (16-bit PCM, walked chunks)
+    * files are generated in-plan from closed-form pixel/sample formulas
+    * ([[graft.multimodal.MediaSynth]]), decoded by the real byte-math
+    * decoders through the partition-batched extraction stage, and the
+    * oracle recomputes every statistic from the GENERATING FORMULAS
+    * alone — a decoder that misreads stride padding, sign-extension,
+    * channel order (per-channel sums catch B↔R swaps), chunk offsets,
+    * or top-down rows cannot match. */
+  val q58MultimodalDecode = QueryDef(
+    "q58_multimodal_decode",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf { (id: Long) => graft.multimodal.MediaSynth.payload(id) }
+      val media = Tables.orders(s, d)
+        .select((col("o_orderkey") % 500).cast("long").as("media_id")).distinct()
+        .select(col("media_id"), lit("synth").as("kind"),
+          synth(col("media_id")).as("payload"),
+          lit(0).as("width"), lit(0).as("height"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractContentStats(media).toDF().orderBy("media_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 500)::BIGINT AS media_id FROM orders),
+      bmp AS (
+        SELECT media_id, (4 + media_id % 5)::INT AS w, (3 + media_id % 4)::INT AS h
+        FROM ids WHERE media_id % 2 = 0),
+      bmp_px AS (
+        SELECT b.media_id, b.w, b.h,
+               (b.media_id*13 + 5*xs.x + ys.y) % 256 AS r,
+               (b.media_id*11 + xs.x + 2*ys.y) % 256 AS g,
+               (b.media_id*7 + 3*xs.x + 5*ys.y) % 256 AS bl
+        FROM bmp b
+        JOIN (SELECT unnest(range(0, 8)) AS x) xs ON xs.x < b.w
+        JOIN (SELECT unnest(range(0, 7)) AS y) ys ON ys.y < b.h),
+      bmp_stats AS (
+        SELECT media_id, 'bmp' AS format, any_value(w) AS width,
+               any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+               (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+               (sum(r) + sum(g) + sum(bl))::BIGINT AS sum_values,
+               least(min(r), min(g), min(bl))::INT AS min_value,
+               greatest(max(r), max(g), max(bl))::INT AS max_value,
+               sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+               sum(bl)::BIGINT AS sum_b
+        FROM bmp_px GROUP BY media_id),
+      wav AS (
+        SELECT media_id, (1 + media_id % 2)::INT AS ch,
+               (8000 + media_id % 1000)::INT AS rate,
+               ((50 + media_id % 60) * (1 + media_id % 2))::INT AS n
+        FROM ids WHERE media_id % 2 = 1),
+      wav_s AS (
+        SELECT w.media_id, ((w.media_id*31 + j.j*17) % 65536) - 32768 AS s
+        FROM wav w JOIN (SELECT unnest(range(0, 220)) AS j) j ON j.j < w.n),
+      wav_stats AS (
+        SELECT w.media_id, 'wav' AS format, 0 AS width, 0 AS height,
+               any_value(w.ch) AS channels, any_value(w.rate) AS sample_rate,
+               any_value(w.n)::BIGINT AS n_values, sum(s.s)::BIGINT AS sum_values,
+               min(s.s)::INT AS min_value, max(s.s)::INT AS max_value,
+               0::BIGINT AS sum_r, 0::BIGINT AS sum_g, 0::BIGINT AS sum_b
+        FROM wav w JOIN wav_s s ON s.media_id = w.media_id GROUP BY w.media_id)
+      SELECT * FROM bmp_stats UNION ALL SELECT * FROM wav_stats
+      ORDER BY media_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode)
 }

@@ -99,6 +99,57 @@ class HeaderCodecSpec extends SparkSpec {
     assert(HeaderCodec.sniff(withTem).contains(MediaMeta("jpeg", 640, 480, 3, 0, 8)))
   }
 
+  test("decodeBmp: pixel stats match the generating formulas (incl. stride pad, top-down)") {
+    // ids chosen to cover all widths 4..8 (pad 0..3 bytes) and a
+    // negative-height (id%10==0) top-down file
+    Seq(0L, 2L, 4L, 6L, 8L, 10L, 12L, 20L).foreach { id =>
+      val px = HeaderCodec.decodeBmp(MediaSynth.bmp(id)).get
+      val w = MediaSynth.bmpWidth(id); val h = MediaSynth.bmpHeight(id)
+      val all = for (x <- 0 until w; y <- 0 until h)
+        yield (MediaSynth.red(id, x, y), MediaSynth.green(id, x, y), MediaSynth.blue(id, x, y))
+      assert(px.width == w && px.height == h)
+      assert(px.sumR == all.map(_._1.toLong).sum)
+      assert(px.sumG == all.map(_._2.toLong).sum)
+      assert(px.sumB == all.map(_._3.toLong).sum)
+      val flat = all.flatMap(t => Seq(t._1, t._2, t._3))
+      assert(px.minV == flat.min && px.maxV == flat.max)
+    }
+    // non-24bpp and truncated pixel arrays are rejected, not misread
+    assert(HeaderCodec.decodeBmp(bmp(10, 10, 32)).isEmpty)
+    assert(HeaderCodec.decodeBmp(MediaSynth.bmp(2L).dropRight(1)).isEmpty)
+  }
+
+  test("decodeWav: PCM sample stats match the generating formulas (sign-extended)") {
+    Seq(1L, 3L, 5L, 7L, 9L, 31L).foreach { id =>
+      val pcm = HeaderCodec.decodeWav(MediaSynth.wav(id)).get
+      val n = MediaSynth.wavSamples(id)
+      val all = (0 until n).map(MediaSynth.sample(id, _))
+      assert(pcm.channels == MediaSynth.wavChannels(id))
+      assert(pcm.sampleRate == MediaSynth.wavRate(id))
+      assert(pcm.nSamples == n.toLong)
+      assert(pcm.sumSamples == all.map(_.toLong).sum)
+      assert(pcm.minSample == all.min && pcm.maxSample == all.max)
+      assert(all.min < 0, "formula must produce negative samples (sign-extension path)")
+    }
+    // a fmt-only wav (no data chunk) and a truncated one are rejected
+    assert(HeaderCodec.decodeWav(wav(1, 8000, 16)).isEmpty)
+    assert(HeaderCodec.decodeWav(MediaSynth.wav(3L).dropRight(1)).isEmpty)
+  }
+
+  test("extractContentStats: real decode for bmp/wav, stub confined to the rest") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/bmp", MediaSynth.bmp(4L), 0, 0, 0L),
+      Multimodal.MediaRow(2L, "audio/wav", MediaSynth.wav(5L), 0, 0, 0L),
+      Multimodal.MediaRow(3L, "image/jpeg", jpeg(64, 48), 0, 0, 0L))
+    val out = Multimodal.extractContentStats(rows.toDS())
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).format == "bmp" && out(1L).n_values ==
+      3L * MediaSynth.bmpWidth(4L) * MediaSynth.bmpHeight(4L))
+    assert(out(1L).sum_r != out(1L).sum_b, "channel sums must distinguish B/R")
+    assert(out(2L).format == "wav" && out(2L).n_values == MediaSynth.wavSamples(5L).toLong)
+    assert(out(3L).format == "stub" && out(3L).n_values == 0L)
+  }
+
   test("extractMeta decodes real containers distributed, stubs the rest") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", png(12, 34, 8), 0, 0, 33L),
