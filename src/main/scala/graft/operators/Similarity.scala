@@ -61,6 +61,43 @@ object Similarity {
     assignUnit(unitized(corpus, "e", "ue"), unitized(centroids, "c", "uc"),
       "id", "ue", 1)
 
+  /** Materialize the IVF index: corpus vectors unit-normalized, assigned
+    * to their nearest centroid, and written BUCKETED BY the cluster id —
+    * the 100 TB layout where a probe reads only its nprobe buckets off
+    * disk instead of scanning (or shuffling) the corpus. Stored schema:
+    * (id, ue unit vector, c_id). */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+                    table: String, numBuckets: Int): Unit =
+    Bucketing.writeBucketed(ivfAssign(corpus, centroids), table, "c_id",
+      numBuckets, sort = false)
+
+  /** Probe a materialized IVF index ([[writeIvfIndex]]) — result-identical
+    * to [[ivfTopK]] on the same corpus/centroids/probes.
+    *
+    * The probe cluster set is collected driver-side (bounded metadata: at
+    * most |centroids| ids, and centroids are broadcast-sized by
+    * construction) and pushed as an IN-literal filter on the bucket
+    * column, so the scan prunes to the selected buckets
+    * (`SelectedBucketsCount` in the plan — spec-pinned) and the join
+    * needs no Exchange on the index side. */
+  def ivfTopKIndexed(table: String, centroids: DataFrame, probes: DataFrame,
+                     k: Int, nprobe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val ucent = unitized(centroids, "c", "uc")
+    val probeClusters =
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
+    val clusterIds = probeClusters.select("c_id").distinct()
+      .collect().map(_.get(0))
+    val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
+    broadcast(probeClusters).join(index, "c_id")
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("cos", dot(col("up"), col("ue")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
   /** IVF ANN: scan only the `nprobe` clusters nearest each probe. Returned
     * `cos` is exact (unit vectors preserve cosine). */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,

@@ -48,25 +48,51 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  private def ivfInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = emb(s, d)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val centroids = e
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = e.select(col("vec_id").as("id"), col("e"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    (corpus, centroids, probes)
+  }
+
   /** IVF ANN: corpus bucketed by nearest seed-centroid; probes scan only
     * their 2 nearest clusters. */
   val q28AnnIvf = QueryDef(
     "q28_ann_ivf",
     (s, d) => {
-      val e = emb(s, d)
-      val ws = org.apache.spark.sql.expressions.Window
-        .partitionBy("label").orderBy("vec_id")
-      val centroids = e
-        .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-        .select(col("label").as("c_id"), col("e").as("c"))
-      val corpus = e.select(col("vec_id").as("id"), col("e"))
-      val probes = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("probe_id"), col("e").as("p"))
+      val (corpus, centroids, probes) = ivfInputs(s, d)
       Similarity.ivfTopK(corpus, centroids, probes, k = 3, nprobe = 2)
         .select(col("probe_id"), col("rank"), col("id"), round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "rank")
     },
-    Some("""
+    Some(ivfOracleSql))
+
+  /** The MATERIALIZED IVF path: the index is written as a centroid-
+    * bucketed table ([[Similarity.writeIvfIndex]]) and probed through
+    * bucket pruning — result-identical to q28 (same oracle), with the
+    * physical layout guard in IvfIndexSpec (SelectedBucketsCount <
+    * total, no index-side Exchange). benchSkip: the timed body would be
+    * the one-off index WRITE, not the probe path being demonstrated. */
+  val q28bAnnIvfIndexed = QueryDef(
+    "q28b_ann_ivf_indexed",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_index", numBuckets = 8)
+      Similarity.ivfTopKIndexed("graft_ivf_index", centroids, probes, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracleSql),
+    benchSkip = true)
+
+  private lazy val ivfOracleSql: String = ("""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
         SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
@@ -99,7 +125,7 @@ object SimilarityQueries {
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM scored WHERE rank <= 3
       ORDER BY probe_id, rank
-    """))
+    """)
 
-  val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf)
+  val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The materialized IVF layout: result parity with the in-plan IVF path,
+  * plus the physical guarantees the layout exists for — the probe scan
+  * prunes to the probed buckets (SelectedBucketsCount < total) and the
+  * index side joins without an Exchange. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def inputs() = {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val centroids = emb
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = emb.select(col("vec_id").as("id"), col("e"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    (corpus, centroids, probes)
+  }
+
+  test("indexed IVF probe: identical results, pruned buckets, no index-side shuffle") {
+    val (corpus, centroids, probes) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_spec_index", numBuckets = 8)
+
+      val direct = Similarity.ivfTopK(corpus, centroids, probes, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val indexed = Similarity.ivfTopKIndexed("ivf_spec_index", centroids, probes,
+        k = 3, nprobe = 2)
+      val got = indexed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == direct, "indexed IVF must reproduce the in-plan IVF results")
+
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe scan reads every bucket (${sel.get.group(1)}/${sel.get.group(2)}):\n$plan")
+      // the index side must not shuffle: the only Exchange allowed in the
+      // probe plan is the broadcast of the (tiny) probe-cluster side
+      assert(!plan.contains("Exchange hashpartitioning(c_id"),
+        s"index side re-shuffled on c_id:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_spec_index")
+    }
+  }
+}
