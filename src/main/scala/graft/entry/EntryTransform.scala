@@ -70,6 +70,35 @@ object EntryTransform {
       .as[EntryRow]
   }
 
+  /** The clinicalSynopsis consumer: per entry, the inheritance /
+    * molecular-basis fields plus a presence profile summed over EVERY
+    * `<section>Exists` flag of the full synopsis struct (schema-bound —
+    * a renamed or dropped schema field changes `n_sections_present` and
+    * fails the q59 oracle). The reference barely consumes the synopsis
+    * (omim_entry_parser.py touches none of these fields); this is the
+    * filter/QC projection a corpus pipeline would run over it.
+    * Input: envelope-shaped rows (the `omim` column of
+    * [[EntrySchema.envelope]]). */
+  def clinicalSynopses(envelope: DataFrame): DataFrame = {
+    val cs = col("e.entry.clinicalSynopsis")
+    val nExists = EntrySchema.clinicalSynopsis.fields
+      .map(_.name).filter(_.endsWith("Exists"))
+      .map(n => when(cs.getField(n) === true, 1).otherwise(0))
+      .reduce(_ + _)
+    envelope.select(explode(col("omim.entryList")).as("e"))
+      .select(
+        col("e.entry.mimNumber").cast("long").as("mim"),
+        coalesce(col("e.entry.clinicalSynopsisExists"), lit(false))
+          .as("synopsis_exists"),
+        cs.getField("inheritance").as("inheritance"),
+        coalesce(cs.getField("inheritanceExists"), lit(false))
+          .as("inheritance_exists"),
+        cs.getField("molecularBasis").as("molecular_basis"),
+        coalesce(cs.getField("molecularBasisExists"), lit(false))
+          .as("molecular_basis_exists"),
+        nExists.as("n_sections_present"))
+  }
+
   /** Ref: transform_entry (omim_entry_parser.py:61-160), one entry →
     * triple rows. Prefix symbol → type (omim_type.py:44-56). */
   def entryTriples(e: EntryRow): Seq[Triple] = {

@@ -67,9 +67,23 @@ object Similarity {
     * disk instead of scanning (or shuffling) the corpus. Stored schema:
     * (id, ue unit vector, c_id). */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
-                    table: String, numBuckets: Int): Unit =
+                    table: String, numBuckets: Int): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A previous JVM's orphaned warehouse directory survives the (fresh,
+    // in-memory) catalog and blocks CREATE TABLE: clear the location too,
+    // so index rebuilds are idempotent across sessions.
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = java.nio.file.Paths.get(
+      if (wh.getScheme == null) wh.toString else wh.getPath).resolve(table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     Bucketing.writeBucketed(ivfAssign(corpus, centroids), table, "c_id",
       numBuckets, sort = false)
+  }
 
   /** Probe a materialized IVF index ([[writeIvfIndex]]) — result-identical
     * to [[ivfTopK]] on the same corpus/centroids/probes.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1247,10 +1248,77 @@ ORDER BY 1, 2, 3, 4
       ORDER BY mim, symbol
     """))
 
+  /** The clinicalSynopsis CONSUMER (S5's declared-but-unqueried surface
+    * until now): API-envelope JSON documents are synthesized in-plan
+    * with a deterministic subset of synopsis sections set, parsed with
+    * the full explicit [[graft.entry.EntrySchema]] (no inference), and
+    * projected through [[graft.entry.EntryTransform.clinicalSynopses]] —
+    * whose presence profile sums over EVERY `<section>Exists` field of
+    * the 158-field struct. DuckDB recomputes all values from the
+    * generating formulas; a schema drift or mis-bound field changes
+    * `n_sections_present` and breaks the hash. */
+  val q59ClinicalSynopsis = QueryDef(
+    "q59_clinical_synopsis",
+    (s, d) => {
+      val id = col("id")
+      val ids = Tables.orders(s, d)
+        .select((col("o_orderkey") % 200).cast("long").as("id")).distinct()
+      val hasSyn = id % 5 =!= 0
+      def flag(sh: Int) = (id + sh) % 3 === 0
+      def b(c: Column) = when(c, "true").otherwise("false")
+      val inh = when(id % 2 === 0, "Autosomal dominant")
+        .otherwise("Autosomal recessive")
+      val synopsis = concat(
+        lit(",\"clinicalSynopsis\":{\"inheritanceExists\":"), b(flag(0)),
+        when(flag(0), concat(lit(",\"inheritance\":\""), inh, lit("\"")))
+          .otherwise(""),
+        lit(",\"molecularBasisExists\":"), b(flag(1)),
+        when(flag(1), concat(lit(",\"molecularBasis\":\"Caused by mutation in GENE"),
+          id.cast("string"), lit("\""))).otherwise(""),
+        lit(",\"cardiovascularExists\":"), b(flag(2)),
+        lit(",\"growthExists\":"), b(flag(3)),
+        lit(",\"headAndNeckExists\":"), b(flag(4)),
+        lit(",\"neurologicExists\":"), b(flag(5)),
+        lit(",\"skeletalExists\":"), b(flag(6)),
+        lit(",\"immunologyExists\":"), b(flag(7)),
+        lit("}"))
+      val json = concat(
+        lit("{\"omim\":{\"entryList\":[{\"entry\":{\"mimNumber\":"),
+        (id + 100000).cast("string"),
+        lit(",\"clinicalSynopsisExists\":"), b(hasSyn),
+        when(hasSyn, synopsis).otherwise(""),
+        lit("}}]}}"))
+      val envelope = ids
+        .select(from_json(json, graft.entry.EntrySchema.envelope).as("doc"))
+        .select(col("doc.*"))
+      graft.entry.EntryTransform.clinicalSynopses(envelope).orderBy("mim")
+    },
+    Some("""
+      WITH ids AS (SELECT DISTINCT (o_orderkey % 200)::BIGINT AS id FROM orders),
+      f AS (
+        SELECT id, 100000 + id AS mim, (id % 5 <> 0) AS hasyn,
+               ((id+0)%3=0) AS f0, ((id+1)%3=0) AS f1, ((id+2)%3=0) AS f2,
+               ((id+3)%3=0) AS f3, ((id+4)%3=0) AS f4, ((id+5)%3=0) AS f5,
+               ((id+6)%3=0) AS f6, ((id+7)%3=0) AS f7
+        FROM ids)
+      SELECT mim, hasyn AS synopsis_exists,
+             CASE WHEN hasyn AND f0
+                  THEN CASE WHEN id%2=0 THEN 'Autosomal dominant'
+                            ELSE 'Autosomal recessive' END END AS inheritance,
+             (hasyn AND f0) AS inheritance_exists,
+             CASE WHEN hasyn AND f1 THEN 'Caused by mutation in GENE'||id::VARCHAR
+                  END AS molecular_basis,
+             (hasyn AND f1) AS molecular_basis_exists,
+             (CASE WHEN hasyn THEN f0::INT+f1::INT+f2::INT+f3::INT+f4::INT+f5::INT+f6::INT+f7::INT
+                   ELSE 0 END) AS n_sections_present
+      FROM f
+      ORDER BY mim
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q29Roman, q30TitleCleanup, q31SparqlChain, q32MimRepair,
     q33PhenotypeField, q34CacheUpsert, q35TumblingWindow, q36Sessionize,
     q38SaltedSkewJoin, q39JsonExtract, q40OmimBuild, q44CascadeTags,
     q45ProtectedAugment, q46CacheRefresh, q47ReviewCases, q48SlidingWindow,
-    q49HgncMerge, q57BuildE2e)
+    q49HgncMerge, q57BuildE2e, q59ClinicalSynopsis)
 }
