@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Streaming dedup must agree with the batch fingerprint semantics (q22):
+  * one surviving row per normalized-content fingerprint, same fingerprint
+  * set as the batch distinct. */
+class CorpusStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // q22's synthesized dup corpus (doubled spaces normalize to the same
+  // fingerprint), plus a constant in-watermark ingest time
+  private lazy val corpusDir: String = {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text")))
+      .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val dir = Files.createTempDirectory("corpus-stream").toString
+    corpus.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming dedupByFingerprint == batch distinct fingerprints, one row each") {
+    val q = CorpusStreams.dedupByFingerprint(
+        CorpusStreams.readDocs(spark, corpusDir))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamedFps = spark.table("dedup_stream").select("fp")
+      .as[String].collect().toSeq
+    // exactly one survivor per fingerprint
+    assert(streamedFps.size == streamedFps.distinct.size,
+      "streaming dedup emitted a fingerprint twice")
+
+    val batchFps = spark.read.parquet(corpusDir)
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    assert(streamedFps.toSet == batchFps,
+      "streaming dedup fingerprint set differs from batch distinct")
+    // the synthesized corpus halves the fingerprint space: every original
+    // doc collides with its doubled-space variant
+    val total = spark.read.parquet(corpusDir).count()
+    assert(streamedFps.size.toLong <= total / 2 + 1)
+    assert(streamedFps.nonEmpty)
+  }
+}
