@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Temporal joins Spark lacks as built-ins, expressed shuffle-minimally.
+  *
+  * Neither operator exists in the reference (a single-process Python ETL);
+  * they belong to the beyond-the-reference training-data-pipeline surface:
+  * as-of joins align event/feature streams ("latest signal at or before
+  * this example's timestamp"), range joins land points in intervals
+  * (promo windows, sessions, outage spans) — both everyday shapes at
+  * 100 TB where the naive plan is a nested loop.
+  *
+  * `asofJoin` — backward as-of join: each left row picks the latest right
+  * row with right time <= left time within the same key. Implemented as
+  * union + tag + running `last(ignoreNulls)` window rather than an
+  * inequality join: ONE shuffle on the key and a single linear pass per
+  * key. Spark's native plan for the equivalent `t_r <= t_l` predicate is
+  * a BroadcastNestedLoopJoin — O(|left|·|right|) per key. The window is
+  * always keyed (never global), so at scale cost is bounded by per-key
+  * history, the same contract as SQL window functions.
+  *
+  * `rangeJoin` — point-in-interval join via bucketization: each interval
+  * explodes to the fixed-width buckets it covers, each point maps to
+  * exactly ONE bucket, and the join becomes an equi-join on bucket id
+  * refined by the residual range predicate. Every matching pair appears
+  * exactly once (a point is in one bucket; an interval covers that bucket
+  * once), so no dedup pass is needed. Catalyst picks broadcast-hash when
+  * the exploded interval side is small and shuffle-hash otherwise — either
+  * way a hash join, never the O(n·m) nested loop Spark plans for a bare
+  * range predicate. Pick `bucketWidth` ≈ typical interval width: the
+  * explode factor is ceil(width/bucketWidth)+1 per interval.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join (inclusive: right time == left time matches).
+    *
+    * Output: all `left` columns, then `rightTime` and the remaining right
+    * payload columns from the matched row (null when no right row at or
+    * before the left time). Right payload rides in ONE struct through the
+    * window, so all emitted right columns always come from the same
+    * matched row. Right rows must be unique per (keys, rightTime) —
+    * pre-aggregate duplicates first, otherwise the tie winner is
+    * unspecified (same contract as DuckDB/pandas ASOF).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
+    val clash = (rightTime +: payload).intersect(left.columns.toSeq)
+    require(clash.isEmpty, s"right columns collide with left: ${clash.mkString(",")} — rename before joining")
+    val leftRest = left.columns.toSeq.filterNot(keys.contains)
+
+    val rStruct = StructType(
+      StructField(rightTime, right.schema(rightTime).dataType) +:
+        payload.map(c => StructField(c, right.schema(c).dataType)))
+
+    // Tag 0 (right) sorts before tag 1 (left) on time ties → inclusive match.
+    val rightPart = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
+        lit(0).as("__tag"),
+        struct((col(rightTime) +: payload.map(col)): _*).as("__r")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftPart = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__tag"),
+        lit(null).cast(rStruct).as("__r")) ++
+        leftRest.map(col): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rightPart.unionByName(leftPart)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(
+        left.columns.toSeq.map(col) ++
+          (rightTime +: payload).map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Inner point-in-interval join over epoch-long expressions: emits each
+    * (point row, interval row) pair where `lo <= point < hi`, once.
+    * `pointExpr`/`loExpr`/`hiExpr` must be castable to long and in the
+    * same unit (e.g. epoch seconds); `bucketWidth` is in that unit.
+    * Intervals with `hi <= lo` are empty and dropped.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      pointExpr: Column,
+      intervals: DataFrame,
+      loExpr: Column,
+      hiExpr: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points
+      .withColumn("__pt", pointExpr.cast("long"))
+      .withColumn("__pbucket", floor(col("__pt") / bucketWidth).cast("long"))
+    val i = intervals
+      .withColumn("__lo", loExpr.cast("long"))
+      .withColumn("__hi", hiExpr.cast("long"))
+      .filter(col("__hi") > col("__lo"))
+      // [lo, hi) ⇒ last occupied bucket holds hi-1
+      .withColumn("__ibucket", explode(sequence(
+        floor(col("__lo") / bucketWidth).cast("long"),
+        floor((col("__hi") - 1) / bucketWidth).cast("long"))))
+    p.join(i,
+        col("__pbucket") === col("__ibucket") &&
+          col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
+      .drop("__pt", "__pbucket", "__lo", "__hi", "__ibucket")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TemporalJoins
+
+/** Temporal join inventory over the events/orders/lineitem tables.
+  *
+  * Beyond-the-reference operators (the reference is a batch ETL with no
+  * temporal alignment), core to a training-data pipeline: as-of joins
+  * align the latest feature/signal to each example's timestamp; range
+  * joins land fact points in interval windows. Both are implemented
+  * shuffle-minimally in [[graft.operators.TemporalJoins]] — the oracle
+  * states the same semantics as plain (quadratic) inequality SQL, which
+  * DuckDB's IEJoin handles fine at oracle scale.
+  */
+object TemporalQueries {
+
+  /** As-of join: each click aligned to the user's latest view at or
+    * before it. One shuffle on user_id (union + keyed running window);
+    * the inequality-join phrasing Spark would otherwise plan is a
+    * nested loop. Views are pre-aggregated to one row per (user_id, ts)
+    * so the as-of tie winner is well-defined in both engines. */
+  val q60AsofJoin = QueryDef(
+    "q60_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(round(max("value"), 6).as("view_value"))
+      TemporalJoins.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (SELECT event_id, user_id, event_type, value, ts::TIMESTAMP AS ts FROM events),
+      clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+      views AS (
+        SELECT user_id, ts AS view_ts, round(max(value), 6) AS view_value
+        FROM ev WHERE event_type = 'view' GROUP BY user_id, ts),
+      best AS (
+        SELECT c.event_id, max(v.view_ts) AS view_ts
+        FROM clicks c JOIN views v
+          ON c.user_id = v.user_id AND v.view_ts <= c.ts
+        GROUP BY c.event_id)
+      SELECT c.event_id, c.user_id, c.ts, b.view_ts, v.view_value
+      FROM clicks c
+      LEFT JOIN best b ON c.event_id = b.event_id
+      LEFT JOIN views v ON v.user_id = c.user_id AND v.view_ts = b.view_ts
+      ORDER BY c.event_id
+    """),
+    bench = true)
+
+  /** Range join: lineitem ship dates landed in one-week promo windows
+    * (high-value orders). Bucketized to a hash equi-join on week id —
+    * the exploded interval side is tiny so Catalyst broadcasts it; a
+    * bare range predicate would plan BroadcastNestedLoopJoin over the
+    * whole fact table. Inner join: windows with no shipments drop. */
+  val q61RangeJoin = QueryDef(
+    "q61_range_join",
+    (s, d) => {
+      val promo = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 480000.0)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").as("lo"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("hi"))
+      // Aggregate pushdown through the range join: overlapping 7-day
+      // windows give ~17× pair amplification (10M pairs from 600k rows at
+      // sf0.1 — measured 7 s). Points repeat heavily (2.5k distinct ship
+      // dates), so pre-aggregate per EXACT point value first, join the
+      // distinct values, then sum the partials — semantically identical
+      // for any data (grouping by the very value the predicate reads) and
+      // the join shrinks to |distinct points| × overlap. Decimal partials
+      // keep the regrouped sum exact (doubles would re-order additions and
+      // land on .xx5 rounding boundaries — one cent off at sf0.01 when
+      // this summed doubles per pair).
+      val byDate = Tables.lineitem(s, d)
+        .select("l_shipdate", "l_extendedprice", "l_discount")
+        .groupBy("l_shipdate")
+        .agg(
+          count(lit(1)).as("__n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).as("__rev"))
+      TemporalJoins.rangeJoin(
+          byDate, unix_timestamp(col("l_shipdate")),
+          promo, unix_timestamp(col("lo")), unix_timestamp(col("hi")),
+          bucketWidth = 7L * 24 * 3600)
+        .groupBy("o_orderkey")
+        .agg(
+          sum("__n").as("n_hits"),
+          round(sum("__rev"), 2).cast("double").as("revenue"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH promo AS (
+        SELECT o_orderkey, o_orderdate AS lo, o_orderdate + INTERVAL 7 DAY AS hi
+        FROM orders WHERE o_totalprice > 480000.0)
+      SELECT p.o_orderkey, count(*) AS n_hits,
+             round(sum((l.l_extendedprice * (1.0 - l.l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+      FROM promo p
+      JOIN lineitem l ON l.l_shipdate >= p.lo AND l.l_shipdate < p.hi
+      GROUP BY p.o_orderkey
+      ORDER BY p.o_orderkey
+    """),
+    bench = true)
+
+  def all: Seq[QueryDef] = Seq(q60AsofJoin, q61RangeJoin)
+}

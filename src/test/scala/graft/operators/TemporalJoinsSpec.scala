@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- asofJoin -----------------------------------------------------------
+
+  private def leftDf = Seq(
+    (1L, "u1", 100L), // exact tie with a right row at t=100
+    (2L, "u1", 150L), // between right rows
+    (3L, "u1", 10L),  // before any right row → nulls
+    (4L, "u2", 500L), // different key
+    (5L, "u3", 500L)  // key with no right rows at all → nulls
+  ).toDF("id", "k", "t")
+
+  private def rightDf = Seq(
+    ("u1", 100L, "a"),
+    ("u1", 120L, "b"),
+    ("u2", 499L, "c"),
+    ("u2", 501L, "d") // after the only u2 left row → never matches
+  ).toDF("k", "rt", "v")
+
+  test("asofJoin picks the latest right row at or before each left time") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt")
+      .orderBy("id")
+      .select("id", "rt", "v")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    assert(out === Seq(
+      (1L, 100L, "a"),  // inclusive: rt == t matches
+      (2L, 120L, "b"),  // latest of {100, 120} <= 150
+      (3L, -1L, null),  // nothing at or before t=10
+      (4L, 499L, "c"),  // 501 excluded (future)
+      (5L, -1L, null))) // no u3 right rows
+  }
+
+  test("asofJoin emits all right payload columns from the same matched row") {
+    val right = Seq(("u1", 100L, "a", 1.0), ("u1", 120L, "b", 2.0))
+      .toDF("k", "rt", "v", "w")
+    val out = TemporalJoins.asofJoin(leftDf.filter($"k" === "u1"), right, Seq("k"), "t", "rt")
+      .filter($"id" === 2L).select("v", "w").head()
+    assert(out === Row("b", 2.0)) // both from the rt=120 row, never mixed
+  }
+
+  test("asofJoin preserves left row count (it is a left join)") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt")
+    assert(out.count() === leftDf.count())
+  }
+
+  test("asofJoin rejects colliding column names") {
+    val bad = rightDf.withColumnRenamed("v", "id")
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.asofJoin(leftDf, bad, Seq("k"), "t", "rt")
+    }
+  }
+
+  test("asofJoin plans one keyed window, not a nested-loop join") {
+    val p = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("Window"), s"expected keyed window:\n$p")
+  }
+
+  // ---- rangeJoin ----------------------------------------------------------
+
+  private def pointsDf = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L))
+    .toDF("pid", "pt")
+  private def intervalsDf = Seq((10L, 10L, 20L), (20L, 0L, 100L), (30L, 40L, 40L))
+    .toDF("iid", "lo", "hi")
+
+  test("rangeJoin is [lo, hi) and emits each matching pair exactly once") {
+    val out = TemporalJoins.rangeJoin(
+        pointsDf, col("pt"), intervalsDf, col("lo"), col("hi"), bucketWidth = 8L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    // interval 10 = [10,20): points 10, 19 (20 excluded); interval 20 = [0,100): all;
+    // interval 30 is empty (hi == lo) and must vanish.
+    assert(out === Seq(
+      (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L), (4L, 20L), (5L, 20L)).sorted)
+  }
+
+  test("rangeJoin matches the naive inequality join for random data") {
+    val pts = spark.range(200).select($"id".as("pid"), pmod(hash($"id"), lit(1000)).cast("long").as("pt"))
+    val ivs = spark.range(40).select(
+      $"id".as("iid"),
+      pmod(hash($"id" + 7), lit(900)).cast("long").as("lo"))
+      .withColumn("hi", $"lo" + pmod(hash($"iid" + 13), lit(150)).cast("long"))
+    val fast = TemporalJoins.rangeJoin(pts, col("pt"), ivs, col("lo"), col("hi"), 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    val naive = pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(fast === naive)
+  }
+
+  test("rangeJoin plans a hash join on the bucket id, not a nested loop") {
+    val p = TemporalJoins.rangeJoin(
+        pointsDf, col("pt"), intervalsDf, col("lo"), col("hi"), 8L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"expected hash join on bucket:\n$p")
+  }
+}
