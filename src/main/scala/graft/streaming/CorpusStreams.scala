@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
 
 import graft.functions.TextFunctions
 
@@ -35,4 +36,35 @@ object CorpusStreams {
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  final case class QuotaDoc(doc_id: Long, source: String, ord: Long)
+
+  /** Streaming per-source quota — the continuous form of
+    * [[graft.operators.Sampling.quotaPerGroup]] ("≤ n docs per host"
+    * enforced over an unbounded stream). Custom counter state per source
+    * via flatMapGroupsWithState: each batch emits rows in (ord, doc_id)
+    * order until the source's cumulative cap is hit, then drops the rest
+    * forever. State is ONE int per source (O(#sources), no timeout needed
+    * — a quota is a lifetime cap, not a window).
+    *
+    * Parity contract with the batch twin: when the corpus arrives in one
+    * micro-batch the emitted set equals `quotaPerGroup(df, "source", n,
+    * ord, doc_id)` exactly; across batches the quota is first-arrival
+    * (earlier batches win), the only causal option on a stream. */
+  def quotaPerSource(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("source"), col("ord"))
+      .as[QuotaDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Int, QuotaDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Int]) =>
+          val emitted = state.getOption.getOrElse(0)
+          val take = rows.toSeq.sortBy(d => (d.ord, d.doc_id))
+            .take(math.max(0, n - emitted))
+          state.update(emitted + take.size)
+          take.iterator
+      }.toDF()
+  }
 }

@@ -53,4 +53,35 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(streamedFps.size.toLong <= total / 2 + 1)
     assert(streamedFps.nonEmpty)
   }
+
+  test("streaming quotaPerSource == batch quotaPerGroup on a one-batch corpus") {
+    import graft.operators.Sampling
+    val quota = 7
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        Sampling.shuffleKey(col("doc_id"), "quota-spec").as("ord"))
+    val dir = Files.createTempDirectory("quota-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema("doc_id BIGINT, source STRING, ord BIGINT")
+      .parquet(dir)
+    val q = CorpusStreams.quotaPerSource(streamed, quota)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("quota_stream").select("doc_id")
+      .as[Long].collect().toSet
+    val want = Sampling.quotaPerGroup(
+        spark.read.parquet(dir), "source", quota, col("ord"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want, "streaming quota picked a different row set than the batch twin")
+    // every source respects the cap
+    val perSource = spark.table("quota_stream").groupBy("source").count()
+      .as[(String, Long)].collect()
+    assert(perSource.forall(_._2 <= quota))
+    assert(got.nonEmpty)
+  }
 }
