@@ -238,8 +238,70 @@ object DedupQueries {
       FROM corpus CROSS JOIN probes
       WHERE list_dot_product(up, ue) >= 0.8
       ORDER BY probe_id, vec_id
-    """))
+    """),
+    // Exact anchor only: all-pairs is quadratic (measured 56 s at sf1's
+    // 20k×20k in the soak). The benched scale path is q26b (IVF-bucketed).
+    benchSkip = true)
+
+  /** The scale path for q26: same probes, same threshold, but probes scan
+    * only their 2 nearest of 40 seed centroids
+    * ([[graft.operators.Similarity.ivfRangeSearch]]) — pair volume drops
+    * ~|centroids|/nprobe = 20×, and the centroid count is the knob that
+    * keeps it flat as the corpus grows. Approximate by design (IVF
+    * recall trade); DedupSpec pins recall vs the exact q26 anchor, and
+    * the oracle recomputes the identical bucketed semantics. */
+  val q26bEmbedNearDupIvf = QueryDef(
+    "q26b_embed_neardup_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      // 40 deterministic seed centroids: min vec_id per (label, vec_id%4)
+      val seedIds = emb.groupBy(col("label"), pmod(col("vec_id"), lit(4)))
+        .agg(min("vec_id").as("c_id"))
+      val cent = seedIds.join(emb, col("c_id") === col("vec_id"))
+        .select(col("c_id"), col("e").as("c"))
+      val corpus = emb.select(col("vec_id").as("id"), col("e"))
+      val probes = emb
+        .select((col("vec_id") + 100000).as("probe_id"),
+          concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
+      graft.operators.Similarity.ivfRangeSearch(corpus, cent, probes, minCos = 0.8, nprobe = 2)
+        .select(col("probe_id"), col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "vec_id")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      u AS (
+        SELECT vec_id, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      seeds AS (SELECT min(vec_id) AS c_id FROM emb GROUP BY label, vec_id % 4),
+      cent AS (SELECT s.c_id, u.ue AS uc FROM seeds s JOIN u ON u.vec_id = s.c_id),
+      assigned AS (
+        SELECT id, ue, c_id FROM (
+          SELECT u.vec_id AS id, u.ue, cent.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
+          FROM u CROSS JOIN cent)
+        WHERE rn = 1),
+      praw AS (
+        SELECT vec_id + 100000 AS probe_id, [e[1]*2.0] || e[2:] AS p FROM emb),
+      up AS (
+        SELECT probe_id, list_transform(p, x -> x / nrm) AS up
+        FROM (SELECT probe_id, p, sqrt(list_dot_product(p, p)) AS nrm FROM praw)),
+      pc AS (
+        SELECT probe_id, up, c_id FROM (
+          SELECT up.probe_id, up.up, cent.c_id,
+                 row_number() OVER (PARTITION BY up.probe_id
+                   ORDER BY list_dot_product(up.up, cent.uc) DESC, cent.c_id) AS rn
+          FROM up CROSS JOIN cent)
+        WHERE rn <= 2)
+      SELECT p.probe_id, a.id AS vec_id, round(list_dot_product(p.up, a.ue), 9) AS cos
+      FROM pc p JOIN assigned a ON a.c_id = p.c_id
+      WHERE list_dot_product(p.up, a.ue) >= 0.8
+      ORDER BY probe_id, vec_id
+    """),
+    bench = true)
 
   val all: Seq[QueryDef] = Seq(
-    q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming, q26EmbedNearDup)
+    q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
+    q26EmbedNearDup, q26bEmbedNearDupIvf)
 }

@@ -2,23 +2,30 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only plan/timing scratch: `sbt 'Test/runMain graft.DevScratch <qname> <sfDir>'`. */
+/** Dev-only plan/timing scratch:
+  * `sbt 'Test/runMain graft.DevScratch <qname>[,<qname>...] <sfDir> [runs] [noExplain]'`. */
 object DevScratch {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val explain = args.length <= 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, dir)
-    df.explain("formatted")
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (explain) df.explain("formatted")
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      if (args.length > 3 && args(3) == "count")
+        println(s"[scratch] $name rows=${df.count()}")
     }
     spark.stop()
   }

@@ -74,4 +74,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(fp.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
   }
+
+  test("ivf range search recalls ≥90% of the exact near-dup pairs") {
+    // q26/q26b shapes at sf0.001: the bucketed search must find nearly all
+    // pairs the quadratic exact scan finds, and never invent one.
+    val exact = graft.SparkEntry.queries("q26_embed_neardup")(spark, sf001)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bucketed = graft.SparkEntry.queries("q26b_embed_neardup_ivf")(spark, sf001)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact), "bucketed search emitted a pair the exact scan lacks")
+    assert(exact.nonEmpty)
+    assert(bucketed.size.toDouble / exact.size >= 0.9,
+      s"IVF recall ${bucketed.size}/${exact.size} below 0.9")
+  }
 }
