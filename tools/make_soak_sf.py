@@ -52,8 +52,26 @@ gen("orders",   f"o_orderkey + r*{MO} AS o_orderkey, o_custkey + r*{MC} AS o_cus
 gen("lineitem", f"l_orderkey + r*{MO} AS l_orderkey, l_partkey + r*{MP} AS l_partkey, "
                 f"l_suppkey + r*{MS} AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
                 f"l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate")
-gen("events",   f"event_id + r*{ME} AS event_id, ts, user_id + r*{MU} AS user_id, "
-                f"event_type, value, props")
+# events goes through pyarrow, not duckdb: ts must stay TIMESTAMP_NS in
+# parquet (Tables.events reads nanos-as-long, matching the source tables)
+# and duckdb 1.0 writes parquet timestamps as µs even from TIMESTAMP_NS,
+# which silently breaks every events query.
+def gen_events():
+    import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
+    t = pq.read_table(f"{src}/events.parquet")
+    me = pc.max(t["event_id"]).as_py() + 1
+    mu = pc.max(t["user_id"]).as_py() + 1
+    parts = [pa.table({
+        "event_id": pc.add(t["event_id"], r * me),
+        "ts": t["ts"],
+        "user_id": pc.add(t["user_id"], r * mu),
+        "event_type": t["event_type"],
+        "value": t["value"],
+        "props": t["props"]}) for r in range(n)]
+    out_t = pa.concat_tables(parts)
+    pq.write_table(out_t, f"{out}/events.parquet")
+    print(f"  events: {out_t.num_rows} rows (ns timestamps preserved)")
+gen_events()
 # odd replicas get a text perturbation → near-dups; even replicas are exact dups
 gen("documents", f"doc_id + r*{MD} AS doc_id, "
                  f"CASE WHEN r % 2 = 1 THEN text || ' replica-' || r ELSE text END AS text, "
