@@ -69,28 +69,35 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over candidate pairs (the verify stage after
-    * LSH): (id_a, id_b, n_inter, n_a, n_b, jaccard). Distinct shingles are
-    * exploded once per doc; cost is bounded by candidate volume, never n². */
+    * LSH): (id_a, id_b, n_inter, n_a, n_b, jaccard). Cost is bounded by
+    * candidate volume, never n².
+    *
+    * Shape: each doc's DISTINCT shingle set is computed once per side,
+    * hashed per element to the cross-engine 60-bit md5 prefix (8-byte
+    * longs instead of ~n·24-byte strings — the arrays ride two shuffles),
+    * joined to the pair list by id, and intersected per pair with
+    * `array_intersect` — map-only O(|a|+|b|) per pair, no re-aggregation.
+    * The alternative (explode shingles, equi-join on (id, shingle),
+    * re-group by pair) shuffles Σ_pairs |shingles| skinny rows and pays a
+    * wide aggregation; on the sf1 soak's 1.3M dup-dense candidates that
+    * was 32 s vs 13 s for this form. The hash is shared with the oracle
+    * (`('0x'||substr(md5(g),1,15))::BIGINT`), so under the astronomically
+    * unlikely 60-bit collision both engines still agree exactly; set
+    * SIZES count distinct shingles (pre-hash), as before. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    // carry each doc's distinct-shingle count alongside the exploded rows
-    // (array size, computed once in the same projection) so the set sizes
-    // ride the intersection join instead of a third shingle evaluation
-    val sh = df
-      .select(id.as("sid"),
-        column(DistinctShinglesExpr(expression(text), shingleN)).as("arr"))
-      .select(col("sid"), size(col("arr")).cast("long").as("n"),
-        explode(col("arr")).as("s"))
-    val inter = pairs
-      .join(sh.select(col("sid").as("id_a"), col("n").as("n_a"), col("s")), "id_a")
-      .join(sh.select(col("sid").as("id_b"), col("n").as("n_b"),
-        col("s").as("s_b")), "id_b")
-      .filter(col("s") === col("s_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
-    inter.withColumn("jaccard",
-      col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sh = df.select(id.as("sid"),
+      transform(column(DistinctShinglesExpr(expression(text), shingleN)), hash60).as("arr"))
+    pairs
+      .join(sh.select(col("sid").as("id_a"), col("arr").as("arr_a")), "id_a")
+      .join(sh.select(col("sid").as("id_b"), col("arr").as("arr_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_inter"),
+        size(col("arr_a")).cast("long").as("n_a"),
+        size(col("arr_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
   /** Connected components over an undirected pair edge list (id_a, id_b)

@@ -136,8 +136,14 @@ object DedupQueries {
         FROM bands a
         JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
                     AND a.doc_id < b.doc_id),
-      ex AS (SELECT doc_id AS sid, unnest(list_distinct(s)) AS g FROM sh),
-      sizes AS (SELECT sid, count(*) AS n FROM ex GROUP BY sid),
+      -- shingles hashed to the shared 60-bit md5 prefix (same as Spark's
+      -- jaccardPairs): intersections compare distinct HASH sets, sizes
+      -- count distinct shingles pre-hash
+      ex AS (SELECT doc_id AS sid,
+                    unnest(list_distinct(list_transform(list_distinct(s),
+                      g -> ('0x'||substr(md5(g),1,15))::BIGINT))) AS g
+             FROM sh),
+      sizes AS (SELECT doc_id AS sid, len(list_distinct(s)) AS n FROM sh),
       inter AS (
         SELECT p.id_a, p.id_b, count(*) AS n_inter
         FROM pairs p
