@@ -68,6 +68,37 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected keyed window:\n$p")
   }
 
+  test("asofJoin matches the naive inequality join for random data") {
+    val left = spark.range(300).select(
+      $"id".as("lid"),
+      pmod(hash($"id"), lit(7)).cast("string").as("k"),
+      pmod(hash($"id" + 3), lit(500)).cast("long").as("t"))
+    val right = spark.range(150).select(
+        pmod(hash($"id" + 11), lit(7)).cast("string").as("k"),
+        pmod(hash($"id" + 17), lit(500)).cast("long").as("rt"),
+        $"id".as("v"))
+      .groupBy("k", "rt").agg(max("v").as("v")) // unique per (k, rt)
+
+    val fast = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .select("lid", "rt", "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+    val best = left.join(right, Seq("k"), "left")
+      .filter(col("rt").isNull || col("rt") <= col("t"))
+      .groupBy("lid").agg(max("rt").as("rt"))
+    val naive = left.select("lid", "k")
+      .join(best, Seq("lid"), "left")
+      .join(right, Seq("k", "rt"), "left")
+      .select("lid", "rt", "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+    assert(fast === naive)
+  }
+
   // ---- rangeJoin ----------------------------------------------------------
 
   private def pointsDf = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 35L))
