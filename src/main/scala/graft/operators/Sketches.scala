@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches for corpus statistics at scale.
+  *
+  * Count-min: a depth×width grid of counters; each item increments one
+  * bucket per hash row, an item's estimate is the MIN of its buckets —
+  * always ≥ the true count (collisions only add), within ε·N with the
+  * usual (d,w) guarantees. The sketch build is ONE pass over the items
+  * (explode to depth (h, bucket) cells, partial-aggregated map-side into
+  * ≤ d·w cells), the result is broadcast-sized by construction, and two
+  * sketches merge by cell-wise addition — the same mergeable-sketch
+  * contract as approx_count_distinct (q56b) and approx_percentile (q43b).
+  * Hashes are the cross-engine 60-bit md5 prefix so a DuckDB oracle
+  * reproduces every cell exactly.
+  */
+object Sketches {
+
+  /** Bucket of `item` in hash row `i`: md5-60bit of "<seed><i>|<item>". */
+  def cmBucket(item: Column, i: Int, width: Int, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(s"$seed$i|"), item.cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Build the sketch: (h, bucket, cnt) with at most depth·width rows. */
+  def countMin(items: DataFrame, item: Column, depth: Int, width: Int,
+               seed: String): DataFrame =
+    items
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("h"), cmBucket(item, i, width, seed).as("bucket"))): _*)).as("hb"))
+      .groupBy(col("hb.h").as("h"), col("hb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Estimate each candidate's frequency from a built sketch: adds `est`
+    * (min over the depth rows). The sketch sides are broadcast — the
+    * candidate side never shuffles. Candidates must occur in the sketched
+    * stream (their cells then exist by construction). */
+  def cmEstimate(candidates: DataFrame, item: Column, sketch: DataFrame,
+                 depth: Int, width: Int, seed: String): DataFrame = {
+    val joined = (0 until depth).foldLeft(candidates) { (acc, i) =>
+      acc.join(
+        broadcast(sketch.filter(col("h") === i)
+          .select(col("bucket").as(s"__b$i"), col("cnt").as(s"__c$i"))),
+        cmBucket(item, i, width, seed) === col(s"__b$i"))
+    }
+    joined
+      .withColumn("est", least((0 until depth).map(i => col(s"__c$i")): _*))
+      .drop((0 until depth).flatMap(i => Seq(s"__b$i", s"__c$i")): _*)
+  }
+}

@@ -235,7 +235,58 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Count-min heavy hitters — the scale-honest shape: candidates come
+    * from a 5% deterministic doc sample (cheap, bounded), their corpus
+    * frequencies from the count-min sketch built in ONE pass over all
+    * tokens (≤ 3·1024 cells, broadcast). No exact full-corpus token
+    * group-by anywhere in the plan — that's the aggregation the sketch
+    * exists to avoid (the q56/q56b lesson). The overestimate invariant
+    * (est ≥ true count, always) is spec-pinned in SketchesSpec against
+    * exact counts at fixture scale. */
+  val q62CountMinHeavyHitters = QueryDef(
+    "q62_countmin_heavy_hitters",
+    (s, d) => {
+      import graft.operators.{Sampling, Sketches}
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      val sketch = Sketches.countMin(toks, col("token"), depth = 3, width = 1024, seed = "cm")
+      val cand = Sampling.deterministicSample(docs, "doc_id", 0.05, "cmq")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("s_cnt"))
+        .filter(col("s_cnt") >= 20)
+      Sketches.cmEstimate(cand, col("token"), sketch, depth = 3, width = 1024, seed = "cm")
+        .select(col("token"), col("s_cnt"), col("est"))
+        .orderBy(col("est").desc, col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS token
+        FROM documents),
+      cells AS (
+        SELECT h, bucket, count(*) AS cnt FROM (
+          SELECT 0 AS h, (('0x'||substr(md5('cm0|'||token),1,15))::BIGINT % 1024) AS bucket FROM toks
+          UNION ALL
+          SELECT 1, (('0x'||substr(md5('cm1|'||token),1,15))::BIGINT % 1024) FROM toks
+          UNION ALL
+          SELECT 2, (('0x'||substr(md5('cm2|'||token),1,15))::BIGINT % 1024) FROM toks)
+        GROUP BY h, bucket),
+      cand AS (
+        SELECT token, count(*) AS s_cnt FROM (
+          SELECT unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS token
+          FROM documents
+          WHERE (('0x' || substr(md5('cmq' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 50000)
+        GROUP BY token
+        HAVING count(*) >= 20)
+      SELECT c.token, c.s_cnt, least(s0.cnt, s1.cnt, s2.cnt) AS est
+      FROM cand c
+      JOIN cells s0 ON s0.h = 0 AND s0.bucket = (('0x'||substr(md5('cm0|'||c.token),1,15))::BIGINT % 1024)
+      JOIN cells s1 ON s1.h = 1 AND s1.bucket = (('0x'||substr(md5('cm1|'||c.token),1,15))::BIGINT % 1024)
+      JOIN cells s2 ON s2.h = 2 AND s2.bucket = (('0x'||substr(md5('cm2|'||c.token),1,15))::BIGINT % 1024)
+      ORDER BY est DESC, token
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
-    q42TfidfTopTerms)
+    q42TfidfTopTerms, q62CountMinHeavyHitters)
 }

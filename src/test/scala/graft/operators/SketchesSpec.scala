@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val toks =
+    Tables.documents(spark, sf001).select(explode(tokens(col("text"))).as("token"))
+
+  test("count-min sketch is bounded to depth·width cells, all positive") {
+    val cells = Sketches.countMin(toks, col("token"), depth = 3, width = 64, seed = "t")
+      .collect()
+    assert(cells.length <= 3 * 64)
+    assert(cells.forall(_.getAs[Long]("cnt") > 0))
+    val hs = cells.map(_.getAs[Int]("h")).toSet
+    assert(hs == Set(0, 1, 2))
+  }
+
+  test("count-min never underestimates, and is exact when width ≫ items") {
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val sketch = Sketches.countMin(toks, col("token"), depth = 3, width = 1024, seed = "t")
+    val est = Sketches.cmEstimate(exact, col("token"), sketch, 3, 1024, "t")
+      .select("token", "true_cnt", "est")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // the defining CM invariant: collisions only ADD
+    est.foreach { case (tok, t, e) =>
+      assert(e >= t, s"count-min underestimated '$tok': est $e < true $t")
+    }
+    // with few distinct tokens vs 3×1024 cells, most estimates are exact
+    val exactShare = est.count { case (_, t, e) => e == t }.toDouble / est.length
+    assert(exactShare >= 0.5, f"only $exactShare%.2f of estimates exact at sparse fill")
+  }
+
+  test("sketches merge by cell-wise addition") {
+    val whole = Sketches.countMin(toks, col("token"), 2, 64, "m")
+    val half1 = Sketches.countMin(toks.filter(length(col("token")) % 2 === 0), col("token"), 2, 64, "m")
+    val half2 = Sketches.countMin(toks.filter(length(col("token")) % 2 =!= 0), col("token"), 2, 64, "m")
+    val merged = half1.unionByName(half2)
+      .groupBy("h", "bucket").agg(sum("cnt").as("cnt"))
+    val w = whole.as[(Int, Long, Long)].collect().toSet
+    val m = merged.as[(Int, Long, Long)].collect().toSet
+    assert(m == w, "cell-wise merge of disjoint partitions differs from the whole-stream sketch")
+  }
+}
