@@ -154,7 +154,94 @@ object CorpusOps {
       ORDER BY doc_id
     """))
 
+  /** The flagship training-data build: every corpus stage composed in one
+    * oracle-gated plan — quality gate (token-count floor) → exact
+    * fingerprint dedup (first-id wins) → language-aware mix (predicted
+    * lang, en kept whole, rest 30%) → per-source quota → deterministic
+    * training shuffle order. Each stage is the REAL operator the
+    * standalone queries verify (q18/q19 metrics, q22 fingerprints,
+    * q50-family sampling/quota), so the composition — not re-derivations
+    * — is what the oracle checks. Everything before the final sort is
+    * map-only or partial-top-k: the only shuffles are the two
+    * WindowGroupLimit quotas and the output range sort. */
+  val q63CorpusBuild = QueryDef(
+    "q63_corpus_build",
+    (s, d) => {
+      import graft.functions.TextFunctions.{fingerprint, langMarkers, markerHits, tokens}
+      val docs0 = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val corpus = docs0.unionByName(docs0.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      val toks = tokens(col("text"))
+      val Seq(en, de, fr, es) = langMarkers.map { case (_, ms) => markerHits(toks, ms) }
+      val scored = corpus
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("pred_lang",
+          when(en >= greatest(de, fr, es), "en")
+            .when(de >= greatest(fr, es), "de")
+            .when(fr >= es, "fr")
+            .otherwise("es"))
+        .filter(col("n_tokens") >= 20)
+      val deduped = Sampling.quotaPerGroup(
+          scored.withColumn("fp", fingerprint(col("text"))),
+          "fp", 1, col("doc_id").asc)
+        .drop("fp", "text", "lang")
+      val mixed = Sampling.stratifiedSample(deduped, "doc_id", "pred_lang",
+        Map("en" -> 1.0), defaultFraction = 0.3, seed = "mix9")
+      val capped = Sampling.quotaPerGroup(mixed, "source", 15,
+        col("n_chars").desc, col("doc_id").asc)
+      capped.select(col("doc_id"), col("source"), col("pred_lang"), col("n_tokens"),
+          Sampling.shuffleKey(col("doc_id"), "order3").as("train_bucket"))
+        .orderBy("train_bucket", "doc_id")
+    },
+    Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, replace(text, ' ', '  '), lang, source, n_chars
+        FROM documents),
+      t AS (
+        SELECT *, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      m AS (
+        SELECT doc_id, text, source, n_chars, len(words)::BIGINT AS n_tokens,
+          len(list_filter(words, w -> list_contains(['the','and','of','is','with'], w))) AS h_en,
+          len(list_filter(words, w -> list_contains(['der','und','ist','mit','das'], w))) AS h_de,
+          len(list_filter(words, w -> list_contains(['le','et','est','avec','les'], w))) AS h_fr,
+          len(list_filter(words, w -> list_contains(['el','y','es','con','los'], w))) AS h_es
+        FROM t),
+      scored AS (
+        SELECT doc_id, text, source, n_chars, n_tokens,
+          CASE WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+               WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+               WHEN h_fr >= h_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM m WHERE n_tokens >= 20),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            ORDER BY doc_id) AS rn
+          FROM scored) WHERE rn = 1),
+      mixed AS (
+        SELECT * FROM deduped
+        WHERE ${bucketSql("mix9", "doc_id")} <
+          CASE pred_lang WHEN 'en' THEN 1000000 ELSE 300000 END),
+      capped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rq
+          FROM mixed) WHERE rq <= 15)
+      SELECT doc_id, source, pred_lang, n_tokens,
+             ${bucketSql("order3", "doc_id")} AS train_bucket
+      FROM capped
+      ORDER BY train_bucket, doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
-    q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline)
+    q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild)
 }

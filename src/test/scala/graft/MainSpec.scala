@@ -23,8 +23,12 @@ class MainSpec extends SparkSpec {
       "--version-date", "2026-08-12"), Some(spark))
     assert(code == 0)
     // sinks write Spark text directories (coalesced to one part file)
+    // match only the data file — Files.list order is unspecified and the
+    // binary .part-*.crc checksum would fail the UTF-8 read
     val ttlPart = Files.list(Paths.get(outDir, "omim.ttl")).toArray
-      .map(_.toString).filter(_.contains("part-"))
+      .map(_.toString)
+      .filter(p => p.contains("part-") && !p.endsWith(".crc") &&
+        !Paths.get(p).getFileName.toString.startsWith("."))
     assert(ttlPart.nonEmpty, "omim.ttl part file missing")
     val head = Files.readAllLines(Paths.get(ttlPart.head))
     assert(head.size > 100, s"omim.ttl suspiciously small: ${head.size} lines")
