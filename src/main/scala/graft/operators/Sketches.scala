@@ -33,19 +33,25 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
 
   /** Estimate each candidate's frequency from a built sketch: adds `est`
-    * (min over the depth rows). The sketch sides are broadcast — the
-    * candidate side never shuffles. Candidates must occur in the sketched
-    * stream (their cells then exist by construction). */
+    * (min over the depth rows). One exploded probe row per (candidate,
+    * hash row) against ONE broadcast of the sketch — a per-row filtered
+    * join would inline the un-materialized sketch plan `depth` times and
+    * re-scan the corpus per hash row (it did: 3 full scans in the first
+    * cut). Candidates must be row-distinct (they re-group on all their
+    * columns) and must occur in the sketched stream (their cells then
+    * exist by construction). */
   def cmEstimate(candidates: DataFrame, item: Column, sketch: DataFrame,
                  depth: Int, width: Int, seed: String): DataFrame = {
-    val joined = (0 until depth).foldLeft(candidates) { (acc, i) =>
-      acc.join(
-        broadcast(sketch.filter(col("h") === i)
-          .select(col("bucket").as(s"__b$i"), col("cnt").as(s"__c$i"))),
-        cmBucket(item, i, width, seed) === col(s"__b$i"))
-    }
-    joined
-      .withColumn("est", least((0 until depth).map(i => col(s"__c$i")): _*))
-      .drop((0 until depth).flatMap(i => Seq(s"__b$i", s"__c$i")): _*)
+    val gcols = candidates.columns.toSeq
+    val probes = candidates
+      .select(col("*"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i).as("h"), cmBucket(item, i, width, seed).as("bucket"))): _*)).as("__hb"))
+      .select(gcols.map(col) ++ Seq(col("__hb.h").as("__h"), col("__hb.bucket").as("__bucket")): _*)
+    probes
+      .join(broadcast(sketch),
+        col("__h") === col("h") && col("__bucket") === col("bucket"))
+      .groupBy(gcols.map(col): _*)
+      .agg(min(col("cnt")).as("est"))
   }
 }
