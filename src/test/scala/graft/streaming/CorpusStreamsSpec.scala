@@ -84,4 +84,33 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(perSource.forall(_._2 <= quota))
     assert(got.nonEmpty)
   }
+
+  test("streaming count-min build == batch sketch, cell for cell") {
+    import graft.operators.Sketches
+    // the SAME operator code runs under readStream: the cell grid is a
+    // running aggregate (complete mode, ≤ depth·width rows of state) —
+    // the streaming form of the sketch's mergeability
+    val src = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("cm-stream").toString
+    src.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val streamToks = spark.readStream
+      .schema("doc_id BIGINT, text STRING").parquet(dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val q = Sketches.countMin(streamToks, col("token"), depth = 2, width = 64, seed = "sm")
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("cm_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = Sketches.countMin(
+        spark.read.parquet(dir).select(explode(TextFunctions.tokens(col("text"))).as("token")),
+        col("token"), depth = 2, width = 64, seed = "sm")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch, "streaming sketch cells differ from batch")
+    assert(streamed.nonEmpty && streamed.size <= 2 * 64)
+  }
 }
