@@ -56,6 +56,9 @@ object TemporalJoins {
     val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
     val clash = (rightTime +: payload).intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right columns collide with left: ${clash.mkString(",")} — rename before joining")
+    val reserved = Seq("__t", "__tag", "__r", "__m")
+      .filter(r => left.columns.contains(r) || right.columns.contains(r))
+    require(reserved.isEmpty, s"reserved column names in use: ${reserved.mkString(",")}")
     val leftRest = left.columns.toSeq.filterNot(keys.contains)
 
     val rStruct = StructType(
@@ -103,6 +106,12 @@ object TemporalJoins {
       hiExpr: Column,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = points.columns.toSeq.intersect(intervals.columns.toSeq)
+    require(shared.isEmpty,
+      s"points and intervals share column names: ${shared.mkString(",")} — rename before joining")
+    val reserved = Seq("__pt", "__pbucket", "__lo", "__hi", "__ibucket")
+      .filter(r => points.columns.contains(r) || intervals.columns.contains(r))
+    require(reserved.isEmpty, s"reserved column names in use: ${reserved.mkString(",")}")
     val p = points
       .withColumn("__pt", pointExpr.cast("long"))
       .withColumn("__pbucket", floor(col("__pt") / bucketWidth).cast("long"))

@@ -58,6 +58,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       TemporalJoins.asofJoin(leftDf, bad, Seq("k"), "t", "rt")
     }
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.asofJoin(leftDf.withColumn("__tag", lit(1)), rightDf, Seq("k"), "t", "rt")
+    }
+  }
+
+  test("rangeJoin rejects shared and reserved column names") {
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(pointsDf, col("pt"),
+        intervalsDf.withColumnRenamed("iid", "pid"), col("lo"), col("hi"), 8L)
+    }
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(pointsDf.withColumn("__pt", col("pt")), col("pt"),
+        intervalsDf, col("lo"), col("hi"), 8L)
+    }
   }
 
   test("asofJoin plans one keyed window, not a nested-loop join") {
