@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-import graft.expressions.{DistinctShinglesExpr, MinhashBandsExpr}
+import graft.expressions.{DistinctShinglesExpr, MinhashBandsExpr, SimhashBitsExpr}
 import graft.functions.TextFunctions._
 
 /** Corpus deduplication operators for the 100 TB training-data pipeline.
@@ -169,4 +169,55 @@ object Dedup {
   def simhash64(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(id.as("id"),
       column(graft.expressions.Simhash64Expr(expression(text))).as("simhash64"))
+
+  /** SimHash banded candidate pairs — the LSH-shaped near-dup join for
+    * the simhash family: the `bits`-length portable fingerprint is split
+    * into `bands` equal chunks, and two docs become a candidate iff some
+    * chunk matches EXACTLY, so the join shuffles on (band, chunk-value)
+    * and costs Σ bucket², never n². Pigeonhole guarantee: a pair at
+    * hamming ≤ bands-1 cannot differ in every band, so recall is total up
+    * to that radius (the emitted exact `hamming` lets callers cut at any
+    * tighter threshold). Returns (id_a, id_b, hamming), id_a < id_b,
+    * each pair once.
+    *
+    * Parameter note from measurement: simhash bits over natural-language
+    * text are strongly correlated (common tokens dominate the votes), so
+    * 16-bit bands bucket heavily — 755k candidate pairs over a 10k-doc
+    * corpus, max bucket 554. Default to the full 128-bit md5 vote space
+    * in 32-bit bands: same hamming-3 recall guarantee, collisions only
+    * for genuinely similar text. Per-pair hamming is Σ bit_count(xor)
+    * over the band chunks carried as longs — codegen'd integer ops, not
+    * a per-bit string loop. */
+  def simhashCandidatePairs(df: DataFrame, text: Column, id: Column,
+                            bits: Int = 128, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+    val w = bits / bands
+    require(w <= 62, s"band chunk of $w bits exceeds a signed long")
+    val chunks = (0 until bands).map(i =>
+      conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"__c$i"))
+    val withFp = df
+      .select(id.as("sid"), column(SimhashBitsExpr(expression(text), bits)).as("fp"))
+      .select(col("sid") +: chunks: _*)
+    val banded = withFp.select(col("sid") +:
+      (0 until bands).map(i => col(s"__c$i")) :+
+      explode(array((0 until bands).map(i =>
+        struct(lit(i).as("band"), col(s"__c$i").as("bv"))): _*)).as("hb"): _*)
+      .select(col("sid") +: (0 until bands).map(i => col(s"__c$i")) :+
+        col("hb.band").as("band") :+ col("hb.bv").as("bv"): _*)
+    val l = banded.select(col("sid").as("id_a") +:
+      (0 until bands).map(i => col(s"__c$i").as(s"__a$i")) :+
+      col("band") :+ col("bv"): _*)
+    val r = banded.select(col("sid").as("id_b") +:
+      (0 until bands).map(i => col(s"__c$i").as(s"__b$i")) :+
+      col("band").as("band_b") :+ col("bv").as("bv_b"): _*)
+    l.join(r, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        (0 until bands).flatMap(i => Seq(col(s"__a$i"), col(s"__b$i"))): _*)
+      .distinct()
+      .withColumn("hamming",
+        (0 until bands).map(i => bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
+          .reduce(_ + _))
+      .select("id_a", "id_b", "hamming")
+  }
 }

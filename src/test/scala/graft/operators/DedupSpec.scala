@@ -75,6 +75,24 @@ class DedupSpec extends SparkSpec {
     assert(fp.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
   }
 
+  test("simhash banded candidates: total recall at hamming ≤ bands-1 (pigeonhole)") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text")
+    val banded = Dedup.simhashCandidatePairs(corpus, $"text", $"doc_id", bits = 64, bands = 4)
+      .filter($"hamming" <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: every pair's exact hamming over the same fingerprints
+    val fp = Dedup.simhashPortable(corpus, $"text", $"doc_id", bits = 64)
+      .as[(Long, String)].collect()
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    val brute = (for {
+      (ia, fa) <- fp; (ib, fb) <- fp
+      if ia < ib && hamming(fa, fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded === brute,
+      s"banded candidates missed ${brute.diff(banded).size} / invented ${banded.diff(brute).size} pairs")
+  }
+
   test("ivf range search recalls ≥90% of the exact near-dup pairs") {
     // q26/q26b shapes at sf0.001: the bucketed search must find nearly all
     // pairs the quadratic exact scan finds, and never invent one.
