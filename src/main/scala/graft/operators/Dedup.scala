@@ -96,6 +96,10 @@ object Dedup {
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long").as("n_inter"),
         size(col("arr_a")).cast("long").as("n_a"),
         size(col("arr_b")).cast("long").as("n_b"))
+      // a pair where BOTH docs have zero shingles (shorter than shingleN
+      // words) has no defined Jaccard (0/0 → null); drop it, matching the
+      // exploded-join formulation this replaced
+      .filter(col("n_a") + col("n_b") > 0)
       .withColumn("jaccard",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }

@@ -38,11 +38,16 @@ object Sketches {
     * join would inline the un-materialized sketch plan `depth` times and
     * re-scan the corpus per hash row (it did: 3 full scans in the first
     * cut). Candidates must be row-distinct (they re-group on all their
-    * columns) and must occur in the sketched stream (their cells then
-    * exist by construction). */
+    * columns). An absent (h, bucket) cell counts as 0 — so an item the
+    * sketch never saw estimates to 0, the standard count-min answer,
+    * rather than vanishing from the output. */
   def cmEstimate(candidates: DataFrame, item: Column, sketch: DataFrame,
                  depth: Int, width: Int, seed: String): DataFrame = {
     val gcols = candidates.columns.toSeq
+    val reserved = Seq("h", "bucket", "cnt", "est", "__hb", "__h", "__bucket")
+      .filter(gcols.contains)
+    require(reserved.isEmpty,
+      s"reserved column names in use by candidates: ${reserved.mkString(",")} — rename first")
     val probes = candidates
       .select(col("*"),
         explode(array((0 until depth).map(i =>
@@ -50,8 +55,8 @@ object Sketches {
       .select(gcols.map(col) ++ Seq(col("__hb.h").as("__h"), col("__hb.bucket").as("__bucket")): _*)
     probes
       .join(broadcast(sketch),
-        col("__h") === col("h") && col("__bucket") === col("bucket"))
+        col("__h") === col("h") && col("__bucket") === col("bucket"), "left")
       .groupBy(gcols.map(col): _*)
-      .agg(min(col("cnt")).as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

@@ -45,7 +45,13 @@ object TemporalJoins {
     * window, so all emitted right columns always come from the same
     * matched row. Right rows must be unique per (keys, rightTime) —
     * pre-aggregate duplicates first, otherwise the tie winner is
-    * unspecified (same contract as DuckDB/pandas ASOF).
+    * unspecified (same contract as DuckDB/pandas ASOF). Right rows with a
+    * null time are ignored (never matched) — also the DuckDB/pandas ASOF
+    * contract; without the filter they would sort first under nulls-first
+    * ascending and be picked as the "latest" match for left rows that
+    * precede every real right row. The right time column must up-cast
+    * losslessly to the left time type (a silent lossy cast, e.g.
+    * timestamp→date, would both coarsen matches and mint nulls).
     */
   def asofJoin(
       left: DataFrame,
@@ -59,6 +65,10 @@ object TemporalJoins {
     val reserved = Seq("__t", "__tag", "__r", "__m")
       .filter(r => left.columns.contains(r) || right.columns.contains(r))
     require(reserved.isEmpty, s"reserved column names in use: ${reserved.mkString(",")}")
+    val (lt, rt) = (left.schema(leftTime).dataType, right.schema(rightTime).dataType)
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(rt, lt),
+      s"right time type $rt does not up-cast losslessly to left time type $lt — " +
+        "cast explicitly before joining")
     val leftRest = left.columns.toSeq.filterNot(keys.contains)
 
     val rStruct = StructType(
@@ -66,7 +76,7 @@ object TemporalJoins {
         payload.map(c => StructField(c, right.schema(c).dataType)))
 
     // Tag 0 (right) sorts before tag 1 (left) on time ties → inclusive match.
-    val rightPart = right.select(
+    val rightPart = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
         lit(0).as("__tag"),

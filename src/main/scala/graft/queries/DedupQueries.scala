@@ -189,14 +189,14 @@ object DedupQueries {
       sh AS (
         SELECT doc_id,
           list_aggregate(list_transform(range(0, 16), b ->
-            CASE WHEN list_sum(list_transform(w_orig, t ->
+            CASE WHEN COALESCE(list_sum(list_transform(w_orig, t ->
               2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
-                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)) >= 0
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
             THEN '1' ELSE '0' END), 'string_agg', '') AS simhash,
           list_aggregate(list_transform(range(0, 16), b ->
-            CASE WHEN list_sum(list_transform(w_pert, t ->
+            CASE WHEN COALESCE(list_sum(list_transform(w_pert, t ->
               2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
-                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)) >= 0
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
             THEN '1' ELSE '0' END), 'string_agg', '') AS simhash_pert
         FROM t)
       SELECT doc_id, simhash, simhash_pert,
@@ -335,10 +335,13 @@ object DedupQueries {
         FROM corpus),
       sh AS (
         SELECT doc_id,
+          -- COALESCE: an empty token list sums to NULL in DuckDB but the
+          -- Spark kernel's zero-initialized votes give >= 0 ⇒ all-'1' fp;
+          -- coalesce to 0 so empty docs hash identically in both engines
           list_aggregate(list_transform(range(0, 128), b ->
-            CASE WHEN list_sum(list_transform(words, t ->
+            CASE WHEN COALESCE(list_sum(list_transform(words, t ->
               2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
-                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)) >= 0
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
             THEN '1' ELSE '0' END), 'string_agg', '') AS fp
         FROM t),
       banded AS (

@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j.getAs[Double]("jaccard") - 6.0 / 7.0) < 1e-12)
   }
 
+  test("jaccardPairs drops pairs where both docs have zero shingles") {
+    val tiny = Seq((1L, "a b"), (2L, "c"), (3L, "one two three four five"))
+      .toDF("doc_id", "text") // docs 1,2 are shorter than shingleN=3 words
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardPairs(tiny, $"text", $"doc_id", pairs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (1,2) is 0/0 — undefined jaccard, must not surface as a null row
+    assert(j === Set((1L, 3L)))
+  }
+
   test("connectedComponents: chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)

@@ -37,6 +37,25 @@ class SketchesSpec extends SparkSpec {
     assert(exactShare >= 0.5, f"only $exactShare%.2f of estimates exact at sparse fill")
   }
 
+  test("cmEstimate answers 0 for an item the sketch never saw") {
+    val sketch = Sketches.countMin(toks, col("token"), 3, 1024, "t")
+    val unseen = Seq("⟂never-in-corpus⟂").toDF("token")
+    val est = Sketches.cmEstimate(unseen, col("token"), sketch, 3, 1024, "t")
+      .select("token", "est").as[(String, Long)].collect()
+    // with 3×1024 cells and a sparse fill, at least one of the 3 probe
+    // cells is empty → min(coalesce(cnt,0)) = 0; the row must NOT vanish
+    assert(est.length === 1)
+    assert(est.head._2 === 0L)
+  }
+
+  test("cmEstimate rejects candidates using reserved column names") {
+    val sketch = Sketches.countMin(toks, col("token"), 2, 64, "t")
+    val bad = Seq(("x", 1L)).toDF("token", "cnt")
+    assertThrows[IllegalArgumentException] {
+      Sketches.cmEstimate(bad, col("token"), sketch, 2, 64, "t")
+    }
+  }
+
   test("sketches merge by cell-wise addition") {
     val whole = Sketches.countMin(toks, col("token"), 2, 64, "m")
     val half1 = Sketches.countMin(toks.filter(length(col("token")) % 2 === 0), col("token"), 2, 64, "m")

@@ -53,6 +53,27 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.count() === leftDf.count())
   }
 
+  test("asofJoin ignores right rows with a null time") {
+    val right = Seq(("u1", Some(100L), "a"), ("u1", None, "ghost"))
+      .toDF("k", "rt", "v")
+    val out = TemporalJoins.asofJoin(leftDf, right, Seq("k"), "t", "rt")
+      .orderBy("id").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // id=3 (t=10, before every real right row) must stay unmatched — the
+    // null-time row would otherwise win via nulls-first + last(ignoreNulls)
+    assert(out === Seq((1L, "a"), (2L, "a"), (3L, null), (4L, null), (5L, null)))
+  }
+
+  test("asofJoin rejects a lossy right-time cast (timestamp → date)") {
+    val left = Seq((1L, "u1", java.sql.Date.valueOf("2024-01-02")))
+      .toDF("id", "k", "t")
+    val right = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-02 13:00:00"), "a"))
+      .toDF("k", "rt", "v")
+    assertThrows[IllegalArgumentException] {
+      TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt")
+    }
+  }
+
   test("asofJoin rejects colliding column names") {
     val bad = rightDf.withColumnRenamed("v", "id")
     assertThrows[IllegalArgumentException] {
