@@ -110,12 +110,23 @@ object Dedup {
     * O(diameter) — near-dup clusters are shallow (pairs share a common
     * near-copy), so this converges in a few rounds; `maxIter` bounds
     * pathological chains. Returns (id, component) where component is the
-    * smallest id in the cluster. Lineage is cut with localCheckpoint each
-    * round (iterative-plan blowup is the classic failure mode at scale). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    * smallest id in the cluster. Lineage is cut every round
+    * (iterative-plan blowup is the classic failure mode at scale):
+    * by default with `localCheckpoint` (executor-local blocks — fast, but
+    * an executor loss mid-iteration loses blocks and kills the job), or
+    * reliably when `checkpointDir` is set — blocks go to that
+    * fault-tolerant path (HDFS/S3) via `checkpoint()`, which is what a
+    * multi-hour 100 TB run on a real cluster should use. Setting
+    * `checkpointDir` updates the SparkContext's checkpoint dir (a
+    * context-global setting). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = cut(pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct())
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
     var changed = 1L
@@ -128,7 +139,7 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"),
           (col("n_comp") < col("comp")).as("chg"))
-      val materialized = updated.localCheckpoint()
+      val materialized = cut(updated)
       changed = materialized.filter(col("chg")).count()
       labels = materialized.select("id", "comp")
       iter += 1

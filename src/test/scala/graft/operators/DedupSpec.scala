@@ -64,6 +64,18 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccp").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    // reliable checkpoint actually wrote to the fault-tolerant path
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"expected checkpoint files under $dir")
+  }
+
   test("dedupCorpus keeps one representative per exact/near cluster") {
     val kept = Dedup.dedupCorpus(docs, $"text", $"doc_id", jaccardThreshold = 0.5)
       .select("id").as[Long].collect().toSet
