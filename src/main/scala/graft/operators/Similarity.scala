@@ -129,6 +129,61 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Spherical k-means (Lloyd) centroid training — the index-BUILD step
+    * the IVF family runs on: seed centroids in, trained centroids out,
+    * then [[writeIvfIndex]]/[[ivfTopK]]/[[ivfRangeSearch]] consume them
+    * unchanged. Recall at equal nprobe hinges on centroid quality, so at
+    * 100 TB this is what turns IVF from a demo into an index.
+    *
+    * Each Lloyd round is two distributed steps:
+    *  - ASSIGN: map-only — centroids are broadcast (they are
+    *    broadcast-sized by construction), each unit corpus vector picks
+    *    its nearest centroid by cosine (ties to the smaller c_id);
+    *  - UPDATE: each cluster's new centroid is the per-dimension mean of
+    *    its member unit vectors. The vectors posexplode to (c_id, dim,
+    *    x) rows and aggregate by (c_id, dim) — partial aggregation
+    *    collapses map-side, so the shuffle carries at most
+    *    |centroids|·d rows per task, never the corpus.
+    *
+    * Means sum in decimal(28,12) and divide as double: decimal addition
+    * is exact and ORDER-INDEPENDENT, so the result is identical across
+    * partitionings and engines (a double sum varies in the last ulp with
+    * accumulation order, which can flip the next round's assignments —
+    * the cross-engine oracle depends on this determinism).
+    *
+    * Trained centroids are the raw means (consumers unit-normalize, as
+    * with any centroid input). Clusters that capture no points drop out.
+    * Centroids are collected to the driver each round — bounded metadata
+    * (|centroids|·d doubles, broadcast-sized by construction; the same
+    * centers-on-the-driver shape as Spark MLlib's KMeans) — which keeps
+    * the per-round plan constant-size instead of stacking `iters` joins
+    * into one lineage. The unit corpus is cached across rounds and
+    * unpersisted before returning.
+    *
+    * `corpus`: (id, e); `seeds`: (c_id, c). Returns (c_id, c). */
+  def kmeansTrain(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = corpus.sparkSession
+    val ucorpus = unitized(corpus, "e", "ue")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cent = seeds
+      for (_ <- 1 to iters) {
+        val means = assignUnit(ucorpus, unitized(cent, "c", "uc"), "id", "ue", 1)
+          .select(col("c_id"), posexplode(col("ue")).as(Seq("j", "x")))
+          .groupBy("c_id", "j")
+          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy("c_id")
+          .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+            s => s.getField("m")).as("c"))
+        cent = spark.createDataFrame(
+          java.util.Arrays.asList(means.collect(): _*), means.schema)
+      }
+      cent
+    } finally ucorpus.unpersist()
+  }
+
   /** IVF range search — the bucketed form of all-pairs near-dup: emit
     * (probe_id, id, cos) for every corpus vector that shares one of the
     * probe's `nprobe` nearest clusters and has cos ≥ `minCos`.

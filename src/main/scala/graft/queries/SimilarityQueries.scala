@@ -127,5 +127,116 @@ object SimilarityQueries {
       ORDER BY probe_id, rank
     """)
 
-  val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed)
+  /** The 2-iteration Lloyd training CTE chain, shared by q65/q28c.
+    * `seedsSql` must define `c0(c_id, uc)` — the unitized seed centroids.
+    * Produces `a2` (corpus assigned to iteration-1 centroids) and `m2`
+    * (iteration-2 per-dimension means = the trained centroids). Means sum
+    * in DECIMAL(28,12) and divide as DOUBLE — exactly the Spark operator's
+    * order-independent arithmetic, so every float is bit-identical. */
+  private def kmeansTrainCte(seedsSql: String): String = s"""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      u AS (
+        SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      $seedsSql,
+      a1 AS (
+        SELECT id, ue, c_id FROM (
+          SELECT u.vec_id AS id, u.ue, c0.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(ue, uc) DESC, c0.c_id) AS rn
+          FROM u CROSS JOIN c0) WHERE rn = 1),
+      m1 AS (
+        SELECT c_id, j, (sum((ue[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS m
+        FROM a1, range(1, 65) AS t(j) GROUP BY c_id, j),
+      c1 AS (
+        SELECT c_id, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS uc
+        FROM (SELECT c_id, list(m ORDER BY j) AS c FROM m1 GROUP BY c_id)),
+      a2 AS (
+        SELECT id, ue, c_id FROM (
+          SELECT a1.id, a1.ue, c1.c_id,
+                 row_number() OVER (PARTITION BY a1.id
+                   ORDER BY list_dot_product(a1.ue, c1.uc) DESC, c1.c_id) AS rn
+          FROM a1 CROSS JOIN c1) WHERE rn = 1),
+      m2 AS (
+        SELECT c_id, j, (sum((ue[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS m
+        FROM a2, range(1, 65) AS t(j) GROUP BY c_id, j)"""
+
+  /** K-means (Lloyd) centroid training under a cross-engine oracle: 40
+    * deterministic seed medoids (min vec_id per (label, vec_id%4) — the
+    * q26b seed set), 2 full assign/update rounds, per-dimension means
+    * emitted exactly. DuckDB re-runs both unrolled iterations from the
+    * same seeds; one flipped assignment anywhere changes some mean and
+    * breaks the hash. */
+  val q65KmeansTrain = QueryDef(
+    "q65_kmeans_train",
+    (s, d) => {
+      val e = emb(s, d)
+      val seedIds = e.groupBy(col("label"), pmod(col("vec_id"), lit(4)))
+        .agg(min("vec_id").as("c_id"))
+      val seeds = seedIds.join(e, col("c_id") === col("vec_id"))
+        .select(col("c_id"), col("e").as("c"))
+      val corpus = e.select(col("vec_id").as("id"), col("e"))
+      Similarity.kmeansTrain(corpus, seeds, iters = 2)
+        .select(col("c_id"), posexplode(col("c")).as(Seq("dim", "m")))
+        .select(col("c_id"), col("dim"), round(col("m"), 9).as("m"))
+        .orderBy("c_id", "dim")
+    },
+    Some(kmeansTrainCte("""
+      seeds AS (SELECT min(vec_id) AS c_id FROM emb GROUP BY label, vec_id % 4),
+      c0 AS (SELECT s.c_id, u.ue AS uc FROM seeds s JOIN u ON u.vec_id = s.c_id)""") +
+      """
+      SELECT c_id, (j - 1)::INT AS dim, round(m, 9) AS m
+      FROM m2 ORDER BY c_id, dim
+    """),
+    bench = true)
+
+  /** q28 on TRAINED centroids: the same label-medoid seeds, improved by 2
+    * Lloyd rounds ([[Similarity.kmeansTrain]]), then the identical IVF
+    * probe path at equal nprobe. SimilaritySpec pins recall(trained) ≥
+    * recall(seeds) against the brute-force exact answer. */
+  val q28cAnnIvfTrained = QueryDef(
+    "q28c_ann_ivf_trained",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      val trained = Similarity.kmeansTrain(corpus, centroids, iters = 2)
+      Similarity.ivfTopK(corpus, trained, probes, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(kmeansTrainCte("""
+      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
+      c0 AS (
+        SELECT s.label AS c_id, u.ue AS uc
+        FROM seeds s JOIN u ON u.vec_id = s.seed_id)""") +
+      """,
+      c2 AS (
+        SELECT c_id, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS uc
+        FROM (SELECT c_id, list(m ORDER BY j) AS c FROM m2 GROUP BY c_id)),
+      af AS (
+        SELECT id, ue, c_id FROM (
+          SELECT a2.id, a2.ue, c2.c_id,
+                 row_number() OVER (PARTITION BY a2.id
+                   ORDER BY list_dot_product(a2.ue, c2.uc) DESC, c2.c_id) AS rn
+          FROM a2 CROSS JOIN c2) WHERE rn = 1),
+      pf AS (
+        SELECT probe_id, up, c_id FROM (
+          SELECT u.vec_id AS probe_id, u.ue AS up, c2.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(u.ue, c2.uc) DESC, c2.c_id) AS rn
+          FROM u CROSS JOIN c2
+          WHERE u.vec_id < 20) WHERE rn <= 2),
+      scored AS (
+        SELECT p.probe_id, a.id, list_dot_product(p.up, a.ue) AS cos,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(p.up, a.ue) DESC, a.id) AS rank
+        FROM pf p JOIN af a ON a.c_id = p.c_id
+        WHERE a.id <> p.probe_id)
+      SELECT probe_id, rank, id, round(cos, 9) AS cos
+      FROM scored WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
+    q28cAnnIvfTrained, q65KmeansTrain)
 }

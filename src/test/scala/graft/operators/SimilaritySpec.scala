@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
@@ -33,5 +35,62 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.ivfTopK(corpus, centroids, probes, k = 5, nprobe = 1)
       .as[(Long, Int, Long, Double)].collect()
     assert(r.map(_._3).toSet == Set(1L, 2L, 3L)) // axis-y cluster never scanned
+  }
+
+  test("kmeansTrain: one Lloyd round moves each centroid to its cluster mean") {
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)), (4L, Seq(0.0, 1.0)))
+      .toDF("id", "e")
+    // seeds off-center but on the right side of the bisector
+    val seeds = Seq((0, Seq(0.9, 0.1)), (1, Seq(0.1, 0.9))).toDF("c_id", "c")
+    val trained = Similarity.kmeansTrain(pts, seeds, iters = 1)
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(trained(0) == Seq(1.0, 0.0)) // mean of two identical unit vectors
+    assert(trained(1) == Seq(0.0, 1.0))
+  }
+
+  test("kmeansTrain drops clusters that capture no points") {
+    val pts = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01))).toDF("id", "e")
+    val seeds = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("c_id", "c")
+    val trained = Similarity.kmeansTrain(pts, seeds, iters = 1)
+    assert(trained.select("c_id").as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("trained centroids reach recall ≥ the seed medoids at equal nprobe") {
+    // the q28/q28c configuration on the sf0.01 embeddings table
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val corpus = e.select(col("vec_id").as("id"), col("e"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val ws = org.apache.spark.sql.expressions.Window.partitionBy("label").orderBy("vec_id")
+    val seeds = e.withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+
+    val truth = Similarity.bruteForceTopK(corpus, probes, 3)
+      .select("probe_id", "id").as[(Long, Long)].collect().toSet
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopK(corpus, cent, probes, k = 3, nprobe = 2)
+        .select("probe_id", "id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    // the Lloyd objective: mean cosine of each corpus vector to its
+    // nearest centroid — Lloyd rounds are monotone in it, so training
+    // must never regress it (the recall pin below is the IVF-level
+    // consequence at the q28/q28c configuration)
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      import graft.functions.VectorFunctions.{dot, unit}
+      corpus.select(col("id"), unit(col("e")).as("ue"))
+        .join(broadcast(cent.select(unit(col("c")).as("uc"))))
+        .groupBy("id").agg(max(dot(col("ue"), col("uc"))).as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    }
+    val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)
+    val (so, to) = (objective(seeds), objective(trained))
+    val (sr, tr) = (recall(seeds), recall(trained))
+    info(f"objective: seeds $so%.4f → trained $to%.4f; recall@3 nprobe=2: $sr%.3f → $tr%.3f")
+    assert(to >= so, f"training regressed the Lloyd objective: $to%.4f < $so%.4f")
+    assert(to > so + 1e-4, f"training left the objective unchanged: $to%.4f vs $so%.4f")
+    assert(tr >= sr, f"training regressed recall: $tr%.3f < $sr%.3f")
   }
 }
