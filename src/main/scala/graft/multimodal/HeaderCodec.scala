@@ -3,11 +3,11 @@ package graft.multimodal
 /** REAL metadata decode for self-describing media containers — pure
   * byte parsing, no codec libraries: PNG (IHDR), BMP (info header), GIF
   * (logical screen descriptor), WAV (RIFF fmt chunk walk), JPEG (SOF
-  * marker walk). Pixel/sample DECODING of compressed payloads still
-  * needs real codec libraries (absent in this environment) and falls
-  * back to [[Multimodal.FakeCodec]]; header metadata — the part a corpus
-  * pipeline filters and buckets on (dimensions, channels, sample rate)
-  * — is parsed for real here.
+  * marker walk). Payload decode is also real wherever the JDK suffices:
+  * BMP pixel arrays and WAV PCM (plain byte math) and PNG
+  * ([[decodePng]]: `java.util.zip.Inflater` + the five spec filters).
+  * Only entropy-coded payloads (JPEG/GIF) fall back to
+  * [[Multimodal.FakeCodec]].
   */
 object HeaderCodec {
 
@@ -102,6 +102,98 @@ object HeaderCodec {
       y += 1
     }
     Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+  }
+
+  /** Decode an 8-bit RGB (color type 2, non-interlaced) PNG with
+    * JDK-only zlib: IDAT chunks concatenate into one zlib stream
+    * (`java.util.zip.Inflater`), then each scanline is reconstructed
+    * from its per-row filter — None(0)/Sub(1)/Up(2)/Average(3)/Paeth(4),
+    * PNG spec §9 — before the per-channel stats accumulate. Anything
+    * else (palette/alpha/16-bit/interlaced, bad signature, truncated or
+    * corrupt stream) returns None; JPEG/GIF remain with the documented
+    * stub — their payload decode needs entropy-coding machinery beyond
+    * byte math, PNG does not. */
+  def decodePng(b: Array[Byte]): Option[PixelStats] = {
+    if (b.length < 45 || !b.take(8).sameElements(PngSig)) return None
+    if (be32(b, 8) != 13 || ascii(b, 12, 4) != "IHDR") return None
+    val width = be32(b, 16); val height = be32(b, 20)
+    val bitDepth = u8(b, 24); val colorType = u8(b, 25)
+    val (compression, filterMethod, interlace) = (u8(b, 26), u8(b, 27), u8(b, 28))
+    if (width <= 0 || height <= 0 || bitDepth != 8 || colorType != 2 ||
+        compression != 0 || filterMethod != 0 || interlace != 0) return None
+    // walk chunks, concatenating IDAT payloads (the zlib stream may be
+    // split across any number of IDAT chunks, PNG spec §5.6)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33 // after IHDR
+    var done = false
+    while (!done) {
+      if (i + 8 > b.length) return None
+      val len = be32(b, i)
+      val typ = ascii(b, i + 4, 4)
+      if (len < 0 || i + 12 + len > b.length) return None
+      if (typ == "IDAT") idat.write(b, i + 8, len)
+      else if (typ == "IEND") done = true
+      i += 12 + len
+    }
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minV = 255; var maxV = 0
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val off = (stride + 1) * y
+      val ft = u8(raw, off)
+      if (ft > 4) return None
+      var j = 0
+      while (j < stride) {
+        val x = u8(raw, off + 1 + j)
+        val a = if (j >= bpp) cur(j - bpp) else 0
+        val up = prev(j)
+        val c = if (j >= bpp) prev(j - bpp) else 0
+        cur(j) = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + ((a + up) / 2)) & 0xff
+          case 4 => (x + paeth(a, up, c)) & 0xff
+        }
+        val v = cur(j)
+        (j % 3) match {
+          case 0 => sumR += v
+          case 1 => sumG += v
+          case 2 => sumB += v
+        }
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+  }
+
+  /** Paeth predictor (PNG spec §9.4): nearest of a/b/c to a+b-c, ties
+    * broken left, above, upper-left. */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
   /** Sample statistics from 16-bit PCM WAV data — the audio payload

@@ -3,12 +3,14 @@ package graft.multimodal
 import java.io.ByteArrayOutputStream
 
 /** Deterministic media-file generators: byte-valid BMP (24-bit BI_RGB,
-  * incl. padded strides and top-down negative-height variants) and WAV
-  * (16-bit PCM, chunk order exercised with a leading JUNK chunk) whose
-  * pixel/sample values follow closed-form formulas of (id, x, y) /
-  * (id, j) — so an independent oracle can recompute the decoded
-  * statistics from the formulas alone, without parsing a byte.
-  * Used by q58's end-to-end payload-decode oracle and the codec specs.
+  * incl. padded strides and top-down negative-height variants), WAV
+  * (16-bit PCM, chunk order exercised with a leading JUNK chunk), and
+  * PNG (8-bit RGB, zlib-deflated, row filter cycling through all five
+  * spec types) whose pixel/sample values follow closed-form formulas of
+  * (id, x, y) / (id, j) — so an independent oracle can recompute the
+  * decoded statistics from the formulas alone, without parsing a byte.
+  * Used by the q58/q58b end-to-end payload-decode oracles and the codec
+  * specs.
   */
 object MediaSynth {
 
@@ -80,4 +82,70 @@ object MediaSynth {
 
   /** Even ids are BMPs, odd ids are WAVs. */
   def payload(id: Long): Array[Byte] = if (id % 2 == 0) bmp(id) else wav(id)
+
+  def pngWidth(id: Long): Int = (4 + id % 6).toInt
+  def pngHeight(id: Long): Int = (5 + id % 5).toInt // ≥5 rows: filters 0-4 all appear
+
+  /** Standard-conforming PNG: 8-bit RGB (color type 2), zlib-deflated
+    * scanlines, row `y` filtered with type `y % 5` — so a decoder must
+    * implement ALL FIVE filters (None/Sub/Up/Average/Paeth) correctly to
+    * reproduce the closed-form pixel values. Same channel formulas as
+    * [[bmp]]; dimensions differ so a mixed corpus distinguishes them. */
+  def png(id: Long): Array[Byte] = {
+    val w = pngWidth(id); val h = pngHeight(id)
+    val bpp = 3; val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // all-zero virtual row above y=0, per spec
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cur(3 * x) = red(id, x, y); cur(3 * x + 1) = green(id, x, y)
+        cur(3 * x + 2) = blue(id, x, y)
+        x += 1
+      }
+      val ft = y % 5
+      val off = (stride + 1) * y
+      raw(off) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val v = cur(i)
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val enc = ft match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) / 2)
+          case 4 => v - HeaderCodec.paeth(a, b, c)
+        }
+        raw(off + 1 + i) = (enc & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk("IDAT", zbuf.take(zlen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

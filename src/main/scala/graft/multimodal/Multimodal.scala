@@ -32,7 +32,10 @@ object Multimodal {
                                  width: Int, height: Int, aspect_bucket: String)
 
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
-    * Replace with a real codec (javax.imageio etc.) for production. */
+    * Remit: JPEG/GIF payloads (entropy-coded — a real decode needs a
+    * codec library this environment lacks) and unknown blobs; BMP, WAV,
+    * and PNG decode for REAL in [[HeaderCodec]]. Replace with a real
+    * codec (javax.imageio etc.) for production. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -90,30 +93,30 @@ object Multimodal {
                                  min_value: Int, max_value: Int,
                                  sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** REAL payload decode for the uncompressed formats (BMP pixel arrays,
-    * WAV 16-bit PCM — pure byte math, [[HeaderCodec.decodeBmp]] /
-    * [[HeaderCodec.decodeWav]]); [[FakeCodec]]'s remit is now ONLY the
-    * codec-compressed formats (JPEG/PNG/GIF payloads) and unknown blobs,
-    * reported as format 'stub' with zeroed stats. Same partition-batched,
-    * shuffle-free shape as the other extraction stages. */
+  /** REAL payload decode for the codec-library-free formats: BMP pixel
+    * arrays and WAV 16-bit PCM (pure byte math, [[HeaderCodec.decodeBmp]]
+    * / [[HeaderCodec.decodeWav]]), and PNG via JDK-only zlib + the five
+    * row filters ([[HeaderCodec.decodePng]]). [[FakeCodec]]'s remit is
+    * now ONLY JPEG/GIF (entropy-coded payloads that genuinely need a
+    * codec library) and unknown blobs, reported as format 'stub' with
+    * zeroed stats. Same partition-batched, shuffle-free shape as the
+    * other extraction stages. */
   def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        HeaderCodec.decodeBmp(r.payload) match {
-          case Some(px) =>
-            MediaStatsRow(r.media_id, "bmp", px.width, px.height, 3, 0,
-              3L * px.width * px.height, px.sumR + px.sumG + px.sumB,
-              px.minV, px.maxV, px.sumR, px.sumG, px.sumB)
-          case None => HeaderCodec.decodeWav(r.payload) match {
-            case Some(pcm) =>
-              MediaStatsRow(r.media_id, "wav", 0, 0, pcm.channels,
-                pcm.sampleRate, pcm.nSamples, pcm.sumSamples,
-                pcm.minSample, pcm.maxSample, 0L, 0L, 0L)
-            case None =>
-              MediaStatsRow(r.media_id, "stub", 0, 0, 0, 0, 0L, 0L, 0, 0, 0L, 0L, 0L)
-          }
-        }
+        def img(format: String, px: HeaderCodec.PixelStats) =
+          MediaStatsRow(r.media_id, format, px.width, px.height, 3, 0,
+            3L * px.width * px.height, px.sumR + px.sumG + px.sumB,
+            px.minV, px.maxV, px.sumR, px.sumG, px.sumB)
+        HeaderCodec.decodeBmp(r.payload).map(img("bmp", _))
+          .orElse(HeaderCodec.decodePng(r.payload).map(img("png", _)))
+          .orElse(HeaderCodec.decodeWav(r.payload).map(pcm =>
+            MediaStatsRow(r.media_id, "wav", 0, 0, pcm.channels,
+              pcm.sampleRate, pcm.nSamples, pcm.sumSamples,
+              pcm.minSample, pcm.maxSample, 0L, 0L, 0L)))
+          .getOrElse(
+            MediaStatsRow(r.media_id, "stub", 0, 0, 0, 0, 0L, 0L, 0, 0, 0L, 0L, 0L))
       }
     }
   }

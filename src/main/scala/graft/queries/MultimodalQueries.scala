@@ -106,5 +106,55 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
-  val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode)
+  /** PNG payload decode end to end, JDK-only: byte-valid PNGs (8-bit
+    * RGB, zlib-deflated, each row filtered with type y%5 — so all five
+    * PNG filters must reconstruct correctly) are generated in-plan from
+    * the closed-form channel formulas, inflated + unfiltered by
+    * [[graft.multimodal.HeaderCodec.decodePng]] through the same
+    * partition-batched extraction stage as q58, and the oracle
+    * recomputes every statistic from the generating formulas alone — a
+    * wrong filter reconstruction, Paeth tie-break, or stride walk
+    * changes some channel sum and breaks the hash. */
+  val q58bPngDecode = QueryDef(
+    "q58b_png_decode",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf { (id: Long) => graft.multimodal.MediaSynth.png(id) }
+      val media = Tables.orders(s, d)
+        .select((col("o_orderkey") % 300).cast("long").as("media_id")).distinct()
+        .select(col("media_id"), lit("synth").as("kind"),
+          synth(col("media_id")).as("payload"),
+          lit(0).as("width"), lit(0).as("height"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractContentStats(media).toDF().orderBy("media_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      png AS (
+        SELECT media_id, (4 + media_id % 6)::INT AS w, (5 + media_id % 5)::INT AS h
+        FROM ids),
+      px AS (
+        SELECT p.media_id, p.w, p.h,
+               (p.media_id*13 + 5*xs.x + ys.y) % 256 AS r,
+               (p.media_id*11 + xs.x + 2*ys.y) % 256 AS g,
+               (p.media_id*7 + 3*xs.x + 5*ys.y) % 256 AS bl
+        FROM png p
+        JOIN (SELECT unnest(range(0, 10)) AS x) xs ON xs.x < p.w
+        JOIN (SELECT unnest(range(0, 10)) AS y) ys ON ys.y < p.h)
+      SELECT media_id, 'png' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (sum(r) + sum(g) + sum(bl))::BIGINT AS sum_values,
+             least(min(r), min(g), min(bl))::INT AS min_value,
+             greatest(max(r), max(g), max(bl))::INT AS max_value,
+             sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+             sum(bl)::BIGINT AS sum_b
+      FROM px GROUP BY media_id
+      ORDER BY media_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
+    q58bPngDecode)
 }

@@ -136,11 +136,124 @@ class HeaderCodecSpec extends SparkSpec {
     assert(HeaderCodec.decodeWav(MediaSynth.wav(3L).dropRight(1)).isEmpty)
   }
 
-  test("extractContentStats: real decode for bmp/wav, stub confined to the rest") {
+  test("decodePng: every filter type 0-4 reconstructs the generating formulas") {
+    // heights 5..9 ⇒ every file exercises all five row filters (y % 5);
+    // ids cover each (width, height) residue class
+    (0L until 30L).foreach { id =>
+      val px = HeaderCodec.decodePng(MediaSynth.png(id)).get
+      val w = MediaSynth.pngWidth(id); val h = MediaSynth.pngHeight(id)
+      val all = for (x <- 0 until w; y <- 0 until h)
+        yield (MediaSynth.red(id, x, y), MediaSynth.green(id, x, y), MediaSynth.blue(id, x, y))
+      assert(px.width == w && px.height == h, s"dims for id=$id")
+      assert(px.sumR == all.map(_._1.toLong).sum, s"sumR for id=$id")
+      assert(px.sumG == all.map(_._2.toLong).sum, s"sumG for id=$id")
+      assert(px.sumB == all.map(_._3.toLong).sum, s"sumB for id=$id")
+      val flat = all.flatMap(t => Seq(t._1, t._2, t._3))
+      assert(px.minV == flat.min && px.maxV == flat.max, s"min/max for id=$id")
+    }
+  }
+
+  test("decodePng: single-filter files decode for each type 0-4") {
+    // a 1-row image gets exactly filter y%5 = 0; to isolate each filter
+    // type rewrite the filter bytes of a known raw stream and re-deflate
+    val id = 7L
+    val w = MediaSynth.pngWidth(id); val h = MediaSynth.pngHeight(id)
+    (0 to 4).foreach { ft =>
+      // re-encode with every row forced to filter `ft` by round-tripping
+      // through the decoder's own unfilter: decode reference pixels, then
+      // re-filter uniformly
+      val ref = HeaderCodec.decodePng(MediaSynth.png(id)).get
+      val stride = w * 3
+      val pix = Array.tabulate(h, stride) { (y, i) =>
+        val x = i / 3
+        i % 3 match {
+          case 0 => MediaSynth.red(id, x, y)
+          case 1 => MediaSynth.green(id, x, y)
+          case 2 => MediaSynth.blue(id, x, y)
+        }
+      }
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        raw((stride + 1) * y) = ft.toByte
+        for (i <- 0 until stride) {
+          val v = pix(y)(i)
+          val a = if (i >= 3) pix(y)(i - 3) else 0
+          val b = if (y > 0) pix(y - 1)(i) else 0
+          val c = if (y > 0 && i >= 3) pix(y - 1)(i - 3) else 0
+          val enc = ft match {
+            case 0 => v
+            case 1 => v - a
+            case 2 => v - b
+            case 3 => v - ((a + b) / 2)
+            case 4 => v - HeaderCodec.paeth(a, b, c)
+          }
+          raw((stride + 1) * y + 1 + i) = (enc & 0xff).toByte
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zbuf = new Array[Byte](raw.length + 64)
+      val zlen = deflater.deflate(zbuf); deflater.end()
+      val out = new ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def chunk(t: String, d: Array[Byte]): Unit = {
+        out.write(be32(d.length)); out.write(t.getBytes("US-ASCII")); out.write(d)
+        out.write(be32(0)) // decoder does not verify CRCs
+      }
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+      chunk("IDAT", zbuf.take(zlen))
+      chunk("IEND", Array.emptyByteArray)
+      val px = HeaderCodec.decodePng(out.toByteArray)
+        .getOrElse(fail(s"filter $ft did not decode"))
+      assert(px.sumR == ref.sumR && px.sumG == ref.sumG && px.sumB == ref.sumB,
+        s"filter $ft reconstruction")
+    }
+  }
+
+  test("decodePng: IDAT split across chunks decodes; bad inputs reject cleanly") {
+    // split the single IDAT of a real file into two chunks
+    val whole = MediaSynth.png(3L)
+    val ref = HeaderCodec.decodePng(whole).get
+    val idatLen = {
+      var i = 33; var len = -1
+      while (len < 0) {
+        val l = ((whole(i) & 0xff) << 24) | ((whole(i + 1) & 0xff) << 16) |
+          ((whole(i + 2) & 0xff) << 8) | (whole(i + 3) & 0xff)
+        if (new String(whole.slice(i + 4, i + 8), "US-ASCII") == "IDAT") len = l
+        else i += 12 + l
+      }
+      (i, len)
+    }
+    val (idatOff, len) = idatLen
+    val data = whole.slice(idatOff + 8, idatOff + 8 + len)
+    val out = new ByteArrayOutputStream()
+    out.write(whole, 0, idatOff)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Seq(data.take(len / 2), data.drop(len / 2)).foreach { part =>
+      out.write(be32(part.length)); out.write("IDAT".getBytes("US-ASCII"))
+      out.write(part); out.write(be32(0))
+    }
+    out.write(be32(0)); out.write("IEND".getBytes("US-ASCII")); out.write(be32(0))
+    assert(HeaderCodec.decodePng(out.toByteArray).contains(ref))
+
+    // non-RGB color type (the header-only synthesizer writes type 6), 16-bit
+    // depth, truncations anywhere, and corrupt zlib all reject as None
+    assert(HeaderCodec.decodePng(png(8, 8, 8)).isEmpty)
+    val full = MediaSynth.png(4L)
+    (0 until full.length).foreach(n => assert(HeaderCodec.decodePng(full.take(n)).isEmpty))
+    val corrupt = full.clone()
+    corrupt(45) = (corrupt(45) ^ 0x55).toByte // inside the zlib stream
+    assert(HeaderCodec.decodePng(corrupt).isEmpty ||
+      HeaderCodec.decodePng(corrupt).get != HeaderCodec.decodePng(full).get)
+  }
+
+  test("extractContentStats: real decode for bmp/png/wav, stub confined to the rest") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/bmp", MediaSynth.bmp(4L), 0, 0, 0L),
       Multimodal.MediaRow(2L, "audio/wav", MediaSynth.wav(5L), 0, 0, 0L),
-      Multimodal.MediaRow(3L, "image/jpeg", jpeg(64, 48), 0, 0, 0L))
+      Multimodal.MediaRow(3L, "image/jpeg", jpeg(64, 48), 0, 0, 0L),
+      Multimodal.MediaRow(4L, "image/png", MediaSynth.png(6L), 0, 0, 0L))
     val out = Multimodal.extractContentStats(rows.toDS())
       .collect().map(m => m.media_id -> m).toMap
     assert(out(1L).format == "bmp" && out(1L).n_values ==
@@ -148,6 +261,9 @@ class HeaderCodecSpec extends SparkSpec {
     assert(out(1L).sum_r != out(1L).sum_b, "channel sums must distinguish B/R")
     assert(out(2L).format == "wav" && out(2L).n_values == MediaSynth.wavSamples(5L).toLong)
     assert(out(3L).format == "stub" && out(3L).n_values == 0L)
+    assert(out(4L).format == "png" && out(4L).n_values ==
+      3L * MediaSynth.pngWidth(6L) * MediaSynth.pngHeight(6L))
+    assert(out(4L).sum_r != out(4L).sum_b, "png channel sums must distinguish order")
   }
 
   test("extractMeta decodes real containers distributed, stubs the rest") {
