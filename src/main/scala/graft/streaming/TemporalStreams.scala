@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of [[graft.operators.TemporalJoins]] — the continuous
+  * forms of the as-of and range joins, completing the streaming suite
+  * (every batch operator family now has one: tumbling/sliding/session/
+  * dedup/quota/count-min/as-of/range).
+  *
+  * State bounds (the thing that decides survival on an unbounded stream):
+  *  - [[rangeJoinStream]] rides Spark's own watermarked stream-stream
+  *    join (with the batch operator's bucket equi-key, which Spark
+  *    requires): the `point BETWEEN lo AND lo + maxWidth` time-range
+  *    condition lets the state store evict rows older than watermark +
+  *    maxWidth on both sides, so state is O(rows within horizon), never
+  *    O(stream).
+  *  - [[asofJoinStream]] keeps, per key, ONLY the right rows that can
+  *    still win a future as-of lookup: everything newer than the latest
+  *    right at-or-below the watermark, plus that one row. Left rows are
+  *    never buffered. A quiet key's state shrinks to exactly one right
+  *    row via an event-time timeout.
+  *
+  * Causality contract (same stance as [[CorpusStreams.quotaPerSource]]):
+  * each left row is matched against the rights KNOWN when its micro-batch
+  * runs, in event-time order within the batch. When a key's rows arrive
+  * in one batch — or the streams are in event-time order across batches —
+  * the result equals the batch [[graft.operators.TemporalJoins.asofJoin]]
+  * exactly (TemporalStreamsSpec pins both). A right row arriving later
+  * than an already-emitted left does not retro-update it — the only
+  * causal option in append mode.
+  */
+object TemporalStreams {
+
+  /** Streaming point-in-interval join ([lo, hi), like the batch twin).
+    *
+    * Spark refuses a stream-stream join on a bare range predicate (no
+    * equality ⇒ unbounded state), so this is the batch operator's
+    * bucketization verbatim on streams: intervals explode to the
+    * fixed-width epoch buckets they cover, points map to exactly one
+    * bucket, and the join is EQUI on the bucket id — plus the
+    * `lo <= pt <= lo + maxWidth` time-range condition between the two
+    * WATERMARKED event-time columns, which is what lets the state store
+    * evict rows beyond watermark + maxWidth on both sides. Each matching
+    * pair is emitted once (one bucket per point; an interval covers a
+    * bucket once).
+    *
+    * `points` must carry event-time column `pointTime`; `intervals`
+    * carries `loTime` (event time) and `hiTime`; column sets must be
+    * disjoint (same contract as the batch operator). `maxWidth` (seconds)
+    * is the guaranteed maximum interval width — intervals wider than it
+    * are trimmed to it, and the state bound depends on it. `bucketWidth`
+    * (seconds) trades explode factor against bucket-collision volume,
+    * ≈ typical interval width as in the batch twin. */
+  def rangeJoinStream(points: DataFrame, pointTime: String,
+                      intervals: DataFrame, loTime: String, hiTime: String,
+                      bucketWidth: Long, maxWidth: Long,
+                      horizon: String): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxWidth > 0, "maxWidth must be positive")
+    val shared = points.columns.toSeq.intersect(intervals.columns.toSeq)
+    require(shared.isEmpty,
+      s"points and intervals share column names: ${shared.mkString(",")} — rename before joining")
+    val reserved = Seq("__pbucket", "__ibucket")
+      .filter(r => points.columns.contains(r) || intervals.columns.contains(r))
+    require(reserved.isEmpty, s"reserved column names in use: ${reserved.mkString(",")}")
+    val p = points.withWatermark(pointTime, horizon)
+      .withColumn("__pbucket",
+        floor(col(pointTime).cast("long") / bucketWidth).cast("long"))
+    val i = intervals.withWatermark(loTime, horizon)
+      .filter(col(hiTime) > col(loTime))
+      .withColumn("__ibucket", explode(sequence(
+        floor(col(loTime).cast("long") / bucketWidth).cast("long"),
+        floor((least(col(hiTime).cast("long"),
+          col(loTime).cast("long") + maxWidth) - 1) / bucketWidth).cast("long"))))
+    p.join(i,
+        col("__pbucket") === col("__ibucket") &&
+          col(pointTime) >= col(loTime) &&
+          col(pointTime) <= col(loTime) + expr(s"INTERVAL $maxWidth SECONDS") &&
+          col(pointTime) < col(hiTime))
+      .drop("__pbucket", "__ibucket")
+  }
+
+  final case class AsofRow(k: String, ts: java.sql.Timestamp, tag: Int,
+                           payload: String)
+  final case class AsofJoined(k: String, ts: java.sql.Timestamp,
+                              payload: String, rt: Option[java.sql.Timestamp],
+                              rpayload: Option[String])
+  /** Right rows that can still win a lookup, ascending by time. */
+  final case class AsofState(rights: List[(Long, String)])
+
+  /** Streaming backward as-of join. `left`/`right` both carry
+    * (k string, ts timestamp, payload string); each left row picks the
+    * latest right row with right.ts <= left.ts on the same key
+    * (inclusive, right-before-left on ties — identical to the batch
+    * operator). Output: every left row with the matched right time and
+    * payload (nulls when nothing at or before).
+    *
+    * Union + tag mirrors the batch implementation's shape, then a
+    * per-key flatMapGroupsWithState walks each batch in event-time
+    * order: rights append to the bounded buffer, lefts emit immediately
+    * against it. Watermark eviction keeps, per key, the newest
+    * at-or-below-watermark right plus everything after it — the minimal
+    * set a future (>= watermark) left can still match. */
+  def asofJoinStream(left: DataFrame, right: DataFrame,
+                     horizon: String): DataFrame = {
+    import left.sparkSession.implicits._
+    val tagged = right
+      .select(col("k"), col("ts"), lit(0).as("tag"), col("payload"))
+      .unionByName(
+        left.select(col("k"), col("ts"), lit(1).as("tag"), col("payload")))
+      .withWatermark("ts", horizon)
+      .as[AsofRow]
+    tagged
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AsofState, AsofJoined](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[AsofState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          def prune(rights: List[(Long, String)]): List[(Long, String)] = {
+            val (old, live) = rights.partition(_._1 <= wm)
+            old.lastOption.toList ::: live
+          }
+          if (state.hasTimedOut) {
+            // quiet key: shrink to the single still-matchable right row
+            state.getOption.map(_.rights).filter(_.nonEmpty) match {
+              case Some(rights) => state.update(AsofState(List(rights.last)))
+              case None => state.remove()
+            }
+            Iterator.empty
+          } else {
+            var rights = state.getOption.map(_.rights).getOrElse(Nil)
+            val out = Seq.newBuilder[AsofJoined]
+            var maxEvent = Long.MinValue
+            // tag 0 (right) before tag 1 (left) on ties → inclusive match
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.tag)).foreach { r =>
+              maxEvent = math.max(maxEvent, r.ts.getTime)
+              if (r.tag == 0) {
+                // insert keeping ascending time order (append is the hot
+                // path for in-order streams)
+                val (before, after) = rights.span(_._1 <= r.ts.getTime)
+                rights = before ::: (r.ts.getTime, r.payload) :: after
+              } else {
+                val m = rights.takeWhile(_._1 <= r.ts.getTime).lastOption
+                out += AsofJoined(r.k, r.ts, r.payload,
+                  m.map(t => new java.sql.Timestamp(t._1)), m.map(_._2))
+              }
+            }
+            state.update(AsofState(prune(rights)))
+            // flush quiet keys one horizon after their last activity
+            if (maxEvent != Long.MinValue)
+              state.setTimeoutTimestamp(maxEvent, horizon)
+            out.result().iterator
+          }
+      }.toDF()
+  }
+}
