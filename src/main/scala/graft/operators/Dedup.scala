@@ -172,6 +172,43 @@ object Dedup {
       .select(col("id"), col("text"))
   }
 
+  /** Benchmark decontamination — the standard LLM-pipeline hygiene step:
+    * flag every corpus document sharing at least one word `shingleN`-gram
+    * (default 13, the GPT-3/PaLM convention) with a benchmark/eval set,
+    * so eval questions that leaked into the training corpus can be
+    * dropped before training.
+    *
+    * Returns one row per CONTAMINATED corpus doc: (doc_id,
+    * n_shared_grams = distinct benchmark n-grams it contains,
+    * n_bench_docs = distinct benchmark docs it collides with). Clean docs
+    * don't appear (anti-join against this output to keep them).
+    *
+    * Scale shape: each side computes its per-doc DISTINCT shingle set
+    * map-side (one codegen kernel pass, no shuffle), hashes each gram to
+    * the cross-engine 60-bit md5 prefix, and explodes; the only shuffle
+    * is the equi-join ON THE GRAM HASH — and when the benchmark side is
+    * broadcast-sized (the usual case: eval sets are tiny next to a
+    * 100 TB corpus) Catalyst broadcasts it and the corpus side never
+    * shuffles at all (PlanSpec pins this). Cost is linear in corpus
+    * token volume either way. */
+  def decontaminate(corpus: DataFrame, corpusText: Column, corpusId: Column,
+                    bench: DataFrame, benchText: Column, benchId: Column,
+                    shingleN: Int = 13): DataFrame = {
+    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val cg = corpus.select(corpusId.as("doc_id"),
+      explode(transform(
+        column(DistinctShinglesExpr(expression(corpusText), shingleN)),
+        hash60)).as("gram_h"))
+    val bg = bench.select(benchId.as("bench_id"),
+      explode(transform(
+        column(DistinctShinglesExpr(expression(benchText), shingleN)),
+        hash60)).as("bgram_h"))
+    cg.join(bg, col("gram_h") === col("bgram_h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram_h")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Portable simhash fingerprints (see TextFunctions.simhashBits). */
   def simhashPortable(df: DataFrame, text: Column, id: Column,
                       bits: Int = 60): DataFrame =

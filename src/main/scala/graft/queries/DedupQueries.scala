@@ -363,7 +363,56 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** Benchmark decontamination under an exact-join oracle: the "benchmark"
+    * set is the middle 20-word slice of every 50th document (so
+    * contamination exists by construction — each source doc contains its
+    * own slice verbatim, and any doc repeating those sentences is flagged
+    * too), the corpus is flagged by shared 13-grams
+    * ([[graft.operators.Dedup.decontaminate]]), and DuckDB recomputes the
+    * full gram join from scratch. The eval side is broadcast in-plan
+    * (PlanSpec) — the corpus never shuffles. */
+  val q66Decontaminate = QueryDef(
+    "q66_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 900000).as("bench_id"),
+          concat_ws(" ", slice(tokens(col("text")), 6, 20)).as("btext"))
+      Dedup.decontaminate(docs, col("text"), col("doc_id"),
+          bench, col("btext"), col("bench_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM documents),
+      cg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 11),
+          i -> ('0x' || substr(md5(concat_ws(' ',
+            words[i], words[i+1], words[i+2], words[i+3], words[i+4], words[i+5],
+            words[i+6], words[i+7], words[i+8], words[i+9], words[i+10],
+            words[i+11], words[i+12])), 1, 15))::BIGINT))) AS gram_h
+        FROM toks WHERE len(words) >= 13),
+      btoks AS (
+        SELECT doc_id + 900000 AS bench_id, words[6:25] AS bw
+        FROM toks WHERE doc_id % 50 = 0),
+      bg AS (
+        SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(bw) - 11),
+          i -> ('0x' || substr(md5(concat_ws(' ',
+            bw[i], bw[i+1], bw[i+2], bw[i+3], bw[i+4], bw[i+5],
+            bw[i+6], bw[i+7], bw[i+8], bw[i+9], bw[i+10],
+            bw[i+11], bw[i+12])), 1, 15))::BIGINT))) AS gram_h
+        FROM btoks WHERE len(bw) >= 13)
+      SELECT c.doc_id,
+             count(DISTINCT c.gram_h) AS n_shared_grams,
+             count(DISTINCT b.bench_id) AS n_bench_docs
+      FROM cg c JOIN bg b ON b.gram_h = c.gram_h
+      GROUP BY c.doc_id
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
-    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup)
+    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate)
 }

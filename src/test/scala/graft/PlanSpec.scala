@@ -91,4 +91,16 @@ class PlanSpec extends SparkSpec {
     // the CollapseProject O(d^2) regression: dot inside a lambdafunction
     assert(!p.contains("lambdafunction"), s"norm re-inlined into lambda:\n$p")
   }
+
+  test("q66: gram join broadcasts the eval side — the corpus never shuffles pre-agg") {
+    val p = plan("q66_decontaminate")
+    // the join key is the 60-bit gram hash; with a broadcast-sized eval
+    // set the corpus side must flow map-only into the contamination join
+    // (no SortMergeJoin = no corpus shuffle on the gram hash; at larger
+    // eval sets Catalyst swaps to a shuffled hash join on the same key)
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the gram join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
+    assert(p.contains("distinct_shingles("), s"map-side distinct kernel missing:\n$p")
+  }
 }

@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
     assert(j === Set((1L, 3L)))
   }
 
+  test("decontaminate flags only docs sharing a full n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains the bench 4-gram twice-overlapping window
+      (2L, "beta gamma delta epsilon something else entirely"),
+      (3L, "no overlap here at all whatsoever today"),
+      (4L, "alpha beta gamma nope")) // only a 3-word prefix — not a full 4-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "beta gamma delta epsilon")).toDF("bench_id", "btext")
+    val rows = Dedup.decontaminate(corpus, $"text", $"doc_id",
+        bench, $"btext", $"bench_id", shingleN = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, 1L, 1L), (2L, 1L, 1L)))
+  }
+
   test("connectedComponents: chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
