@@ -17,15 +17,18 @@ object DevScratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      if (explain) df.explain("formatted")
+      if (explain) SparkEntry.queries(name)(spark, dir).explain("formatted")
       (1 to runs).foreach { i =>
+        // fn runs INSIDE the timer (as in Bench.timeOnce): queries that do
+        // eager work at construction (index builds, k-means training) must
+        // have it measured, not hidden in plan setup
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         println(f"[scratch] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       if (args.length > 3 && args(3) == "count")
-        println(s"[scratch] $name rows=${df.count()}")
+        println(s"[scratch] $name rows=${SparkEntry.queries(name)(spark, dir).count()}")
     }
     spark.stop()
   }
