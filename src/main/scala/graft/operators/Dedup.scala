@@ -209,6 +209,53 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter — the form that survives an
+    * eval set too large to broadcast. The benchmark grams aggregate into
+    * ONE Bloom filter (Spark's own `BloomFilterAggregate`, the expression
+    * behind Catalyst's runtime filters — bits, not a hash table of longs,
+    * so it stays driver/broadcast-sized long after the join build side
+    * wouldn't), every corpus gram row is pruned MAP-SIDE by
+    * `might_contain` before any join, and the surviving sliver — true
+    * matches plus the fpp — is exact-verified by the same gram equi-join,
+    * so the output is row-identical to [[decontaminate]] (q67 reuses
+    * q66's oracle verbatim). At 100 TB the shuffle/probe volume drops
+    * from |corpus grams| to ≈ contamination rate + fpp.
+    *
+    * `expectedGrams` sizes the filter (DISTINCT benchmark grams; an
+    * overestimate just widens the bits); `fpp` trades filter size against
+    * wasted exact-verification. */
+  def decontaminateBloom(corpus: DataFrame, corpusText: Column, corpusId: Column,
+                         bench: DataFrame, benchText: Column, benchId: Column,
+                         shingleN: Int = 13, expectedGrams: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val bg = bench.select(benchId.as("bench_id"),
+      explode(transform(
+        column(DistinctShinglesExpr(expression(benchText), shingleN)),
+        hash60)).as("bgram_h"))
+    // bits per the standard formula -n·ln(p)/ln(2)^2, as in BloomFilter.optimalNumOfBits
+    val numBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloom = bg.select(column(new BloomFilterAggregate(
+        XxHash64(Seq(expression(col("bgram_h"))), 42L),
+        Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = (c: Column) => column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), XxHash64(Seq(expression(c)), 42L)))
+    val cg = corpus.select(corpusId.as("doc_id"),
+      explode(transform(
+        column(DistinctShinglesExpr(expression(corpusText), shingleN)),
+        hash60)).as("gram_h"))
+      .filter(mightContain(col("gram_h")))
+    cg.join(bg, col("gram_h") === col("bgram_h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram_h")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Portable simhash fingerprints (see TextFunctions.simhashBits). */
   def simhashPortable(df: DataFrame, text: Column, id: Column,
                       bits: Int = 60): DataFrame =

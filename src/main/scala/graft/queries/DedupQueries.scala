@@ -371,18 +371,45 @@ object DedupQueries {
     * ([[graft.operators.Dedup.decontaminate]]), and DuckDB recomputes the
     * full gram join from scratch. The eval side is broadcast in-plan
     * (PlanSpec) — the corpus never shuffles. */
+  private def decontInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 900000).as("bench_id"),
+        concat_ws(" ", slice(tokens(col("text")), 6, 20)).as("btext"))
+    (docs, bench)
+  }
+
   val q66Decontaminate = QueryDef(
     "q66_decontaminate",
     (s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val bench = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 900000).as("bench_id"),
-          concat_ws(" ", slice(tokens(col("text")), 6, 20)).as("btext"))
+      val (docs, bench) = decontInputs(s, d)
       Dedup.decontaminate(docs, col("text"), col("doc_id"),
           bench, col("btext"), col("bench_id"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(decontOracleSql),
+    bench = true)
+
+  /** The Bloom-prefiltered decontamination
+    * ([[graft.operators.Dedup.decontaminateBloom]]): benchmark grams
+    * collapse into one Bloom filter, the corpus gram stream is pruned
+    * map-side by `might_contain` before any join, and the sliver that
+    * survives is exact-verified — row-identical to q66 by construction,
+    * so it runs under the SAME oracle. The form for eval suites too big
+    * to broadcast; PlanSpec pins the might_contain prefilter in-plan. */
+  val q67DecontaminateBloom = QueryDef(
+    "q67_decontaminate_bloom",
+    (s, d) => {
+      val (docs, bench) = decontInputs(s, d)
+      Dedup.decontaminateBloom(docs, col("text"), col("doc_id"),
+          bench, col("btext"), col("bench_id"),
+          expectedGrams = 100000L, fpp = 0.01)
+        .orderBy("doc_id")
+    },
+    Some(decontOracleSql),
+    bench = true)
+
+  private lazy val decontOracleSql: String = ("""
       WITH toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
         FROM documents),
@@ -409,10 +436,10 @@ object DedupQueries {
       FROM cg c JOIN bg b ON b.gram_h = c.gram_h
       GROUP BY c.doc_id
       ORDER BY doc_id
-    """),
-    bench = true)
+    """)
 
   val all: Seq[QueryDef] = Seq(
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
-    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate)
+    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate,
+    q67DecontaminateBloom)
 }

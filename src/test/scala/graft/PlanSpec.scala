@@ -103,4 +103,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
     assert(p.contains("distinct_shingles("), s"map-side distinct kernel missing:\n$p")
   }
+
+  test("q67: bloom prefilter prunes the corpus gram stream before the join") {
+    val p = plan("q67_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"bloom prefilter missing from plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
+  }
 }

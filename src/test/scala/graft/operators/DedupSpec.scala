@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     assert(rows === Set((1L, 1L, 1L), (2L, 1L, 1L)))
   }
 
+  test("decontaminateBloom is row-identical to the exact form (verify absorbs fpp)") {
+    val corpus = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = corpus.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 900000).as("bench_id"),
+        concat_ws(" ", slice(graft.functions.TextFunctions.tokens($"text"), 6, 20)).as("btext"))
+    val exact = Dedup.decontaminate(corpus, $"text", $"doc_id",
+        bench, $"btext", $"bench_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = Dedup.decontaminateBloom(corpus, $"text", $"doc_id",
+        bench, $"btext", $"bench_id", expectedGrams = 100000L, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("connectedComponents: chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs)
