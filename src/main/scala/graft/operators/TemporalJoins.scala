@@ -52,13 +52,21 @@ object TemporalJoins {
     * precede every real right row. The right time column must up-cast
     * losslessly to the left time type (a silent lossy cast, e.g.
     * timestamp→date, would both coarsen matches and mint nulls).
+    *
+    * `tolerance` (pandas merge_asof semantics): when set, a match older
+    * than `tolerance` before the left time is discarded — the left row
+    * keeps nulls instead of a stale right row. Pass an expression addable
+    * to the right time (an `INTERVAL` literal for timestamps, a plain
+    * number for numeric times). Applied after the window pass: one
+    * map-side conditional, same plan otherwise.
     */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      tolerance: Option[Column] = None): DataFrame = {
     val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
     val clash = (rightTime +: payload).intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right columns collide with left: ${clash.mkString(",")} — rename before joining")
@@ -94,8 +102,14 @@ object TemporalJoins {
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matched = tolerance match {
+      case Some(tol) =>
+        when(col("__t") <= col("__m").getField(rightTime) + tol, col("__m"))
+      case None => col("__m")
+    }
     rightPart.unionByName(leftPart)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", matched)
       .filter(col("__tag") === 1)
       .select(
         left.columns.toSeq.map(col) ++

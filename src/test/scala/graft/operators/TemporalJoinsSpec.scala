@@ -74,6 +74,23 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin tolerance nulls stale matches, keeps fresh ones") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        tolerance = Some(lit(30L)))
+      .orderBy("id").select("id", "rt").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out === Seq(
+      (1L, 100L), // exact tie: age 0 <= 30
+      (2L, 120L), // age 30 <= 30 (inclusive)
+      (3L, -1L),
+      (4L, 499L), // age 1
+      (5L, -1L)))
+    val tight = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        tolerance = Some(lit(29L)))
+      .filter($"id" === 2L).select("rt").head()
+    assert(tight.isNullAt(0), "age-30 match must be discarded at tolerance 29")
+  }
+
   test("asofJoin rejects colliding column names") {
     val bad = rightDf.withColumnRenamed("v", "id")
     assertThrows[IllegalArgumentException] {
