@@ -3,11 +3,11 @@ package graft.multimodal
 /** REAL metadata decode for self-describing media containers — pure
   * byte parsing, no codec libraries: PNG (IHDR), BMP (info header), GIF
   * (logical screen descriptor), WAV (RIFF fmt chunk walk), JPEG (SOF
-  * marker walk). Payload decode is also real wherever the JDK suffices:
-  * BMP pixel arrays and WAV PCM (plain byte math) and PNG
-  * ([[decodePng]]: `java.util.zip.Inflater` + the five spec filters).
-  * Only entropy-coded payloads (JPEG/GIF) fall back to
-  * [[Multimodal.FakeCodec]].
+  * marker walk). Payload decode is also real wherever the JVM suffices:
+  * BMP pixel arrays and WAV PCM (plain byte math), PNG ([[decodePng]]:
+  * `java.util.zip.Inflater` + the five spec filters), and GIF
+  * ([[decodeGif]]: pure-JVM variable-width LZW + palette). Only JPEG —
+  * actual entropy coding — falls back to [[Multimodal.FakeCodec]].
   */
 object HeaderCodec {
 
@@ -186,6 +186,136 @@ object HeaderCodec {
       y += 1
     }
     Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+  }
+
+  /** Decode the first image of a GIF87a/89a — REAL LZW decompression in
+    * pure JVM code (variable-width codes, dictionary growth, clear/EOI,
+    * the KwKwK case), no codec library. Pixel indices map through the
+    * palette (global or per-image local) into the same PixelStats as
+    * BMP/PNG; interlaced files decode exactly too, because interlacing
+    * only permutes row order and the stats are row-permutation
+    * invariant. Truncation/corruption anywhere returns None (JPEG —
+    * actual entropy coding — remains the one stubbed format). Extension
+    * blocks (GCE, comments, application) are walked and skipped. */
+  def decodeGif(b: Array[Byte]): Option[PixelStats] = {
+    if (b.length < 13) return None
+    val sig = ascii(b, 0, 6)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val flags = u8(b, 10)
+    val hasGlobal = (flags & 0x80) != 0
+    val palSize = if (hasGlobal) 2 << (flags & 7) else 0
+    var i = 13
+    if (i + 3 * palSize > b.length) return None
+    val palOff = if (hasGlobal) i else -1
+    i += 3 * palSize
+    // walk blocks to the first image descriptor
+    while (true) {
+      if (i >= b.length) return None
+      u8(b, i) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          if (i >= b.length) return None
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val width = le16(b, i + 5); val height = le16(b, i + 7)
+          val iflags = u8(b, i + 9)
+          if (width <= 0 || height <= 0) return None
+          i += 10
+          // local color table (overrides the global one for this image)
+          var pOff = palOff; var pSize = palSize
+          if ((iflags & 0x80) != 0) {
+            pSize = 2 << (iflags & 7)
+            pOff = i; i += 3 * pSize
+            if (i > b.length) return None
+          }
+          if (pOff < 0) return None // neither global nor local palette
+          // interlacing (iflags & 0x40) permutes ROW order in the LZW
+          // stream — PixelStats are row-permutation invariant, so the
+          // same linear decode is exact for interlaced files too
+          if (i >= b.length) return None
+          val minCode = u8(b, i); i += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && u8(b, i) != 0) {
+            val n = u8(b, i)
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          if (i >= b.length) return None
+          return lzwDecode(data.toByteArray, minCode, width * height).flatMap { px =>
+            var sumR = 0L; var sumG = 0L; var sumB = 0L
+            var minV = 255; var maxV = 0
+            var j = 0
+            while (j < px.length) {
+              val idx = px(j) & 0xff
+              if (idx >= pSize) return None
+              val r = u8(b, pOff + 3 * idx)
+              val g = u8(b, pOff + 3 * idx + 1)
+              val bl = u8(b, pOff + 3 * idx + 2)
+              sumR += r; sumG += g; sumB += bl
+              val lo = math.min(r, math.min(g, bl))
+              val hi = math.max(r, math.max(g, bl))
+              if (lo < minV) minV = lo
+              if (hi > maxV) maxV = hi
+              j += 1
+            }
+            Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+          }
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF LZW: LSB-first variable-width codes; width bumps exactly when
+    * the next free code stops fitting (mirrored in MediaSynth.gif). */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val dict = new Array[Array[Byte]](4096)
+    var c = 0
+    while (c < clear) { dict(c) = Array(c.toByte); c += 1 }
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var prev = -1
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return None // ran out of bits before EOI
+      val code = (bitBuf & ((1L << width) - 1)).toInt
+      bitBuf >>>= width; bitCnt -= width
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        val entry: Array[Byte] =
+          if (code < next && dict(code) != null) dict(code)
+          else if (code == next && prev >= 0) dict(prev) :+ dict(prev)(0) // KwKwK
+          else return None // corrupt stream
+        out.write(entry, 0, entry.length)
+        if (out.size() > expected) return None
+        if (prev >= 0 && next < 4096) {
+          dict(next) = dict(prev) :+ entry(0); next += 1
+          // one EARLIER than the encoder's bump: the decoder's insert for
+          // a given code happens one code later than the encoder's, so it
+          // must widen at (1<<width)-1 to read the next code correctly —
+          // the classic GIF decoder off-by-one
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (out.size() != expected) None else Some(out.toByteArray)
   }
 
   /** Paeth predictor (PNG spec §9.4): nearest of a/b/c to a+b-c, ties

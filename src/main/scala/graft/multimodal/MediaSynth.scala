@@ -148,4 +148,87 @@ object MediaSynth {
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  /** GIF palette/index formulas — mirrored in the q58c oracle SQL. The
+    * pixel at (x, y) is palette entry `gifIndex`, whose RGB comes from
+    * the pal* formulas, so decoded stats are closed-form in (id, x, y). */
+  def gifIndex(id: Long, x: Int, y: Int): Int = ((id * 5 + 7 * x + 11 * y) % 256).toInt
+  def palR(id: Long, i: Int): Int = ((id * 3 + 5 * i) % 256).toInt
+  def palG(id: Long, i: Int): Int = ((id * 7 + 3 * i) % 256).toInt
+  def palB(id: Long, i: Int): Int = ((id * 11 + 9 * i) % 256).toInt
+
+  def gifWidth(id: Long): Int = (14 + id % 10).toInt
+  def gifHeight(id: Long): Int = (12 + id % 8).toInt // ≥ 260 px ⇒ code width grows past 9 bits
+
+  /** Standard-conforming GIF89a: 256-entry global color table from the
+    * pal* formulas, one non-interlaced image whose indices follow
+    * [[gifIndex]], REAL variable-width LZW compression (clear code,
+    * dictionary growth, code-width bumps — the low-repetition index
+    * pattern pushes past 9-bit codes on every file). javax.imageio
+    * decodes these byte-identically (HeaderCodecSpec cross-checks). */
+  def gif(id: Long): Array[Byte] = {
+    val w = gifWidth(id); val h = gifHeight(id)
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(out, w); le16(out, h)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(palR(id, i)); out.write(palG(id, i)); out.write(palB(id, i))
+      i += 1
+    }
+    out.write(0x2c) // image descriptor
+    le16(out, 0); le16(out, 0); le16(out, w); le16(out, h)
+    out.write(0) // no local table, not interlaced
+    val minCode = 8
+    out.write(minCode)
+
+    // GIF LZW: emit codes LSB-first at the current width; the dictionary
+    // adds (prefix, byte) after each emit and the width bumps exactly
+    // when the next free code no longer fits — mirrored in decodeGif.
+    val clear = 1 << minCode; val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    val codes = new ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += width
+      while (bitCnt >= 8) { codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    emit(clear)
+    var cur = gifIndex(id, 0, 0)
+    var p = 1
+    val total = w * h
+    while (p < total) {
+      val k = gifIndex(id, p % w, p / w)
+      val key = cur.toLong << 12 | k
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (next < 4096) {
+          dict.put(key, next); next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        } else { // table full: clear and restart (not reached by these sizes)
+          emit(clear); dict.clear(); next = eoi + 1; width = minCode + 1
+        }
+        cur = k
+      }
+      p += 1
+    }
+    emit(cur); emit(eoi)
+    if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
+    val data = codes.toByteArray
+    var off = 0
+    while (off < data.length) { // sub-blocks of at most 255 bytes
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
 }

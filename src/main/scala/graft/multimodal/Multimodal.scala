@@ -32,10 +32,10 @@ object Multimodal {
                                  width: Int, height: Int, aspect_bucket: String)
 
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
-    * Remit: JPEG/GIF payloads (entropy-coded — a real decode needs a
-    * codec library this environment lacks) and unknown blobs; BMP, WAV,
-    * and PNG decode for REAL in [[HeaderCodec]]. Replace with a real
-    * codec (javax.imageio etc.) for production. */
+    * Remit: JPEG payloads (entropy-coded — a real decode needs a codec
+    * library) and unknown blobs; BMP, WAV, PNG, and GIF decode for REAL
+    * in [[HeaderCodec]]. Replace with a real codec (javax.imageio etc.)
+    * for production. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -93,14 +93,14 @@ object Multimodal {
                                  min_value: Int, max_value: Int,
                                  sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** REAL payload decode for the codec-library-free formats: BMP pixel
-    * arrays and WAV 16-bit PCM (pure byte math, [[HeaderCodec.decodeBmp]]
-    * / [[HeaderCodec.decodeWav]]), and PNG via JDK-only zlib + the five
-    * row filters ([[HeaderCodec.decodePng]]). [[FakeCodec]]'s remit is
-    * now ONLY JPEG/GIF (entropy-coded payloads that genuinely need a
-    * codec library) and unknown blobs, reported as format 'stub' with
-    * zeroed stats. Same partition-batched, shuffle-free shape as the
-    * other extraction stages. */
+  /** REAL payload decode for every format the JVM can handle without a
+    * codec library: BMP pixel arrays and WAV 16-bit PCM (pure byte math),
+    * PNG (JDK zlib + the five row filters), and GIF (pure-JVM LZW +
+    * palette) — [[HeaderCodec.decodeBmp]]/[[HeaderCodec.decodeWav]]/
+    * [[HeaderCodec.decodePng]]/[[HeaderCodec.decodeGif]]. [[FakeCodec]]'s
+    * remit is now ONLY JPEG (actual entropy coding) and unknown blobs,
+    * reported as format 'stub' with zeroed stats. Same partition-batched,
+    * shuffle-free shape as the other extraction stages. */
   def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -111,6 +111,7 @@ object Multimodal {
             px.minV, px.maxV, px.sumR, px.sumG, px.sumB)
         HeaderCodec.decodeBmp(r.payload).map(img("bmp", _))
           .orElse(HeaderCodec.decodePng(r.payload).map(img("png", _)))
+          .orElse(HeaderCodec.decodeGif(r.payload).map(img("gif", _)))
           .orElse(HeaderCodec.decodeWav(r.payload).map(pcm =>
             MediaStatsRow(r.media_id, "wav", 0, 0, pcm.channels,
               pcm.sampleRate, pcm.nSamples, pcm.sumSamples,

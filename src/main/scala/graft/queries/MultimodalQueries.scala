@@ -155,6 +155,56 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** GIF payload decode end to end, pure-JVM LZW: byte-valid GIF89a
+    * files (256-entry global palette, real variable-width LZW whose code
+    * width grows past 9 bits on every file) are generated in-plan from
+    * closed-form palette/index formulas, decompressed + palette-mapped by
+    * [[graft.multimodal.HeaderCodec.decodeGif]] through the same
+    * partition-batched extraction stage, and the oracle recomputes every
+    * statistic from the formulas alone — a wrong code-width bump, KwKwK
+    * case, or palette walk changes some channel sum and breaks the hash.
+    * (javax.imageio independently round-trips both the generator and the
+    * decoder in HeaderCodecSpec.) */
+  val q58cGifDecode = QueryDef(
+    "q58c_gif_decode",
+    (s, d) => {
+      import s.implicits._
+      val synth = udf { (id: Long) => graft.multimodal.MediaSynth.gif(id) }
+      val media = Tables.orders(s, d)
+        .select((col("o_orderkey") % 300).cast("long").as("media_id")).distinct()
+        .select(col("media_id"), lit("synth").as("kind"),
+          synth(col("media_id")).as("payload"),
+          lit(0).as("width"), lit(0).as("height"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractContentStats(media).toDF().orderBy("media_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      gif AS (
+        SELECT media_id, (14 + media_id % 10)::INT AS w, (12 + media_id % 8)::INT AS h
+        FROM ids),
+      px AS (
+        SELECT g.media_id, g.w, g.h,
+               (g.media_id*3 + 5*((g.media_id*5 + 7*xs.x + 11*ys.y) % 256)) % 256 AS r,
+               (g.media_id*7 + 3*((g.media_id*5 + 7*xs.x + 11*ys.y) % 256)) % 256 AS gr,
+               (g.media_id*11 + 9*((g.media_id*5 + 7*xs.x + 11*ys.y) % 256)) % 256 AS bl
+        FROM gif g
+        JOIN (SELECT unnest(range(0, 24)) AS x) xs ON xs.x < g.w
+        JOIN (SELECT unnest(range(0, 20)) AS y) ys ON ys.y < g.h)
+      SELECT media_id, 'gif' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (sum(r) + sum(gr) + sum(bl))::BIGINT AS sum_values,
+             least(min(r), min(gr), min(bl))::INT AS min_value,
+             greatest(max(r), max(gr), max(bl))::INT AS max_value,
+             sum(r)::BIGINT AS sum_r, sum(gr)::BIGINT AS sum_g,
+             sum(bl)::BIGINT AS sum_b
+      FROM px GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
-    q58bPngDecode)
+    q58bPngDecode, q58cGifDecode)
 }

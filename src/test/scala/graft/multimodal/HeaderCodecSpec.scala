@@ -248,12 +248,79 @@ class HeaderCodecSpec extends SparkSpec {
       HeaderCodec.decodePng(corrupt).get != HeaderCodec.decodePng(full).get)
   }
 
+  test("decodeGif: LZW + palette reconstruct the generating formulas") {
+    (0L until 30L).foreach { id =>
+      val px = HeaderCodec.decodeGif(MediaSynth.gif(id)).get
+      val w = MediaSynth.gifWidth(id); val h = MediaSynth.gifHeight(id)
+      val all = for (x <- 0 until w; y <- 0 until h) yield {
+        val i = MediaSynth.gifIndex(id, x, y)
+        (MediaSynth.palR(id, i), MediaSynth.palG(id, i), MediaSynth.palB(id, i))
+      }
+      assert(px.width == w && px.height == h, s"dims for id=$id")
+      assert(px.sumR == all.map(_._1.toLong).sum, s"sumR for id=$id")
+      assert(px.sumG == all.map(_._2.toLong).sum, s"sumG for id=$id")
+      assert(px.sumB == all.map(_._3.toLong).sum, s"sumB for id=$id")
+      val flat = all.flatMap(t => Seq(t._1, t._2, t._3))
+      assert(px.minV == flat.min && px.maxV == flat.max, s"min/max for id=$id")
+    }
+    // truncation anywhere rejects cleanly (never throws, never misreads);
+    // the final byte is the trailer, which the first image doesn't need
+    val full = MediaSynth.gif(5L)
+    (0 until full.length - 1).foreach(n => assert(HeaderCodec.decodeGif(full.take(n)).isEmpty))
+  }
+
+  test("GIF/PNG generators and decoders cross-validate against javax.imageio") {
+    // an INDEPENDENT standard decoder agrees with ours on our files...
+    Seq(1L, 8L, 17L).foreach { id =>
+      val ours = HeaderCodec.decodeGif(MediaSynth.gif(id)).get
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MediaSynth.gif(id)))
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+      }
+      assert((img.getWidth, img.getHeight) == (ours.width, ours.height))
+      assert((sumR, sumG, sumB) == (ours.sumR, ours.sumG, ours.sumB),
+        s"imageio decoded different pixels than decodeGif for id=$id")
+      val oursPng = HeaderCodec.decodePng(MediaSynth.png(id)).get
+      val imgPng = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MediaSynth.png(id)))
+      var pr = 0L; var pg = 0L; var pb = 0L
+      for (y <- 0 until imgPng.getHeight; x <- 0 until imgPng.getWidth) {
+        val rgb = imgPng.getRGB(x, y)
+        pr += (rgb >> 16) & 0xff; pg += (rgb >> 8) & 0xff; pb += rgb & 0xff
+      }
+      assert((pr, pg, pb) == (oursPng.sumR, oursPng.sumG, oursPng.sumB),
+        s"imageio decoded different pixels than decodePng for id=$id")
+    }
+    // ...and our decoder agrees with an independent standard ENCODER:
+    // imageio writes a GIF of the formula pixels, decodeGif must match
+    val id = 3L
+    val w = MediaSynth.gifWidth(id); val h = MediaSynth.gifHeight(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val i = MediaSynth.gifIndex(id, x, y)
+      img.setRGB(x, y,
+        (MediaSynth.palR(id, i) << 16) | (MediaSynth.palG(id, i) << 8) | MediaSynth.palB(id, i))
+    }
+    val buf = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", buf)
+    val decoded = HeaderCodec.decodeGif(buf.toByteArray)
+      .getOrElse(fail("decodeGif rejected an imageio-written GIF"))
+    val ours = HeaderCodec.decodeGif(MediaSynth.gif(id)).get
+    assert((decoded.sumR, decoded.sumG, decoded.sumB) == (ours.sumR, ours.sumG, ours.sumB),
+      "decodeGif read an imageio-encoded stream differently")
+  }
+
   test("extractContentStats: real decode for bmp/png/wav, stub confined to the rest") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/bmp", MediaSynth.bmp(4L), 0, 0, 0L),
       Multimodal.MediaRow(2L, "audio/wav", MediaSynth.wav(5L), 0, 0, 0L),
       Multimodal.MediaRow(3L, "image/jpeg", jpeg(64, 48), 0, 0, 0L),
-      Multimodal.MediaRow(4L, "image/png", MediaSynth.png(6L), 0, 0, 0L))
+      Multimodal.MediaRow(4L, "image/png", MediaSynth.png(6L), 0, 0, 0L),
+      Multimodal.MediaRow(5L, "image/gif", MediaSynth.gif(7L), 0, 0, 0L))
     val out = Multimodal.extractContentStats(rows.toDS())
       .collect().map(m => m.media_id -> m).toMap
     assert(out(1L).format == "bmp" && out(1L).n_values ==
@@ -264,6 +331,8 @@ class HeaderCodecSpec extends SparkSpec {
     assert(out(4L).format == "png" && out(4L).n_values ==
       3L * MediaSynth.pngWidth(6L) * MediaSynth.pngHeight(6L))
     assert(out(4L).sum_r != out(4L).sum_b, "png channel sums must distinguish order")
+    assert(out(5L).format == "gif" && out(5L).n_values ==
+      3L * MediaSynth.gifWidth(7L) * MediaSynth.gifHeight(7L))
   }
 
   test("extractMeta decodes real containers distributed, stubs the rest") {
