@@ -74,4 +74,40 @@ object Sampling {
     * (plus the key for tie stability) is a plain distributed range sort —
     * no global window, no driver state, same order every run. */
   def shuffleKey(key: Column, seed: String): Column = hashBucket(key, seed)
+
+  /** GPT-style sequence packing: documents concatenate in a fixed order
+    * and are cut every `budget` tokens, so every training sequence is
+    * exactly full and a document may span bins. Returns the input plus
+    * the pack layout per doc: shard, tok_offset (tokens before it in its
+    * shard), first_bin/last_bin (bins it overlaps), n_bins.
+    *
+    * The concat order must be deterministic AND distributed: docs shard
+    * by the 60-bit hash of `idCol` into `numShards` independent streams,
+    * and the running offset is a window cumsum PARTITIONED BY the shard
+    * — never a global window (each shard packs independently, exactly
+    * how real pipelines shard a tokenized corpus; bin ids are per-shard).
+    * Within a shard the order is `orderCol` ascending (ties broken by
+    * `idCol`). Docs longer than `budget` span multiple bins —
+    * concat-and-cut has no overflow case, unlike greedy whole-doc
+    * packing; zero-token docs occupy their start bin. */
+  def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
+                    orderCol: Column, budget: Long, numShards: Int,
+                    seed: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val reserved = Seq("shard", "tok_offset", "first_bin", "last_bin", "n_bins", "__tok")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"reserved column names in use: ${reserved.mkString(",")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(orderCol, idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(hashBucket(idCol, seed), lit(numShards.toLong)))
+      .withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("tok_offset", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("first_bin", floor(col("tok_offset") / budget))
+      .withColumn("last_bin",
+        floor((col("tok_offset") + greatest(col("__tok"), lit(1L)) - 1) / budget))
+      .withColumn("n_bins", col("last_bin") - col("first_bin") + 1)
+      .drop("__tok")
+  }
 }

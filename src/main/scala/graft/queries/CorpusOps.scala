@@ -241,7 +241,45 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** GPT-style sequence packing ([[Sampling.packSequences]]): the corpus
+    * concatenates in 8 hash-sharded deterministic streams and cuts every
+    * 512 tokens; each doc's pack layout (shard, offset, bin span) is
+    * fully hash-derived, so DuckDB reproduces every row from the same
+    * cumsum. The window is partitioned by shard — the distributed form;
+    * a global cumsum would serialize the corpus through one partition. */
+  val q68SequencePack = QueryDef(
+    "q68_sequence_pack",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      Sampling.packSequences(docs, col("doc_id"), col("n_tokens"),
+          col("doc_id"), budget = 512L, numShards = 8, seed = "pack-v1")
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("tok_offset"),
+          col("first_bin"), col("last_bin"), col("n_bins"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> len(w) > 0))::INT AS n_tokens,
+               ${bucketSql("pack-v1", "doc_id")} % 8 AS shard
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "tok_offset"
+        FROM t)
+      SELECT doc_id, n_tokens, shard, "tok_offset",
+             "tok_offset" // 512 AS first_bin,
+             ("tok_offset" + greatest(n_tokens, 1) - 1) // 512 AS last_bin,
+             (("tok_offset" + greatest(n_tokens, 1) - 1) // 512) - ("tok_offset" // 512) + 1 AS n_bins
+      FROM o
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
-    q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild)
+    q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
+    q68SequencePack)
 }

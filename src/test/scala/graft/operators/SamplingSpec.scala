@@ -65,6 +65,34 @@ class SamplingSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("packSequences: contiguous offsets per shard, correct bin spans") {
+    import spark.implicits._
+    val in = Seq((1L, 100), (2L, 600), (3L, 0), (4L, 512), (5L, 50))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(in, col("doc_id"), col("n_tokens"),
+        col("doc_id"), budget = 512L, numShards = 1, seed = "t")
+      .orderBy("doc_id")
+      .select("doc_id", "tok_offset", "first_bin", "last_bin", "n_bins")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // single shard → offsets are the running token sum in doc_id order
+    assert(out.map(_._2).toSeq == Seq(0L, 100L, 700L, 700L, 1212L))
+    // doc 2 (600 tokens at offset 100) spans bins 0..1
+    assert(out(1) == ((2L, 100L, 0L, 1L, 2L)))
+    // zero-token doc occupies exactly its start bin
+    assert(out(2) == ((3L, 700L, 1L, 1L, 1L)))
+    // doc 4 (512 at 700) ends at token 1211 → bins 1..2
+    assert(out(3) == ((4L, 700L, 1L, 2L, 2L)))
+    // offsets restart per shard: with many shards each shard cumsum is
+    // independent and every shard's first doc has offset 0
+    val sharded = Sampling.packSequences(in, col("doc_id"), col("n_tokens"),
+        col("doc_id"), budget = 512L, numShards = 4, seed = "t")
+    val firsts = sharded.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")))
+      .filter(col("rn") === 1).select("tok_offset").as[Long].collect()
+    assert(firsts.forall(_ == 0L))
+  }
+
   test("weightedMix tags provenance and respects per-source rates") {
     val web = docs.filter(col("source") === "src0")
     val rest = docs.filter(col("source") =!= "src0")
