@@ -157,4 +157,33 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.size.toDouble / exact.size >= 0.9,
       s"IVF recall ${bucketed.size}/${exact.size} below 0.9")
   }
+
+  test("ivf range search on TRAINED centroids: recall ≥ the seed medoids (q26b variant)") {
+    // the q26b configuration with its 40 (label, id%4) seed medoids,
+    // improved by 2 Lloyd rounds — centroid training must never cost
+    // range-search recall at equal nprobe
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("e"))
+    val seedIds = e.groupBy($"label", pmod($"vec_id", lit(4)))
+      .agg(min("vec_id").as("c_id"))
+    val seeds = seedIds.join(e, $"c_id" === $"vec_id")
+      .select($"c_id", $"e".as("c"))
+    val corpus = e.select($"vec_id".as("id"), $"e")
+    val probes = e.select(($"vec_id" + 100000).as("probe_id"),
+      concat(array(element_at($"e", 1) * 2.0), slice($"e", 2, 63)).as("p"))
+    val exact = graft.SparkEntry.queries("q26_embed_neardup")(spark, sf001)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(cent: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfRangeSearch(corpus, cent, probes, minCos = 0.8, nprobe = 2)
+        .select("probe_id", "id").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(exact), "range search emitted a pair the exact scan lacks")
+      got.size.toDouble / exact.size
+    }
+    val seedRecall = recall(seeds)
+    val trainedRecall = recall(Similarity.kmeansTrain(corpus, seeds, iters = 2))
+    info(f"range-search recall nprobe=2: seeds $seedRecall%.3f trained $trainedRecall%.3f")
+    assert(trainedRecall >= seedRecall,
+      f"training regressed range-search recall: $trainedRecall%.3f < $seedRecall%.3f")
+    assert(trainedRecall >= 0.9, f"trained recall $trainedRecall%.3f below 0.9")
+  }
 }
