@@ -228,32 +228,68 @@ object Dedup {
                          bench: DataFrame, benchText: Column, benchId: Column,
                          shingleN: Int = 13, expectedGrams: Long = 1000000L,
                          fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
     val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val bg = bench.select(benchId.as("bench_id"),
       explode(transform(
         column(DistinctShinglesExpr(expression(benchText), shingleN)),
         hash60)).as("bgram_h"))
-    // bits per the standard formula -n·ln(p)/ln(2)^2, as in BloomFilter.optimalNumOfBits
-    val numBits = math.ceil(
-      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    val bloom = bg.select(column(new BloomFilterAggregate(
-        XxHash64(Seq(expression(col("bgram_h"))), 42L),
-        Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    val mightContain = (c: Column) => column(BloomFilterMightContain(
-      Literal(bloom, BinaryType), XxHash64(Seq(expression(c)), 42L)))
+    val bloom = benchGramBloom(bench, benchText, shingleN, expectedGrams, fpp)
     val cg = corpus.select(corpusId.as("doc_id"),
       explode(transform(
         column(DistinctShinglesExpr(expression(corpusText), shingleN)),
         hash60)).as("gram_h"))
-      .filter(mightContain(col("gram_h")))
+      .filter(bloomMightContain(bloom)(col("gram_h")))
     cg.join(bg, col("gram_h") === col("bgram_h"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram_h")).as("n_shared_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Build the benchmark-gram Bloom filter once (driver-held bytes;
+    * broadcast-sized — MBs for millions of grams at 1% fpp). The inputs
+    * to [[bloomMightContain]] / [[flagContaminated]]. */
+  def benchGramBloom(bench: DataFrame, benchText: Column, shingleN: Int = 13,
+                     expectedGrams: Long = 1000000L,
+                     fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // bits per the standard formula -n·ln(p)/ln(2)^2, as in BloomFilter.optimalNumOfBits
+    val numBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    bench.select(explode(transform(
+        column(DistinctShinglesExpr(expression(benchText), shingleN)),
+        hash60)).as("bgram_h"))
+      .select(column(new BloomFilterAggregate(
+        XxHash64(Seq(expression(col("bgram_h"))), 42L),
+        Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Membership predicate over a built gram bloom (codegen'd
+    * `might_contain`, the same expression Catalyst runtime filters use). */
+  def bloomMightContain(bloom: Array[Byte])(c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), XxHash64(Seq(expression(c)), 42L)))
+  }
+
+  /** Per-doc contamination flag from a built gram bloom — STATELESS and
+    * map-only, so the same call runs on a batch DataFrame or a
+    * `readStream` one (the streaming decontamination twin: eval sets are
+    * static, so the bloom is built batch-side once and the stream only
+    * evaluates the codegen membership predicate per doc; no state store,
+    * no watermark). Adds `contaminated` (true when ANY `shingleN`-gram
+    * might be in the benchmark — supersets the exact join by the fpp,
+    * never misses a true hit). */
+  def flagContaminated(docs: DataFrame, text: Column, bloom: Array[Byte],
+                       shingleN: Int = 13): DataFrame = {
+    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    docs.withColumn("contaminated",
+      exists(transform(
+        column(DistinctShinglesExpr(expression(text), shingleN)), hash60),
+        bloomMightContain(bloom)))
   }
 
   /** Portable simhash fingerprints (see TextFunctions.simhashBits). */

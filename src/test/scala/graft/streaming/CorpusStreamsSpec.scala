@@ -85,6 +85,44 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming decontamination flag == batch: no false negatives, fpp-bounded") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 900000).as("bench_id"),
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 6, 20)).as("btext"))
+    // the bloom is built ONCE batch-side (eval sets are static); the
+    // stream side is the stateless map-only membership flag
+    val bloom = Dedup.benchGramBloom(bench, col("btext"),
+      expectedGrams = 100000L, fpp = 0.01)
+    val dir = Files.createTempDirectory("decont-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = Dedup.flagContaminated(
+        spark.readStream.schema("doc_id BIGINT, text STRING").parquet(dir),
+        col("text"), bloom)
+      .filter(col("contaminated"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decont_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val flagged = spark.table("decont_stream").as[Long].collect().toSet
+    val exact = Dedup.decontaminate(docs, col("text"), col("doc_id"),
+        bench, col("btext"), col("bench_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.subsetOf(flagged),
+      "streaming bloom flag missed a truly contaminated doc (false negative)")
+    // false positives are bounded by the fpp: allow a small absolute slack
+    assert(flagged.size <= exact.size + math.max(5, (docs.count() * 0.03).toInt),
+      s"far more flags (${flagged.size}) than exact hits (${exact.size})")
+    // and the same call on the batch frame gives the identical flag set
+    val batchFlagged = Dedup.flagContaminated(docs, col("text"), bloom)
+      .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(flagged === batchFlagged, "stream and batch flag sets differ")
+  }
+
   test("streaming count-min build == batch sketch, cell for cell") {
     import graft.operators.Sketches
     // the SAME operator code runs under readStream: the cell grid is a
