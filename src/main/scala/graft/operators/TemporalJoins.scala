@@ -37,7 +37,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object TemporalJoins {
 
-  /** Backward as-of join (inclusive: right time == left time matches).
+  /** As-of join (inclusive: right time == left time matches either way).
+    *
+    * `direction` — "backward" (default): latest right at or before each
+    * left time (DuckDB ASOF / pandas default); "forward": earliest right
+    * at or after it (pandas merge_asof direction='forward'). Both run
+    * the same single-shuffle union+tag+keyed-window plan — forward just
+    * flips the frame (unboundedFollowing) and the tie order.
     *
     * Output: all `left` columns, then `rightTime` and the remaining right
     * payload columns from the matched row (null when no right row at or
@@ -66,7 +72,11 @@ object TemporalJoins {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val payload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
     val clash = (rightTime +: payload).intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right columns collide with left: ${clash.mkString(",")} — rename before joining")
@@ -83,11 +93,13 @@ object TemporalJoins {
       StructField(rightTime, right.schema(rightTime).dataType) +:
         payload.map(c => StructField(c, right.schema(c).dataType)))
 
-    // Tag 0 (right) sorts before tag 1 (left) on time ties → inclusive match.
+    // Backward: tag 0 (right) sorts before tag 1 (left) on time ties so a
+    // same-time right lands in the PRECEDING frame; forward: tag 2 sorts
+    // after, landing it in the FOLLOWING frame — inclusive either way.
     val rightPart = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
-        lit(0).as("__tag"),
+        lit(if (fwd) 2 else 0).as("__tag"),
         struct((col(rightTime) +: payload.map(col)): _*).as("__r")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftPart = left.select(
@@ -97,18 +109,23 @@ object TemporalJoins {
         lit(null).cast(rStruct).as("__r")) ++
         leftRest.map(col): _*)
 
-    val w = Window
+    val w0 = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = if (fwd) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = if (fwd) first(col("__r"), ignoreNulls = true)
+               else last(col("__r"), ignoreNulls = true)
 
     val matched = tolerance match {
+      case Some(tol) if fwd =>
+        when(col("__m").getField(rightTime) <= col("__t") + tol, col("__m"))
       case Some(tol) =>
         when(col("__t") <= col("__m").getField(rightTime) + tol, col("__m"))
       case None => col("__m")
     }
     rightPart.unionByName(leftPart)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", pick.over(w))
       .withColumn("__m", matched)
       .filter(col("__tag") === 1)
       .select(

@@ -90,6 +90,42 @@ object TemporalQueries {
     """),
     bench = true)
 
+  /** q60 reversed: each click aligned to the user's EARLIEST view at or
+    * after it (pandas merge_asof direction='forward') — same
+    * one-shuffle plan with the window frame flipped; the oracle states
+    * it as min(view_ts >= ts). */
+  val q60cAsofForward = QueryDef(
+    "q60c_asof_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(round(max("value"), 6).as("view_value"))
+      TemporalJoins.asofJoin(clicks, views, Seq("user_id"), "ts", "view_ts",
+          direction = "forward")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (SELECT event_id, user_id, event_type, value, ts::TIMESTAMP AS ts FROM events),
+      clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+      views AS (
+        SELECT user_id, ts AS view_ts, round(max(value), 6) AS view_value
+        FROM ev WHERE event_type = 'view' GROUP BY user_id, ts),
+      best AS (
+        SELECT c.event_id, min(v.view_ts) AS view_ts
+        FROM clicks c JOIN views v
+          ON c.user_id = v.user_id AND v.view_ts >= c.ts
+        GROUP BY c.event_id)
+      SELECT c.event_id, c.user_id, c.ts, b.view_ts, v.view_value
+      FROM clicks c
+      LEFT JOIN best b ON c.event_id = b.event_id
+      LEFT JOIN views v ON v.user_id = c.user_id AND v.view_ts = b.view_ts
+      ORDER BY c.event_id
+    """),
+    bench = true)
+
   /** Range join: lineitem ship dates landed in one-week promo windows
     * (high-value orders). Bucketized to a hash equi-join on week id —
     * the exploded interval side is tiny so Catalyst broadcasts it; a
@@ -144,5 +180,6 @@ object TemporalQueries {
     """),
     bench = true)
 
-  def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance, q61RangeJoin)
+  def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
+    q60cAsofForward, q61RangeJoin)
 }

@@ -74,6 +74,53 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin direction=forward picks the earliest right at or after") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        direction = "forward")
+      .orderBy("id").select("id", "rt", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    assert(out === Seq(
+      (1L, 100L, "a"),  // inclusive: rt == t matches forward too
+      (2L, -1L, null),  // nothing at or after t=150 for u1
+      (3L, 100L, "a"),  // earliest of {100, 120} >= 10
+      (4L, 501L, "d"),  // 499 is in the past now
+      (5L, -1L, null)))
+    // forward + tolerance: the t=10 row's match at 100 is 90 away
+    val tight = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        tolerance = Some(lit(89L)), direction = "forward")
+      .filter($"id" === 3L).select("rt").head()
+    assert(tight.isNullAt(0))
+  }
+
+  test("asofJoin forward matches the naive inequality join for random data") {
+    val left = spark.range(300).select(
+      $"id".as("lid"),
+      pmod(hash($"id"), lit(7)).cast("string").as("k"),
+      pmod(hash($"id" + 3), lit(500)).cast("long").as("t"))
+    val right = spark.range(150).select(
+        pmod(hash($"id" + 11), lit(7)).cast("string").as("k"),
+        pmod(hash($"id" + 17), lit(500)).cast("long").as("rt"),
+        $"id".as("v"))
+      .groupBy("k", "rt").agg(max("v").as("v"))
+    val fast = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward")
+      .select("lid", "rt", "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val best = left.join(right, Seq("k"), "left")
+      .filter(col("rt").isNull || col("rt") >= col("t"))
+      .groupBy("lid").agg(min("rt").as("rt"))
+    val naive = left.select("lid", "k")
+      .join(best, Seq("lid"), "left")
+      .join(right, Seq("k", "rt"), "left")
+      .select("lid", "rt", "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(fast === naive)
+  }
+
   test("asofJoin tolerance nulls stale matches, keeps fresh ones") {
     val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
         tolerance = Some(lit(30L)))
