@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-level statistical scoring — quality signals that need a global
+  * pass over the corpus before the per-doc score (unlike the purely
+  * per-row q19 heuristics).
+  */
+object CorpusStats {
+
+  /** Unigram-LM document quality: score each doc by how typical its
+    * tokens are under the corpus's own unigram distribution — the
+    * classic cheap LM-quality gate (boilerplate scores high, gibberish
+    * and OCR noise score low) without any external model.
+    *
+    * Emits per doc: n_tokens, `mean_tok_prob` (mean over token INSTANCES
+    * of cnt(token)/N — the rational form of unigram likelihood; the log
+    * is monotone in it per token, and transcendentals are deliberately
+    * avoided because engines differ in the last ulp — same stance as
+    * q42's rational idf), and `rare_ratio` (share of tokens seen ≤
+    * `rareMax` times corpus-wide — the OCR/gibberish signal).
+    *
+    * Scale shape: ONE aggregation over exploded tokens builds the vocab
+    * (map-side partials collapse repeats), its 1-row total is a
+    * broadcast, and the instance join shuffles on the token (Catalyst
+    * broadcasts the vocab instead when it fits). Per-doc means sum
+    * decimal(28,12) addends — each addend is an IEEE division of the
+    * same exact integers in any engine, and decimal addition is
+    * order-independent, so scores are bit-identical across
+    * partitionings and engines. */
+  def unigramQuality(docs: DataFrame, text: Column, id: Column,
+                     rareMax: Long = 2): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n_total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum((col("cnt").cast("double") / col("n_total"))
+            .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
+          .as("mean_tok_prob"),
+        round(sum(when(col("cnt") <= rareMax, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 9)
+          .as("rare_ratio"))
+  }
+}

@@ -286,7 +286,37 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Unigram-LM quality over the corpus's own token distribution
+    * ([[graft.operators.CorpusStats.unigramQuality]]): one vocab
+    * aggregation, a broadcast 1-row total, the instance join on the
+    * token, decimal-summed per-doc means — DuckDB recomputes the whole
+    * two-pass score exactly (the addends are IEEE divisions of the same
+    * integers, so no transcendental/accumulation divergence exists by
+    * construction). */
+  val q69UnigramQuality = QueryDef(
+    "q69_unigram_quality",
+    (s, d) =>
+      graft.operators.CorpusStats.unigramQuality(
+          Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab)
+      SELECT k.doc_id, count(*) AS n_tokens,
+             round((sum(((v.cnt::DOUBLE / t.n_total))::DECIMAL(28,12)))::DOUBLE
+                   / count(*), 9) AS mean_tok_prob,
+             round(sum(CASE WHEN v.cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 9) AS rare_ratio
+      FROM toks k JOIN vocab v USING (tok) CROSS JOIN tot t
+      GROUP BY k.doc_id
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
-    q42TfidfTopTerms, q62CountMinHeavyHitters)
+    q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality)
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramQuality: common-token docs score high, rare-token docs low") {
+    // corpus: 'the' appears 6×, each gibberish token once → N = 9
+    val docs = Seq(
+      (1L, "the the the"),          // all common
+      (2L, "zxq wvu qqj"),          // all rare (cnt 1 each)
+      (3L, "the the zxq8")          // mixed; note zxq8 ≠ zxq
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.unigramQuality(docs, $"text", $"doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    val n = 9.0
+    val theP = 5.0 / n // 'the' occurs 5× total (3 in doc1, 2 in doc3)
+    assert(out(0)._2 == 3L)
+    assert(math.abs(out(0)._3 - theP) < 1e-9) // every token is 'the'
+    assert(out(0)._4 == 0.0)                  // nothing rare
+    assert(math.abs(out(1)._3 - 1.0 / n) < 1e-9) // all singletons
+    assert(out(1)._4 == 1.0)
+    assert(out(2)._4 > 0.0 && out(2)._4 < 1.0) // one rare of three
+    // the ordering a quality gate relies on: common ≫ mixed ≫ gibberish
+    assert(out(0)._3 > out(2)._3 && out(2)._3 > out(1)._3)
+  }
+}

@@ -50,4 +50,24 @@ class IvfIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivf_spec_index")
     }
   }
+
+  test("the production flow: train → build index on trained centroids → probe") {
+    val (corpus, seeds, probes) = inputs()
+    val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)
+    try {
+      Similarity.writeIvfIndex(corpus, trained, "ivf_trained_index", numBuckets = 8)
+      val direct = Similarity.ivfTopK(corpus, trained, probes, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val indexed = Similarity.ivfTopKIndexed("ivf_trained_index", trained, probes,
+        k = 3, nprobe = 2)
+      val got = indexed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == direct, "trained-centroid index must reproduce the in-plan results")
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"trained index probe reads every bucket:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_trained_index")
+    }
+  }
 }
