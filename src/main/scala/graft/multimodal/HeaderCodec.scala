@@ -136,8 +136,17 @@ object HeaderCodec {
       i += 12 + len
     }
     val bpp = 3
-    val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
+    val strideL = width.toLong * bpp
+    // header-claimed size is ATTACKER-CONTROLLED: reject before allocating
+    // anything it implies. zlib's max expansion is 1032:1, so a stream
+    // shorter than rawLen/1032 can never fill the buffer — and rawLen
+    // must fit an array at all (a forged IHDR of 2^31 pixels would
+    // otherwise drive a negative/huge allocation; fuzz-caught).
+    val rawLen = (strideL + 1L) * height
+    if (rawLen > Int.MaxValue - 8 ||
+        rawLen > idat.size().toLong * 1032L + 4096L) return None
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     try {
@@ -246,7 +255,13 @@ object HeaderCodec {
             i += 1 + n
           }
           if (i >= b.length) return None
-          return lzwDecode(data.toByteArray, minCode, width * height).flatMap { px =>
+          // header-claimed pixel count is attacker-controlled: 65535²
+          // overflows Int, and LZW can expand a code to at most a
+          // 4096-byte entry per ~9 input bits — cap before allocating
+          val expectedL = width.toLong * height
+          if (expectedL > Int.MaxValue - 8 ||
+              expectedL > data.size().toLong * 4096L + 4096L) return None
+          return lzwDecode(data.toByteArray, minCode, expectedL.toInt).flatMap { px =>
             var sumR = 0L; var sumG = 0L; var sumB = 0L
             var minV = 255; var maxV = 0
             var j = 0

@@ -46,4 +46,32 @@ object CorpusStats {
             .cast("double") / count(lit(1)), 9)
           .as("rare_ratio"))
   }
+
+  /** Within-document repetition filters (the Gopher/MassiveText rules —
+    * Rae et al. 2021 §A1.1): documents dominated by repeated n-grams are
+    * boilerplate/spam and get dropped before training. Per doc, for word
+    * `n`-grams:
+    *  - `top_ngram_frac`  — instances of the single most frequent n-gram
+    *    / all n-gram instances (Gopher cuts at 0.2 for 2-grams);
+    *  - `dup_ngram_frac`  — instances beyond each distinct n-gram's first
+    *    / all instances (Gopher cuts at ~0.1–0.15 for larger n).
+    * Docs with fewer than `n` words have no n-grams and are dropped
+    * (nothing to measure — the q19 length floor handles them).
+    *
+    * Shape: explode per-doc n-grams, ONE aggregation keyed (doc_id,
+    * gram) with map-side partials, regroup by doc — shuffle volume is
+    * distinct (doc, gram) pairs, which repetition itself compresses. */
+  def ngramRepetition(docs: DataFrame, text: Column, id: Column,
+                      n: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val grams = docs.select(id.as("doc_id"),
+      explode(shingles(tokens(text), n)).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        round(max(col("cnt")).cast("double") / sum(col("cnt")), 9)
+          .as("top_ngram_frac"),
+        round(sum(col("cnt") - 1).cast("double") / sum(col("cnt")), 9)
+          .as("dup_ngram_frac"))
+  }
 }

@@ -316,7 +316,48 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Gopher-style within-doc repetition filters
+    * ([[graft.operators.CorpusStats.ngramRepetition]], 2-grams): the
+    * corpus is salted with known-repetitive synthetic docs so both the
+    * flagged and clean regimes are exercised; DuckDB recomputes the
+    * per-doc gram histogram from scratch. */
+  val q70NgramRepetition = QueryDef(
+    "q70_ngram_repetition",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // salt: every 25th doc doubled back-to-back (dup_ngram_frac ≳ 0.5)
+      val salted = docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat_ws(" ", col("text"), col("text")).as("text")))
+      graft.operators.CorpusStats.ngramRepetition(salted, col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 700000, text || ' ' || text FROM documents
+        WHERE doc_id % 25 = 0),
+      toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      grams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(words)),
+          i -> concat_ws(' ', words[i], words[i+1]))) AS gram
+        FROM toks WHERE len(words) >= 2),
+      hist AS (
+        SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram)
+      SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+             round(max(cnt)::DOUBLE / sum(cnt), 9) AS top_ngram_frac,
+             round(sum(cnt - 1)::DOUBLE / sum(cnt), 9) AS dup_ngram_frac
+      FROM hist
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
-    q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality)
+    q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
+    q70NgramRepetition)
 }

@@ -314,6 +314,34 @@ class HeaderCodecSpec extends SparkSpec {
       "decodeGif read an imageio-encoded stream differently")
   }
 
+  test("decoders never throw on adversarial bytes (deterministic fuzz)") {
+    val rnd = new scala.util.Random(0xC0DEC)
+    (1 to 500).foreach { i =>
+      val len = rnd.nextInt(4096)
+      val junk = new Array[Byte](len)
+      rnd.nextBytes(junk)
+      // pure junk, junk behind each real magic, and bit-flipped real files:
+      // every decoder must return an Option, never throw or loop
+      val withMagics = Seq(
+        junk,
+        "GIF89a".getBytes("US-ASCII") ++ junk,
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++ junk,
+        "RIFF".getBytes("US-ASCII") ++ junk,
+        Array('B'.toByte, 'M'.toByte) ++ junk)
+      withMagics.foreach { b =>
+        HeaderCodec.sniff(b); HeaderCodec.decodeBmp(b)
+        HeaderCodec.decodePng(b); HeaderCodec.decodeGif(b); HeaderCodec.decodeWav(b)
+      }
+      if (i <= 100) {
+        val real = if (i % 2 == 0) MediaSynth.gif(i.toLong) else MediaSynth.png(i.toLong)
+        val flipped = real.clone()
+        val pos = rnd.nextInt(flipped.length)
+        flipped(pos) = (flipped(pos) ^ (1 << rnd.nextInt(8))).toByte
+        HeaderCodec.decodePng(flipped); HeaderCodec.decodeGif(flipped)
+      }
+    }
+  }
+
   test("extractContentStats: real decode for bmp/png/wav, stub confined to the rest") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/bmp", MediaSynth.bmp(4L), 0, 0, 0L),

@@ -28,4 +28,20 @@ class CorpusStatsSpec extends SparkSpec {
     // the ordering a quality gate relies on: common ≫ mixed ≫ gibberish
     assert(out(0)._3 > out(2)._3 && out(2)._3 > out(1)._3)
   }
+
+  test("ngramRepetition: repeated docs flag, varied docs pass, short docs drop") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),   // 7 bigrams, 'buy now' ×4, 'now buy' ×3
+      (2L, "one two three four five six seven"), // all bigrams distinct
+      (3L, "single")                             // < 2 words → no row
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.ngramRepetition(docs, $"text", $"doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 7L)
+    assert(math.abs(out(0)._3 - 4.0 / 7.0) < 1e-9) // top gram 'buy now'
+    assert(math.abs(out(0)._4 - 5.0 / 7.0) < 1e-9) // 7 instances - 2 distinct
+    assert(out(1)._3 < 0.2 && out(1)._4 == 0.0)    // Gopher keep-regime
+  }
 }
