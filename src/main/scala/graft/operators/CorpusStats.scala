@@ -74,4 +74,39 @@ object CorpusStats {
         round(sum(col("cnt") - 1).cast("double") / sum(col("cnt")), 9)
           .as("dup_ngram_frac"))
   }
+
+  /** C4-style cross-corpus boilerplate removal: the document splits into
+    * fixed `spanWords`-word spans, spans repeated more than `maxOccur`
+    * times ACROSS THE CORPUS (nav bars, cookie banners, license
+    * headers) are dropped, and the survivors reassemble in order.
+    * (C4 used three-sentence spans; fixed word windows are the
+    * tokenizer-free equivalent.)
+    *
+    * Returns (doc_id, clean_text, n_spans, n_dropped). Shape: ONE
+    * aggregation over exploded spans builds the corpus span frequency
+    * (map-side partials — boilerplate is by definition heavily
+    * repeated, so the exchange compresses), one join back on the span,
+    * and a per-doc ordered reassembly via sorted collect_list (grouped
+    * by doc — never a global window). */
+  def dropRepeatedSpans(docs: DataFrame, text: Column, id: Column,
+                        spanWords: Int = 8, maxOccur: Long = 2): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val words = tokens(text)
+    val spanArr = when(size(words) > 0, transform(
+      sequence(lit(0), ceil(size(words).cast("double") / spanWords).cast("int") - 1),
+      i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords)))))
+      .otherwise(array().cast("array<string>")) // wordless docs drop (no spans)
+    val spans = docs
+      .select(id.as("doc_id"), posexplode(spanArr).as(Seq("pos", "span")))
+    val freq = spans.groupBy("span").agg(count(lit(1)).as("n_occ"))
+    spans.join(freq, "span")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("n_occ") <= maxOccur,
+            struct(col("pos"), col("span"))))),
+          s => s.getField("span"))).as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > maxOccur, 1L).otherwise(0L)).as("n_dropped"))
+  }
 }

@@ -278,8 +278,57 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** C4-style boilerplate-span removal
+    * ([[graft.operators.CorpusStats.dropRepeatedSpans]], 8-word spans,
+    * corpus-wide occurrence cap 2): every 10th doc is salted with the
+    * same 8-word "banner" prefix, which therefore repeats far past the
+    * cap and must be stripped from every salted doc while each doc's own
+    * spans survive and reassemble in order. DuckDB recomputes the whole
+    * span histogram + ordered reassembly. */
+  val q71SpanDedup = QueryDef(
+    "q71_span_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("subscribe to our newsletter for daily updates now "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.CorpusStats.dropRepeatedSpans(
+          docs, col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN 'subscribe to our newsletter for daily updates now ' || text
+                    ELSE text END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      spans AS (
+        SELECT doc_id,
+               generate_subscripts(sl, 1) - 1 AS pos,
+               unnest(sl) AS span
+        FROM (
+          SELECT doc_id,
+                 list_transform(range(0, ((len(words) + 7) // 8)::INT),
+                   i -> array_to_string(words[(i*8+1)::INT : (i*8+8)::INT], ' ')) AS sl
+          FROM toks)),
+      freq AS (SELECT span, count(*) AS n_occ FROM spans GROUP BY span)
+      SELECT s.doc_id,
+             COALESCE(string_agg(s.span, ' ' ORDER BY s.pos)
+               FILTER (WHERE f.n_occ <= 2), '') AS clean_text,
+             count(*) AS n_spans,
+             sum(CASE WHEN f.n_occ > 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+      FROM spans s JOIN freq f USING (span)
+      GROUP BY s.doc_id
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
-    q68SequencePack)
+    q68SequencePack, q71SpanDedup)
 }

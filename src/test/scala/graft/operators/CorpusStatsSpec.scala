@@ -44,4 +44,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(out(0)._4 - 5.0 / 7.0) < 1e-9) // 7 instances - 2 distinct
     assert(out(1)._3 < 0.2 && out(1)._4 == 0.0)    // Gopher keep-regime
   }
+
+  test("dropRepeatedSpans strips corpus-wide boilerplate, keeps own spans in order") {
+    val banner = "one two three four" // 4-word span (spanWords = 4)
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta"),
+      (2L, s"$banner epsilon zeta eta theta"),
+      (3L, s"$banner iota kappa lambda mu"),
+      (4L, "nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.dropRepeatedSpans(docs, $"text", $"doc_id",
+        spanWords = 4, maxOccur = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // the banner span occurs 3 > 2 times → stripped everywhere
+    assert(out(0) == ((1L, "alpha beta gamma delta", 2L, 1L)))
+    assert(out(1) == ((2L, "epsilon zeta eta theta", 2L, 1L)))
+    assert(out(2) == ((3L, "iota kappa lambda mu", 2L, 1L)))
+    // unique doc: both spans survive, original order preserved
+    assert(out(3) == ((4L, "nu xi omicron pi rho sigma tau upsilon", 2L, 0L)))
+  }
 }
