@@ -184,6 +184,65 @@ object Similarity {
     } finally ucorpus.unpersist()
   }
 
+  /** Deterministic hyperplane set for random-projection (cosine) LSH:
+    * `bits` planes of `dim` components, each component the 60-bit md5
+    * hash of "(seed)(plane)|(component)" mapped into [-1, 1) — the
+    * md5-derived scheme every sampler/sketch here shares, so a DuckDB
+    * oracle regenerates the identical doubles (long→double rounding and
+    * the power-of-two division are exact in any IEEE engine). */
+  def lshPlanes(bits: Int, dim: Int, seed: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map(j => (0 until dim).map { i =>
+      val hex = md.digest(s"$seed$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0
+    })
+  }
+
+  /** Hyperplane-LSH ANN — the third rung of the ladder next to
+    * [[bruteForceTopK]] (exact) and [[ivfTopK]] (centroid-bucketed):
+    * no training at all. Each vector's `bits`-bit signature is the sign
+    * pattern of `bits` codegen dot products against the deterministic
+    * [[lshPlanes]] (sign of cos to a random hyperplane — the classic
+    * SRP-LSH), the signature splits into `bands`, and probe meets corpus
+    * only on an exactly-matching band — the join shuffles on (band,
+    * chunk), never the pair space. Survivors re-rank by EXACT cosine, so
+    * emitted scores are true; recall is the LSH trade, ≈ 1-(1-sel)^bands
+    * where sel is the per-band collision rate. The default (16 bits in 8
+    * 2-bit bands) measured recall 1.0 @k=3 on the embeddings corpus
+    * (4-bit bands of 16: 0.47 — band width is the recall/candidate
+    * dial); growing the corpus, widen the chunks AND raise the band
+    * count together to hold recall while keeping buckets selective.
+    *
+    * `corpus`: (id, e); `probes`: (probe_id, p). Returns (probe_id,
+    * rank, id, cos) like the other ANN ops. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              dim: Int, bits: Int = 16, bands: Int = 8,
+              seed: String = "srp"): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+    val w = bits / bands
+    val planes = lshPlanes(bits, dim, seed)
+    def signature(v: Column): Column =
+      concat(planes.map(p =>
+        when(dot(v, typedLit(p)) >= 0, "1").otherwise("0")): _*)
+    def banded(df: DataFrame, idc: String, vc: String): DataFrame =
+      df.withColumn("__sig", signature(col(vc)))
+        .select(col(idc), col(vc),
+          posexplode(array((0 until bands).map(b =>
+            substring(col("__sig"), b * w + 1, w)): _*)).as(Seq("__band", "__chunk")))
+    val c = banded(unitized(corpus, "e", "ue"), "id", "ue")
+    val p = banded(unitized(probes, "p", "up"), "probe_id", "up")
+      .withColumnRenamed("__band", "__band_p").withColumnRenamed("__chunk", "__chunk_p")
+    val wnd = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
+    p.join(c, col("__band_p") === col("__band") && col("__chunk_p") === col("__chunk"))
+      .filter(col("id") =!= col("probe_id"))
+      .select("probe_id", "up", "id", "ue").distinct() // a pair may share several bands
+      .withColumn("cos", dot(col("up"), col("ue")))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
   /** IVF range search — the bucketed form of all-pairs near-dup: emit
     * (probe_id, id, cos) for every corpus vector that shares one of the
     * probe's `nprobe` nearest clusters and has cos ≥ `minCos`.

@@ -237,6 +237,54 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** Hyperplane-LSH ANN ([[Similarity.lshTopK]]): 16 md5-derived random
+    * hyperplanes → sign signatures → 2-bit band collisions (8 bands;
+    * measured recall 1.0 @k=3 vs brute force) → exact cosine re-rank.
+    * The training-free rung of the ANN ladder; DuckDB
+    * regenerates the identical planes from the same md5 formula (the
+    * long→double and power-of-two division are exact in both engines),
+    * so every signature bit, candidate pair, and re-ranked score
+    * matches. */
+  val q72AnnLsh = QueryDef(
+    "q72_ann_lsh",
+    (s, d) => {
+      val (corpus, _, probes) = ivfInputs(s, d)
+      Similarity.lshTopK(corpus, probes, k = 3, dim = 64)
+        .select(col("probe_id"), col("rank"), col("id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      u AS (
+        SELECT vec_id, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      sig AS (
+        SELECT vec_id, ue,
+          list_aggregate(list_transform(range(0, 16), j ->
+            CASE WHEN list_dot_product(ue, list_transform(range(0, 64), i ->
+              ('0x' || substr(md5('srp' || j::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT
+                / 576460752303423488.0 - 1.0)) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '') AS sg
+        FROM u),
+      cb AS (
+        SELECT vec_id AS id, ue, b.band, substr(sg, (b.band*2+1)::INT, 2) AS chunk
+        FROM sig, (SELECT unnest(range(8)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT p.id AS probe_id, p.ue AS up, c.id, c.ue
+        FROM cb p JOIN cb c ON p.band = c.band AND p.chunk = c.chunk
+                           AND c.id <> p.id
+        WHERE p.id < 20),
+      scored AS (
+        SELECT probe_id, id, list_dot_product(up, ue) AS cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_dot_product(up, ue) DESC, id) AS rank
+        FROM pairs)
+      SELECT probe_id, rank, id, round(cos, 9) AS cos
+      FROM scored WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
-    q28cAnnIvfTrained, q65KmeansTrain)
+    q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh)
 }

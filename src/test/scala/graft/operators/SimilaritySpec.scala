@@ -56,6 +56,33 @@ class SimilaritySpec extends SparkSpec {
     assert(trained.select("c_id").as[Int].collect().toSeq == Seq(0))
   }
 
+  test("hyperplane LSH recalls most brute-force neighbors; scores are exact") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = e.select(col("vec_id").as("id"), col("e"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val truth = Similarity.bruteForceTopK(corpus, probes, 3)
+      .select("probe_id", "id").as[(Long, Long)].collect().toSet
+    for ((bits, bands) <- Seq((16, 4), (16, 8), (32, 8), (48, 12))) {
+      val r = Similarity.lshTopK(corpus, probes, k = 3, dim = 64, bits, bands)
+        .select("probe_id", "id").as[(Long, Long)].collect().toSet
+        .intersect(truth).size.toDouble / truth.size
+      info(f"recall@3 bits=$bits bands=$bands: $r%.3f")
+    }
+    val lsh = Similarity.lshTopK(corpus, probes, k = 3, dim = 64)
+      .select("probe_id", "id", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val recall = lsh.map(_._1).toSet.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, f"default-config LSH recall $recall%.3f below 0.9")
+    // re-ranked scores are EXACT cosines, not approximations
+    val exactCos = Similarity.bruteForceTopK(corpus, probes, 500)
+      .select("probe_id", "id", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.foreach { case (pair, c) =>
+      exactCos.get(pair).foreach(ec => assert(ec == c, s"score drift for $pair")) }
+  }
+
   test("trained centroids reach recall ≥ the seed medoids at equal nprobe") {
     // the q28/q28c configuration on the sf0.01 embeddings table
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
