@@ -71,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hash_bucket",
         "hash_bucket(key, seed) - deterministic sampling bucket in [0, 1e6)"),
       (args: Seq[Expression]) => GraftExtensions.hashBucketExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_rep_stats"),
+      info("ngram_rep_stats",
+        "ngram_rep_stats(text, n) - [n_grams, top_cnt, dup_cnt] repetition stats"),
+      (args: Seq[Expression]) => NgramRepExpr(args.head, intArg(args(1), "n"))))
   }
 }
 
@@ -117,5 +122,7 @@ object GraftExtensions {
       WinnowingExpr(a.head, intArg(a(1), "k"), intArg(a(2), "w")))
     add("hash_bucket", "deterministic sampling bucket")(a =>
       hashBucketExpr(a(0), a(1)))
+    add("ngram_rep_stats", "n-gram repetition stats")(a =>
+      NgramRepExpr(a.head, intArg(a(1), "n")))
   }
 }

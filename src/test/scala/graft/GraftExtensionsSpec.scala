@@ -9,13 +9,16 @@ class GraftExtensionsSpec extends SparkSpec {
         |       normalize_vector(array(3D, 4D)) AS u,
         |       minhash_bands('a b c d e', 3, 4) AS mb,
         |       distinct_shingles('a b c d', 3) AS ds,
-        |       simhash_bits('hello world', 16) AS sh
+        |       simhash_bits('hello world', 16) AS sh,
+        |       ngram_rep_stats('x y x y x y', 2) AS nr
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("d") == 32.0)
     assert(r.getAs[scala.collection.Seq[Double]]("u") == Seq(0.6, 0.8))
     assert(r.getAs[scala.collection.Seq[Long]]("mb").length == 4)
     assert(r.getAs[scala.collection.Seq[String]]("ds") == Seq("a b c", "b c d"))
     assert(r.getAs[String]("sh").length == 16)
+    // 5 bigrams: 'x y' ×3, 'y x' ×2 → top 3, dup 5-2=3
+    assert(r.getAs[scala.collection.Seq[Long]]("nr") == Seq(5L, 3L, 3L))
   }
 
   test("hash_bucket SQL function matches the Sampling column form") {
