@@ -110,4 +110,21 @@ object Sampling {
       .withColumn("n_bins", col("last_bin") - col("first_bin") + 1)
       .drop("__tok")
   }
+
+  /** The writable form of [[packSequences]]'s layout: one row per
+    * (shard, bin) listing the member docs in concat order — what a
+    * training-file writer materializes (each bin = one fixed-budget
+    * training sequence; a doc spanning bins appears in each bin it
+    * overlaps). One explode of the per-doc bin span + one (shard, bin)
+    * aggregation; bins hold O(budget / mean doc length) docs, so rows
+    * stay small by construction. */
+  def packManifest(packed: DataFrame): DataFrame =
+    packed
+      .select(col("shard"), col("doc_id"), col("tok_offset"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("tok_offset"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string"))).as("doc_ids"))
 }

@@ -327,8 +327,46 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** The pack manifest ([[Sampling.packManifest]]): the (shard, bin) →
+    * ordered member docs layout a training-file writer materializes from
+    * q68's packing. DuckDB re-derives the identical bins and the exact
+    * member order per bin. */
+  val q73PackManifest = QueryDef(
+    "q73_pack_manifest",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      Sampling.packManifest(
+          Sampling.packSequences(docs, col("doc_id"), col("n_tokens"),
+            col("doc_id"), budget = 512L, numShards = 8, seed = "pack-v1"))
+        .orderBy("shard", "bin")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> len(w) > 0))::INT AS n_tokens,
+               ${bucketSql("pack-v1", "doc_id")} % 8 AS shard
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens, shard,
+               COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "tok_offset"
+        FROM t),
+      spans AS (
+        SELECT doc_id, shard, "tok_offset",
+               unnest(range("tok_offset" // 512,
+                 ("tok_offset" + greatest(n_tokens, 1) - 1) // 512 + 1)) AS bin
+        FROM o)
+      SELECT shard, bin, count(*) AS n_docs,
+             string_agg(doc_id::VARCHAR, ',' ORDER BY "tok_offset", doc_id) AS doc_ids
+      FROM spans
+      GROUP BY shard, bin
+      ORDER BY shard, bin
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
-    q68SequencePack, q71SpanDedup)
+    q68SequencePack, q71SpanDedup, q73PackManifest)
 }

@@ -93,6 +93,23 @@ class SamplingSpec extends SparkSpec {
     assert(firsts.forall(_ == 0L))
   }
 
+  test("packManifest: spanning docs appear in every bin they overlap, in order") {
+    import spark.implicits._
+    val in = Seq((1L, 100), (2L, 600), (3L, 0), (4L, 512), (5L, 50))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packManifest(
+        Sampling.packSequences(in, col("doc_id"), col("n_tokens"),
+          col("doc_id"), budget = 512L, numShards = 1, seed = "t"))
+      .orderBy("bin")
+      .select("bin", "n_docs", "doc_ids")
+      .as[(Long, Long, String)].collect()
+    // offsets: 1@0, 2@100 (spans 0-1), 3@700, 4@700 (spans 1-2), 5@1212
+    assert(out.toSeq == Seq(
+      (0L, 2L, "1,2"),
+      (1L, 3L, "2,3,4"),
+      (2L, 2L, "4,5")))
+  }
+
   test("weightedMix tags provenance and respects per-source rates") {
     val web = docs.filter(col("source") === "src0")
     val rest = docs.filter(col("source") =!= "src0")

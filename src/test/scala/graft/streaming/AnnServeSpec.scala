@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** Real-time retrieval serving over the materialized IVF index: probe
+  * vectors arrive as a STREAM and join the static bucket-pruned index —
+  * the per-micro-batch body is the existing batch operator verbatim
+  * (`foreachBatch`, the idiomatic Spark shape for per-batch top-k over a
+  * stream-static join), so the streaming path inherits the operator's
+  * plan guarantees and must reproduce the batch answers exactly. */
+class AnnServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed probes against the static IVF index == batch answers") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val centroids = emb
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = emb.select(col("vec_id").as("id"), col("e"))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ann_serve_index", numBuckets = 8)
+      val want = Similarity.ivfTopKIndexed("ann_serve_index", centroids, probes,
+          k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      val dir = Files.createTempDirectory("ann-serve").toString
+      probes.coalesce(1).write.mode("overwrite").parquet(dir)
+      val q = spark.readStream
+        .schema("probe_id BIGINT, p ARRAY<DOUBLE>").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.ivfTopKIndexed("ann_serve_index", centroids, batch,
+              k = 3, nprobe = 2)
+            .write.mode("append").parquet(s"$dir/out")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("id"))).toSet
+      assert(got === want, "streamed serving diverged from the batch probe path")
+      assert(got.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_serve_index")
+    }
+  }
+}
