@@ -77,6 +77,27 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
 
+  /** GPT-2's actual pre-tokenizer pattern, RE2-safe: the original's
+    * contraction/letter-run/digit-run/punct-run alternation WITHOUT the
+    * lookahead branch (RE2 — DuckDB's engine — has no lookahead) and
+    * with ASCII classes instead of \p{L}/\p{N} (Unicode tables differ
+    * between regex engines across versions; ASCII is version-stable, so
+    * both engines tokenize identically). Leftmost-first alternation is
+    * shared by Java regex and RE2. */
+  val Gpt2PrePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+
+  /** GPT-2-family pre-tokenization — the faithful upgrade of the simple
+    * [[bpeTokenCount]] counter above: emits the actual token STRINGS a
+    * BPE tokenizer would subword-merge, with leading spaces attached to
+    * the following run (GPT-2 semantics), contractions split, and digit
+    * runs separated from letter runs ("42nd" → 2, "test-case" → 3).
+    * Whitespace-only matches drop. The honest pre-merge token budget
+    * when the real BPE vocab isn't in the pipeline. */
+  def gpt2PreTokens(text: Column): Column =
+    filter(regexp_extract_all(text, lit(Gpt2PrePattern), lit(0)),
+      t => length(trim(t)) > 0)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.
     * Deterministic across engines; the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -356,8 +356,41 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** BPE-ish pre-tokenizer counting next to the whitespace count — the
+    * brief's "token counting (whitespace + a BPE-ish regex)" pair. The
+    * RE2-safe GPT-2 pattern tokenizes identically in Java regex and
+    * DuckDB's RE2 (leftmost-first alternation, ASCII classes — see
+    * [[graft.functions.TextFunctions.Gpt2PrePattern]]); a pure column
+    * pipeline, no shuffle. */
+  val q74BpeTokenCount = QueryDef(
+    "q74_bpe_token_count",
+    (s, d) => {
+      val bpe = graft.functions.TextFunctions.gpt2PreTokens(col("text"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(bpe).cast("long").as("n_bpe_tokens"),
+          element_at(bpe, 1).as("first_tok"),
+          element_at(bpe, -1).as("last_tok"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +'),
+                 t -> trim(t) <> '') AS toks,
+               len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS n_ws
+        FROM documents)
+      SELECT doc_id, n_ws::BIGINT AS n_ws_tokens, len(toks)::BIGINT AS n_bpe_tokens,
+             toks[1] AS first_tok, toks[-1] AS last_tok
+      FROM b
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
-    q70NgramRepetition)
+    q70NgramRepetition, q74BpeTokenCount)
 }

@@ -67,4 +67,14 @@ class TextFunctionsSpec extends SparkSpec {
     val c = markerHits(tokens($"t"), Seq("the", "and"))
     assert(one[Int](c, "the cat and the dog") == 3)
   }
+
+  test("gpt2PreTokens: contractions, digit/letter boundaries, punct runs, attached spaces") {
+    val toks = one[scala.collection.Seq[String]](gpt2PreTokens($"t"),
+      "Hello, world's  42nd test-case!")
+    assert(toks == Seq("Hello", ",", " world", "'s", "42", "nd", " test", "-", "case", "!"))
+    assert(one[scala.collection.Seq[String]](gpt2PreTokens($"t"), "   ") == Seq())
+    // the count a token-budget gate would use: 'we'll' is 2, '3.14' is 3
+    assert(one[scala.collection.Seq[String]](gpt2PreTokens($"t"), "we'll run 3.14")
+      == Seq("we", "'ll", " run", " 3", ".", "14"))
+  }
 }
