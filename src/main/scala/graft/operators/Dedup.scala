@@ -285,6 +285,11 @@ object Dedup {
     * never misses a true hit). */
   def flagContaminated(docs: DataFrame, text: Column, bloom: Array[Byte],
                        shingleN: Int = 13): DataFrame = {
+    // an EMPTY benchmark aggregates to a null bloom; without the guard
+    // might_contain(null) would flag every doc null — and the natural
+    // "keep clean" filter (!contaminated) would then drop the whole
+    // corpus instead of keeping it
+    if (bloom == null) return docs.withColumn("contaminated", lit(false))
     val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     docs.withColumn("contaminated",
       exists(transform(

@@ -121,6 +121,13 @@ class CorpusStreamsSpec extends SparkSpec {
     val batchFlagged = Dedup.flagContaminated(docs, col("text"), bloom)
       .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
     assert(flagged === batchFlagged, "stream and batch flag sets differ")
+
+    // an empty benchmark must flag NOTHING (false, not null — a null flag
+    // would make the keep-clean !contaminated filter drop the corpus)
+    val emptyBloom = Dedup.benchGramBloom(bench.limit(0), col("btext"))
+    val clean = Dedup.flagContaminated(docs, col("text"), emptyBloom)
+    assert(clean.filter(col("contaminated")).count() == 0)
+    assert(clean.filter(!col("contaminated")).count() == docs.count())
   }
 
   test("streaming count-min build == batch sketch, cell for cell") {
