@@ -130,7 +130,10 @@ object HeaderCodec {
       if (i + 8 > b.length) return None
       val len = be32(b, i)
       val typ = ascii(b, i + 4, 4)
-      if (len < 0 || i + 12 + len > b.length) return None
+      // bounds math in LONG: a forged length near 2^31 would wrap
+      // 'i + 12 + len' negative, slip past an Int comparison, and crash
+      // idat.write instead of returning None
+      if (len < 0 || i.toLong + 12L + len > b.length) return None
       if (typ == "IDAT") idat.write(b, i + 8, len)
       else if (typ == "IEND") done = true
       i += 12 + len

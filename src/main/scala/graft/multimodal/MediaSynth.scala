@@ -158,7 +158,10 @@ object MediaSynth {
   def palB(id: Long, i: Int): Int = ((id * 11 + 9 * i) % 256).toInt
 
   def gifWidth(id: Long): Int = (14 + id % 10).toInt
-  def gifHeight(id: Long): Int = (12 + id % 8).toInt // ≥ 260 px ⇒ code width grows past 9 bits
+  // most size classes exceed ~255 pixels, where dictionary growth pushes
+  // the LZW code width past 9 bits (the smallest, e.g. 14×12, stay at 9 —
+  // so the corpus covers both regimes)
+  def gifHeight(id: Long): Int = (12 + id % 8).toInt
 
   /** Standard-conforming GIF89a: 256-entry global color table from the
     * pal* formulas, one non-interlaced image whose indices follow

@@ -86,9 +86,8 @@ object Dedup {
     * SIZES count distinct shingles (pre-hash), as before. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column,
                    pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val sh = df.select(id.as("sid"),
-      transform(column(DistinctShinglesExpr(expression(text), shingleN)), hash60).as("arr"))
+      shingleHash(column(DistinctShinglesExpr(expression(text), shingleN))).as("arr"))
     pairs
       .join(sh.select(col("sid").as("id_a"), col("arr").as("arr_a")), "id_a")
       .join(sh.select(col("sid").as("id_b"), col("arr").as("arr_b")), "id_b")
@@ -194,15 +193,12 @@ object Dedup {
   def decontaminate(corpus: DataFrame, corpusText: Column, corpusId: Column,
                     bench: DataFrame, benchText: Column, benchId: Column,
                     shingleN: Int = 13): DataFrame = {
-    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val cg = corpus.select(corpusId.as("doc_id"),
-      explode(transform(
-        column(DistinctShinglesExpr(expression(corpusText), shingleN)),
-        hash60)).as("gram_h"))
+      explode(shingleHash(
+        column(DistinctShinglesExpr(expression(corpusText), shingleN)))).as("gram_h"))
     val bg = bench.select(benchId.as("bench_id"),
-      explode(transform(
-        column(DistinctShinglesExpr(expression(benchText), shingleN)),
-        hash60)).as("bgram_h"))
+      explode(shingleHash(
+        column(DistinctShinglesExpr(expression(benchText), shingleN)))).as("bgram_h"))
     cg.join(bg, col("gram_h") === col("bgram_h"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram_h")).as("n_shared_grams"),
@@ -228,16 +224,13 @@ object Dedup {
                          bench: DataFrame, benchText: Column, benchId: Column,
                          shingleN: Int = 13, expectedGrams: Long = 1000000L,
                          fpp: Double = 0.01): DataFrame = {
-    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val bg = bench.select(benchId.as("bench_id"),
-      explode(transform(
-        column(DistinctShinglesExpr(expression(benchText), shingleN)),
-        hash60)).as("bgram_h"))
+      explode(shingleHash(
+        column(DistinctShinglesExpr(expression(benchText), shingleN)))).as("bgram_h"))
     val bloom = benchGramBloom(bench, benchText, shingleN, expectedGrams, fpp)
     val cg = corpus.select(corpusId.as("doc_id"),
-      explode(transform(
-        column(DistinctShinglesExpr(expression(corpusText), shingleN)),
-        hash60)).as("gram_h"))
+      explode(shingleHash(
+        column(DistinctShinglesExpr(expression(corpusText), shingleN)))).as("gram_h"))
       .filter(bloomMightContain(bloom)(col("gram_h")))
     cg.join(bg, col("gram_h") === col("bgram_h"))
       .groupBy("doc_id")
@@ -253,13 +246,11 @@ object Dedup {
                      fpp: Double = 0.01): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     // bits per the standard formula -n·ln(p)/ln(2)^2, as in BloomFilter.optimalNumOfBits
     val numBits = math.ceil(
       -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    bench.select(explode(transform(
-        column(DistinctShinglesExpr(expression(benchText), shingleN)),
-        hash60)).as("bgram_h"))
+    bench.select(explode(shingleHash(
+        column(DistinctShinglesExpr(expression(benchText), shingleN)))).as("bgram_h"))
       .select(column(new BloomFilterAggregate(
         XxHash64(Seq(expression(col("bgram_h"))), 42L),
         Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
@@ -290,11 +281,13 @@ object Dedup {
     // "keep clean" filter (!contaminated) would then drop the whole
     // corpus instead of keeping it
     if (bloom == null) return docs.withColumn("contaminated", lit(false))
-    val hash60 = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // coalesce: a NULL text null-propagates through the kernel and exists(),
+    // and a null flag would be dropped by the keep-clean !contaminated
+    // filter — batch decontaminate treats the same doc as clean (no grams)
     docs.withColumn("contaminated",
-      exists(transform(
-        column(DistinctShinglesExpr(expression(text), shingleN)), hash60),
-        bloomMightContain(bloom)))
+      coalesce(exists(
+        shingleHash(column(DistinctShinglesExpr(expression(text), shingleN))),
+        bloomMightContain(bloom)), lit(false)))
   }
 
   /** Portable simhash fingerprints (see TextFunctions.simhashBits). */

@@ -115,16 +115,18 @@ object Sampling {
     * (shard, bin) listing the member docs in concat order — what a
     * training-file writer materializes (each bin = one fixed-budget
     * training sequence; a doc spanning bins appears in each bin it
-    * overlaps). One explode of the per-doc bin span + one (shard, bin)
+    * overlaps). `idCol` names the id column the packing was keyed on
+    * (whatever was passed to packSequences — not assumed to be doc_id).
+    * One explode of the per-doc bin span + one (shard, bin)
     * aggregation; bins hold O(budget / mean doc length) docs, so rows
     * stay small by construction. */
-  def packManifest(packed: DataFrame): DataFrame =
+  def packManifest(packed: DataFrame, idCol: String = "doc_id"): DataFrame =
     packed
-      .select(col("shard"), col("doc_id"), col("tok_offset"),
+      .select(col("shard"), col(idCol).as("__id"), col("tok_offset"),
         explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
       .groupBy("shard", "bin")
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", transform(
-          array_sort(collect_list(struct(col("tok_offset"), col("doc_id")))),
-          s => s.getField("doc_id").cast("string"))).as("doc_ids"))
+          array_sort(collect_list(struct(col("tok_offset"), col("__id")))),
+          s => s.getField("__id").cast("string"))).as("doc_ids"))
 }

@@ -117,13 +117,18 @@ object TemporalJoins {
     val pick = if (fwd) first(col("__r"), ignoreNulls = true)
                else last(col("__r"), ignoreNulls = true)
 
-    val matched = tolerance match {
+    // a left row with a NULL time never matches (ASOF contract both
+    // directions; backward gets this for free — nulls sort first with an
+    // empty preceding frame — but the forward frame would otherwise hand
+    // it the globally earliest right)
+    val keep = tolerance match {
       case Some(tol) if fwd =>
-        when(col("__m").getField(rightTime) <= col("__t") + tol, col("__m"))
+        col("__t").isNotNull && col("__m").getField(rightTime) <= col("__t") + tol
       case Some(tol) =>
-        when(col("__t") <= col("__m").getField(rightTime) + tol, col("__m"))
-      case None => col("__m")
+        col("__t").isNotNull && col("__t") <= col("__m").getField(rightTime) + tol
+      case None => col("__t").isNotNull
     }
+    val matched = when(keep, col("__m"))
     rightPart.unionByName(leftPart)
       .withColumn("__m", pick.over(w))
       .withColumn("__m", matched)

@@ -157,7 +157,7 @@ object MultimodalQueries {
 
   /** GIF payload decode end to end, pure-JVM LZW: byte-valid GIF89a
     * files (256-entry global palette, real variable-width LZW whose code
-    * width grows past 9 bits on every file) are generated in-plan from
+    * width grows past 9 bits on most size classes) are generated in-plan from
     * closed-form palette/index formulas, decompressed + palette-mapped by
     * [[graft.multimodal.HeaderCodec.decodeGif]] through the same
     * partition-batched extraction stage, and the oracle recomputes every

@@ -48,11 +48,19 @@ object TemporalStreams {
     *
     * `points` must carry event-time column `pointTime`; `intervals`
     * carries `loTime` (event time) and `hiTime`; column sets must be
-    * disjoint (same contract as the batch operator). `maxWidth` (seconds)
-    * is the guaranteed maximum interval width — intervals wider than it
-    * are trimmed to it, and the state bound depends on it. `bucketWidth`
-    * (seconds) trades explode factor against bucket-collision volume,
-    * ≈ typical interval width as in the batch twin. */
+    * disjoint (same contract as the batch operator). Match semantics are
+    * SECOND-GRANULAR epoch `[lo, hi)` — identical to the batch twin
+    * called with `cast("long")` time expressions; mixing full-precision
+    * predicates with second-truncated buckets would silently drop
+    * sub-second boundary pairs. The watermarked-timestamp range condition
+    * is kept purely as the STATE-EVICTION bound, widened one second each
+    * way so truncation can never exclude a pair the second-granular
+    * predicate admits. `maxWidth` (seconds) is the guaranteed maximum
+    * interval width — intervals wider than it are trimmed to
+    * `[lo, lo + maxWidth)`, and the state bound depends on it.
+    * `bucketWidth` (seconds) trades explode factor against
+    * bucket-collision volume, ≈ typical interval width as in the batch
+    * twin. */
   def rangeJoinStream(points: DataFrame, pointTime: String,
                       intervals: DataFrame, loTime: String, hiTime: String,
                       bucketWidth: Long, maxWidth: Long,
@@ -62,24 +70,28 @@ object TemporalStreams {
     val shared = points.columns.toSeq.intersect(intervals.columns.toSeq)
     require(shared.isEmpty,
       s"points and intervals share column names: ${shared.mkString(",")} — rename before joining")
-    val reserved = Seq("__pbucket", "__ibucket")
+    val reserved = Seq("__pt", "__pbucket", "__lo", "__hi", "__ibucket")
       .filter(r => points.columns.contains(r) || intervals.columns.contains(r))
     require(reserved.isEmpty, s"reserved column names in use: ${reserved.mkString(",")}")
     val p = points.withWatermark(pointTime, horizon)
-      .withColumn("__pbucket",
-        floor(col(pointTime).cast("long") / bucketWidth).cast("long"))
+      .withColumn("__pt", col(pointTime).cast("long"))
+      .withColumn("__pbucket", floor(col("__pt") / bucketWidth).cast("long"))
     val i = intervals.withWatermark(loTime, horizon)
-      .filter(col(hiTime) > col(loTime))
+      .withColumn("__lo", col(loTime).cast("long"))
+      .withColumn("__hi", least(col(hiTime).cast("long"), col("__lo") + maxWidth))
+      .filter(col("__hi") > col("__lo"))
       .withColumn("__ibucket", explode(sequence(
-        floor(col(loTime).cast("long") / bucketWidth).cast("long"),
-        floor((least(col(hiTime).cast("long"),
-          col(loTime).cast("long") + maxWidth) - 1) / bucketWidth).cast("long"))))
+        floor(col("__lo") / bucketWidth).cast("long"),
+        floor((col("__hi") - 1) / bucketWidth).cast("long"))))
     p.join(i,
         col("__pbucket") === col("__ibucket") &&
-          col(pointTime) >= col(loTime) &&
-          col(pointTime) <= col(loTime) + expr(s"INTERVAL $maxWidth SECONDS") &&
-          col(pointTime) < col(hiTime))
-      .drop("__pbucket", "__ibucket")
+          // eviction bound between the two WATERMARKED event-time columns,
+          // ±1 s so truncation never excludes an admitted pair
+          col(pointTime) >= col(loTime) - expr("INTERVAL 1 SECONDS") &&
+          col(pointTime) <= col(loTime) + expr(s"INTERVAL ${maxWidth + 1} SECONDS") &&
+          // the actual match predicate, same granularity as the buckets
+          col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
+      .drop("__pt", "__pbucket", "__lo", "__hi", "__ibucket")
   }
 
   final case class AsofRow(k: String, ts: java.sql.Timestamp, tag: Int,
@@ -123,9 +135,13 @@ object TemporalStreams {
             old.lastOption.toList ::: live
           }
           if (state.hasTimedOut) {
-            // quiet key: shrink to the single still-matchable right row
+            // quiet key: prune against the CURRENT watermark — rights still
+            // above it can win future lookups and must survive (keeping
+            // only rights.last would lose them when the timeout fires
+            // before the watermark passes the whole buffer); a fully
+            // below-watermark buffer shrinks to its single newest row
             state.getOption.map(_.rights).filter(_.nonEmpty) match {
-              case Some(rights) => state.update(AsofState(List(rights.last)))
+              case Some(rights) => state.update(AsofState(prune(rights)))
               case None => state.remove()
             }
             Iterator.empty

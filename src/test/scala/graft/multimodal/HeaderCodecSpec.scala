@@ -314,6 +314,27 @@ class HeaderCodecSpec extends SparkSpec {
       "decodeGif read an imageio-encoded stream differently")
   }
 
+  test("decodePng rejects a forged chunk length near 2^31 (Int-overflow guard)") {
+    // valid signature + IHDR, then a chunk claiming len=0x7FFFFFEB: with
+    // Int math 'i + 12 + len' wraps negative and slips past the bounds
+    // check, crashing idat.write instead of returning None
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    out.write(be32(13)); out.write("IHDR".getBytes("US-ASCII"))
+    out.write(be32(4)); out.write(be32(4)); out.write(Array[Byte](8, 2, 0, 0, 0))
+    out.write(be32(0)) // IHDR crc
+    out.write(be32(0x7fffffeb)); out.write("IDAT".getBytes("US-ASCII"))
+    out.write(Array.fill(16)(0x41.toByte))
+    assert(HeaderCodec.decodePng(out.toByteArray).isEmpty)
+    // same forged length on a non-IDAT type must also reject cleanly
+    val out2 = new ByteArrayOutputStream()
+    out2.write(out.toByteArray.take(33))
+    out2.write(be32(0x7fffffeb)); out2.write("tEXt".getBytes("US-ASCII"))
+    out2.write(Array.fill(16)(0x41.toByte))
+    assert(HeaderCodec.decodePng(out2.toByteArray).isEmpty)
+  }
+
   test("decoders never throw on adversarial bytes (deterministic fuzz)") {
     val rnd = new scala.util.Random(0xC0DEC)
     (1 to 500).foreach { i =>

@@ -90,6 +90,12 @@ class TemporalJoinsSpec extends SparkSpec {
         tolerance = Some(lit(89L)), direction = "forward")
       .filter($"id" === 3L).select("rt").head()
     assert(tight.isNullAt(0))
+    // a left row with a NULL time never matches forward (the following
+    // frame would otherwise hand it the globally earliest right)
+    val withNull = Seq((9L, "u1", Option.empty[Long])).toDF("id", "k", "t")
+    val nm = TemporalJoins.asofJoin(withNull, rightDf, Seq("k"), "t", "rt",
+        direction = "forward").select("rt").head()
+    assert(nm.isNullAt(0), "null-time left matched forward")
   }
 
   test("asofJoin forward matches the naive inequality join for random data") {

@@ -20,12 +20,17 @@ class TemporalStreamsSpec extends SparkSpec {
   // ---- rangeJoinStream ----------------------------------------------------
 
   test("streaming range join == batch rangeJoin on a one-batch corpus") {
+    def tsm(sec: Long, ms: Long) = new java.sql.Timestamp(sec * 1000L + ms)
     val base = 1_700_000_000L
+    // sub-second offsets on BOTH sides: the match semantics are
+    // second-granular like the batch twin's cast("long") exprs, and the
+    // bucket ids must use the same truncation as the predicates
     val points = (0 until 200).map(i =>
-      (i.toLong, ts(base + (i * 37) % 1000))).toDF("pid", "pt")
+      (i.toLong, tsm(base + (i * 37) % 1000, (i * 131) % 1000))).toDF("pid", "pt")
     val intervals = (0 until 40).map { i =>
       val lo = base + (i * 53) % 950
-      (1000L + i, ts(lo), ts(lo + 5 + (i * 7) % 80)) // widths 5..84 < 90s
+      (1000L + i, tsm(lo, (i * 173) % 1000),
+        tsm(lo + 5 + (i * 7) % 80, (i * 89) % 1000)) // widths 5..84 < 90s
     }.toDF("iid", "lo", "hi")
 
     val pDir = Files.createTempDirectory("rjs-points").toString
