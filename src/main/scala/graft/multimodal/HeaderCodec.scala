@@ -156,7 +156,10 @@ object HeaderCodec {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 while unfinished means the stream is truncated OR stalled
+        // — notably FDICT (preset-dictionary) streams return 0 forever
+        // with needsInput()=false, which would spin this loop for good
+        if (n == 0) return None
         off += n
       }
       if (off != raw.length) return None

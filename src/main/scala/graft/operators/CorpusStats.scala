@@ -22,28 +22,35 @@ object CorpusStats {
     * q42's rational idf), and `rare_ratio` (share of tokens seen ≤
     * `rareMax` times corpus-wide — the OCR/gibberish signal).
     *
-    * Scale shape: ONE aggregation over exploded tokens builds the vocab
-    * (map-side partials collapse repeats), its 1-row total is a
-    * broadcast, and the instance join shuffles on the token (Catalyst
-    * broadcasts the vocab instead when it fits). Per-doc means sum
-    * decimal(28,12) addends — each addend is an IEEE division of the
-    * same exact integers in any engine, and decimal addition is
-    * order-independent, so scores are bit-identical across
-    * partitionings and engines. */
+    * Scale shape: the corpus tokenizes and explodes ONCE into per-doc
+    * token counts (map-side partials collapse repeats); the vocab and
+    * its broadcast 1-row total re-aggregate from those counts, and the
+    * join runs counts⋈vocab on the token — |distinct (doc, token)|
+    * rows, not token instances (re-using the raw exploded frame on both
+    * sides would recompute the tokenize/explode per subtree). Per-doc
+    * means sum decimal(28,12) addends scaled by the exact integer
+    * per-doc count — each addend is an IEEE division of the same exact
+    * integers in any engine and decimal arithmetic is order-independent,
+    * so scores are bit-identical across partitionings and engines. */
   def unigramQuality(docs: DataFrame, text: Column, id: Column,
                      rareMax: Long = 2): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val perDoc = docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("k"))
+    val vocab = perDoc.groupBy("tok").agg(sum("k").as("cnt"))
     val total = vocab.agg(sum("cnt").as("n_total"))
-    toks.join(vocab, "tok")
+    perDoc.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum((col("cnt").cast("double") / col("n_total"))
-            .cast("decimal(28,12)")).cast("double") / count(lit(1)), 9)
+      .agg(sum("k").as("n_tokens"),
+        // multiply in DOUBLE (both factors exact, IEEE-identical in any
+        // engine) and THEN cast the addend to decimal: decimal × bigint
+        // overflows precision 38 and silently truncates the scale
+        round(sum(((col("cnt").cast("double") / col("n_total")) * col("k"))
+            .cast("decimal(28,12)")).cast("double") / sum(col("k")), 9)
           .as("mean_tok_prob"),
-        round(sum(when(col("cnt") <= rareMax, 1L).otherwise(0L))
-            .cast("double") / count(lit(1)), 9)
+        round(sum(when(col("cnt") <= rareMax, col("k")).otherwise(0L))
+            .cast("double") / sum(col("k")), 9)
           .as("rare_ratio"))
   }
 

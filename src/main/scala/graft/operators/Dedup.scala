@@ -117,7 +117,13 @@ object Dedup {
     * fault-tolerant path (HDFS/S3) via `checkpoint()`, which is what a
     * multi-hour 100 TB run on a real cluster should use. Setting
     * `checkpointDir` updates the SparkContext's checkpoint dir (a
-    * context-global setting). */
+    * context-global setting). Storage note for the reliable path: each
+    * round snapshots the LABELS frame — skinny (id, comp) pairs, one per
+    * node, so ≤ maxIter small snapshots plus one edge snapshot, bounded
+    * and tiny next to the corpus — but Spark does not delete them
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (GC-driven) or the caller clears the directory after consuming the
+    * result; set one of the two on long-running clusters. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
@@ -190,15 +196,21 @@ object Dedup {
     * 100 TB corpus) Catalyst broadcasts it and the corpus side never
     * shuffles at all (PlanSpec pins this). Cost is linear in corpus
     * token volume either way. */
+  /** Exploded per-doc distinct-gram rows (id, 60-bit gram hash) — the
+    * ONE definition of gram hashing every decontamination path shares,
+    * so the exact / bloom-prefiltered / streaming forms can't drift. */
+  private def gramRows(df: DataFrame, text: Column, id: Column,
+                       idAlias: String, gramAlias: String,
+                       shingleN: Int): DataFrame =
+    df.select(id.as(idAlias),
+      explode(shingleHash(
+        column(DistinctShinglesExpr(expression(text), shingleN)))).as(gramAlias))
+
   def decontaminate(corpus: DataFrame, corpusText: Column, corpusId: Column,
                     bench: DataFrame, benchText: Column, benchId: Column,
                     shingleN: Int = 13): DataFrame = {
-    val cg = corpus.select(corpusId.as("doc_id"),
-      explode(shingleHash(
-        column(DistinctShinglesExpr(expression(corpusText), shingleN)))).as("gram_h"))
-    val bg = bench.select(benchId.as("bench_id"),
-      explode(shingleHash(
-        column(DistinctShinglesExpr(expression(benchText), shingleN)))).as("bgram_h"))
+    val cg = gramRows(corpus, corpusText, corpusId, "doc_id", "gram_h", shingleN)
+    val bg = gramRows(bench, benchText, benchId, "bench_id", "bgram_h", shingleN)
     cg.join(bg, col("gram_h") === col("bgram_h"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram_h")).as("n_shared_grams"),
@@ -224,13 +236,9 @@ object Dedup {
                          bench: DataFrame, benchText: Column, benchId: Column,
                          shingleN: Int = 13, expectedGrams: Long = 1000000L,
                          fpp: Double = 0.01): DataFrame = {
-    val bg = bench.select(benchId.as("bench_id"),
-      explode(shingleHash(
-        column(DistinctShinglesExpr(expression(benchText), shingleN)))).as("bgram_h"))
+    val bg = gramRows(bench, benchText, benchId, "bench_id", "bgram_h", shingleN)
     val bloom = benchGramBloom(bench, benchText, shingleN, expectedGrams, fpp)
-    val cg = corpus.select(corpusId.as("doc_id"),
-      explode(shingleHash(
-        column(DistinctShinglesExpr(expression(corpusText), shingleN)))).as("gram_h"))
+    val cg = gramRows(corpus, corpusText, corpusId, "doc_id", "gram_h", shingleN)
       .filter(bloomMightContain(bloom)(col("gram_h")))
     cg.join(bg, col("gram_h") === col("bgram_h"))
       .groupBy("doc_id")
@@ -249,8 +257,7 @@ object Dedup {
     // bits per the standard formula -n·ln(p)/ln(2)^2, as in BloomFilter.optimalNumOfBits
     val numBits = math.ceil(
       -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    bench.select(explode(shingleHash(
-        column(DistinctShinglesExpr(expression(benchText), shingleN)))).as("bgram_h"))
+    gramRows(bench, benchText, lit(0L), "__b", "bgram_h", shingleN)
       .select(column(new BloomFilterAggregate(
         XxHash64(Seq(expression(col("bgram_h"))), 42L),
         Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))

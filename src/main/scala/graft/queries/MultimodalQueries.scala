@@ -10,6 +10,23 @@ import graft.multimodal.Multimodal
   * stub, the binary plumbing is real). */
 object MultimodalQueries {
 
+  /** Shared synth-media scaffold: `n` deterministic ids from orders, a
+    * generator-produced binary payload each, through the typed MediaRow
+    * schema — the one place the media-row shape lives for q58/q58b/q58c. */
+  private def synthMedia(s: org.apache.spark.sql.SparkSession, d: String, n: Int,
+                         gen: Long => Array[Byte])
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val synth = udf { (id: Long) => gen(id) }
+    Tables.orders(s, d)
+      .select((col("o_orderkey") % n).cast("long").as("media_id")).distinct()
+      .select(col("media_id"), lit("synth").as("kind"),
+        synth(col("media_id")).as("payload"),
+        lit(0).as("width"), lit(0).as("height"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .as[Multimodal.MediaRow]
+  }
+
   /** Binary payload metadata + stub-decoded dimensions, end-to-end through
     * the real mapPartitions extraction stage. */
   val q37MultimodalMeta = QueryDef(
@@ -51,18 +68,9 @@ object MultimodalQueries {
     * or top-down rows cannot match. */
   val q58MultimodalDecode = QueryDef(
     "q58_multimodal_decode",
-    (s, d) => {
-      import s.implicits._
-      val synth = udf { (id: Long) => graft.multimodal.MediaSynth.payload(id) }
-      val media = Tables.orders(s, d)
-        .select((col("o_orderkey") % 500).cast("long").as("media_id")).distinct()
-        .select(col("media_id"), lit("synth").as("kind"),
-          synth(col("media_id")).as("payload"),
-          lit(0).as("width"), lit(0).as("height"))
-        .withColumn("n_bytes", length(col("payload")).cast("long"))
-        .as[Multimodal.MediaRow]
-      Multimodal.extractContentStats(media).toDF().orderBy("media_id")
-    },
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 500, graft.multimodal.MediaSynth.payload)).toDF().orderBy("media_id"),
     Some("""
       WITH ids AS (
         SELECT DISTINCT (o_orderkey % 500)::BIGINT AS media_id FROM orders),
@@ -117,18 +125,9 @@ object MultimodalQueries {
     * changes some channel sum and breaks the hash. */
   val q58bPngDecode = QueryDef(
     "q58b_png_decode",
-    (s, d) => {
-      import s.implicits._
-      val synth = udf { (id: Long) => graft.multimodal.MediaSynth.png(id) }
-      val media = Tables.orders(s, d)
-        .select((col("o_orderkey") % 300).cast("long").as("media_id")).distinct()
-        .select(col("media_id"), lit("synth").as("kind"),
-          synth(col("media_id")).as("payload"),
-          lit(0).as("width"), lit(0).as("height"))
-        .withColumn("n_bytes", length(col("payload")).cast("long"))
-        .as[Multimodal.MediaRow]
-      Multimodal.extractContentStats(media).toDF().orderBy("media_id")
-    },
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.png)).toDF().orderBy("media_id"),
     Some("""
       WITH ids AS (
         SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
@@ -167,18 +166,9 @@ object MultimodalQueries {
     * decoder in HeaderCodecSpec.) */
   val q58cGifDecode = QueryDef(
     "q58c_gif_decode",
-    (s, d) => {
-      import s.implicits._
-      val synth = udf { (id: Long) => graft.multimodal.MediaSynth.gif(id) }
-      val media = Tables.orders(s, d)
-        .select((col("o_orderkey") % 300).cast("long").as("media_id")).distinct()
-        .select(col("media_id"), lit("synth").as("kind"),
-          synth(col("media_id")).as("payload"),
-          lit(0).as("width"), lit(0).as("height"))
-        .withColumn("n_bytes", length(col("payload")).cast("long"))
-        .as[Multimodal.MediaRow]
-      Multimodal.extractContentStats(media).toDF().orderBy("media_id")
-    },
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.gif)).toDF().orderBy("media_id"),
     Some("""
       WITH ids AS (
         SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),

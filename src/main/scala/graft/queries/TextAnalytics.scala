@@ -303,15 +303,16 @@ object TextAnalytics {
       WITH toks AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS tok
         FROM documents),
-      vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      per_doc AS (SELECT doc_id, tok, count(*) AS k FROM toks GROUP BY doc_id, tok),
+      vocab AS (SELECT tok, sum(k)::BIGINT AS cnt FROM per_doc GROUP BY tok),
       tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab)
-      SELECT k.doc_id, count(*) AS n_tokens,
-             round((sum(((v.cnt::DOUBLE / t.n_total))::DECIMAL(28,12)))::DOUBLE
-                   / count(*), 9) AS mean_tok_prob,
-             round(sum(CASE WHEN v.cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE
-                   / count(*), 9) AS rare_ratio
-      FROM toks k JOIN vocab v USING (tok) CROSS JOIN tot t
-      GROUP BY k.doc_id
+      SELECT p.doc_id, sum(p.k)::BIGINT AS n_tokens,
+             round((sum(((v.cnt::DOUBLE / t.n_total) * p.k)::DECIMAL(28,12)))::DOUBLE
+                   / sum(p.k), 9) AS mean_tok_prob,
+             round(sum(CASE WHEN v.cnt <= 2 THEN p.k ELSE 0 END)::DOUBLE
+                   / sum(p.k), 9) AS rare_ratio
+      FROM per_doc p JOIN vocab v USING (tok) CROSS JOIN tot t
+      GROUP BY p.doc_id
       ORDER BY doc_id
     """),
     bench = true)
@@ -370,8 +371,10 @@ object TextAnalytics {
           col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
           size(bpe).cast("long").as("n_bpe_tokens"),
-          element_at(bpe, 1).as("first_tok"),
-          element_at(bpe, -1).as("last_tok"))
+          // try_: an empty-text doc has an empty token array, and Spark 4
+          // ANSI element_at throws on it where DuckDB's toks[1] is NULL
+          try_element_at(bpe, lit(1)).as("first_tok"),
+          try_element_at(bpe, lit(-1)).as("last_tok"))
         .orderBy("doc_id")
     },
     Some(s"""

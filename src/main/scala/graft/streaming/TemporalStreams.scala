@@ -77,6 +77,10 @@ object TemporalStreams {
       .withColumn("__pt", col(pointTime).cast("long"))
       .withColumn("__pbucket", floor(col("__pt") / bucketWidth).cast("long"))
     val i = intervals.withWatermark(loTime, horizon)
+      // a null hi must DROP the interval like the batch twin (whose null
+      // __hi fails the filter) — least() would skip the null and mint a
+      // full-maxWidth interval instead
+      .filter(col(loTime).isNotNull && col(hiTime).isNotNull)
       .withColumn("__lo", col(loTime).cast("long"))
       .withColumn("__hi", least(col(hiTime).cast("long"), col("__lo") + maxWidth))
       .filter(col("__hi") > col("__lo"))
@@ -149,8 +153,15 @@ object TemporalStreams {
             var rights = state.getOption.map(_.rights).getOrElse(Nil)
             val out = Seq.newBuilder[AsofJoined]
             var maxEvent = Long.MinValue
+            // null event times: rights are ignored, lefts emit unmatched —
+            // the batch operator's exact contract (and .getTime on a null
+            // Timestamp would kill the query)
+            val (nullTs, timed) = rows.toSeq.partition(_.ts == null)
+            nullTs.foreach { r =>
+              if (r.tag == 1) out += AsofJoined(r.k, r.ts, r.payload, None, None)
+            }
             // tag 0 (right) before tag 1 (left) on ties → inclusive match
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.tag)).foreach { r =>
+            timed.sortBy(r => (r.ts.getTime, r.tag)).foreach { r =>
               maxEvent = math.max(maxEvent, r.ts.getTime)
               if (r.tag == 0) {
                 // insert keeping ascending time order (append is the hot
