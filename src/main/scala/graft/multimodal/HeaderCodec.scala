@@ -68,41 +68,74 @@ object HeaderCodec {
   final case class PixelStats(width: Int, height: Int,
       sumR: Long, sumG: Long, sumB: Long, minV: Int, maxV: Int)
 
+  /** A decoded RGB bitmap: `rgb` is 3·width·height bytes, row-major,
+    * TOP row first (BMP bottom-up rows are flipped, GIF interlaced rows
+    * are re-sequenced at decode time) — the orientation-true pixel form
+    * that perceptual hashing ([[Multimodal.dhashBits]]) needs, where the
+    * order-invariant [[PixelStats]] would not notice a flipped decode. */
+  final case class Pixels(width: Int, height: Int, rgb: Array[Byte]) {
+    def r(x: Int, y: Int): Int = rgb(3 * (y * width + x)) & 0xff
+    def g(x: Int, y: Int): Int = rgb(3 * (y * width + x) + 1) & 0xff
+    def b(x: Int, y: Int): Int = rgb(3 * (y * width + x) + 2) & 0xff
+  }
+
+  /** Fold a decoded bitmap into the per-channel stats the q58-family
+    * oracles check (row-order invariant, so flips/deinterlacing cannot
+    * affect it — the pixel decoders stay the single source of truth). */
+  def statsOf(px: Pixels): PixelStats = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minV = 255; var maxV = 0
+    var i = 0
+    while (i < px.rgb.length) {
+      val rr = px.rgb(i) & 0xff
+      val gg = px.rgb(i + 1) & 0xff
+      val bb = px.rgb(i + 2) & 0xff
+      sumR += rr; sumG += gg; sumB += bb
+      val lo = math.min(bb, math.min(gg, rr))
+      val hi = math.max(bb, math.max(gg, rr))
+      if (lo < minV) minV = lo
+      if (hi > maxV) maxV = hi
+      i += 3
+    }
+    PixelStats(px.width, px.height, sumR, sumG, sumB, minV, maxV)
+  }
+
   /** Decode an uncompressed (BI_RGB) 24-bit BMP pixel array: row stride
-    * padded to 4 bytes, |height| rows (negative height = top-down, which
-    * stats are invariant to). Anything else (other depths, compressed,
-    * truncated) returns None. */
-  def decodeBmp(b: Array[Byte]): Option[PixelStats] = {
+    * padded to 4 bytes, |height| rows (negative height = top-down;
+    * positive = bottom-up, flipped here so [[Pixels]] is always top-row
+    * first). Anything else (other depths, compressed, truncated) returns
+    * None. */
+  def decodeBmpPixels(b: Array[Byte]): Option[Pixels] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOff = le32(b, 10)
     val width = le32(b, 18)
-    val height = math.abs(le32(b, 22))
+    val rawHeight = le32(b, 22)
+    val height = math.abs(rawHeight)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
     val rowSize = ((bpp * width + 31) / 32) * 4
     if (dataOff < 54 || dataOff.toLong + rowSize.toLong * height > b.length) return None
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var minV = 255; var maxV = 0
-    var y = 0
-    while (y < height) {
-      val base = dataOff + y * rowSize
+    val rgb = new Array[Byte](3 * width * height)
+    var fy = 0
+    while (fy < height) {
+      // positive height = bottom-up file rows: file row fy is image row h-1-fy
+      val y = if (rawHeight > 0) height - 1 - fy else fy
+      val base = dataOff + fy * rowSize
       var x = 0
       while (x < width) {
-        val bb = u8(b, base + 3 * x)
-        val gg = u8(b, base + 3 * x + 1)
-        val rr = u8(b, base + 3 * x + 2)
-        sumB += bb; sumG += gg; sumR += rr
-        val lo = math.min(bb, math.min(gg, rr))
-        val hi = math.max(bb, math.max(gg, rr))
-        if (lo < minV) minV = lo
-        if (hi > maxV) maxV = hi
+        val o = 3 * (y * width + x)
+        rgb(o) = b(base + 3 * x + 2)     // R (BMP stores BGR)
+        rgb(o + 1) = b(base + 3 * x + 1) // G
+        rgb(o + 2) = b(base + 3 * x)     // B
         x += 1
       }
-      y += 1
+      fy += 1
     }
-    Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+    Some(Pixels(width, height, rgb))
   }
+
+  def decodeBmp(b: Array[Byte]): Option[PixelStats] = decodeBmpPixels(b).map(statsOf)
 
   /** Decode an 8-bit RGB (color type 2, non-interlaced) PNG with
     * JDK-only zlib: IDAT chunks concatenate into one zlib stream
@@ -113,7 +146,7 @@ object HeaderCodec {
     * corrupt stream) returns None; JPEG/GIF remain with the documented
     * stub — their payload decode needs entropy-coding machinery beyond
     * byte math, PNG does not. */
-  def decodePng(b: Array[Byte]): Option[PixelStats] = {
+  def decodePngPixels(b: Array[Byte]): Option[Pixels] = {
     if (b.length < 45 || !b.take(8).sameElements(PngSig)) return None
     if (be32(b, 8) != 13 || ascii(b, 12, 4) != "IHDR") return None
     val width = be32(b, 16); val height = be32(b, 20)
@@ -165,8 +198,7 @@ object HeaderCodec {
       if (off != raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var minV = 255; var maxV = 0
+    val rgb = new Array[Byte](stride * height)
     val cur = new Array[Int](stride)
     val prev = new Array[Int](stride)
     var y = 0
@@ -187,32 +219,28 @@ object HeaderCodec {
           case 3 => (x + ((a + up) / 2)) & 0xff
           case 4 => (x + paeth(a, up, c)) & 0xff
         }
-        val v = cur(j)
-        (j % 3) match {
-          case 0 => sumR += v
-          case 1 => sumG += v
-          case 2 => sumB += v
-        }
-        if (v < minV) minV = v
-        if (v > maxV) maxV = v
+        rgb(y * stride + j) = cur(j).toByte
         j += 1
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
-    Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+    Some(Pixels(width, height, rgb))
   }
+
+  def decodePng(b: Array[Byte]): Option[PixelStats] = decodePngPixels(b).map(statsOf)
 
   /** Decode the first image of a GIF87a/89a — REAL LZW decompression in
     * pure JVM code (variable-width codes, dictionary growth, clear/EOI,
     * the KwKwK case), no codec library. Pixel indices map through the
-    * palette (global or per-image local) into the same PixelStats as
-    * BMP/PNG; interlaced files decode exactly too, because interlacing
-    * only permutes row order and the stats are row-permutation
-    * invariant. Truncation/corruption anywhere returns None (JPEG —
+    * palette (global or per-image local) into top-row-first [[Pixels]];
+    * interlaced files (GIF89a appendix E: passes at rows 0/8, 4/8, 2/4,
+    * 1/2) are re-sequenced into natural row order at decode time, so
+    * orientation-sensitive consumers (perceptual hashes) see the true
+    * bitmap. Truncation/corruption anywhere returns None (JPEG —
     * actual entropy coding — remains the one stubbed format). Extension
     * blocks (GCE, comments, application) are walked and skipped. */
-  def decodeGif(b: Array[Byte]): Option[PixelStats] = {
+  def decodeGifPixels(b: Array[Byte]): Option[Pixels] = {
     if (b.length < 13) return None
     val sig = ascii(b, 0, 6)
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -246,9 +274,7 @@ object HeaderCodec {
             if (i > b.length) return None
           }
           if (pOff < 0) return None // neither global nor local palette
-          // interlacing (iflags & 0x40) permutes ROW order in the LZW
-          // stream — PixelStats are row-permutation invariant, so the
-          // same linear decode is exact for interlaced files too
+          val interlaced = (iflags & 0x40) != 0
           if (i >= b.length) return None
           val minCode = u8(b, i); i += 1
           if (minCode < 2 || minCode > 8) return None
@@ -268,23 +294,32 @@ object HeaderCodec {
           if (expectedL > Int.MaxValue - 8 ||
               expectedL > data.size().toLong * 4096L + 4096L) return None
           return lzwDecode(data.toByteArray, minCode, expectedL.toInt).flatMap { px =>
-            var sumR = 0L; var sumG = 0L; var sumB = 0L
-            var minV = 255; var maxV = 0
+            // stream row k → image row: identity, or the 4-pass interlace
+            // sequence (8/0, 8/4, 4/2, 2/1) re-woven into natural order
+            val rowOf = new Array[Int](height)
+            if (interlaced) {
+              var k = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                var y = start
+                while (y < height) { rowOf(k) = y; k += 1; y += step }
+              }
+            } else {
+              var k = 0
+              while (k < height) { rowOf(k) = k; k += 1 }
+            }
+            val rgb = new Array[Byte](3 * width * height)
             var j = 0
             while (j < px.length) {
               val idx = px(j) & 0xff
               if (idx >= pSize) return None
-              val r = u8(b, pOff + 3 * idx)
-              val g = u8(b, pOff + 3 * idx + 1)
-              val bl = u8(b, pOff + 3 * idx + 2)
-              sumR += r; sumG += g; sumB += bl
-              val lo = math.min(r, math.min(g, bl))
-              val hi = math.max(r, math.max(g, bl))
-              if (lo < minV) minV = lo
-              if (hi > maxV) maxV = hi
+              val y = rowOf(j / width); val x = j % width
+              val o = 3 * (y * width + x)
+              rgb(o) = b(pOff + 3 * idx)
+              rgb(o + 1) = b(pOff + 3 * idx + 1)
+              rgb(o + 2) = b(pOff + 3 * idx + 2)
               j += 1
             }
-            Some(PixelStats(width, height, sumR, sumG, sumB, minV, maxV))
+            Some(Pixels(width, height, rgb))
           }
         case 0x3b => return None // trailer before any image
         case _ => return None
@@ -292,6 +327,8 @@ object HeaderCodec {
     }
     None
   }
+
+  def decodeGif(b: Array[Byte]): Option[PixelStats] = decodeGifPixels(b).map(statsOf)
 
   /** GIF LZW: LSB-first variable-width codes; width bumps exactly when
     * the next free code stops fitting (mirrored in MediaSynth.gif). */

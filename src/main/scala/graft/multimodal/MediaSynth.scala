@@ -30,31 +30,54 @@ object MediaSynth {
   def bmpWidth(id: Long): Int = (4 + id % 5).toInt
   def bmpHeight(id: Long): Int = (3 + id % 4).toInt
 
-  /** 24-bit uncompressed BMP; every 10th id stores a negative (top-down)
-    * height. Stride padding varies with width (4..8 → 0..3 pad bytes). */
-  def bmp(id: Long): Array[Byte] = {
-    val w = bmpWidth(id); val h = bmpHeight(id)
+  /** 24-bit uncompressed BMP from per-channel pixel functions of (x, y);
+    * `topDown` stores a negative height (rows in natural order) vs the
+    * default bottom-up layout (file rows written y=0.. are the BOTTOM of
+    * the image, i.e. image row h-1-y — decoders must flip). */
+  def bmpOf(w: Int, h: Int, topDown: Boolean,
+            r: (Int, Int) => Int, g: (Int, Int) => Int,
+            b: (Int, Int) => Int): Array[Byte] = {
     val rowSize = ((24 * w + 31) / 32) * 4
     val dataSize = rowSize * h
     val out = new ByteArrayOutputStream()
     out.write('B'); out.write('M')
     le32(out, 54 + dataSize); le32(out, 0); le32(out, 54) // file header
     le32(out, 40); le32(out, w)
-    le32(out, if (id % 10 == 0) -h else h)                // BITMAPINFOHEADER
+    le32(out, if (topDown) -h else h)                     // BITMAPINFOHEADER
     le16(out, 1); le16(out, 24); le32(out, 0); le32(out, dataSize)
     le32(out, 2835); le32(out, 2835); le32(out, 0); le32(out, 0)
-    var y = 0
-    while (y < h) {
+    var fy = 0
+    while (fy < h) {
+      // image row this FILE row holds: bottom-up files store row h-1-fy
+      val y = if (topDown) fy else h - 1 - fy
       var x = 0
       while (x < w) {
-        out.write(blue(id, x, y)); out.write(green(id, x, y)); out.write(red(id, x, y))
+        out.write(b(x, y)); out.write(g(x, y)); out.write(r(x, y))
         x += 1
       }
       var pad = rowSize - 3 * w
       while (pad > 0) { out.write(0); pad -= 1 }
-      y += 1
+      fy += 1
     }
     out.toByteArray
+  }
+
+  /** 24-bit uncompressed BMP; every 10th id stores a negative (top-down)
+    * height. Stride padding varies with width (4..8 → 0..3 pad bytes).
+    * NOTE the historical quirk kept for the q58 oracle: file rows follow
+    * the formula's y order REGARDLESS of orientation, so for bottom-up
+    * ids the on-screen image is the formula flipped — stats-invariant
+    * (which is all q58 checks), and [[nearDupImage]] uses the
+    * orientation-correct [[bmpOf]] instead. */
+  def bmp(id: Long): Array[Byte] = {
+    val w = bmpWidth(id); val h = bmpHeight(id)
+    val topDown = id % 10 == 0
+    // formula y = file row order (quirk above): for bottom-up files hand
+    // bmpOf a flipped pixel fn so the emitted BYTES are unchanged
+    def fy(y: Int): Int = if (topDown) y else h - 1 - y
+    bmpOf(w, h, topDown,
+      (x, y) => red(id, x, fy(y)), (x, y) => green(id, x, fy(y)),
+      (x, y) => blue(id, x, fy(y)))
   }
 
   /** Sample formula — mirrored in the q58 oracle SQL. */
@@ -91,8 +114,14 @@ object MediaSynth {
     * implement ALL FIVE filters (None/Sub/Up/Average/Paeth) correctly to
     * reproduce the closed-form pixel values. Same channel formulas as
     * [[bmp]]; dimensions differ so a mixed corpus distinguishes them. */
-  def png(id: Long): Array[Byte] = {
-    val w = pngWidth(id); val h = pngHeight(id)
+  def png(id: Long): Array[Byte] =
+    pngOf(pngWidth(id), pngHeight(id),
+      (x, y) => red(id, x, y), (x, y) => green(id, x, y), (x, y) => blue(id, x, y))
+
+  /** The same standard-conforming PNG writer over arbitrary per-channel
+    * pixel functions of (x, y). */
+  def pngOf(w: Int, h: Int, r: (Int, Int) => Int, g: (Int, Int) => Int,
+            b: (Int, Int) => Int): Array[Byte] = {
     val bpp = 3; val stride = w * bpp
     val raw = new Array[Byte]((stride + 1) * h)
     val cur = new Array[Int](stride)
@@ -101,8 +130,8 @@ object MediaSynth {
     while (y < h) {
       var x = 0
       while (x < w) {
-        cur(3 * x) = red(id, x, y); cur(3 * x + 1) = green(id, x, y)
-        cur(3 * x + 2) = blue(id, x, y)
+        cur(3 * x) = r(x, y); cur(3 * x + 1) = g(x, y)
+        cur(3 * x + 2) = b(x, y)
         x += 1
       }
       val ft = y % 5
@@ -169,8 +198,15 @@ object MediaSynth {
     * dictionary growth, code-width bumps — the low-repetition index
     * pattern pushes past 9-bit codes on every file). javax.imageio
     * decodes these byte-identically (HeaderCodecSpec cross-checks). */
-  def gif(id: Long): Array[Byte] = {
-    val w = gifWidth(id); val h = gifHeight(id)
+  def gif(id: Long): Array[Byte] =
+    gifOf(gifWidth(id), gifHeight(id),
+      (x, y) => gifIndex(id, x, y),
+      i => palR(id, i), i => palG(id, i), i => palB(id, i))
+
+  /** The same standard-conforming GIF89a writer over an arbitrary index
+    * function of (x, y) and palette functions of the entry index. */
+  def gifOf(w: Int, h: Int, index: (Int, Int) => Int,
+            pR: Int => Int, pG: Int => Int, pB: Int => Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     le16(out, w); le16(out, h)
@@ -178,7 +214,7 @@ object MediaSynth {
     out.write(0); out.write(0) // background index, aspect
     var i = 0
     while (i < 256) {
-      out.write(palR(id, i)); out.write(palG(id, i)); out.write(palB(id, i))
+      out.write(pR(i)); out.write(pG(i)); out.write(pB(i))
       i += 1
     }
     out.write(0x2c) // image descriptor
@@ -201,11 +237,11 @@ object MediaSynth {
       while (bitCnt >= 8) { codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
     }
     emit(clear)
-    var cur = gifIndex(id, 0, 0)
+    var cur = index(0, 0)
     var p = 1
     val total = w * h
     while (p < total) {
-      val k = gifIndex(id, p % w, p / w)
+      val k = index(p % w, p / w)
       val key = cur.toLong << 12 | k
       val hit = dict.get(key)
       if (hit != null) cur = hit.intValue()
@@ -233,5 +269,48 @@ object MediaSynth {
     out.write(0) // block terminator
     out.write(0x3b) // trailer
     out.toByteArray
+  }
+
+  // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
+  // of a shared grayscale base image, emitted through three REAL container
+  // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is
+  // computed from actually-decoded bytes, while every pixel stays a
+  // closed-form function of (id, x, y) the oracle can recompute.
+
+  def nearDupGroup(id: Long): Long = id / 5
+  def nearDupWidth(id: Long): Int = (16 + nearDupGroup(id) % 5).toInt
+  def nearDupHeight(id: Long): Int = (12 + nearDupGroup(id) % 3).toInt
+
+  /** Grayscale value at (x, y) — the group's quadratic base pattern plus
+    * the variant's perturbation: v=0 original, v=1 global +3 brightness
+    * (mod-wrap — dHash is invariant except at wrap pixels), v=2..4
+    * sparse bumps of increasing density/amplitude (small → larger
+    * hamming). Mirrored verbatim in the q75 oracle SQL. */
+  def nearDupGray(id: Long, x: Int, y: Int): Int = {
+    val g = nearDupGroup(id)
+    val base = (g * 31 + 5L * x * x + 3L * y * y + 7L * x * y) % 256
+    val delta = (id % 5) match {
+      case 0 => 0
+      case 1 => 3
+      case 2 => if ((x + 7L * y + id) % 19 == 0) 40 else 0
+      case 3 => if ((x + 5L * y + id) % 17 == 0) 56 else 0
+      case _ => if ((x + 3L * y + id) % 7 == 0) 64 else 0
+    }
+    ((base + delta) % 256).toInt
+  }
+
+  /** One near-dup corpus member: the variant's gray bitmap in a real
+    * container chosen by id%3 — PNG (r=g=b=gray), GIF (identity gray
+    * palette, index = gray), or top-down BMP. r=g=b makes the ITU luma
+    * (299r+587g+114b)/1000 EXACTLY the gray value, so the oracle needs
+    * only the one formula. */
+  def nearDupImage(id: Long): Array[Byte] = {
+    val w = nearDupWidth(id); val h = nearDupHeight(id)
+    val gray = (x: Int, y: Int) => nearDupGray(id, x, y)
+    (id % 3) match {
+      case 0 => pngOf(w, h, gray, gray, gray)
+      case 1 => gifOf(w, h, gray, i => i, i => i, i => i)
+      case _ => bmpOf(w, h, topDown = true, gray, gray, gray)
+    }
   }
 }

@@ -122,6 +122,68 @@ object Multimodal {
     }
   }
 
+  /** Decode any supported image container to its orientation-true RGB
+    * bitmap: (format, pixels). None for non-images / unknown blobs. */
+  def decodeImagePixels(payload: Array[Byte]): Option[(String, HeaderCodec.Pixels)] =
+    HeaderCodec.decodeBmpPixels(payload).map("bmp" -> _)
+      .orElse(HeaderCodec.decodePngPixels(payload).map("png" -> _))
+      .orElse(HeaderCodec.decodeGifPixels(payload).map("gif" -> _))
+
+  /** 64-bit difference hash (dHash) of a decoded bitmap, as a 64-char
+    * bit string (the engine's portable-fingerprint convention — the same
+    * shape [[graft.operators.Dedup.bandedHammingPairs]] joins on).
+    *
+    * Construction (integer-exact, so a SQL oracle can recompute it):
+    * sample a 9-column × 8-row grid by nearest pixel (sx = c·W/9,
+    * sy = r·H/8, floor division), take the ITU-R BT.601 integer luma
+    * (299r+587g+114b)/1000 at each sample, and emit bit (r,c) = 1 iff
+    * luma(c) < luma(c+1) on that row — 8 comparisons × 8 rows, row-major.
+    * dHash encodes local gradients, so it is invariant to global
+    * brightness shifts and robust to small sparse edits — the property
+    * that makes banded hamming join a real image near-dup operator. */
+  def dhashBits(px: HeaderCodec.Pixels): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var r = 0
+    while (r < 8) {
+      val sy = r * px.height / 8
+      def luma(c: Int): Int = {
+        val sx = c * px.width / 9
+        (299 * px.r(sx, sy) + 587 * px.g(sx, sy) + 114 * px.b(sx, sy)) / 1000
+      }
+      var c = 0
+      var prev = luma(0)
+      while (c < 8) {
+        val next = luma(c + 1)
+        sb.append(if (prev < next) '1' else '0')
+        prev = next
+        c += 1
+      }
+      r += 1
+    }
+    sb.toString
+  }
+
+  /** Per-media perceptual fingerprint row; dhash is null for payloads
+    * that are not decodable images (callers filter). */
+  final case class DhashRow(media_id: Long, format: String, dhash: String)
+
+  /** Map-only dHash extraction over a media table — the fingerprint
+    * stage of image near-dup dedup. STATELESS mapPartitions, so the same
+    * call runs on a batch Dataset or a `readStream` one (the streaming
+    * multimodal twin — no state store, no watermark); at 100 TB it
+    * parallelizes per input split with no shuffle. */
+  def dhash(media: Dataset[MediaRow]): Dataset[DhashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeImagePixels(r.payload) match {
+          case Some((fmt, px)) => DhashRow(r.media_id, fmt, dhashBits(px))
+          case None => DhashRow(r.media_id, "stub", null)
+        }
+      }
+    }
+  }
+
   /** Partition-batched feature extraction: the mapPartitions shape a real
     * decoder needs (amortized per-partition setup, streaming iterator —
     * no per-row codec init, no collect). */

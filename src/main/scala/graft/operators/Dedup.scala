@@ -329,15 +329,26 @@ object Dedup {
     * over the band chunks carried as longs — codegen'd integer ops, not
     * a per-bit string loop. */
   def simhashCandidatePairs(df: DataFrame, text: Column, id: Column,
-                            bits: Int = 128, bands: Int = 4): DataFrame = {
+                            bits: Int = 128, bands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      df.select(id.as("sid"),
+        column(SimhashBitsExpr(expression(text), bits)).as("fp")),
+      bits, bands)
+
+  /** The banded hamming join over ANY precomputed bit-string fingerprint
+    * column — the generalization shared by text simhash
+    * ([[simhashCandidatePairs]]) and image dHash
+    * ([[graft.multimodal.Multimodal.dhash]]): `fps` carries (sid, fp)
+    * where fp is a `bits`-char '0'/'1' string; same bucketed shuffle
+    * shape, same pigeonhole recall (total up to hamming ≤ bands-1), same
+    * (id_a, id_b, hamming) output. */
+  def bandedHammingPairs(fps: DataFrame, bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
     val w = bits / bands
     require(w <= 62, s"band chunk of $w bits exceeds a signed long")
     val chunks = (0 until bands).map(i =>
       conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"__c$i"))
-    val withFp = df
-      .select(id.as("sid"), column(SimhashBitsExpr(expression(text), bits)).as("fp"))
-      .select(col("sid") +: chunks: _*)
+    val withFp = fps.select(col("sid") +: chunks: _*)
     val banded = withFp.select(col("sid") +:
       (0 until bands).map(i => col(s"__c$i")) :+
       explode(array((0 until bands).map(i =>

@@ -195,6 +195,84 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Image near-duplicate detection over REAL decoded pixels — the
+    * multimodal dedup step of a training-data pipeline: a corpus of
+    * grayscale images (groups of 5 perturbed variants of a shared base,
+    * emitted through three real containers — PNG, GIF, top-down BMP —
+    * [[graft.multimodal.MediaSynth.nearDupImage]]) is container-decoded
+    * ([[graft.multimodal.Multimodal.dhash]]), fingerprinted with the
+    * integer-exact 64-bit dHash, and joined by the SAME banded hamming
+    * machinery as text simhash
+    * ([[graft.operators.Dedup.bandedHammingPairs]], 4×16-bit bands —
+    * shuffle on (band, chunk), never the n² pair space). The oracle
+    * recomputes every dHash bit from the closed-form pixel formulas (it
+    * only needs the 9×8 sampled grid) and replays the banded join — a
+    * decoder that flips BMP rows, mis-sequences GIF interlace, or
+    * mis-rounds the luma produces different bits and fails the hash. */
+  val q75ImageNearDup = QueryDef(
+    "q75_image_neardup",
+    (s, d) => {
+      val media = synthMedia(s, d, 300, graft.multimodal.MediaSynth.nearDupImage)
+      val fps = Multimodal.dhash(media).toDF()
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id").as("sid"), col("dhash").as("fp"))
+      graft.operators.Dedup.bandedHammingPairs(fps, bits = 64, bands = 4)
+        .filter(col("hamming") <= 10)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, media_id // 5 AS g, media_id % 5 AS v,
+               (16 + (media_id // 5) % 5)::INT AS w,
+               (12 + (media_id // 5) % 3)::INT AS h
+        FROM ids),
+      grid AS (
+        SELECT d.media_id, d.g, d.v, gr.r, gc.c,
+               (gc.c * d.w // 9) AS sx, (gr.r * d.h // 8) AS sy
+        FROM d,
+             (SELECT unnest(range(0, 9)) AS c) gc,
+             (SELECT unnest(range(0, 8)) AS r) gr),
+      gray AS (
+        SELECT media_id, r, c,
+          ((g*31 + 5*sx*sx + 3*sy*sy + 7*sx*sy
+            + CASE WHEN v = 1 THEN 3
+                   WHEN v = 2 AND (sx + 7*sy + media_id) % 19 = 0 THEN 40
+                   WHEN v = 3 AND (sx + 5*sy + media_id) % 17 = 0 THEN 56
+                   WHEN v = 4 AND (sx + 3*sy + media_id) % 7 = 0 THEN 64
+                   ELSE 0 END) % 256) AS gv
+        FROM grid),
+      fp AS (
+        SELECT media_id,
+               string_agg(CASE WHEN gv < nxt THEN '1' ELSE '0' END, ''
+                          ORDER BY r, c) AS fp
+        FROM (SELECT media_id, r, c, gv,
+                     lead(gv) OVER (PARTITION BY media_id, r ORDER BY c) AS nxt
+              FROM gray)
+        WHERE c < 8
+        GROUP BY media_id),
+      banded AS (
+        SELECT media_id, fp, b.band, substr(fp, (b.band*16+1)::INT, 16) AS bv
+        FROM fp, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bv = b.bv
+                     AND a.media_id < b.media_id)
+      SELECT id_a, id_b,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                    THEN 1 ELSE 0 END))::BIGINT AS hamming
+      FROM pairs
+      WHERE list_sum(list_transform(range(1, 65), i ->
+              CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                   THEN 1 ELSE 0 END)) <= 10
+      ORDER BY id_a, id_b
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
-    q58bPngDecode, q58cGifDecode)
+    q58bPngDecode, q58cGifDecode, q75ImageNearDup)
 }
