@@ -271,6 +271,144 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ---- baseline JPEG corpus (q58d): REAL ITU T.81 baseline files whose
+  // DECODED pixels are still closed-form. The trick: every 8×8 block is a
+  // CONSTANT gray value, so the FDCT is DC-only (F00 = 8·(v-128), exact
+  // integers), the quant table is all-ones (lossless for DC), and the
+  // IDCT of a DC-only block is the constant F00/8 + 128 = v again —
+  // byte-exact through any correct decoder. Chroma components carry the
+  // neutral 128 (DC 0), so YCbCr→RGB returns r=g=b=Y exactly regardless
+  // of rounding convention. Three variants exercise the decoder paths:
+  // grayscale (1 component), 4:4:4 color, and 4:2:0 subsampled color
+  // with DRI/RSTn restart markers.
+
+  /** Per-block gray formula — mirrored in the q58d oracle SQL. */
+  def jpegBlockGray(id: Long, bx: Int, by: Int): Int =
+    ((id * 37 + 11 * bx + 23 * by + 3 * bx * by) % 256).toInt
+
+  def jpegWidth(id: Long): Int = ((id % 3) match {
+    case 0 => 8 * (2 + id % 5)
+    case 1 => 8 * (2 + id % 4)
+    case _ => 16 * (1 + id % 3)
+  }).toInt
+
+  def jpegHeight(id: Long): Int = ((id % 3) match {
+    case 0 => 8 * (2 + id % 4)
+    case 1 => 8 * (2 + id % 3)
+    case _ => 16 * (1 + id % 2)
+  }).toInt
+
+  /** MSB-first JPEG bit emitter with 0xFF00 stuffing. */
+  private final class JpegBits(out: ByteArrayOutputStream) {
+    private var buf = 0; private var cnt = 0
+    def put(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((bits >> i) & 1); cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (T.81 F.1.2.3). */
+    def align(): Unit = while (cnt != 0) put(1, 1)
+  }
+
+  /** One baseline JPEG of constant 8×8 blocks. Custom canonical Huffman
+    * tables (DC: twelve 4-bit codes for categories 0–11; AC: a single
+    * 2-bit EOB), all-ones quant table, single interleaved scan. */
+  def jpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val subsampled = variant == 2
+    val nc = if (variant == 0) 1 else 3
+    val dri = if (subsampled) 2 else 0
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0 / JFIF
+    be16w(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16w(1); be16w(1)
+    out.write(0); out.write(0)
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc0) // SOF0
+    be16w(8 + 3 * nc); out.write(8); be16w(h); be16w(w); out.write(nc)
+    if (nc == 1) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      out.write(1); out.write(if (subsampled) 0x22 else 0x11); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — BITS[4]=12, vals 0..11
+    be16w(2 + 17 + 12); out.write(0x00)
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(out.write)
+    (0 until 12).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — one 2-bit EOB code
+    be16w(2 + 17 + 1); out.write(0x10)
+    val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(out.write)
+    out.write(0x00)
+    if (dri > 0) { out.write(0xff); out.write(0xdd); be16w(4); be16w(dri) }
+    out.write(0xff); out.write(0xda) // SOS
+    be16w(6 + 2 * nc); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+
+    val bits = new JpegBits(out)
+    // canonical codes from the tables above: DC category t ↦ code t in 4
+    // bits; EOB ↦ '00'
+    def putDc(diff: Int): Unit = {
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.put(s, 4)
+      if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    }
+    def putBlock(dc: Int, pred: Int): Int = { putDc(dc - pred); bits.put(0, 2); dc }
+
+    val hMax = if (subsampled) 2 else 1
+    val mcusX = w / (8 * hMax); val mcusY = h / (8 * hMax)
+    var predY = 0; var predCb = 0; var predCr = 0
+    var rst = 0
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        bits.align()
+        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+        predY = 0; predCb = 0; predCr = 0
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      if (!subsampled) {
+        predY = putBlock(8 * (jpegBlockGray(id, mx, my) - 128), predY)
+        if (nc == 3) {
+          predCb = putBlock(0, predCb)
+          predCr = putBlock(0, predCr)
+        }
+      } else {
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            predY = putBlock(
+              8 * (jpegBlockGray(id, mx * 2 + bx, my * 2 + by) - 128), predY)
+            bx += 1
+          }
+          by += 1
+        }
+        predCb = putBlock(0, predCb)
+        predCr = putBlock(0, predCr)
+      }
+      mcu += 1
+    }
+    bits.align()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode/feature-extraction runs per-partition in
   * batches.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): [[FakeCodec.decode]] derives deterministic pseudo-metadata
-  * from the payload's md5. Everything AROUND the stub — schema, binary
-  * column handling, partition-batched processing shape, metadata structs —
-  * is real and tested, so swapping in a real codec is a one-function
-  * change.
+  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and baseline
+  * JPEG ([[JpegCodec]]) — pure-JVM byte math, no codec libraries. Only
+  * unknown blobs (and non-baseline JPEG modes) fall to the deterministic
+  * [[FakeCodec]] stub, so the plumbing — schema, binary column handling,
+  * partition-batched processing shape, metadata structs — always has a
+  * defined output.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
   * extraction stage is map-only over partitions (no shuffle, no driver
@@ -32,10 +32,11 @@ object Multimodal {
                                  width: Int, height: Int, aspect_bucket: String)
 
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
-    * Remit: JPEG payloads (entropy-coded — a real decode needs a codec
-    * library) and unknown blobs; BMP, WAV, PNG, and GIF decode for REAL
-    * in [[HeaderCodec]]. Replace with a real codec (javax.imageio etc.)
-    * for production. */
+    * Remit: UNKNOWN blobs only (codec-less formats and the text
+    * stand-ins q37 uses) — BMP, WAV, PNG, GIF decode for real in
+    * [[HeaderCodec]] and baseline JPEG in [[JpegCodec]]; non-baseline
+    * JPEG (progressive/arithmetic) also falls here, reported as 'stub'
+    * rather than half-decoded. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -93,14 +94,14 @@ object Multimodal {
                                  min_value: Int, max_value: Int,
                                  sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** REAL payload decode for every format the JVM can handle without a
-    * codec library: BMP pixel arrays and WAV 16-bit PCM (pure byte math),
-    * PNG (JDK zlib + the five row filters), and GIF (pure-JVM LZW +
-    * palette) — [[HeaderCodec.decodeBmp]]/[[HeaderCodec.decodeWav]]/
-    * [[HeaderCodec.decodePng]]/[[HeaderCodec.decodeGif]]. [[FakeCodec]]'s
-    * remit is now ONLY JPEG (actual entropy coding) and unknown blobs,
-    * reported as format 'stub' with zeroed stats. Same partition-batched,
-    * shuffle-free shape as the other extraction stages. */
+  /** REAL payload decode for every supported format: BMP pixel arrays
+    * and WAV 16-bit PCM (pure byte math), PNG (JDK zlib + the five row
+    * filters), GIF (pure-JVM LZW + palette), and baseline JPEG
+    * (pure-JVM Huffman + dequant + IDCT — [[JpegCodec]]).
+    * [[FakeCodec]]'s remit is now ONLY unknown blobs and non-baseline
+    * JPEG modes, reported as format 'stub' with zeroed stats. Same
+    * partition-batched, shuffle-free shape as the other extraction
+    * stages. */
   def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -112,6 +113,7 @@ object Multimodal {
         HeaderCodec.decodeBmp(r.payload).map(img("bmp", _))
           .orElse(HeaderCodec.decodePng(r.payload).map(img("png", _)))
           .orElse(HeaderCodec.decodeGif(r.payload).map(img("gif", _)))
+          .orElse(JpegCodec.decodeJpeg(r.payload).map(img("jpeg", _)))
           .orElse(HeaderCodec.decodeWav(r.payload).map(pcm =>
             MediaStatsRow(r.media_id, "wav", 0, 0, pcm.channels,
               pcm.sampleRate, pcm.nSamples, pcm.sumSamples,
@@ -128,6 +130,7 @@ object Multimodal {
     HeaderCodec.decodeBmpPixels(payload).map("bmp" -> _)
       .orElse(HeaderCodec.decodePngPixels(payload).map("png" -> _))
       .orElse(HeaderCodec.decodeGifPixels(payload).map("gif" -> _))
+      .orElse(JpegCodec.decodeJpegPixels(payload).map("jpeg" -> _))
 
   /** 64-bit difference hash (dHash) of a decoded bitmap, as a 64-char
     * bit string (the engine's portable-fingerprint convention — the same

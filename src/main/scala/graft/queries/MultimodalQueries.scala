@@ -195,6 +195,56 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Baseline JPEG payload decode end to end, pure JVM: byte-valid ITU
+    * T.81 baseline files — grayscale, 4:4:4 color, and 4:2:0 subsampled
+    * color with DRI/RSTn restart markers — are generated in-plan from
+    * constant-block formulas ([[graft.multimodal.MediaSynth.jpeg]]:
+    * DC-only coefficients, all-ones quant table, neutral chroma), decoded
+    * by the real Huffman + dequant + IDCT pipeline
+    * ([[graft.multimodal.JpegCodec]]) through the same partition-batched
+    * extraction stage, and the oracle recomputes every statistic from the
+    * block formulas alone — a wrong Huffman canonical assignment, DC
+    * prediction, restart reset, dequant, IDCT scaling, upsampling walk,
+    * or YCbCr transform shifts some sum and breaks the hash.
+    * (javax.imageio cross-validates both directions in JpegCodecSpec,
+    * including AC-bearing files.) */
+  val q58dJpegDecode = QueryDef(
+    "q58d_jpeg_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.jpeg)).toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               ((d.media_id*37 + 11*gx.x + 23*gy.y + 3*gx.x*gy.y) % 256) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   /** Image near-duplicate detection over REAL decoded pixels — the
     * multimodal dedup step of a training-data pipeline: a corpus of
     * grayscale images (groups of 5 perturbed variants of a shared base,
@@ -274,5 +324,5 @@ object MultimodalQueries {
     bench = true)
 
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
-    q58bPngDecode, q58cGifDecode, q75ImageNearDup)
+    q58bPngDecode, q58cGifDecode, q58dJpegDecode, q75ImageNearDup)
 }

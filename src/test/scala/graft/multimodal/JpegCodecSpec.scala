@@ -1,0 +1,149 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG decode: byte-exact round trip of the DC-only generator
+  * (all three variants), bidirectional cross-validation against
+  * javax.imageio (their decoder on our files exactly; our decoder on
+  * their AC-bearing files within IDCT tolerance), truncation fuzz, and
+  * forged-header allocation guards. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def expected(id: Long): (Int, Int, Long) = {
+    val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+    var sum = 0L
+    for (by <- 0 until h / 8; bx <- 0 until w / 8)
+      sum += 64L * MediaSynth.jpegBlockGray(id, bx, by)
+    (w, h, sum)
+  }
+
+  test("DC-only generator decodes byte-exactly in all three variants") {
+    // ids cover grayscale (0 mod 3), 4:4:4 (1 mod 3), 4:2:0+DRI (2 mod 3)
+    (0L until 30L).foreach { id =>
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.jpeg(id))
+        .getOrElse(fail(s"decode failed for id=$id"))
+      val (w, h, sum) = expected(id)
+      assert((px.width, px.height) == (w, h), s"dims for id=$id")
+      // every pixel equals its block's formula value, all three channels
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = MediaSynth.jpegBlockGray(id, x / 8, y / 8)
+        assert(px.r(x, y) == g && px.g(x, y) == g && px.b(x, y) == g,
+          s"pixel ($x,$y) of id=$id: got (${px.r(x, y)},${px.g(x, y)},${px.b(x, y)}), want $g")
+      }
+      val st = HeaderCodec.statsOf(px)
+      assert((st.sumR, st.sumG, st.sumB) == (sum, sum, sum), s"sums for id=$id")
+    }
+  }
+
+  test("javax.imageio decodes our generated JPEGs to the same pixels") {
+    Seq(0L, 1L, 2L, 7L, 11L, 17L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(MediaSynth.jpeg(id)))
+      assert(img != null, s"imageio rejected our JPEG for id=$id")
+      assert((img.getWidth, img.getHeight) ==
+        (MediaSynth.jpegWidth(id), MediaSynth.jpegHeight(id)))
+      // read RAW raster samples: getRGB on a grayscale BufferedImage runs
+      // the ColorModel's linear-gray→sRGB gamma transform (11 becomes 59),
+      // which is presentation color management, not JPEG decoding
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+           band <- 0 until bands) {
+        val g = MediaSynth.jpegBlockGray(id, x / 8, y / 8)
+        val got = raster.getSample(x, y, band)
+        // DC-only constant blocks are exact through any correct decoder
+        assert(got == g,
+          s"imageio raster ($x,$y) band $band of id=$id: got $got, want $g")
+      }
+    }
+  }
+
+  test("our decoder reads imageio-encoded AC-bearing JPEGs within IDCT tolerance") {
+    // a real gradient image: quantized AC coefficients everywhere, 4:2:0
+    // or 4:4:4 as imageio's encoder chooses — decoders may differ by a
+    // couple of counts per pixel (IDCT + upsampling conventions), never more
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 255 / (w - 1) + y * 7 + (x * y) % 31) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = buf.toByteArray
+    val ours = JpegCodec.decodeJpegPixels(bytes)
+      .getOrElse(fail("decoder rejected an imageio-written baseline JPEG"))
+    val theirs = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert((ours.width, ours.height) == (theirs.getWidth, theirs.getHeight))
+    var maxDelta = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = theirs.getRGB(x, y)
+      maxDelta = math.max(maxDelta, math.abs(ours.r(x, y) - ((rgb >> 16) & 0xff)))
+      maxDelta = math.max(maxDelta, math.abs(ours.g(x, y) - ((rgb >> 8) & 0xff)))
+      maxDelta = math.max(maxDelta, math.abs(ours.b(x, y) - (rgb & 0xff)))
+    }
+    assert(maxDelta <= 3,
+      s"pixel delta $maxDelta vs imageio — IDCT/upsampling disagreement too large")
+  }
+
+  test("truncation anywhere returns None, never throws") {
+    val full = MediaSynth.jpeg(5L) // 4:2:0 variant with restart markers
+    (0 until full.length - 1).foreach { n =>
+      assert(JpegCodec.decodeJpegPixels(full.take(n)).isEmpty,
+        s"truncated at $n bytes must not decode")
+    }
+  }
+
+  test("bit-flip fuzz never throws or allocation-bombs") {
+    val rnd = new scala.util.Random(42)
+    val base = MediaSynth.jpeg(8L)
+    (0 until 500).foreach { _ =>
+      val mutated = base.clone()
+      val flips = 1 + rnd.nextInt(4)
+      (0 until flips).foreach { _ =>
+        val p = rnd.nextInt(mutated.length)
+        mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      JpegCodec.decodeJpegPixels(mutated) // Some or None, must not throw
+    }
+  }
+
+  test("a forged SOF claiming huge dimensions is rejected before allocating") {
+    // take a valid file and rewrite the SOF dims to 65000x65000 — the
+    // entropy data cannot justify 4.2 Gpx, so the cap must reject it
+    val b = MediaSynth.jpeg(0L)
+    var i = 2
+    var sofAt = -1
+    while (sofAt < 0 && i + 4 < b.length) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0) sofAt = i
+      else i += 1
+    }
+    assert(sofAt > 0)
+    val forged = b.clone()
+    forged(sofAt + 5) = 0xfd.toByte; forged(sofAt + 6) = 0xe8.toByte // h=65000
+    forged(sofAt + 7) = 0xfd.toByte; forged(sofAt + 8) = 0xe8.toByte // w=65000
+    val t0 = System.nanoTime()
+    assert(JpegCodec.decodeJpegPixels(forged).isEmpty)
+    assert((System.nanoTime() - t0) < 2e9, "rejection must be fast, not a decode attempt")
+  }
+
+  test("progressive and arithmetic-coded markers fall to None (stub path)") {
+    val b = MediaSynth.jpeg(0L)
+    var i = 2
+    while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0)) i += 1
+    val progressive = b.clone(); progressive(i + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeJpegPixels(progressive).isEmpty)
+    val arithmetic = b.clone(); arithmetic(i + 1) = 0xc9.toByte
+    assert(JpegCodec.decodeJpegPixels(arithmetic).isEmpty)
+  }
+}
