@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding tokenization as engine operators: TRAIN a merge
+  * table from a corpus (the Sennrich/GPT-2 recipe — iteratively fuse the
+  * most frequent adjacent symbol pair) and APPLY a merge table to count
+  * real subword tokens. This upgrades the q74 pre-tokenizer from "honest
+  * pre-merge budget" to actual BPE token counts, with the merge table
+  * learned from data rather than shipped as an opaque blob (a user with
+  * the published GPT-2 merges loads them as a table and calls
+  * [[applyMerges]]/[[tokenCounts]] directly — application is
+  * table-driven).
+  *
+  * Representation (shared verbatim with the DuckDB oracle): a word's
+  * symbol sequence is one string of `{...}`-wrapped symbols, e.g.
+  * " agg" → `"{ }{a}{g}{g}"`. Applying merge `"{a}{g}"` is then plain
+  * `replace(state, "{a}{g}", "{ag}")` — SQL `replace` scans
+  * left-to-right non-overlapping, which IS the BPE greedy fuse-and-skip
+  * ("{a}{a}{a}" merges to "{aa}{a}", not "{aa}{aa}"). Wrapper chars must
+  * not occur in the corpus alphabet (ASCII text; asserted by the spec).
+  *
+  * Scale shape: training runs on the DISTINCT pre-token vocabulary with
+  * frequencies — one corpus-wide shuffle to build it, then each round
+  * aggregates a vocabulary-sized frame (thousands of rows at any corpus
+  * size; the classic word-frequency-dict BPE trainer). The per-round
+  * best-pair collect is ONE row of driver metadata (the k-means-centroid
+  * shape). Application is map-only: a broadcast join of the vocabulary's
+  * final segmentation back onto the exploded pre-token stream. At 100 TB
+  * you train on a sample (pass a sampled df) and apply to everything.
+  */
+object Bpe {
+
+  /** Pre-token vocabulary with frequencies and initial one-symbol-per-
+    * character state: (w, freq, s). */
+  def vocab(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextFunctions.gpt2PreTokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("s", regexp_replace(col("w"), "(?s)(.)", "{$1}"))
+
+  /** Fuse a wrapped pair: "{a}{g}" → "{ag}". */
+  def fused(pair: String): String = pair.replace("}{", "")
+
+  /** Learn `k` merges (wrapped pair strings, rank order). Ties break on
+    * the pair string ascending — binary collation everywhere, so the SQL
+    * oracle learns the identical table.
+    *
+    * Shape: ONE distributed shuffle builds the frequency-weighted
+    * distinct-pre-token vocabulary; the merge loop then runs driver-side
+    * over that dict — the industrial BPE-trainer design (the vocabulary
+    * IS the corpus compression: 100 TB of text dedups to a few million
+    * distinct pre-tokens). `maxVocab` fails loudly instead of silently
+    * OOMing the driver; corpora over the bound pre-filter rare tokens
+    * (raise `minFreq`) or train on a sample, the standard practice. */
+  def train(docs: DataFrame, text: Column, k: Int,
+            minFreq: Long = 1L, maxVocab: Int = 1 << 21): Seq[String] = {
+    val rows = vocab(docs, text)
+      .filter(col("freq") >= minFreq)
+      .select(col("w"), col("freq")).limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"pre-token vocabulary exceeds maxVocab=$maxVocab: raise minFreq or train on a sample")
+    // (freq, mutable symbol sequence) per distinct word
+    val words = rows.map { r =>
+      (r.getAs[Long]("freq"),
+        scala.collection.mutable.ArrayBuffer.from(
+          r.getAs[String]("w").map(c => s"$c")))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var r0 = 0
+    var done = false
+    while (r0 < k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (freq, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by count, ties on the WRAPPED pair string ascending —
+        // the exact ordering the SQL replay uses
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, s"{$a}{$b}") }._1
+        merges += s"{${best._1}}{${best._2}}"
+        words.foreach { case (_, syms) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == best._1 && syms(i + 1) == best._2) {
+              syms(i) = best._1 + best._2
+              syms.remove(i + 1)
+            } // fuse-and-SKIP: the fused symbol doesn't re-pair leftward
+            i += 1
+          }
+        }
+      }
+      r0 += 1
+    }
+    merges.toSeq
+  }
+
+  /** The merge-application chain over a wrapped-state column. */
+  def applyMerges(state: Column, merges: Seq[String]): Column =
+    merges.foldLeft(state)((c, m) => replace(c, lit(m), lit(fused(m))))
+
+  /** Segment arbitrary text with a learned table: array of subword
+    * symbols per document (unwrapped, in order). Map-only. */
+  def segment(text: Column, merges: Seq[String]): Column = {
+    val joined = concat_ws("",
+      transform(TextFunctions.gpt2PreTokens(text),
+        t => applyMerges(regexp_replace(t, "(?s)(.)", "{$1}"), merges)))
+    transform(regexp_extract_all(joined, lit("\\{([^}]*)\\}"), lit(1)), x => x)
+  }
+
+  /** Per-document token budget under a learned merge table:
+    * (id, n_pre, n_bpe). The vocabulary's final segmentation is joined
+    * back broadcast-style onto the exploded pre-token stream — symbol
+    * counting happens once per DISTINCT word, not per occurrence. */
+  def tokenCounts(docs: DataFrame, text: Column, id: Column,
+                  merges: Seq[String]): DataFrame = {
+    val pt = docs.select(id.as("id"), explode(TextFunctions.gpt2PreTokens(text)).as("w"))
+    val v = vocab(docs, text)
+      .withColumn("s", applyMerges(col("s"), merges))
+      // symbol count = number of '{' wrappers left after all merges
+      .withColumn("n_sym", (length(col("s")) - length(replace(col("s"), lit("{"), lit("")))).cast("long"))
+      .select(col("w").as("vw"), col("n_sym"))
+    pt.join(broadcast(v), col("w") === col("vw"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_pre"), sum("n_sym").as("n_bpe"))
+  }
+}

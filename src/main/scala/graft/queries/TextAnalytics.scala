@@ -392,8 +392,79 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Rounds of BPE training q76 unrolls in both engines. */
+  private val BpeK = 24
+
+  /** The q76 oracle replays the ENTIRE BPE train+apply in DuckDB: the
+    * same frequency-weighted pre-token vocabulary, then `BpeK` unrolled
+    * rounds of count-pairs → argmax (ties on pair string, binary
+    * collation both engines) → greedy fuse via left-to-right
+    * non-overlapping `replace`, then the per-doc token budget under the
+    * learned table. Generated programmatically — one CTE triple per
+    * round. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to BpeK).map { r =>
+      s""",
+      p$r AS MATERIALIZED (
+        SELECT pair, sum(freq) AS cnt FROM (
+          SELECT freq, unnest(list_transform(range(1, len(syms)),
+                   i -> syms[i] || syms[i+1])) AS pair
+          FROM (SELECT freq, regexp_extract_all(s, '\\{[^}]*\\}') AS syms
+                FROM v${r - 1}))
+        GROUP BY pair),
+      b$r AS MATERIALIZED (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      v$r AS MATERIALIZED (
+        SELECT w, freq,
+               replace(s, (SELECT pair FROM b$r),
+                       replace((SELECT pair FROM b$r), '}{', '')) AS s
+        FROM v${r - 1})"""
+    }.mkString
+    // MATERIALIZED: each round references the previous vocabulary twice
+    // (pair counts + fuse); inlined CTEs would expand 2^rounds and
+    // exhaust file handles re-opening the parquet per leaf
+    s"""
+      WITH pt AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_filter(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +'),
+                 t -> trim(t) <> '')) AS w
+        FROM documents),
+      v0 AS MATERIALIZED (
+        SELECT w, count(*) AS freq,
+               regexp_replace(w, '(?s)(.)', '{\\1}', 'g') AS s
+        FROM pt GROUP BY w)$rounds
+      SELECT p.doc_id, count(*)::BIGINT AS n_pre,
+             sum(len(v.s) - len(replace(v.s, '{', '')))::BIGINT AS n_bpe
+      FROM pt p JOIN v$BpeK v ON v.w = p.w
+      GROUP BY p.doc_id
+      ORDER BY doc_id
+    """
+  }
+
+  /** Real merge-table BPE, trained AND applied in-engine
+    * ([[graft.operators.Bpe]]): learn $BpeK merges from the corpus's
+    * frequency-weighted pre-token vocabulary (Sennrich recipe over
+    * [[graft.functions.TextFunctions.gpt2PreTokens]]), then count each
+    * document's subword tokens under the learned table. The oracle
+    * replays the whole computation — a wrong pair count, tie-break,
+    * or greedy-fuse semantics diverges the learned TABLE and every
+    * count after it. Training aggregates the vocabulary frame (not the
+    * corpus) per round and collects one best-pair row — the k-means
+    * shape; application is a broadcast join, map-only on the corpus. */
+  val q76BpeTrainApply = QueryDef(
+    "q76_bpe_train_apply",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.train(docs, col("text"), BpeK)
+      graft.operators.Bpe.tokenCounts(docs, col("text"), col("doc_id"), merges)
+        .select(col("id").as("doc_id"), col("n_pre"), col("n_bpe"))
+        .orderBy("doc_id")
+    },
+    Some(bpeOracleSql),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
-    q70NgramRepetition, q74BpeTokenCount)
+    q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply)
 }
