@@ -297,6 +297,37 @@ object Dedup {
         bloomMightContain(bloom)), lit(false)))
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column —
+    * the composition of the engine's own primitives (each individually
+    * oracle-gated): bucket the corpus by nearest centroid
+    * ([[Similarity.ivfRangeSearch]] with the corpus as its own probe
+    * set), emit intra-bucket pairs with cosine ≥ `minCos`, cluster the
+    * pair graph ([[connectedComponents]]), and keep one representative
+    * (smallest id) per cluster plus every unpaired document. Recipe per
+    * Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication" (arXiv:2303.09540): embeddings →
+    * k-means buckets → intra-bucket cosine pruning to one exemplar.
+    *
+    * Pass [[Similarity.kmeansTrain]]-trained centroids for real recall
+    * (SimilaritySpec pins the trained-vs-seed gap); pair volume is
+    * Σ bucket², never n², and every stage shuffles on the cluster id or
+    * the pair key — the 100 TB shape. `corpus`: (id, e); `centroids`:
+    * (c_id, c). Returns surviving (id, cluster) where cluster is the
+    * kept representative's component label (its own id for unpaired
+    * rows). */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, minCos: Double,
+                    nprobe: Int = 1, maxIter: Int = 20,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+    val pairs = Similarity.ivfRangeSearch(corpus, centroids, probes, minCos, nprobe)
+      .filter(col("probe_id") < col("id")) // drop self-pairs; one direction
+      .select(col("probe_id").as("id_a"), col("id").as("id_b"))
+    val comps = connectedComponents(pairs, maxIter, checkpointDir)
+    corpus.join(comps, Seq("id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("id"))
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+  }
+
   /** Portable simhash fingerprints (see TextFunctions.simhashBits). */
   def simhashPortable(df: DataFrame, text: Column, id: Column,
                       bits: Int = 60): DataFrame =

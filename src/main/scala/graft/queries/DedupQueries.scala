@@ -438,8 +438,103 @@ object DedupQueries {
       ORDER BY doc_id
     """)
 
+  /** Semantic (embedding-space) deduplication, the SemDeDup composition
+    * ([[graft.operators.Dedup.semanticDedup]]): corpus = originals plus
+    * TWO perturbed near-copies each (first / second component doubled),
+    * bucketed by nearest centroid, intra-bucket pairs at cos ≥ 0.8,
+    * connected components, one representative per cluster. The oracle
+    * replays bucketing, pair generation, and SIX unrolled min-label
+    * propagation rounds (natural intra-label clusters merge too, so the
+    * margin covers diameters up to 6; extra rounds are no-ops at the
+    * fixpoint), then the same
+    * representative filter. Output has no floats — only surviving ids
+    * and their cluster labels — so parity is exact by construction. */
+  val q77SemanticDedup = QueryDef(
+    "q77_semantic_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val corpus = emb.select(col("vec_id").as("id"), col("e"))
+        .unionByName(emb.select((col("vec_id") + 100000).as("id"),
+          concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("e")))
+        .unionByName(emb.select((col("vec_id") + 200000).as("id"),
+          concat(array(element_at(col("e"), 1)),
+            array(element_at(col("e"), 2) * 2.0), slice(col("e"), 3, 62)).as("e")))
+      val seedIds = emb.groupBy(col("label"), pmod(col("vec_id"), lit(4)))
+        .agg(min("vec_id").as("c_id"))
+      val cent = seedIds.join(emb, col("c_id") === col("vec_id"))
+        .select(col("c_id"), col("e").as("c"))
+      graft.operators.Dedup.semanticDedup(corpus, cent, minCos = 0.8)
+        .orderBy("id")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      corpus AS (
+        SELECT vec_id AS id, e FROM emb
+        UNION ALL
+        SELECT vec_id + 100000, [e[1]*2.0] || e[2:] FROM emb
+        UNION ALL
+        SELECT vec_id + 200000, [e[1]] || [e[2]*2.0] || e[3:] FROM emb),
+      u AS MATERIALIZED (
+        SELECT id, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT id, e, sqrt(list_dot_product(e, e)) AS nrm FROM corpus)),
+      seeds AS (SELECT min(vec_id) AS c_id FROM emb GROUP BY label, vec_id % 4),
+      cent AS MATERIALIZED (
+        SELECT s.c_id, u.ue AS uc FROM seeds s JOIN u ON u.id = s.c_id),
+      assigned AS MATERIALIZED (
+        SELECT id, ue, c_id FROM (
+          SELECT u.id, u.ue, cent.c_id,
+                 row_number() OVER (PARTITION BY u.id
+                   ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
+          FROM u CROSS JOIN cent)
+        WHERE rn = 1),
+      e0 AS MATERIALIZED (
+        SELECT a.id AS ea, b.id AS eb
+        FROM assigned a JOIN assigned b
+          ON a.c_id = b.c_id AND a.id < b.id
+        WHERE list_dot_product(a.ue, b.ue) >= 0.8),
+      edges AS MATERIALIZED (
+        SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT ea AS id, ea AS comp FROM edges),
+      l1 AS MATERIALIZED (
+        SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+        FROM l0 l LEFT JOIN edges e ON e.ea = l.id
+                  LEFT JOIN l0 n ON n.id = e.eb
+        GROUP BY l.id, l.comp),
+      l2 AS MATERIALIZED (
+        SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+        FROM l1 l LEFT JOIN edges e ON e.ea = l.id
+                  LEFT JOIN l1 n ON n.id = e.eb
+        GROUP BY l.id, l.comp),
+      l3 AS MATERIALIZED (
+        SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+        FROM l2 l LEFT JOIN edges e ON e.ea = l.id
+                  LEFT JOIN l2 n ON n.id = e.eb
+        GROUP BY l.id, l.comp),
+      l4 AS MATERIALIZED (
+        SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+        FROM l3 l LEFT JOIN edges e ON e.ea = l.id
+                  LEFT JOIN l3 n ON n.id = e.eb
+        GROUP BY l.id, l.comp),
+      l5 AS MATERIALIZED (
+        SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+        FROM l4 l LEFT JOIN edges e ON e.ea = l.id
+                  LEFT JOIN l4 n ON n.id = e.eb
+        GROUP BY l.id, l.comp),
+      l6 AS MATERIALIZED (
+        SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+        FROM l5 l LEFT JOIN edges e ON e.ea = l.id
+                  LEFT JOIN l5 n ON n.id = e.eb
+        GROUP BY l.id, l.comp)
+      SELECT c.id, coalesce(l.comp, c.id) AS cluster
+      FROM corpus c LEFT JOIN l6 l ON l.id = c.id
+      WHERE l.comp IS NULL OR l.comp = c.id
+      ORDER BY c.id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate,
-    q67DecontaminateBloom)
+    q67DecontaminateBloom, q77SemanticDedup)
 }

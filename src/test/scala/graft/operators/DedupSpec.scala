@@ -186,4 +186,45 @@ class DedupSpec extends SparkSpec {
       f"training regressed range-search recall: $trainedRecall%.3f < $seedRecall%.3f")
     assert(trainedRecall >= 0.9, f"trained recall $trainedRecall%.3f below 0.9")
   }
+
+  test("semanticDedup with TRAINED centroids: cluster pruning vs exact all-pairs") {
+    // the full SemDeDup composition against ground truth: exact all-pairs
+    // cos>=0.8 + exact connected components, computed locally at sf0.001.
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("e"))
+    val corpus = e.select($"vec_id".as("id"), $"e")
+      .unionByName(e.select(($"vec_id" + 100000).as("id"),
+        concat(array(element_at($"e", 1) * 2.0), slice($"e", 2, 63)).as("e")))
+    val seedIds = e.groupBy($"label", pmod($"vec_id", lit(4)))
+      .agg(min("vec_id").as("c_id"))
+    val seeds = seedIds.join(e, $"c_id" === $"vec_id").select($"c_id", $"e".as("c"))
+    val vecs = corpus.as[(Long, Seq[Double])].collect().toMap
+      .view.mapValues { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toArray
+      }.toMap
+    val ids = vecs.keys.toArray.sorted
+    // exact ground truth: union-find over all-pairs cos >= 0.8
+    val parent = scala.collection.mutable.Map.from(ids.map(i => i -> i))
+    def find(i: Long): Long = { var r = i; while (parent(r) != r) r = parent(r); r }
+    for (a <- ids.indices; b <- (a + 1) until ids.length) {
+      val (ia, ib) = (ids(a), ids(b))
+      val cos = vecs(ia).zip(vecs(ib)).map { case (x, y) => x * y }.sum
+      if (cos >= 0.8) {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val exactSurvivors = ids.filter(i => find(i) == i).toSet
+    val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)
+    val got = Dedup.semanticDedup(corpus, trained, minCos = 0.8)
+      .select("id").as[Long].collect().toSet
+    // cluster pruning can only MISS pairs (split a true cluster), so the
+    // approximate dedup keeps a superset of the exact representatives
+    assert(exactSurvivors.subsetOf(got),
+      s"semanticDedup dropped ${exactSurvivors.diff(got).size} true representatives")
+    val excess = got.size - exactSurvivors.size
+    info(s"survivors: exact ${exactSurvivors.size}, semanticDedup ${got.size} (+$excess)")
+    assert(got.size <= (exactSurvivors.size * 1.1).toInt + 5,
+      s"cluster pruning left ${got.size} survivors vs exact ${exactSurvivors.size} — recall collapsed")
+  }
 }
