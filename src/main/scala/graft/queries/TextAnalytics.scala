@@ -463,8 +463,84 @@ object TextAnalytics {
     Some(bpeOracleSql),
     bench = true)
 
+  /** PII scrubbing ([[graft.operators.PiiScrub]]): the corpus carries no
+    * natural PII, so each doc gets deterministic synthesized PII by
+    * doc_id class — an email, a phone, an SSN, a dotted IPv4, or an
+    * email AND phone together (multi-class docs exercise cascade
+    * interaction). Both engines build the identical corpus, run the
+    * identical RE2-safe rule cascade, and the oracle hash covers the
+    * per-class counts AND the fully redacted text. Map-only, no
+    * shuffle. */
+  val q78PiiScrub = QueryDef(
+    "q78_pii_scrub",
+    (s, d) => {
+      val id = col("doc_id")
+      val istr = (e: org.apache.spark.sql.Column) => e.cast("string")
+      val email = concat(lit(" mail user"), istr(id), lit("@host"),
+        istr(pmod(id, lit(7))), lit(".org"))
+      val phone = concat(lit(" call ("), istr(pmod(id, lit(900)) + 100),
+        lit(") "), istr(pmod(id, lit(800)) + 200), lit("-"),
+        istr(pmod(id, lit(9000)) + 1000))
+      val ssn = concat(lit(" ssn "), istr(pmod(id, lit(900)) + 100), lit("-"),
+        istr(pmod(id, lit(90)) + 10), lit("-"), istr(pmod(id, lit(9000)) + 1000))
+      val ip = concat(lit(" from "), istr(pmod(id, lit(256))), lit("."),
+        istr(pmod(id * 3, lit(256))), lit("."), istr(pmod(id * 7, lit(256))),
+        lit("."), istr(pmod(id * 11, lit(256))))
+      val withPii = Tables.documents(s, d).select(id,
+        concat(col("text"),
+          when(pmod(id, lit(5)) === 0, email)
+            .when(pmod(id, lit(5)) === 1, phone)
+            .when(pmod(id, lit(5)) === 2, ssn)
+            .when(pmod(id, lit(5)) === 3, ip)
+            .otherwise(concat(email, phone))).as("text"))
+      graft.operators.PiiScrub.scrub(withPii, col("text"))
+        .select("doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "scrubbed")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH pii AS (
+        SELECT doc_id,
+          text || CASE doc_id % 5
+            WHEN 0 THEN ' mail user' || doc_id || '@host' || doc_id % 7 || '.org'
+            WHEN 1 THEN ' call (' || (doc_id % 900 + 100) || ') ' ||
+                        (doc_id % 800 + 200) || '-' || (doc_id % 9000 + 1000)
+            WHEN 2 THEN ' ssn ' || (doc_id % 900 + 100) || '-' ||
+                        (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000)
+            WHEN 3 THEN ' from ' || (doc_id % 256) || '.' || (doc_id * 3 % 256) ||
+                        '.' || (doc_id * 7 % 256) || '.' || (doc_id * 11 % 256)
+            ELSE ' mail user' || doc_id || '@host' || doc_id % 7 || '.org' ||
+                 ' call (' || (doc_id % 900 + 100) || ') ' ||
+                 (doc_id % 800 + 200) || '-' || (doc_id % 9000 + 1000)
+          END AS text
+        FROM documents),
+      s1 AS (
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+          regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+        FROM pii),
+      s2 AS (
+        SELECT doc_id, n_email,
+          len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+          regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, n_email, n_ssn,
+          len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+          regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, n_email, n_ssn, n_ipv4,
+          len(regexp_extract_all(t, '\(?[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}'))::BIGINT AS n_phone,
+          regexp_replace(t, '\(?[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}', '<PHONE>', 'g') AS t
+        FROM s3)
+      SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, t AS scrubbed
+      FROM s4
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
-    q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply)
+    q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub)
 }
