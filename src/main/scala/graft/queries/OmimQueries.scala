@@ -18,9 +18,15 @@ import graft.text.{MimFields, Roman, Titles}
   */
 object OmimQueries {
 
-  private val toRomanUdf = udf { (n: Int) => Roman.toRoman(n) }
-  private val fromRomanUdf = udf { (s: String) => Roman.fromRoman(s) }
-  private val cleanupUdf = udf { (s: String) => Titles.cleanupTitle(s, Map.empty) }
+  // C1/C2 run as codegen expressions (RomanExpressions — same kernels the
+  // sanctioned UDFs wrapped, minus the ScalaUDF converter overhead)
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  private def toRomanCol(c: Column): Column =
+    column(graft.expressions.ToRomanExpr(expression(c)))
+  private def fromRomanCol(c: Column): Column =
+    column(graft.expressions.FromRomanExpr(expression(c)))
+  private def cleanupCol(c: Column): Column =
+    column(graft.expressions.CleanupTitleExpr(expression(c)))
   private val phenoFieldUdf = udf { (s: String) =>
     val r = MimFields.parsePhenotypeField(s)
     (r.label, r.phenotypeMim, r.mappingKey)
@@ -33,8 +39,8 @@ object OmimQueries {
     (s, d) =>
       Tables.part(s, d)
         .select(col("p_partkey"), ((col("p_partkey") % 99) + 1).cast("int").as("n"))
-        .withColumn("roman", toRomanUdf(col("n")))
-        .withColumn("decoded", fromRomanUdf(col("roman")))
+        .withColumn("roman", toRomanCol(col("n")))
+        .withColumn("decoded", fromRomanCol(col("roman")))
         .orderBy("p_partkey"),
     Some("""
       SELECT p_partkey, n,
@@ -56,8 +62,8 @@ object OmimQueries {
       val n = ((col("p_partkey") % 99) + 1).cast("int")
       Tables.part(s, d)
         .select(col("p_partkey"),
-          concat(upper(col("p_name")), lit(" TYPE "), toRomanUdf(n)).as("title"))
-        .withColumn("cleaned", cleanupUdf(col("title")))
+          concat(upper(col("p_name")), lit(" TYPE "), toRomanCol(n)).as("title"))
+        .withColumn("cleaned", cleanupCol(col("title")))
         .orderBy("p_partkey")
     },
     Some("""
