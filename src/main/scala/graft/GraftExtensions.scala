@@ -33,50 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - double dot product of two array<double>"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("normalize_vector"),
-      info("normalize_vector", "normalize_vector(a) - unit-normalized array<double>"),
-      (args: Seq[Expression]) => NormalizeVector(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_bands"),
-      info("minhash_bands",
-        "minhash_bands(text, shingleN, numBands) - banded minhash signature"),
-      (args: Seq[Expression]) => MinhashBandsExpr(args.head,
-        intArg(args(1), "shingleN"), intArg(args(2), "numBands"))))
-    ext.injectFunction((
-      FunctionIdentifier("distinct_shingles"),
-      info("distinct_shingles", "distinct_shingles(text, n) - distinct word n-grams"),
-      (args: Seq[Expression]) => DistinctShinglesExpr(args.head, intArg(args(1), "n"))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash_bits"),
-      info("simhash_bits", "simhash_bits(text, bits) - '0'/'1' simhash string"),
-      (args: Seq[Expression]) => SimhashBitsExpr(args.head, intArg(args(1), "bits"))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(text) - 64-bit simhash fingerprint"),
-      (args: Seq[Expression]) => Simhash64Expr(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("winnow_fingerprints"),
-      info("winnow_fingerprints",
-        "winnow_fingerprints(text, k, w) - winnowing document fingerprints"),
-      (args: Seq[Expression]) => WinnowingExpr(args.head,
-        intArg(args(1), "k"), intArg(args(2), "w"))))
-    ext.injectFunction((
-      FunctionIdentifier("hash_bucket"),
-      info("hash_bucket",
-        "hash_bucket(key, seed) - deterministic sampling bucket in [0, 1e6)"),
-      (args: Seq[Expression]) => GraftExtensions.hashBucketExpr(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("ngram_rep_stats"),
-      info("ngram_rep_stats",
-        "ngram_rep_stats(text, n) - [n_grams, top_cnt, dup_cnt] repetition stats"),
-      (args: Seq[Expression]) => NgramRepExpr(args.head, intArg(args(1), "n"))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, arity, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        GraftExtensions.checkedBuilder(name, usage, arity)(builder)))
+    }
 }
 
 /** Registration for an EXISTING session (tests, REPLs): the extensions
@@ -103,26 +64,51 @@ object GraftExtensions {
         Literal(16), Literal(10)), LongType),
       Literal(graft.operators.Sampling.Buckets))
 
+  /** One registration table for both paths (extension install and live
+    * session): (name, usage, arity, builder). */
+  private[graft] val functions: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", "dot_product(a, b) - double dot product of two array<double>",
+      2, a => DotProduct(a(0), a(1))),
+    ("normalize_vector", "normalize_vector(a) - unit-normalized array<double>",
+      1, a => NormalizeVector(a.head)),
+    ("minhash_bands", "minhash_bands(text, shingleN, numBands) - banded minhash signature",
+      3, a => MinhashBandsExpr(a.head, intArg(a(1), "shingleN"), intArg(a(2), "numBands"))),
+    ("distinct_shingles", "distinct_shingles(text, n) - distinct word n-grams",
+      2, a => DistinctShinglesExpr(a.head, intArg(a(1), "n"))),
+    ("simhash_bits", "simhash_bits(text, bits) - '0'/'1' simhash string",
+      2, a => SimhashBitsExpr(a.head, intArg(a(1), "bits"))),
+    ("simhash64", "simhash64(text) - 64-bit simhash fingerprint",
+      1, a => Simhash64Expr(a.head)),
+    ("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing document fingerprints",
+      3, a => WinnowingExpr(a.head, intArg(a(1), "k"), intArg(a(2), "w"))),
+    ("hash_bucket", "hash_bucket(key, seed) - deterministic sampling bucket in [0, 1e6)",
+      2, a => hashBucketExpr(a(0), a(1))),
+    ("ngram_rep_stats", "ngram_rep_stats(text, n) - [n_grams, top_cnt, dup_cnt] repetition stats",
+      2, a => NgramRepExpr(a.head, intArg(a(1), "n"))),
+    ("to_roman", "to_roman(n) - roman numeral of an int in 1..4999",
+      1, a => ToRomanExpr(a.head)),
+    ("from_roman", "from_roman(s) - greedy front-parse of a roman numeral",
+      1, a => FromRomanExpr(a.head)),
+    ("cleanup_title", "cleanup_title(s) - OMIM C1 title cleanup pipeline",
+      1, a => CleanupTitleExpr(a.head)))
+
+  /** Wrap a builder with an arity check: a wrong argument count raises a
+    * clear error carrying the usage string instead of surfacing an
+    * IndexOutOfBoundsException from a blind args(i). */
+  private[graft] def checkedBuilder(name: String, usage: String, arity: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.length == arity) b(args)
+      else throw new IllegalArgumentException(
+        s"$name expects $arity argument(s) but got ${args.length}; usage: $usage")
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def add(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+    functions.foreach { case (name, usage, arity, builder) =>
       reg.registerFunction(FunctionIdentifier(name),
         new ExpressionInfo(getClass.getName, null, name, usage,
-          "", "", "", "", "", "", "built-in"), b)
-    add("dot_product", "dot product")(a => DotProduct(a(0), a(1)))
-    add("normalize_vector", "unit normalize")(a => NormalizeVector(a.head))
-    add("minhash_bands", "banded minhash")(a =>
-      MinhashBandsExpr(a.head, intArg(a(1), "shingleN"), intArg(a(2), "numBands")))
-    add("distinct_shingles", "distinct shingles")(a =>
-      DistinctShinglesExpr(a.head, intArg(a(1), "n")))
-    add("simhash_bits", "simhash bits")(a =>
-      SimhashBitsExpr(a.head, intArg(a(1), "bits")))
-    add("simhash64", "64-bit simhash")(a => Simhash64Expr(a.head))
-    add("winnow_fingerprints", "winnowing fingerprints")(a =>
-      WinnowingExpr(a.head, intArg(a(1), "k"), intArg(a(2), "w")))
-    add("hash_bucket", "deterministic sampling bucket")(a =>
-      hashBucketExpr(a(0), a(1)))
-    add("ngram_rep_stats", "n-gram repetition stats")(a =>
-      NgramRepExpr(a.head, intArg(a(1), "n")))
+          "", "", "", "", "", "", "built-in"),
+        checkedBuilder(name, usage, arity)(builder))
+    }
   }
 }

@@ -332,7 +332,7 @@ object HeaderCodec {
 
   /** GIF LZW: LSB-first variable-width codes; width bumps exactly when
     * the next free code stops fitting (mirrored in MediaSynth.gif). */
-  private def lzwDecode(data: Array[Byte], minCode: Int,
+  private[multimodal] def lzwDecode(data: Array[Byte], minCode: Int,
                         expected: Int): Option[Array[Byte]] = {
     val clear = 1 << minCode; val eoi = clear + 1
     var width = minCode + 1
@@ -348,7 +348,16 @@ object HeaderCodec {
       while (bitCnt < width && pos < data.length) {
         bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
       }
-      if (bitCnt < width) return None // ran out of bits before EOI
+      if (bitCnt < width) {
+        // Bits exhausted before a full code. Legal-encoder edge: the
+        // decoder widens one code EARLIER than the encoder (the classic
+        // off-by-one), so an EOI the encoder wrote at the pre-bump width
+        // can land byte-aligned with no padding left to zero-extend it.
+        // If every expected pixel was already produced, the data stream
+        // is complete and only the EOI is unreadable — accept; anything
+        // short of the full pixel count is truncation — reject.
+        return if (out.size() == expected) Some(out.toByteArray) else None
+      }
       val code = (bitBuf & ((1L << width) - 1)).toInt
       bitBuf >>>= width; bitCnt -= width
       if (code == clear) {

@@ -160,21 +160,37 @@ object TemporalStreams {
             nullTs.foreach { r =>
               if (r.tag == 1) out += AsofJoined(r.k, r.ts, r.payload, None, None)
             }
-            // tag 0 (right) before tag 1 (left) on ties → inclusive match
-            timed.sortBy(r => (r.ts.getTime, r.tag)).foreach { r =>
-              maxEvent = math.max(maxEvent, r.ts.getTime)
-              if (r.tag == 0) {
-                // insert keeping ascending time order (append is the hot
-                // path for in-order streams)
-                val (before, after) = rights.span(_._1 <= r.ts.getTime)
-                rights = before ::: (r.ts.getTime, r.payload) :: after
-              } else {
-                val m = rights.takeWhile(_._1 <= r.ts.getTime).lastOption
-                out += AsofJoined(r.k, r.ts, r.payload,
-                  m.map(t => new java.sql.Timestamp(t._1)), m.map(_._2))
+            // tag 0 (right) before tag 1 (left) on ties → inclusive match.
+            // O(n+m) per key per batch: the buffer and the batch's rights
+            // are each sorted, so ONE stable merge (state side first on
+            // ties — the order the old per-right list splice produced)
+            // replaces per-right O(n) inserts, and the lefts — ascending
+            // too — scan the merged buffer with one monotone pointer
+            // (every right that can match a left sorts before it). A hot
+            // key with a disordered batch is linear, not quadratic; state
+            // memory stays bounded by the watermark prune below.
+            val sorted = timed.sortBy(r => (r.ts.getTime, r.tag))
+            sorted.foreach(r => maxEvent = math.max(maxEvent, r.ts.getTime))
+            val batchRights = sorted.iterator.filter(_.tag == 0)
+              .map(r => (r.ts.getTime, r.payload)).toArray
+            val merged = new scala.collection.mutable.ArrayBuffer[(Long, String)](
+              rights.length + batchRights.length)
+            var bi = 0
+            rights.foreach { s =>
+              while (bi < batchRights.length && batchRights(bi)._1 < s._1) {
+                merged += batchRights(bi); bi += 1
               }
+              merged += s
             }
-            state.update(AsofState(prune(rights)))
+            while (bi < batchRights.length) { merged += batchRights(bi); bi += 1 }
+            var ptr = 0
+            sorted.iterator.filter(_.tag == 1).foreach { r =>
+              while (ptr < merged.length && merged(ptr)._1 <= r.ts.getTime) ptr += 1
+              val m = if (ptr > 0) Some(merged(ptr - 1)) else None
+              out += AsofJoined(r.k, r.ts, r.payload,
+                m.map(t => new java.sql.Timestamp(t._1)), m.map(_._2))
+            }
+            state.update(AsofState(prune(merged.toList)))
             // flush quiet keys one horizon after their last activity
             if (maxEvent != Long.MinValue)
               state.setTimeoutTimestamp(maxEvent, horizon)

@@ -42,4 +42,22 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal int") || e.getCause != null)
   }
+
+  test("wrong arity raises the usage string, never IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    for ((sql, usageBit) <- Seq(
+        ("SELECT ngram_rep_stats('x')", "ngram_rep_stats(text, n)"),
+        ("SELECT dot_product(array(1.0))", "dot_product(a, b)"),
+        ("SELECT simhash64('a', 'b')", "simhash64(text)"),
+        ("SELECT minhash_bands('x', 3)", "minhash_bands(text, shingleN, numBands)"))) {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      def walk(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: walk(t.getCause)
+      val chain = walk(e)
+      assert(!chain.exists(_.isInstanceOf[IndexOutOfBoundsException]),
+        s"$sql surfaced IndexOutOfBounds")
+      assert(chain.exists(t => Option(t.getMessage).exists(_.contains(usageBit))),
+        s"$sql error lacks usage string: ${e.getMessage}")
+    }
+  }
 }

@@ -384,6 +384,39 @@ class HeaderCodecSpec extends SparkSpec {
       3L * MediaSynth.gifWidth(7L) * MediaSynth.gifHeight(7L))
   }
 
+  test("LZW end-of-data edge: EOI at pre-bump width, byte-aligned, zero padding") {
+    // The decoder widens one code EARLIER than the encoder; an encoder
+    // that never inserts after its final data emit writes EOI at the old
+    // width. When the stream also ends exactly on a byte boundary there
+    // is no zero padding to extend the read — the decoder must accept
+    // end-of-data as EOI once every expected pixel is out.
+    // Construction (minCode=2, clear=4, EOI=5): 122 literal data codes.
+    // The decoder's insert on code 122 drives next to 127 = 2^7-1 (bump
+    // to width 8); the encoder stays at width 7 for EOI. Total bits:
+    // 3 + 2*3 + 8*4 + 16*5 + 32*6 + 64*7 + 7 = 768 — exactly 96 bytes.
+    def widthAt(i: Int): Int =
+      if (i <= 2) 3 else if (i <= 10) 4 else if (i <= 26) 5
+      else if (i <= 58) 6 else 7
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def emit(code: Int, w: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt; bitCnt += w
+      while (bitCnt >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+    }
+    emit(4, 3) // clear
+    val pixels = (1 to 122).map(i => (i % 4))
+    pixels.zipWithIndex.foreach { case (px, idx) => emit(px, widthAt(idx + 1)) }
+    emit(5, 7) // EOI at the encoder's (pre-bump) width 7
+    assert(bitCnt == 0, s"construction must land byte-aligned, $bitCnt bits over")
+    val data = out.toByteArray
+    assert(data.length == 96)
+    val decoded = HeaderCodec.lzwDecode(data, 2, 122)
+      .getOrElse(fail("boundary-aligned EOI rejected a valid stream"))
+    assert(decoded.toSeq == pixels.map(_.toByte))
+    // truncation strictness is preserved: one pixel short still fails
+    assert(HeaderCodec.lzwDecode(data.dropRight(1), 2, 122).isEmpty)
+  }
+
   test("extractMeta decodes real containers distributed, stubs the rest") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", png(12, 34, 8), 0, 0, 33L),
