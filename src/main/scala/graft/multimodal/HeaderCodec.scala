@@ -113,15 +113,27 @@ object HeaderCodec {
     val height = math.abs(rawHeight)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
-    val rowSize = ((bpp * width + 31) / 32) * 4
-    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * height > b.length) return None
+    // abs(Int.MinValue) is still negative — reject before it poisons the
+    // size math (fuzz-caught forged header)
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
+    // stride/size math in LONG: 24 * a forged 0x10000000 width overflows
+    // Int, yielding a tiny rowSize that slips past the bounds check and
+    // drives a huge allocation from a 60-byte payload (fuzz-caught). BMP
+    // is uncompressed, so requiring the full pixel array to be PRESENT
+    // also bounds the rgb allocation by 3·w·h ≤ rowSize·h ≤ b.length.
+    val rowSize = ((24L * width + 31) / 32) * 4
+    // divide, don't multiply: rowSize·height overflows even a Long at
+    // max forged dims (2^31-1 each) and a wrapped product passes a
+    // direct comparison
+    if (dataOff < 54 || dataOff >= b.length) return None
+    if (rowSize > b.length - dataOff ||
+        height.toLong > (b.length - dataOff) / rowSize) return None
     val rgb = new Array[Byte](3 * width * height)
     var fy = 0
     while (fy < height) {
       // positive height = bottom-up file rows: file row fy is image row h-1-fy
       val y = if (rawHeight > 0) height - 1 - fy else fy
-      val base = dataOff + fy * rowSize
+      val base = (dataOff + fy * rowSize).toInt // bounds-checked above
       var x = 0
       while (x < width) {
         val o = 3 * (y * width + x)
@@ -291,7 +303,9 @@ object HeaderCodec {
           // overflows Int, and LZW can expand a code to at most a
           // 4096-byte entry per ~9 input bits — cap before allocating
           val expectedL = width.toLong * height
-          if (expectedL > Int.MaxValue - 8 ||
+          // bound 3·expected too: the RGB allocation is 3× the pixel
+          // count, and w·h ≤ Int.MaxValue alone lets 3·w·h wrap negative
+          if (expectedL > (Int.MaxValue - 8) / 3 ||
               expectedL > data.size().toLong * 4096L + 4096L) return None
           return lzwDecode(data.toByteArray, minCode, expectedL.toInt).flatMap { px =>
             // stream row k → image row: identity, or the 4-pass interlace

@@ -147,6 +147,9 @@ object JpegCodec {
       if (u8(b, i) != 0xff) return None
       var marker = u8(b, i + 1)
       while (marker == 0xff && i + 2 < b.length) { i += 1; marker = u8(b, i + 1) } // fill bytes
+      // re-check after fill-byte skipping: a 0xFF run ending near EOF
+      // would otherwise read a length field past the buffer (fuzz-caught)
+      if (i + 4 > b.length) return None
       val segStart = i + 2
       marker match {
         case 0xd8 => i += 2 // stray SOI

@@ -56,15 +56,25 @@ object Bpe {
     * OOMing the driver; corpora over the bound pre-filter rare tokens
     * (raise `minFreq`) or train on a sample, the standard practice. */
   def train(docs: DataFrame, text: Column, k: Int,
-            minFreq: Long = 1L, maxVocab: Int = 1 << 21): Seq[String] = {
+            minFreq: Long = 1L, maxVocab: Int = 1 << 21): Seq[String] =
+    trainModel(docs, text, k, minFreq, maxVocab)._1
+
+  /** [[train]] plus the trained model's FINAL vocabulary segmentation as
+    * a broadcast-sized frame (vw, n_sym) — the trainer already holds
+    * every distinct word's symbol sequence when the merge loop ends, so
+    * consumers ([[tokenCounts]]) need neither a second corpus pass to
+    * rebuild the vocabulary nor a k-deep replace chain to re-derive it. */
+  def trainModel(docs: DataFrame, text: Column, k: Int,
+                 minFreq: Long = 1L, maxVocab: Int = 1 << 21)
+      : (Seq[String], DataFrame) = {
     val rows = vocab(docs, text)
       .filter(col("freq") >= minFreq)
       .select(col("w"), col("freq")).limit(maxVocab + 1).collect()
     require(rows.length <= maxVocab,
       s"pre-token vocabulary exceeds maxVocab=$maxVocab: raise minFreq or train on a sample")
-    // (freq, mutable symbol sequence) per distinct word
+    // (word, freq, mutable symbol sequence) per distinct word
     val words = rows.map { r =>
-      (r.getAs[Long]("freq"),
+      (r.getAs[String]("w"), r.getAs[Long]("freq"),
         scala.collection.mutable.ArrayBuffer.from(
           r.getAs[String]("w").map(c => s"$c")))
     }
@@ -73,7 +83,7 @@ object Bpe {
     var done = false
     while (r0 < k && !done) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (freq, syms) =>
+      words.foreach { case (_, freq, syms) =>
         var i = 0
         while (i < syms.length - 1) {
           val key = (syms(i), syms(i + 1))
@@ -87,7 +97,7 @@ object Bpe {
         // the exact ordering the SQL replay uses
         val best = counts.toSeq.minBy { case ((a, b), c) => (-c, s"{$a}{$b}") }._1
         merges += s"{${best._1}}{${best._2}}"
-        words.foreach { case (_, syms) =>
+        words.foreach { case (_, _, syms) =>
           var i = 0
           while (i < syms.length - 1) {
             if (syms(i) == best._1 && syms(i + 1) == best._2) {
@@ -100,7 +110,11 @@ object Bpe {
       }
       r0 += 1
     }
-    merges.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segmented = words.map { case (w, _, syms) => (w, syms.length.toLong) }
+      .toSeq.toDF("vw", "n_sym")
+    (merges.toSeq, segmented)
   }
 
   /** The merge-application chain over a wrapped-state column. */
@@ -113,7 +127,7 @@ object Bpe {
     val joined = concat_ws("",
       transform(TextFunctions.gpt2PreTokens(text),
         t => applyMerges(regexp_replace(t, "(?s)(.)", "{$1}"), merges)))
-    transform(regexp_extract_all(joined, lit("\\{([^}]*)\\}"), lit(1)), x => x)
+    regexp_extract_all(joined, lit("\\{([^}]*)\\}"), lit(1))
   }
 
   /** Per-document token budget under a learned merge table:
@@ -122,13 +136,22 @@ object Bpe {
     * counting happens once per DISTINCT word, not per occurrence. */
   def tokenCounts(docs: DataFrame, text: Column, id: Column,
                   merges: Seq[String]): DataFrame = {
-    val pt = docs.select(id.as("id"), explode(TextFunctions.gpt2PreTokens(text)).as("w"))
+    // external/loaded merge table: derive the vocabulary segmentation by
+    // applying the chain once per DISTINCT word
     val v = vocab(docs, text)
       .withColumn("s", applyMerges(col("s"), merges))
       // symbol count = number of '{' wrappers left after all merges
       .withColumn("n_sym", (length(col("s")) - length(replace(col("s"), lit("{"), lit("")))).cast("long"))
       .select(col("w").as("vw"), col("n_sym"))
-    pt.join(broadcast(v), col("w") === col("vw"))
+    tokenCounts(docs, text, id, v)
+  }
+
+  /** [[tokenCounts]] over a precomputed (vw, n_sym) segmentation — the
+    * no-extra-corpus-pass path fed by [[trainModel]]. */
+  def tokenCounts(docs: DataFrame, text: Column, id: Column,
+                  segmented: DataFrame): DataFrame = {
+    val pt = docs.select(id.as("id"), explode(TextFunctions.gpt2PreTokens(text)).as("w"))
+    pt.join(broadcast(segmented), col("w") === col("vw"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_pre"), sum("n_sym").as("n_bpe"))
   }

@@ -24,7 +24,9 @@ object PiiScrub {
     ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
     ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}", "<PHONE>"))
+    // \b anchors: without them any 10 digits inside a longer run (a card
+    // number, a wide id) would be redacted mid-number
+    ("phone", "\\(?\\b[0-9]{3}\\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}\\b", "<PHONE>"))
 
   /** Adds `n_<class>` count columns (cascade semantics) and the fully
     * redacted `scrubbed` text. */

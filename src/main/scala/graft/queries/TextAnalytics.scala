@@ -414,9 +414,14 @@ object TextAnalytics {
         GROUP BY pair),
       b$r AS MATERIALIZED (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
       v$r AS MATERIALIZED (
+        -- pairs run dry before round $r → b$r is empty and the scalar
+        -- subquery is NULL; keep the state (Bpe.train stops early) rather
+        -- than letting replace(s, NULL, NULL) null the whole vocabulary
         SELECT w, freq,
-               replace(s, (SELECT pair FROM b$r),
-                       replace((SELECT pair FROM b$r), '}{', '')) AS s
+               CASE WHEN (SELECT pair FROM b$r) IS NULL THEN s
+                    ELSE replace(s, (SELECT pair FROM b$r),
+                                 replace((SELECT pair FROM b$r), '}{', ''))
+               END AS s
         FROM v${r - 1})"""
     }.mkString
     // MATERIALIZED: each round references the previous vocabulary twice
@@ -455,8 +460,8 @@ object TextAnalytics {
     "q76_bpe_train_apply",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.operators.Bpe.train(docs, col("text"), BpeK)
-      graft.operators.Bpe.tokenCounts(docs, col("text"), col("doc_id"), merges)
+      val (_, segmented) = graft.operators.Bpe.trainModel(docs, col("text"), BpeK)
+      graft.operators.Bpe.tokenCounts(docs, col("text"), col("doc_id"), segmented)
         .select(col("id").as("doc_id"), col("n_pre"), col("n_bpe"))
         .orderBy("doc_id")
     },
@@ -530,8 +535,8 @@ object TextAnalytics {
         FROM s2),
       s4 AS (
         SELECT doc_id, n_email, n_ssn, n_ipv4,
-          len(regexp_extract_all(t, '\(?[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}'))::BIGINT AS n_phone,
-          regexp_replace(t, '\(?[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}', '<PHONE>', 'g') AS t
+          len(regexp_extract_all(t, '\(?\b[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}\b'))::BIGINT AS n_phone,
+          regexp_replace(t, '\(?\b[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}\b', '<PHONE>', 'g') AS t
         FROM s3)
       SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, t AS scrubbed
       FROM s4

@@ -384,6 +384,24 @@ class HeaderCodecSpec extends SparkSpec {
       3L * MediaSynth.gifWidth(7L) * MediaSynth.gifHeight(7L))
   }
 
+  test("forged BMP dimensions are rejected before any allocation") {
+    // review-caught pair: height 0x80000000 survives math.abs negative
+    // (NegativeArraySizeException), and width 0x10000000 overflows the
+    // int stride math so the bounds check passed and ~805MB allocated
+    def bmp60(width: Int, height: Int): Array[Byte] = {
+      val out = ByteBuffer.allocate(60).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(60).putInt(0).putInt(54)
+      out.putInt(40).putInt(width).putInt(height)
+      out.putShort(1.toShort).putShort(24.toShort).putInt(0)
+      out.array()
+    }
+    val t0 = System.nanoTime()
+    assert(HeaderCodec.decodeBmpPixels(bmp60(4, 0x80000000)).isEmpty)
+    assert(HeaderCodec.decodeBmpPixels(bmp60(0x10000000, 3)).isEmpty)
+    assert(HeaderCodec.decodeBmpPixels(bmp60(0x7fffffff, 0x7fffffff)).isEmpty)
+    assert((System.nanoTime() - t0) < 1e9, "rejection must not attempt the decode")
+  }
+
   test("LZW end-of-data edge: EOI at pre-bump width, byte-aligned, zero padding") {
     // The decoder widens one code EARLIER than the encoder; an encoder
     // that never inserts after its final data emit writes EOI at the old

@@ -137,6 +137,19 @@ class JpegCodecSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) < 2e9, "rejection must be fast, not a decode attempt")
   }
 
+  test("a 0xFF fill-byte run ending near EOF returns None, never throws") {
+    // review-caught: the fill-byte skip advanced past the bounds check,
+    // so the length-field read threw ArrayIndexOutOfBounds on inputs
+    // like FF D8 FF FF FF DB
+    val crafted = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xdb).map(_.toByte)
+    assert(JpegCodec.decodeJpegPixels(crafted).isEmpty)
+    // and the general family: SOI + any run of fill bytes, truncated
+    (1 to 6).foreach { n =>
+      val b = (Seq(0xff, 0xd8) ++ Seq.fill(n)(0xff)).map(_.toByte).toArray
+      assert(JpegCodec.decodeJpegPixels(b).isEmpty, s"fill run of $n")
+    }
+  }
+
   test("progressive and arithmetic-coded markers fall to None (stub path)") {
     val b = MediaSynth.jpeg(0L)
     var i = 2

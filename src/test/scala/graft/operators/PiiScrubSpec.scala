@@ -43,4 +43,15 @@ class PiiScrubSpec extends SparkSpec {
     val clean = "the quick brown fox jumps over 7 lazy dogs at dawn"
     assert(scrubOne(clean) == ((0L, 0L, 0L, 0L, clean)))
   }
+
+  test("phone rule never bites mid-number (word-boundary anchors)") {
+    // review-caught: unanchored, any 10 digits inside a longer run were
+    // redacted — card numbers and wide ids came out half-eaten
+    val card = "card 4111111111111111 on file"
+    assert(scrubOne(card) == ((0L, 0L, 0L, 0L, card)))
+    val wideId = "record 12345678901 found"
+    assert(scrubOne(wideId) == ((0L, 0L, 0L, 0L, wideId)))
+    // a bare 10-digit run IS still a phone
+    assert(scrubOne("call 5558675309 now") == ((0L, 0L, 0L, 1L, "call <PHONE> now")))
+  }
 }
