@@ -412,10 +412,9 @@ object HeaderCodec {
   final case class PcmStats(channels: Int, sampleRate: Int, nSamples: Long,
       sumSamples: Long, minSample: Int, maxSample: Int)
 
-  /** Decode 16-bit PCM (audioFormat 1) samples from the `data` chunk,
-    * walking RIFF chunks for both `fmt ` and `data` (neither assumed
-    * first). Other formats/depths or truncation return None. */
-  def decodeWav(b: Array[Byte]): Option[PcmStats] = {
+  /** RIFF chunk walk shared by the PCM decoders: (channels, rate,
+    * dataOff, nSamples) for a valid 16-bit PCM WAV, None otherwise. */
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
     var channels = -1; var rate = -1; var fmtOk = false
@@ -435,17 +434,42 @@ object HeaderCodec {
       i += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (!fmtOk || dataOff < 0 || dataOff.toLong + dataLen > b.length) return None
-    val n = dataLen / 2
-    var sum = 0L; var minS = 32767; var maxS = -32768
-    var j = 0
-    while (j < n) {
-      val s = (le16(b, dataOff + 2 * j) << 16) >> 16 // sign-extend
-      sum += s
-      if (s < minS) minS = s
-      if (s > maxS) maxS = s
-      j += 1
-    }
-    Some(PcmStats(channels, rate, n.toLong, sum, minS, maxS))
+    Some((channels, rate, dataOff, dataLen / 2))
+  }
+
+  /** Decode 16-bit PCM (audioFormat 1) samples from the `data` chunk,
+    * walking RIFF chunks for both `fmt ` and `data` (neither assumed
+    * first). Other formats/depths or truncation return None. */
+  def decodeWav(b: Array[Byte]): Option[PcmStats] = wavLayout(b).map {
+    case (channels, rate, dataOff, n) =>
+      var sum = 0L; var minS = 32767; var maxS = -32768
+      var j = 0
+      while (j < n) {
+        val s = (le16(b, dataOff + 2 * j) << 16) >> 16 // sign-extend
+        sum += s
+        if (s < minS) minS = s
+        if (s > maxS) maxS = s
+        j += 1
+      }
+      PcmStats(channels, rate, n.toLong, sum, minS, maxS)
+  }
+
+  /** Decoded 16-bit PCM payload: the interleaved sample array. */
+  final case class PcmSamples(channels: Int, sampleRate: Int, samples: Array[Int])
+
+  /** [[decodeWav]] but materializing the samples — the audio-fingerprint
+    * input. The allocation is bounded by the payload itself (n ≤
+    * b.length/2; WAV data must be PRESENT, like BMP pixel arrays), so no
+    * forged-header amplification is possible. */
+  def decodeWavSamples(b: Array[Byte]): Option[PcmSamples] = wavLayout(b).map {
+    case (channels, rate, dataOff, n) =>
+      val s = new Array[Int](n)
+      var j = 0
+      while (j < n) {
+        s(j) = (le16(b, dataOff + 2 * j) << 16) >> 16 // sign-extend
+        j += 1
+      }
+      PcmSamples(channels, rate, s)
   }
 
   /** Walk JPEG markers to the first SOF0/SOF2 frame header. Consecutive

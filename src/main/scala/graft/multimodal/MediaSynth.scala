@@ -88,8 +88,12 @@ object MediaSynth {
   def wavSamples(id: Long): Int = ((50 + id % 60) * wavChannels(id)).toInt
 
   /** 16-bit PCM WAV with a JUNK chunk before `fmt ` (chunk-walk path). */
-  def wav(id: Long): Array[Byte] = {
-    val ch = wavChannels(id); val rate = wavRate(id); val n = wavSamples(id)
+  def wav(id: Long): Array[Byte] =
+    wavOf(wavChannels(id), wavRate(id), wavSamples(id), j => sample(id, j))
+
+  /** The same chunk-walking WAV writer over an arbitrary sample function
+    * of the interleaved sample index. */
+  def wavOf(ch: Int, rate: Int, n: Int, s: Int => Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write("RIFF".getBytes("US-ASCII")); le32(out, 4 + 12 + 24 + 8 + 2 * n)
     out.write("WAVE".getBytes("US-ASCII"))
@@ -99,7 +103,7 @@ object MediaSynth {
     le32(out, rate * ch * 2); le16(out, ch * 2); le16(out, 16)
     out.write("data".getBytes("US-ASCII")); le32(out, 2 * n)
     var j = 0
-    while (j < n) { le16(out, sample(id, j) & 0xffff); j += 1 }
+    while (j < n) { le16(out, s(j) & 0xffff); j += 1 }
     out.toByteArray
   }
 
@@ -436,6 +440,38 @@ object MediaSynth {
     }
     ((base + delta) % 256).toInt
   }
+
+  // ---- near-duplicate audio corpus (q79): groups of 5 perturbed variants
+  // of a shared base signal, emitted as real 16-bit PCM WAV files so the
+  // audio fingerprint is computed from actually-decoded samples, while
+  // every sample stays a closed-form function of (id, j).
+
+  def nearDupWavN(id: Long): Int = (260 + nearDupGroup(id) % 60).toInt
+
+  /** Sample value at index j — the group's wrapped-quadratic base signal
+    * plus the variant's perturbation, the 1-D analogue of
+    * [[nearDupGray]]: v=0 original, v=1 global +3 offset (mod-wrap —
+    * frame-energy comparisons shift together, so the fingerprint is
+    * near-invariant), v=2..4 sparse bumps of increasing density and
+    * amplitude. Values stay in [0, 2048) so 16-bit PCM never clips.
+    * Mirrored verbatim in the q79 oracle SQL. */
+  def nearDupSample(id: Long, j: Int): Int = {
+    val g = nearDupGroup(id)
+    val base = (g * 37 + (5L * j * j) / 7 + 3L * j) % 2048
+    val delta = (id % 5) match {
+      case 0 => 0
+      case 1 => 3
+      case 2 => if ((7L * j + id) % 19 == 0) 40 else 0
+      case 3 => if ((5L * j + id) % 17 == 0) 56 else 0
+      case _ => if ((3L * j + id) % 7 == 0) 64 else 0
+    }
+    ((base + delta) % 2048).toInt
+  }
+
+  /** One near-dup audio corpus member: mono 8 kHz 16-bit PCM over the
+    * variant's sample formula, through the real chunk-walking writer. */
+  def nearDupWav(id: Long): Array[Byte] =
+    wavOf(1, 8000, nearDupWavN(id), j => nearDupSample(id, j))
 
   /** One near-dup corpus member: the variant's gray bitmap in a real
     * container chosen by id%3 — PNG (r=g=b=gray), GIF (identity gray

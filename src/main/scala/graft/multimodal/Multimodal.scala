@@ -187,6 +187,58 @@ object Multimodal {
     }
   }
 
+  /** 64-bit frame-energy difference hash of a decoded PCM sample stream —
+    * the 1-D audio analogue of [[dhashBits]], in the same portable
+    * bit-string shape [[graft.operators.Dedup.bandedHammingPairs]] joins
+    * on.
+    *
+    * Construction (integer-exact, so a SQL oracle can recompute it):
+    * sample j belongs to frame floor(65·j/n); a frame's energy is the sum
+    * of |sample| over its members (empty frames — only possible when
+    * n < 65 — carry energy 0); bit f = 1 iff energy(f) < energy(f+1),
+    * f = 0..63. Comparing ADJACENT frame energies rather than absolute
+    * levels makes the fingerprint invariant to global gain shifts and
+    * robust to small sparse edits — the property that turns the banded
+    * hamming join into an audio near-dup operator. */
+  def energyHashBits(samples: Array[Int]): String = {
+    val n = samples.length
+    if (n == 0) return null
+    val e = new Array[Long](65)
+    var j = 0
+    while (j < n) {
+      e(((j.toLong * 65) / n).toInt) += math.abs(samples(j).toLong)
+      j += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var f = 0
+    while (f < 64) {
+      sb.append(if (e(f) < e(f + 1)) '1' else '0')
+      f += 1
+    }
+    sb.toString
+  }
+
+  /** Per-media audio fingerprint row; ahash is null for payloads that
+    * are not decodable PCM audio (callers filter). */
+  final case class AudioHashRow(media_id: Long, format: String, ahash: String)
+
+  /** Map-only audio-fingerprint extraction over a media table — the
+    * fingerprint stage of audio near-dup dedup, mirroring [[dhash]]:
+    * STATELESS mapPartitions, so the same call runs on a batch Dataset or
+    * a `readStream` one (no state store, no watermark); at 100 TB it
+    * parallelizes per input split with no shuffle. */
+  def audioHash(media: Dataset[MediaRow]): Dataset[AudioHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        HeaderCodec.decodeWavSamples(r.payload) match {
+          case Some(pcm) => AudioHashRow(r.media_id, "wav", energyHashBits(pcm.samples))
+          case None => AudioHashRow(r.media_id, "stub", null)
+        }
+      }
+    }
+  }
+
   /** Partition-batched feature extraction: the mapPartitions shape a real
     * decoder needs (amortized per-partition setup, streaming iterator —
     * no per-row codec init, no collect). */

@@ -323,6 +323,83 @@ object MultimodalQueries {
     """),
     bench = true)
 
+  /** Audio near-duplicate detection over REAL decoded PCM — the audio
+    * half of multimodal dedup, completing the image pipeline of q75: a
+    * corpus of mono 16-bit PCM WAVs (groups of 5 perturbed variants of a
+    * shared base signal, [[graft.multimodal.MediaSynth.nearDupWav]]) is
+    * chunk-walked + sample-decoded
+    * ([[graft.multimodal.HeaderCodec.decodeWavSamples]]), fingerprinted
+    * with the integer-exact 64-bit frame-energy difference hash
+    * ([[graft.multimodal.Multimodal.energyHashBits]] — bit f compares
+    * adjacent frame energies, so global gain shifts cancel), and joined
+    * by the SAME banded hamming machinery as images and text simhash
+    * (shuffle on (band, chunk), never the n² pair space). The oracle
+    * recomputes every sample from the closed-form formula, replays the
+    * frame assignment floor(65·j/n) and energy sums, and re-derives the
+    * banded join — a decoder that misreads chunk offsets, drops the
+    * sign-extension, or mis-buckets a boundary sample produces different
+    * bits and fails the hash. */
+  val q79AudioNearDup = QueryDef(
+    "q79_audio_neardup",
+    (s, d) => {
+      val media = synthMedia(s, d, 300, graft.multimodal.MediaSynth.nearDupWav)
+      val fps = Multimodal.audioHash(media).toDF()
+        .filter(col("ahash").isNotNull)
+        .select(col("media_id").as("sid"), col("ahash").as("fp"))
+      graft.operators.Dedup.bandedHammingPairs(fps, bits = 64, bands = 4)
+        .filter(col("hamming") <= 10)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, media_id // 5 AS g, media_id % 5 AS v,
+               (260 + (media_id // 5) % 60)::INT AS n
+        FROM ids),
+      smp AS (
+        SELECT d.media_id, d.n, j.j,
+          ((d.g*37 + (5*j.j*j.j) // 7 + 3*j.j
+            + CASE WHEN v = 1 THEN 3
+                   WHEN v = 2 AND (7*j.j + media_id) % 19 = 0 THEN 40
+                   WHEN v = 3 AND (5*j.j + media_id) % 17 = 0 THEN 56
+                   WHEN v = 4 AND (3*j.j + media_id) % 7 = 0 THEN 64
+                   ELSE 0 END) % 2048) AS sv
+        FROM d JOIN (SELECT unnest(range(0, 320)) AS j) j ON j.j < d.n),
+      e AS (
+        SELECT media_id, (j*65) // n AS f, sum(abs(sv)) AS en
+        FROM smp GROUP BY media_id, (j*65) // n),
+      fp AS (
+        SELECT media_id,
+               string_agg(CASE WHEN en < nxt THEN '1' ELSE '0' END, ''
+                          ORDER BY f) AS fp
+        FROM (SELECT media_id, f, en,
+                     lead(en) OVER (PARTITION BY media_id ORDER BY f) AS nxt
+              FROM e)
+        WHERE f < 64
+        GROUP BY media_id),
+      banded AS (
+        SELECT media_id, fp, b.band, substr(fp, (b.band*16+1)::INT, 16) AS bv
+        FROM fp, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bv = b.bv
+                     AND a.media_id < b.media_id)
+      SELECT id_a, id_b,
+             list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                    THEN 1 ELSE 0 END))::BIGINT AS hamming
+      FROM pairs
+      WHERE list_sum(list_transform(range(1, 65), i ->
+              CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                   THEN 1 ELSE 0 END)) <= 10
+      ORDER BY id_a, id_b
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
-    q58bPngDecode, q58cGifDecode, q58dJpegDecode, q75ImageNearDup)
+    q58bPngDecode, q58cGifDecode, q58dJpegDecode, q75ImageNearDup,
+    q79AudioNearDup)
 }
