@@ -124,6 +124,34 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams in positional order (index i = gram starting at
+    * token i) — the positional sibling of [[distinctShingles]], for
+    * operators that need gram POSITIONS (duplicate-span reconstruction).
+    * One tokenize pass per row; the `transform`-based column form
+    * re-evaluates the tokenization per element_at under Spark's
+    * higher-order-function interpreter (measured 100 µs/gram vs <1 µs
+    * here). */
+  def orderedShingles(text: UTF8String, n: Int): ArrayData = {
+    val ws = tokens(text.toString)
+    val nSh = ws.length - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nSh)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(ws(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-doc n-gram repetition stats in one pass: [total gram instances,
     * count of the most frequent gram, instances beyond first occurrence].
     * Empty array when the doc has fewer than n words. The per-row hash
@@ -299,6 +327,24 @@ case class DistinctShinglesExpr(child: Expression, n: Int)
       s"graft.expressions.TextHashKernels.distinctShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): DistinctShinglesExpr =
+    copy(child = c)
+}
+
+/** Codegen wrapper for [[TextHashKernels.orderedShingles]]. */
+case class OrderedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ordered_shingles"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.orderedShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.orderedShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): OrderedShinglesExpr =
     copy(child = c)
 }
 

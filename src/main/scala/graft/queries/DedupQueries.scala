@@ -533,8 +533,56 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** Exact duplicated-substring spans (Lee et al. 2021) over the raw
+    * documents table — the natural cross-document repetition in the
+    * corpus is the test load: duplicated 13-grams are flagged corpus-wide
+    * and merged into maximal per-document spans
+    * ([[graft.operators.Dedup.duplicateSpans]]). The oracle rebuilds the
+    * positional grams (aligned unnest + generate_subscripts), the same
+    * 60-bit md5 gram hash, the frequency filter, and the gaps-and-islands
+    * merge — a wrong gram position, off-by-one span bound, or island
+    * break at the wrong gap fails the hash. */
+  val q80SubstringDedup = QueryDef(
+    "q80_substring_dedup",
+    (s, d) => Dedup.duplicateSpans(
+        Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy("doc_id", "span_start"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        FROM documents),
+      gl AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(ws) - 13 + 2, 1)),
+                 i -> array_to_string(ws[i : i + 12], ' ')) AS gs
+        FROM toks),
+      grams AS (
+        SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+               ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gram_h
+        FROM gl),
+      dup AS (
+        SELECT gram_h FROM grams GROUP BY gram_h HAVING count(*) >= 2),
+      flagged AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram_h)),
+      brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+                    THEN 0 ELSE 1 END AS brk
+        FROM flagged),
+      isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk)
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + 13)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate,
-    q67DecontaminateBloom, q77SemanticDedup)
+    q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup)
 }

@@ -32,6 +32,14 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("OrderedShinglesExpr == shingles(tokens) positional column form") {
+    val ref = shingles(tokens(col("text")), 5)
+    val fast = column(OrderedShinglesExpr(expression(col("text")), 5))
+    val mism = docs.select(ref.as("r"), fast.as("f"))
+      .filter(not(col("r") <=> col("f"))).count()
+    assert(mism == 0)
+  }
+
   test("SimhashBitsExpr == simhashBits column composition") {
     val ref = simhashBits(tokens(col("text")), 16)
     val fast = column(SimhashBitsExpr(expression(col("text")), 16))

@@ -227,4 +227,32 @@ class DedupSpec extends SparkSpec {
     assert(got.size <= (exactSurvivors.size * 1.1).toInt + 5,
       s"cluster pruning left ${got.size} survivors vs exact ${exactSurvivors.size} — recall collapsed")
   }
+
+  test("duplicateSpans reconstructs maximal duplicated regions (Lee et al. form)") {
+    import org.apache.spark.sql.functions.col
+    // a 20-token duplicated block shared by docs 1 and 2, embedded at
+    // different offsets, plus unique surroundings; L=5
+    val block = (0 until 20).map(i => s"dup$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 3)} $block ${uniq("b", 4)}"),
+      (2L, s"${uniq("c", 7)} $block"),
+      (3L, uniq("d", 30))).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("text"), col("doc_id"), spanTokens = 5)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a 20-token duplicated block = 16 duplicated 5-grams starting at the
+    // block offset; the island merge must return EXACTLY [off, off+20)
+    assert(got.toSeq == Seq((1L, 3L, 23L, 16L), (2L, 7L, 27L, 16L)),
+      s"got ${got.toSeq}")
+    // an intra-document repeat also counts (minOccur is corpus-wide):
+    // the same 6 tokens twice in one doc → both occurrences flagged,
+    // separated by a >L gap of unique tokens → TWO islands, not one
+    val rep = (0 until 6).map(i => s"r$i").mkString(" ")
+    val one = Seq((9L, s"$rep ${uniq("z", 9)} $rep")).toDF("doc_id", "text")
+    val got2 = Dedup.duplicateSpans(one, col("text"), col("doc_id"), spanTokens = 5)
+      .orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((0L, 6L), (15L, 21L)), s"got ${got2.toSeq}")
+  }
 }
