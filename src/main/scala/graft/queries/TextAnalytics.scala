@@ -544,8 +544,119 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** URL canonicalization + URL-level dedup ([[graft.operators.UrlOps]]):
+    * the corpus carries no URLs, so each doc gets a deterministic messy
+    * URL by doc_id class — mixed-case scheme/host, `www.` prefixes,
+    * scheme-default ports, utm/gclid tracking params (leading, trailing,
+    * and consecutive), permuted query params, trailing path slashes, and
+    * fragments. The whole mess is built so the canonical form collapses
+    * to a function of doc_id % 40 alone: every rule must fire correctly
+    * for the 500 docs to land in exactly 40 canonical classes, and the
+    * oracle replays the cascade rule for rule (DuckDB spells group
+    * replacement \1 where Java spells $1) and keeps the same
+    * best-quality representative per class. */
+  val q81UrlDedup = QueryDef(
+    "q81_url_dedup",
+    (s, d) => {
+      val k = col("doc_id")
+      val istr = (e: org.apache.spark.sql.Column) => e.cast("string")
+      val pre = concat(
+        when(pmod(k, lit(2)) === 0, lit("http")).otherwise(lit("https")),
+        lit("://"),
+        when(pmod(k, lit(2)) === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), istr(pmod(k, lit(40))), lit(".example.com"),
+        when(pmod(k, lit(5)) === 0,
+          when(pmod(k, lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")))
+      val path = concat(lit("/docs/"), istr(pmod(k, lit(20))),
+        when(pmod(k, lit(7)) === 0, lit("/")).otherwise(lit("")))
+      val idp = concat(lit("id="), istr(pmod(k, lit(10))))
+      val m = istr(pmod(k, lit(3)))
+      val query = when(pmod(k, lit(4)) === 0, concat(lit("?"), idp))
+        .when(pmod(k, lit(4)) === 1,
+          concat(lit("?utm_source=a"), m, lit("&"), idp))
+        .when(pmod(k, lit(4)) === 2,
+          concat(lit("?"), idp, lit("&utm_medium=b"), m, lit("&gclid=x"), m))
+        .otherwise(concat(lit("?b=2&a=1&"), idp))
+      val frag = when(pmod(k, lit(6)) === 0, lit("#sec1")).otherwise(lit(""))
+      val url = concat(
+        when(pmod(k, lit(3)) === 0, upper(pre)).otherwise(pre),
+        path, query, frag)
+      graft.operators.UrlOps.dedupByUrl(
+          Tables.documents(s, d).select(k, url.as("url"),
+            col("n_chars").cast("long").as("q")),
+          col("url"), k, col("q"))
+        .orderBy("canon_url")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id, n_chars::BIGINT AS quality,
+          (CASE WHEN doc_id % 3 = 0 THEN upper(pre) ELSE pre END)
+            || path || query || frag AS url
+        FROM (
+          SELECT doc_id, n_chars,
+            (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+            (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+            'site' || (doc_id % 40) || '.example.com' ||
+            (CASE WHEN doc_id % 5 = 0
+                  THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                  ELSE '' END) AS pre,
+            '/docs/' || (doc_id % 20) ||
+            (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) AS path,
+            (CASE doc_id % 4
+              WHEN 0 THEN '?id=' || (doc_id % 10)
+              WHEN 1 THEN '?utm_source=a' || (doc_id % 3) || '&id=' || (doc_id % 10)
+              WHEN 2 THEN '?id=' || (doc_id % 10) || '&utm_medium=b' || (doc_id % 3)
+                          || '&gclid=x' || (doc_id % 3)
+              ELSE '?b=2&a=1&id=' || (doc_id % 10) END) AS query,
+            (CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END) AS frag
+          FROM documents)),
+      c0 AS (SELECT doc_id, quality,
+               regexp_replace(url, '#.*$', '') AS u FROM raw),
+      c1 AS (SELECT doc_id, quality,
+               lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                 || substr(u, len(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+             FROM c0),
+      c2 AS (SELECT doc_id, quality,
+               regexp_replace(u, '://www\.', '://', 'g') AS u FROM c1),
+      c3 AS (SELECT doc_id, quality,
+               regexp_replace(
+                 regexp_replace(u, '^(http://[^/:?#]+):80(/|\?|$)', '\1\2'),
+                 '^(https://[^/:?#]+):443(/|\?|$)', '\1\2') AS u
+             FROM c2),
+      c4 AS (SELECT doc_id, quality,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(u, '&(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
+                   '\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'),
+                 '\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', '') AS u
+             FROM c3),
+      c5 AS (SELECT doc_id, quality,
+               regexp_replace(regexp_extract(u, '^([^?]*)', 1), '/+$', '') AS base,
+               regexp_extract(u, '\?(.*)$', 1) AS qs
+             FROM c4),
+      canon AS (
+        SELECT doc_id, quality,
+               CASE WHEN qs = '' THEN base
+                    ELSE base || '?' ||
+                         array_to_string(list_sort(string_split(qs, '&')), '&')
+               END AS canon_url
+        FROM c5),
+      ranked AS (
+        SELECT canon_url, doc_id, quality,
+               row_number() OVER (PARTITION BY canon_url
+                                  ORDER BY quality DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY canon_url) AS n_dups
+        FROM canon)
+      SELECT canon_url, doc_id, quality, n_dups::BIGINT AS n_dups
+      FROM ranked WHERE rn = 1
+      ORDER BY canon_url
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
-    q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub)
+    q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
+    q81UrlDedup)
 }
