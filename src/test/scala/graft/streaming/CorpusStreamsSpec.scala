@@ -158,4 +158,37 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(streamed === batch, "streaming sketch cells differ from batch")
     assert(streamed.nonEmpty && streamed.size <= 2 * 64)
   }
+
+  test("PII scrub and URL canonicalization run stateless on a stream == batch") {
+    // both are pure Column transforms: the streaming twin IS the same
+    // call on a readStream frame — no state store, no watermark
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .limit(60)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" mail a@b.org call (555) 123-4567")).as("text"),
+        concat(lit("HTTP://WWW.Site"), (col("doc_id") % 7).cast("string"),
+          lit(".com:80/x/?utm_s=1&id="), (col("doc_id") % 3).cast("string"),
+          lit("#f")).as("url"))
+    val dir = Files.createTempDirectory("scrub-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.PiiScrub.scrub(df, col("text"))
+        .withColumn("canon_url", graft.operators.UrlOps.canonicalizeUrl(col("url")))
+        .select("doc_id", "n_email", "n_phone", "scrubbed", "canon_url")
+    val q = transform(spark.readStream
+        .schema("doc_id BIGINT, text STRING, url STRING").parquet(dir))
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scrub_stream")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    val batch = transform(spark.read.parquet(dir))
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(streamed === batch, "stateless scrub/canonicalize diverged on a stream")
+    assert(batch.forall { case (_, ne, np, s, u) =>
+      ne >= 1 && np >= 1 && s.contains("<EMAIL>") && s.contains("<PHONE>") &&
+        u.startsWith("http://site") && u.contains("?id=") && !u.contains("utm")
+    })
+  }
 }
