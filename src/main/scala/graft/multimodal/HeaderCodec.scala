@@ -252,10 +252,30 @@ object HeaderCodec {
     * bitmap. Truncation/corruption anywhere returns None (JPEG —
     * actual entropy coding — remains the one stubbed format). Extension
     * blocks (GCE, comments, application) are walked and skipped. */
-  def decodeGifPixels(b: Array[Byte]): Option[Pixels] = {
+  def decodeGifPixels(b: Array[Byte]): Option[Pixels] =
+    decodeGifFrames(b, maxFrames = 1).flatMap(_.headOption)
+
+  /** Decode the images of a GIF87a/89a — the FIRST for still images
+    * ([[decodeGifPixels]]), or every frame of an animated file (the
+    * engine's video container): REAL LZW decompression in pure JVM code
+    * (variable-width codes, dictionary growth, clear/EOI, the KwKwK
+    * case), no codec library. Pixel indices map through the palette
+    * (global or per-image local) into top-row-first [[Pixels]];
+    * interlaced files (GIF89a appendix E: passes at rows 0/8, 4/8, 2/4,
+    * 1/2) are re-sequenced into natural row order at decode time, so
+    * orientation-sensitive consumers (perceptual hashes) see the true
+    * bitmap. Extension blocks (GCE, comments, application) are walked
+    * and skipped; each frame must be a FULL logical-screen image at
+    * (0,0) — partial-frame composition/disposal is out of scope and
+    * rejected, as is any frame past `maxFrames` (the per-row memory
+    * bound: total allocation ≤ maxFrames · 3wh, each frame's own
+    * LZW-expansion cap checked as for stills). Truncation/corruption
+    * anywhere returns None. */
+  def decodeGifFrames(b: Array[Byte], maxFrames: Int = 1024): Option[Seq[Pixels]] = {
     if (b.length < 13) return None
     val sig = ascii(b, 0, 6)
     if (sig != "GIF87a" && sig != "GIF89a") return None
+    val screenW = le16(b, 6); val screenH = le16(b, 8)
     val flags = u8(b, 10)
     val hasGlobal = (flags & 0x80) != 0
     val palSize = if (hasGlobal) 2 << (flags & 7) else 0
@@ -263,7 +283,7 @@ object HeaderCodec {
     if (i + 3 * palSize > b.length) return None
     val palOff = if (hasGlobal) i else -1
     i += 3 * palSize
-    // walk blocks to the first image descriptor
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Pixels]
     while (true) {
       if (i >= b.length) return None
       u8(b, i) match {
@@ -273,10 +293,18 @@ object HeaderCodec {
           if (i >= b.length) return None
           i += 1
         case 0x2c =>
+          if (frames.size >= maxFrames)
+            return if (maxFrames == 1) Some(frames.toSeq) else None
           if (i + 10 > b.length) return None
+          val left = le16(b, i + 1); val top = le16(b, i + 3)
           val width = le16(b, i + 5); val height = le16(b, i + 7)
           val iflags = u8(b, i + 9)
           if (width <= 0 || height <= 0) return None
+          // full-frame contract (see scaladoc): offsets/partial frames
+          // would need composition state the stats/hash consumers
+          // deliberately don't carry
+          if (left != 0 || top != 0 || width != screenW || height != screenH)
+            return None
           i += 10
           // local color table (overrides the global one for this image)
           var pOff = palOff; var pSize = palSize
@@ -299,6 +327,7 @@ object HeaderCodec {
             i += 1 + n
           }
           if (i >= b.length) return None
+          i += 1 // the 0x00 sub-block terminator
           // header-claimed pixel count is attacker-controlled: 65535²
           // overflows Int, and LZW can expand a code to at most a
           // 4096-byte entry per ~9 input bits — cap before allocating
@@ -307,35 +336,41 @@ object HeaderCodec {
           // count, and w·h ≤ Int.MaxValue alone lets 3·w·h wrap negative
           if (expectedL > (Int.MaxValue - 8) / 3 ||
               expectedL > data.size().toLong * 4096L + 4096L) return None
-          return lzwDecode(data.toByteArray, minCode, expectedL.toInt).flatMap { px =>
-            // stream row k → image row: identity, or the 4-pass interlace
-            // sequence (8/0, 8/4, 4/2, 2/1) re-woven into natural order
-            val rowOf = new Array[Int](height)
-            if (interlaced) {
-              var k = 0
-              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
-                var y = start
-                while (y < height) { rowOf(k) = y; k += 1; y += step }
+          lzwDecode(data.toByteArray, minCode, expectedL.toInt) match {
+            case None => return None
+            case Some(px) =>
+              // stream row k → image row: identity, or the 4-pass interlace
+              // sequence (8/0, 8/4, 4/2, 2/1) re-woven into natural order
+              val rowOf = new Array[Int](height)
+              if (interlaced) {
+                var k = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+                  var y = start
+                  while (y < height) { rowOf(k) = y; k += 1; y += step }
+                }
+              } else {
+                var k = 0
+                while (k < height) { rowOf(k) = k; k += 1 }
               }
-            } else {
-              var k = 0
-              while (k < height) { rowOf(k) = k; k += 1 }
-            }
-            val rgb = new Array[Byte](3 * width * height)
-            var j = 0
-            while (j < px.length) {
-              val idx = px(j) & 0xff
-              if (idx >= pSize) return None
-              val y = rowOf(j / width); val x = j % width
-              val o = 3 * (y * width + x)
-              rgb(o) = b(pOff + 3 * idx)
-              rgb(o + 1) = b(pOff + 3 * idx + 1)
-              rgb(o + 2) = b(pOff + 3 * idx + 2)
-              j += 1
-            }
-            Some(Pixels(width, height, rgb))
+              val rgb = new Array[Byte](3 * width * height)
+              var j = 0
+              while (j < px.length) {
+                val idx = px(j) & 0xff
+                if (idx >= pSize) return None
+                val y = rowOf(j / width); val x = j % width
+                val o = 3 * (y * width + x)
+                rgb(o) = b(pOff + 3 * idx)
+                rgb(o + 1) = b(pOff + 3 * idx + 1)
+                rgb(o + 2) = b(pOff + 3 * idx + 2)
+                j += 1
+              }
+              frames += Pixels(width, height, rgb)
+              // single-frame callers stop at the first image and never
+              // require the trailer (matches the historical contract)
+              if (maxFrames == 1) return Some(frames.toSeq)
           }
-        case 0x3b => return None // trailer before any image
+        case 0x3b => // trailer
+          return if (frames.nonEmpty) Some(frames.toSeq) else None
         case _ => return None
       }
     }

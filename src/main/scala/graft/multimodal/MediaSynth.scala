@@ -210,7 +210,17 @@ object MediaSynth {
   /** The same standard-conforming GIF89a writer over an arbitrary index
     * function of (x, y) and palette functions of the entry index. */
   def gifOf(w: Int, h: Int, index: (Int, Int) => Int,
-            pR: Int => Int, pG: Int => Int, pB: Int => Int): Array[Byte] = {
+            pR: Int => Int, pG: Int => Int, pB: Int => Int): Array[Byte] =
+    gifAnimOf(w, h, 1, (_, x, y) => index(x, y), pR, pG, pB)
+
+  /** Animated GIF89a — the engine's "video" container: `nFrames` full
+    * logical-screen frames, each its own image descriptor + REAL LZW
+    * stream over `index(f, x, y)`, preceded by a Graphic Control
+    * Extension (delay 4/100 s — also exercises the decoder's extension
+    * walk between frames). One global 256-entry palette; NETSCAPE loop
+    * extension after it (standard animation shape). */
+  def gifAnimOf(w: Int, h: Int, nFrames: Int, index: (Int, Int, Int) => Int,
+                pR: Int => Int, pG: Int => Int, pB: Int => Int): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     le16(out, w); le16(out, h)
@@ -221,9 +231,33 @@ object MediaSynth {
       out.write(pR(i)); out.write(pG(i)); out.write(pB(i))
       i += 1
     }
-    out.write(0x2c) // image descriptor
-    le16(out, 0); le16(out, 0); le16(out, w); le16(out, h)
-    out.write(0) // no local table, not interlaced
+    if (nFrames > 1) { // NETSCAPE2.0 application extension: loop forever
+      out.write(0x21); out.write(0xff); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); le16(out, 0); out.write(0)
+    }
+    var f = 0
+    while (f < nFrames) {
+      if (nFrames > 1) { // GCE: no disposal flags, 4/100 s delay
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); le16(out, 4); out.write(0); out.write(0)
+      }
+      out.write(0x2c) // image descriptor
+      le16(out, 0); le16(out, 0); le16(out, w); le16(out, h)
+      out.write(0) // no local table, not interlaced
+      val ff = f
+      writeLzwImage(out, w, h, (x, y) => index(ff, x, y))
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Min-code byte + LZW-compressed index stream + sub-blocks +
+    * terminator for one image (shared by the still and animated
+    * writers). */
+  private def writeLzwImage(out: ByteArrayOutputStream, w: Int, h: Int,
+                            index: (Int, Int) => Int): Unit = {
     val minCode = 8
     out.write(minCode)
 
@@ -271,8 +305,6 @@ object MediaSynth {
       off += n
     }
     out.write(0) // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
   }
 
   // ---- baseline JPEG corpus (q58d): REAL ITU T.81 baseline files whose
@@ -472,6 +504,43 @@ object MediaSynth {
     * variant's sample formula, through the real chunk-walking writer. */
   def nearDupWav(id: Long): Array[Byte] =
     wavOf(1, 8000, nearDupWavN(id), j => nearDupSample(id, j))
+
+  // ---- near-duplicate video corpus (q82): groups of 5 perturbed variants
+  // of a shared animated base clip, emitted as real multi-frame GIF89a
+  // files (the engine's video container), every pixel of every frame a
+  // closed-form function of (id, f, x, y).
+
+  def nearDupFrames(id: Long): Int = (8 + nearDupGroup(id) % 5).toInt
+
+  /** Gray value at frame f, pixel (x, y) — a [[nearDupGray]]-shaped
+    * spatial base plus an f·(x+y+1) motion term. The quadratic and
+    * motion COEFFICIENTS are group-dependent ((5+g%7), (3+g%5),
+    * (9+g%4)): dHash is offset-invariant, so a constant `g·31` alone
+    * would leave every same-dimension group with near-identical
+    * GRADIENTS — coefficient diversity makes cross-group clips
+    * genuinely different content (any two groups under 105 apart differ
+    * in a spatial coefficient or a dimension). Variant deltas are the
+    * three sparse perturbation classes extended into the time axis.
+    * Mirrored verbatim in the q82 oracle SQL. */
+  def nearDupVideoGray(id: Long, f: Int, x: Int, y: Int): Int = {
+    val g = nearDupGroup(id)
+    val base = (g * 31 + (5 + g % 7) * x.toLong * x + (3 + g % 5) * y.toLong * y
+      + 7L * x * y + (9 + g % 4) * f.toLong * (x + y + 1)) % 256
+    val delta = (id % 5) match {
+      case 0 => 0
+      case 1 => 3
+      case 2 => if ((x + 7L * y + 5L * f + id) % 19 == 0) 40 else 0
+      case 3 => if ((x + 5L * y + 3L * f + id) % 17 == 0) 56 else 0
+      case _ => if ((x + 3L * y + 2L * f + id) % 7 == 0) 64 else 0
+    }
+    ((base + delta) % 256).toInt
+  }
+
+  /** One near-dup video corpus member: the variant's animated gray clip
+    * through the real multi-frame writer (identity gray palette). */
+  def nearDupVideo(id: Long): Array[Byte] =
+    gifAnimOf(nearDupWidth(id), nearDupHeight(id), nearDupFrames(id),
+      (f, x, y) => nearDupVideoGray(id, f, x, y), i => i, i => i, i => i)
 
   /** One near-dup corpus member: the variant's gray bitmap in a real
     * container chosen by id%3 — PNG (r=g=b=gray), GIF (identity gray

@@ -239,6 +239,63 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame's perceptual fingerprint. */
+  final case class FrameHashRow(media_id: Long, frame_idx: Int,
+                                n_sampled: Int, dhash: String)
+
+  /** Frame sampling + per-frame dHash over a video table (animated GIF
+    * container, [[HeaderCodec.decodeGifFrames]]) — the video leg of
+    * multimodal dedup: decode the clip, keep every `frameStride`-th
+    * frame (the standard sampling step — nobody fingerprints every
+    * frame of 30 fps video), dHash each sampled frame. One output row
+    * per sampled frame, `n_sampled` carried on every row so downstream
+    * matching needs no second pass. STATELESS mapPartitions like
+    * [[dhash]]/[[audioHash]] (batch ≡ readStream); non-video payloads
+    * contribute no rows. */
+  def videoFrameHashes(media: Dataset[MediaRow],
+                       frameStride: Int = 2): Dataset[FrameHashRow] = {
+    import media.sparkSession.implicits._
+    require(frameStride >= 1, "frameStride must be >= 1")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        HeaderCodec.decodeGifFrames(r.payload) match {
+          case Some(frames) if frames.nonEmpty =>
+            val sampled = frames.indices.by(frameStride)
+            sampled.map(f =>
+              FrameHashRow(r.media_id, f, sampled.size, dhashBits(frames(f))))
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs from sampled frame hashes: the banded
+    * hamming join runs PER FRAME POSITION
+    * ([[graft.operators.Dedup.bandedHammingPairsBy]] keyed on
+    * frame_idx — the time axis makes the buckets finer, never
+    * coarser), matched positions (hamming ≤ maxHamming) are counted per
+    * pair, and a pair survives when a majority of its comparable
+    * positions (min of the two clips' sampled counts) match. Integer
+    * output only — (id_a, id_b, n_match, n_common) — so a SQL oracle
+    * replays it exactly. */
+  def videoNearDup(frameHashes: Dataset[FrameHashRow],
+                   maxHamming: Int = 10): DataFrame = {
+    val fh = frameHashes.toDF()
+    val fps = fh.select(col("media_id").as("sid"), col("frame_idx"),
+      col("dhash").as("fp"))
+    val counts = fh.select(col("media_id"), col("n_sampled")).distinct()
+    val pairs = graft.operators.Dedup
+      .bandedHammingPairsBy(fps, Seq("frame_idx"), bits = 64, bands = 4)
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_match"))
+    pairs
+      .join(counts.select(col("media_id").as("id_a"), col("n_sampled").as("__na")), "id_a")
+      .join(counts.select(col("media_id").as("id_b"), col("n_sampled").as("__nb")), "id_b")
+      .withColumn("n_common", least(col("__na"), col("__nb")).cast("long"))
+      .filter(col("n_match") * 2 >= col("n_common"))
+      .select(col("id_a"), col("id_b"), col("n_match"), col("n_common"))
+  }
+
   /** Partition-batched feature extraction: the mapPartitions shape a real
     * decoder needs (amortized per-partition setup, streaming iterator —
     * no per-row codec init, no collect). */

@@ -423,33 +423,46 @@ object Dedup {
     * where fp is a `bits`-char '0'/'1' string; same bucketed shuffle
     * shape, same pigeonhole recall (total up to hamming ≤ bands-1), same
     * (id_a, id_b, hamming) output. */
-  def bandedHammingPairs(fps: DataFrame, bits: Int, bands: Int): DataFrame = {
+  def bandedHammingPairs(fps: DataFrame, bits: Int, bands: Int): DataFrame =
+    bandedHammingPairsBy(fps, Nil, bits, bands)
+
+  /** [[bandedHammingPairs]] partitioned by extra equality keys: pairs
+    * form only WITHIN a key group (video frame index, source bucket, …)
+    * — the keys simply join the (band, chunk) shuffle key, so the
+    * bucketing gets finer, never coarser. Output: keys ++
+    * (id_a, id_b, hamming). */
+  def bandedHammingPairsBy(fps: DataFrame, keys: Seq[String],
+                           bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
     val w = bits / bands
     require(w <= 62, s"band chunk of $w bits exceeds a signed long")
+    val kCols = keys.map(col)
     val chunks = (0 until bands).map(i =>
       conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"__c$i"))
-    val withFp = fps.select(col("sid") +: chunks: _*)
-    val banded = withFp.select(col("sid") +:
+    val withFp = fps.select(col("sid") +: (kCols ++ chunks): _*)
+    val banded = withFp.select(col("sid") +: (kCols ++
       (0 until bands).map(i => col(s"__c$i")) :+
       explode(array((0 until bands).map(i =>
-        struct(lit(i).as("band"), col(s"__c$i").as("bv"))): _*)).as("hb"): _*)
-      .select(col("sid") +: (0 until bands).map(i => col(s"__c$i")) :+
-        col("hb.band").as("band") :+ col("hb.bv").as("bv"): _*)
-    val l = banded.select(col("sid").as("id_a") +:
+        struct(lit(i).as("band"), col(s"__c$i").as("bv"))): _*)).as("hb")): _*)
+      .select(col("sid") +: (kCols ++ (0 until bands).map(i => col(s"__c$i")) :+
+        col("hb.band").as("band") :+ col("hb.bv").as("bv")): _*)
+    val l = banded.select(col("sid").as("id_a") +: (kCols ++
       (0 until bands).map(i => col(s"__c$i").as(s"__a$i")) :+
-      col("band") :+ col("bv"): _*)
+      col("band") :+ col("bv")): _*)
     val r = banded.select(col("sid").as("id_b") +:
-      (0 until bands).map(i => col(s"__c$i").as(s"__b$i")) :+
-      col("band").as("band_b") :+ col("bv").as("bv_b"): _*)
-    l.join(r, col("band") === col("band_b") && col("bv") === col("bv_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a") +: col("id_b") +:
+      (keys.map(k => col(k).as(s"${k}_b")) ++
+        (0 until bands).map(i => col(s"__c$i").as(s"__b$i")) :+
+        col("band").as("band_b") :+ col("bv").as("bv_b")): _*)
+    val cond = (keys.map(k => col(k) === col(s"${k}_b")) :+
+      (col("band") === col("band_b")) :+ (col("bv") === col("bv_b")) :+
+      (col("id_a") < col("id_b"))).reduce(_ && _)
+    l.join(r, cond)
+      .select(kCols ++ Seq(col("id_a"), col("id_b")) ++
         (0 until bands).flatMap(i => Seq(col(s"__a$i"), col(s"__b$i"))): _*)
       .distinct()
       .withColumn("hamming",
         (0 until bands).map(i => bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
           .reduce(_ + _))
-      .select("id_a", "id_b", "hamming")
+      .select(keys.map(col) ++ Seq(col("id_a"), col("id_b"), col("hamming")): _*)
   }
 }

@@ -399,7 +399,96 @@ object MultimodalQueries {
     """),
     bench = true)
 
+  /** Video near-duplicate detection over REAL decoded frames — the
+    * video leg of multimodal dedup, completing the image (q75) / audio
+    * (q79) family: a corpus of animated GIF clips (groups of 5 perturbed
+    * variants of a shared base clip with a per-frame motion term,
+    * [[graft.multimodal.MediaSynth.nearDupVideo]]) is multi-frame
+    * decoded ([[graft.multimodal.HeaderCodec.decodeGifFrames]] — real
+    * LZW per frame, GCE/NETSCAPE extension walk between frames),
+    * sampled every 2nd frame, per-frame dHashed
+    * ([[graft.multimodal.Multimodal.videoFrameHashes]]), and paired by
+    * the banded hamming join KEYED ON FRAME POSITION
+    * ([[graft.operators.Dedup.bandedHammingPairsBy]]); a pair survives
+    * when a majority of comparable positions match
+    * ([[graft.multimodal.Multimodal.videoNearDup]]). The oracle
+    * recomputes every sampled frame's dHash bits from the closed-form
+    * (id, f, x, y) formula and replays the keyed join and the majority
+    * vote — integer math end to end. */
+  val q82VideoNearDup = QueryDef(
+    "q82_video_neardup",
+    (s, d) => {
+      val media = synthMedia(s, d, 300, graft.multimodal.MediaSynth.nearDupVideo)
+      Multimodal.videoNearDup(Multimodal.videoFrameHashes(media, frameStride = 2))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, media_id // 5 AS g, media_id % 5 AS v,
+               (16 + (media_id // 5) % 5)::INT AS w,
+               (12 + (media_id // 5) % 3)::INT AS h,
+               (8 + (media_id // 5) % 5)::INT AS nf
+        FROM ids),
+      frames AS (
+        SELECT d.*, fr.f
+        FROM d, (SELECT unnest(range(0, 12)) AS f) fr
+        WHERE fr.f < d.nf AND fr.f % 2 = 0),
+      grid AS (
+        SELECT fm.media_id, fm.g, fm.v, fm.f, gr.r, gc.c,
+               (gc.c * fm.w // 9) AS sx, (gr.r * fm.h // 8) AS sy
+        FROM frames fm,
+             (SELECT unnest(range(0, 9)) AS c) gc,
+             (SELECT unnest(range(0, 8)) AS r) gr),
+      gray AS (
+        SELECT media_id, f, r, c,
+          ((g*31 + (5 + g%7)*sx*sx + (3 + g%5)*sy*sy + 7*sx*sy
+            + (9 + g%4)*f*(sx + sy + 1)
+            + CASE WHEN v = 1 THEN 3
+                   WHEN v = 2 AND (sx + 7*sy + 5*f + media_id) % 19 = 0 THEN 40
+                   WHEN v = 3 AND (sx + 5*sy + 3*f + media_id) % 17 = 0 THEN 56
+                   WHEN v = 4 AND (sx + 3*sy + 2*f + media_id) % 7 = 0 THEN 64
+                   ELSE 0 END) % 256) AS gv
+        FROM grid),
+      fp AS (
+        SELECT media_id, f,
+               string_agg(CASE WHEN gv < nxt THEN '1' ELSE '0' END, ''
+                          ORDER BY r, c) AS fp
+        FROM (SELECT media_id, f, r, c, gv,
+                     lead(gv) OVER (PARTITION BY media_id, f ORDER BY r, c) AS nxt
+              FROM gray)
+        WHERE c < 8
+        GROUP BY media_id, f),
+      nsampled AS (
+        SELECT media_id, count(*) AS ns FROM fp GROUP BY media_id),
+      banded AS (
+        SELECT media_id, f, fp, b.band, substr(fp, (b.band*16+1)::INT, 16) AS bv
+        FROM fp, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.f,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM banded a
+        JOIN banded b ON a.f = b.f AND a.band = b.band AND a.bv = b.bv
+                     AND a.media_id < b.media_id),
+      matched AS (
+        SELECT id_a, id_b, count(*) AS n_match
+        FROM pairs
+        WHERE list_sum(list_transform(range(1, 65), i ->
+                CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                     THEN 1 ELSE 0 END)) <= 10
+        GROUP BY id_a, id_b)
+      SELECT m.id_a, m.id_b, m.n_match::BIGINT AS n_match,
+             least(na.ns, nb.ns)::BIGINT AS n_common
+      FROM matched m
+      JOIN nsampled na ON na.media_id = m.id_a
+      JOIN nsampled nb ON nb.media_id = m.id_b
+      WHERE m.n_match * 2 >= least(na.ns, nb.ns)
+      ORDER BY m.id_a, m.id_b
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q75ImageNearDup,
-    q79AudioNearDup)
+    q79AudioNearDup, q82VideoNearDup)
 }
