@@ -111,6 +111,75 @@ object Sampling {
       .drop("__tok")
   }
 
+  /** Temperature-based source mixing at T = 2 — the standard multi-source
+    * LLM recipe (GPT-3 §2.2 / PaLM data mixtures): source s is sampled
+    * with probability ∝ n_s^(1/T), flattening the natural distribution
+    * so small high-quality sources are over-represented. Keep rates
+    * follow as rate_s = target · N · w_s / (n_s · W) with w_s = n_s^(1/2)
+    * and W = Σ w_s (expected output ≈ target · N docs).
+    *
+    * Exactness stance (the q42/q69 rule — no transcendentals cross
+    * engines): T = 2 is computed with INTEGER weights w_s =
+    * floor(sqrt(n_s)) — IEEE sqrt is correctly rounded, so floor∘sqrt
+    * of a long is the exact integer square root on every engine — and
+    * the per-source bucket threshold is one integer division, so the
+    * sampled set is bit-reproducible anywhere. Arbitrary T needs pow(),
+    * whose last ulp differs between engines; callers wanting T ≠ 2
+    * precompute thresholds driver-side.
+    *
+    * Shape: one tiny per-source count agg, a broadcast of |sources|
+    * thresholds, and a map-only bucket filter — no data-sized shuffle. */
+  def temperatureMixSqrt(df: DataFrame, sourceCol: String, keyCol: String,
+                         targetPpm: Long, seed: String): DataFrame = {
+    require(targetPpm >= 0 && targetPpm <= Buckets, s"targetPpm out of [0, $Buckets]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val tot = counts.agg(sum(col("__n")).as("__totn"), sum(col("__w")).as("__totw"))
+    val rates = counts.crossJoin(tot)
+      .withColumn("__num", lit(targetPpm) * col("__totn") * col("__w"))
+      .withColumn("__thresh", expr("__num DIV (__n * __totw)"))
+      .select(col(sourceCol).as("__src"), col("__thresh"))
+    df.join(broadcast(rates), col(sourceCol) === col("__src"))
+      .filter(hashBucket(col(keyCol), seed) < col("__thresh"))
+      .drop("__src", "__thresh")
+  }
+
+  /** Sliding-window document chunking — the long-document preprocessing
+    * step for context-bounded training/embedding (BERT-style stride
+    * windows): chunk c covers tokens [c·stride, c·stride + maxTokens),
+    * so consecutive chunks overlap by maxTokens − stride tokens. Chunks
+    * that would add no new tokens are not emitted: a doc of n tokens
+    * yields 1 chunk when n ≤ maxTokens, else 1 + ceil((n − maxTokens) /
+    * stride); empty docs yield none. Chunk text re-joins tokens with
+    * single spaces (whitespace-normalizing, the [[graft.functions.TextFunctions.tokens]]
+    * convention).
+    *
+    * Shape: tokenize once, explode the chunk index range, then per-row
+    * array slices on the carried token array — map-only, no shuffle, no
+    * higher-order-function lambda over a column subtree (the q80
+    * lesson). */
+  def chunkDocuments(df: DataFrame, idCol: Column, text: Column,
+                     maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(stride > 0 && stride <= maxTokens,
+      "stride must be in [1, maxTokens] (larger would drop tokens)")
+    df.select(idCol.as("doc_id"),
+        graft.functions.TextFunctions.tokens(text).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .withColumn("__nc",
+        when(col("__n") <= maxTokens, lit(1)).otherwise(
+          lit(1) + ceil((col("__n") - maxTokens).cast("double") / stride).cast("int")))
+      .select(col("doc_id"), col("__ws"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_idx", "__c")))
+      .withColumn("chunk_start", (col("chunk_idx") * stride).cast("long"))
+      .withColumn("__chunk",
+        slice(col("__ws"), col("chunk_idx") * stride + 1, lit(maxTokens)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start"), size(col("__chunk")).cast("long").as("chunk_len"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** The writable form of [[packSequences]]'s layout: one row per
     * (shard, bin) listing the member docs in concat order — what a
     * training-file writer materializes (each bin = one fixed-budget

@@ -365,8 +365,64 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** Temperature-T=2 source mixing
+    * ([[graft.operators.Sampling.temperatureMixSqrt]]): per-source keep
+    * thresholds from integer-sqrt weights and one integer division —
+    * bit-reproducible on any engine (the no-transcendentals stance) —
+    * then the standard deterministic bucket filter. The oracle
+    * recomputes counts, weights, thresholds, and the bucket compare. */
+  val q83TemperatureMix = QueryDef(
+    "q83_temperature_mix",
+    (s, d) => graft.operators.Sampling.temperatureMixSqrt(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", targetPpm = 300000L, seed = "t2")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH c AS (
+        SELECT source, count(*)::BIGINT AS n,
+               floor(sqrt(count(*)))::BIGINT AS w
+        FROM documents GROUP BY source),
+      t AS (SELECT sum(n)::BIGINT AS nn, sum(w)::BIGINT AS ww FROM c),
+      r AS (SELECT c.source, (300000 * t.nn * c.w) // (c.n * t.ww) AS thresh
+            FROM c, t)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN r ON r.source = d.source
+      WHERE ${bucketSql("t2", "doc_id")} < r.thresh
+      ORDER BY doc_id
+    """))
+
+  /** Sliding-window chunking ([[graft.operators.Sampling.chunkDocuments]]):
+    * 32-token chunks at stride 24 (8-token overlap); the oracle replays
+    * tokenization, the chunk-count formula, and the 1-based clamped list
+    * slices. */
+  val q84ChunkDocuments = QueryDef(
+    "q84_chunk_documents",
+    (s, d) => graft.operators.Sampling.chunkDocuments(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        maxTokens = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        FROM documents),
+      nc AS (
+        SELECT doc_id, ws,
+               CASE WHEN len(ws) <= 32 THEN 1
+                    ELSE 1 + ceil((len(ws) - 32)::DOUBLE / 24)::INT END AS nchunks
+        FROM toks WHERE len(ws) > 0),
+      chunks AS (
+        SELECT doc_id, unnest(range(0, nchunks)) AS chunk_idx, ws FROM nc)
+      SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+             (chunk_idx * 24)::BIGINT AS chunk_start,
+             len(ws[(chunk_idx*24+1)::INT : (chunk_idx*24+32)::INT])::BIGINT AS chunk_len,
+             array_to_string(ws[(chunk_idx*24+1)::INT : (chunk_idx*24+32)::INT], ' ') AS chunk_text
+      FROM chunks
+      ORDER BY doc_id, chunk_idx
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
-    q68SequencePack, q71SpanDedup, q73PackManifest)
+    q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
+    q84ChunkDocuments)
 }

@@ -110,6 +110,50 @@ class SamplingSpec extends SparkSpec {
       (2L, 2L, "4,5")))
   }
 
+  test("temperatureMixSqrt flattens: small sources keep a higher rate, thresholds exact") {
+    import org.apache.spark.sql.functions.col
+    // A: 400 rows, B: 25 rows → w = 20, 5; N = 425, W = 25
+    // threshA = ppm·425·20/(400·25) = ppm·0.85, threshB = ppm·425·5/(25·25) = ppm·3.4
+    val df = ((0 until 400).map(i => (i.toLong, "A")) ++
+      (1000 until 1025).map(i => (i.toLong, "B"))).toDF("id", "source")
+    val ppm = 200000L
+    val got = Sampling.temperatureMixSqrt(df, "source", "id", ppm, "tm")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = (got.count(_._2 == "A"), got.count(_._2 == "B"))
+    // exact replay of the integer thresholds through the same bucket hash
+    def kept(ids: Seq[Long], thresh: Long) = ids.map(i =>
+      spark.range(1).select(Sampling.hashBucket(lit(i), "tm")).head.getLong(0))
+      .count(_ < thresh)
+    assert(a == kept((0L until 400L).toSeq, 200000L * 425 * 20 / (400 * 25)))
+    assert(b == kept((1000L until 1025L).toSeq, 200000L * 425 * 5 / (25 * 25)))
+    // the flattening property: B's keep RATE beats A's (3.4/0.85 = 4×)
+    assert(b.toDouble / 25 > 2.0 * a.toDouble / 400,
+      s"small source not over-sampled: A $a/400, B $b/25")
+  }
+
+  test("chunkDocuments: stride windows cover every token, no redundant tail") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 toks → 3 chunks
+      (2L, (0 until 4).map(i => s"u$i").mkString(" ")),  // 4 toks → 1 chunk
+      (3L, (0 until 12).map(i => s"v$i").mkString(" ")), // 12 toks → 4 chunks
+      (4L, "   ")).toDF("doc_id", "text")                // empty → none
+    val got = Sampling.chunkDocuments(docs, col("doc_id"), col("text"),
+        maxTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L),
+        (3L, 0L), (3L, 1L), (3L, 2L), (3L, 3L)))
+    // doc 1: [0,4) [3,7) [6,10) — full coverage, 1-token overlaps
+    assert(got.filter(_._1 == 1L).map(g => (g._3, g._4)).toSeq ==
+      Seq((0L, 4L), (3L, 4L), (6L, 4L)))
+    assert(got.find(g => g._1 == 1L && g._2 == 2L).get._5 == "t6 t7 t8 t9")
+    // doc 3's last chunk is the short tail [9,12) — new tokens only
+    assert(got.filter(_._1 == 3L).last._4 == 3L)
+  }
+
   test("weightedMix tags provenance and respects per-source rates") {
     val web = docs.filter(col("source") === "src0")
     val rest = docs.filter(col("source") =!= "src0")
