@@ -124,4 +124,27 @@ class PlanSpec extends SparkSpec {
     assert(!assign.contains("CartesianProduct"), s"assign degenerated:\n$assign")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q80: dup-gram join and island windows never go cartesian or global") {
+    val p = plan("q80_substring_dedup")
+    assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
+    // the island merge must be a PER-DOC window, not a global one: every
+    // windowspec in the plan partitions by doc_id
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")),
+      s"island window lost its doc partition ($specs):\n$p")
+  }
+
+  test("q82: frame-keyed banded join stays an equi-join, no cartesian") {
+    val p = plan("q82_video_neardup")
+    assert(!p.contains("CartesianProduct"), s"frame join degenerated to n^2:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"frame join lost its keys:\n$p")
+  }
+
+  test("q83: thresholds broadcast, the corpus side stays map-only") {
+    val p = plan("q83_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
