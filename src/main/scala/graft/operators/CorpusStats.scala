@@ -10,6 +10,38 @@ import graft.functions.TextFunctions.tokens
   */
 object CorpusStats {
 
+  /** Linear quality-classifier application — the fastText-shaped
+    * model-based filter (RefinedWeb/FineWeb-style): a trained linear
+    * model reduces, at serving time, to a (term → weight) table and a
+    * per-doc weighted token sum (the logit; the sigmoid is monotone, so
+    * thresholding the INTEGER logit is thresholding the probability —
+    * and keeps the score transcendental-free, the q42/q69 stance).
+    *
+    * Emits per doc: n_tokens, n_hit (tokens found in the table), and
+    * `score` = Σ weight(token) over token INSTANCES (out-of-vocabulary
+    * tokens weigh 0, the standard serving convention).
+    *
+    * Scale shape: tokenize + explode into per-doc token counts
+    * (map-side partials collapse repeats), then counts⋈weights on the
+    * term — the weight table of a real classifier is ~1M terms, a
+    * broadcast — and one per-doc agg. Integer weights make the score
+    * exact on any engine and partitioning. */
+  def linearScore(docs: DataFrame, text: Column, id: Column,
+                  weights: DataFrame, termCol: String = "term",
+                  weightCol: String = "weight"): DataFrame = {
+    val counts = docs
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__cnt"))
+    counts
+      .join(broadcast(weights.select(col(termCol).as("__term"),
+        col(weightCol).cast("long").as("__w"))),
+        col("tok") === col("__term"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        sum(when(col("__w").isNotNull, col("__cnt")).otherwise(0L)).as("n_hit"),
+        sum(col("__cnt") * coalesce(col("__w"), lit(0L))).as("score"))
+  }
+
   /** Unigram-LM document quality: score each doc by how typical its
     * tokens are under the corpus's own unigram distribution — the
     * classic cheap LM-quality gate (boilerplate scores high, gibberish

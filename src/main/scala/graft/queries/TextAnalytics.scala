@@ -654,9 +654,54 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Linear quality-classifier application
+    * ([[graft.operators.CorpusStats.linearScore]]): the corpus carries
+    * no trained model, so the (term → weight) table is synthesized
+    * in-plan — md5-derived integer weights in [-8, 8] over the corpus'
+    * own distinct tokens, with every third term dropped so the
+    * out-of-vocabulary (weight 0) serving path is exercised. Both
+    * engines derive the identical table and replay the counts⋈weights
+    * left join and the per-doc integer logit. */
+  val q85QualityClassifier = QueryDef(
+    "q85_quality_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = docs.select(explode(tokens(col("text"))).as("term")).distinct()
+        .withColumn("__h",
+          conv(substring(md5(concat(lit("w8"), col("term"))), 1, 15), 16, 10)
+            .cast("long"))
+        .filter(pmod(col("__h"), lit(3)) =!= 0)
+        .select(col("term"), (pmod(col("__h"), lit(17)) - 8).as("weight"))
+      graft.operators.CorpusStats.linearScore(
+          docs, col("text"), col("doc_id"), vocab)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS tok
+        FROM documents),
+      counts AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS cnt
+        FROM toks GROUP BY doc_id, tok),
+      vocab AS (
+        SELECT term, (h % 17) - 8 AS weight FROM (
+          SELECT DISTINCT tok AS term,
+                 ('0x' || substr(md5('w8' || tok), 1, 15))::BIGINT AS h
+          FROM toks)
+        WHERE h % 3 <> 0)
+      SELECT c.doc_id, sum(c.cnt)::BIGINT AS n_tokens,
+             sum(CASE WHEN v.weight IS NOT NULL THEN c.cnt ELSE 0 END)::BIGINT AS n_hit,
+             sum(c.cnt * coalesce(v.weight, 0))::BIGINT AS score
+      FROM counts c LEFT JOIN vocab v ON v.term = c.tok
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
     q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
-    q81UrlDedup)
+    q81UrlDedup, q85QualityClassifier)
 }

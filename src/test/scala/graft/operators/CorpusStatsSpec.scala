@@ -45,6 +45,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(1)._3 < 0.2 && out(1)._4 == 0.0)    // Gopher keep-regime
   }
 
+  test("linearScore: weighted token sums with OOV-as-zero serving semantics") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "good good bad unk"),
+      (2L, "unk unk"),
+      (3L, "bad")).toDF("doc_id", "text")
+    val weights = Seq(("good", 5L), ("bad", -3L)).toDF("term", "weight")
+    val got = CorpusStats.linearScore(docs, col("text"), col("doc_id"), weights)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 2·good + 1·bad + 1·unk → n=4, hit=3, score=2·5−3=7
+    // doc 2: all OOV → score 0; doc 3: one bad → −3
+    assert(got.toSeq == Seq((1L, 4L, 3L, 7L), (2L, 2L, 0L, 0L), (3L, 1L, 1L, -3L)),
+      s"got ${got.toSeq}")
+  }
+
   test("dropRepeatedSpans strips corpus-wide boilerplate, keeps own spans in order") {
     val banner = "one two three four" // 4-word span (spanWords = 4)
     val docs = Seq(
