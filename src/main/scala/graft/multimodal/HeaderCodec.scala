@@ -265,11 +265,14 @@ object HeaderCodec {
     * 1/2) are re-sequenced into natural row order at decode time, so
     * orientation-sensitive consumers (perceptual hashes) see the true
     * bitmap. Extension blocks (GCE, comments, application) are walked
-    * and skipped; each frame must be a FULL logical-screen image at
-    * (0,0) — partial-frame composition/disposal is out of scope and
-    * rejected, as is any frame past `maxFrames` (the per-row memory
-    * bound: total allocation ≤ maxFrames · 3wh, each frame's own
-    * LZW-expansion cap checked as for stills). Truncation/corruption
+    * and skipped. When decoding an ANIMATION (maxFrames > 1) each frame
+    * must be a FULL logical-screen image at (0,0) — partial-frame
+    * composition/disposal is out of scope and rejected, as is any frame
+    * past `maxFrames` (the per-row memory bound: total allocation ≤
+    * maxFrames · 3wh, each frame's own LZW-expansion cap checked as for
+    * stills); a still (maxFrames = 1) decodes its first image at the
+    * image's own dimensions wherever it sits on the screen, the
+    * historical [[decodeGifPixels]] contract. Truncation/corruption
     * anywhere returns None. */
   def decodeGifFrames(b: Array[Byte], maxFrames: Int = 1024): Option[Seq[Pixels]] = {
     if (b.length < 13) return None
@@ -293,17 +296,19 @@ object HeaderCodec {
           if (i >= b.length) return None
           i += 1
         case 0x2c =>
-          if (frames.size >= maxFrames)
-            return if (maxFrames == 1) Some(frames.toSeq) else None
+          if (frames.size >= maxFrames) return None // over the cap: fail closed
           if (i + 10 > b.length) return None
           val left = le16(b, i + 1); val top = le16(b, i + 3)
           val width = le16(b, i + 5); val height = le16(b, i + 7)
           val iflags = u8(b, i + 9)
           if (width <= 0 || height <= 0) return None
-          // full-frame contract (see scaladoc): offsets/partial frames
-          // would need composition state the stats/hash consumers
-          // deliberately don't carry
-          if (left != 0 || top != 0 || width != screenW || height != screenH)
+          // full-frame contract (see scaladoc) applies to ANIMATIONS
+          // only: offset/partial frames would need composition state the
+          // hash consumers deliberately don't carry. A still's single
+          // image decodes at its own dimensions wherever it sits on the
+          // logical screen (the historical decodeGifPixels behavior).
+          if (maxFrames > 1 &&
+              (left != 0 || top != 0 || width != screenW || height != screenH))
             return None
           i += 10
           // local color table (overrides the global one for this image)

@@ -17,9 +17,14 @@ object CorpusStats {
     * thresholding the INTEGER logit is thresholding the probability —
     * and keeps the score transcendental-free, the q42/q69 stance).
     *
-    * Emits per doc: n_tokens, n_hit (tokens found in the table), and
-    * `score` = Σ weight(token) over token INSTANCES (out-of-vocabulary
-    * tokens weigh 0, the standard serving convention).
+    * Emits one row per doc WITH TOKENS (a tokenless doc has no logit to
+    * serve — left-join scores back and treat null as the OOV baseline,
+    * the same convention as [[unigramQuality]]): n_tokens, n_hit
+    * (tokens found in the table), and `score` = Σ weight(token) over
+    * token INSTANCES (out-of-vocabulary tokens weigh 0, the standard
+    * serving convention). Duplicate terms in the weight table are
+    * SUMMED before the join (deterministic, and a duplicated row can
+    * never fan out the count rows and corrupt n_tokens — review-caught).
     *
     * Scale shape: tokenize + explode into per-doc token counts
     * (map-side partials collapse repeats), then counts⋈weights on the
@@ -32,10 +37,11 @@ object CorpusStats {
     val counts = docs
       .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("__cnt"))
+    val uniq = weights
+      .groupBy(col(termCol).as("__term"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
     counts
-      .join(broadcast(weights.select(col(termCol).as("__term"),
-        col(weightCol).cast("long").as("__w"))),
-        col("tok") === col("__term"), "left")
+      .join(broadcast(uniq), col("tok") === col("__term"), "left")
       .groupBy("doc_id")
       .agg(sum(col("__cnt")).as("n_tokens"),
         sum(when(col("__w").isNotNull, col("__cnt")).otherwise(0L)).as("n_hit"),

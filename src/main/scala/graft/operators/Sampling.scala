@@ -127,19 +127,29 @@ object Sampling {
     * whose last ulp differs between engines; callers wanting T ≠ 2
     * precompute thresholds driver-side.
     *
-    * Shape: one tiny per-source count agg, a broadcast of |sources|
-    * thresholds, and a map-only bucket filter — no data-sized shuffle. */
+    * Shape: one tiny per-source count agg — collected as bounded
+    * metadata (|sources| rows, the k-means-centroids convention) so the
+    * threshold arithmetic runs in BigInt on the driver: targetPpm·N·w
+    * overflows a Long already at a ~1e9-row source (review-caught), and
+    * Spark's in-plan decimal division rounds where the formula needs an
+    * exact floor — then a broadcast of |sources| thresholds and a
+    * map-only bucket filter. No data-sized shuffle. */
   def temperatureMixSqrt(df: DataFrame, sourceCol: String, keyCol: String,
                          targetPpm: Long, seed: String): DataFrame = {
     require(targetPpm >= 0 && targetPpm <= Buckets, s"targetPpm out of [0, $Buckets]")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
-    val tot = counts.agg(sum(col("__n")).as("__totn"), sum(col("__w")).as("__totw"))
-    val rates = counts.crossJoin(tot)
-      .withColumn("__num", lit(targetPpm) * col("__totn") * col("__w"))
-      .withColumn("__thresh", expr("__num DIV (__n * __totw)"))
-      .select(col(sourceCol).as("__src"), col("__thresh"))
-    df.join(broadcast(rates), col(sourceCol) === col("__src"))
+      .select(col(sourceCol).cast("string"), col("__n"), col("__w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totN = BigInt(counts.map(_._2).sum)
+    val totW = BigInt(counts.map(_._3).sum)
+    val rates = counts.map { case (src, n, w) =>
+      (src, ((BigInt(targetPpm) * totN * w) / (BigInt(n) * totW)).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("__src", "__thresh")
+    df.join(broadcast(rateDf), col(sourceCol).cast("string") === col("__src"))
       .filter(hashBucket(col(keyCol), seed) < col("__thresh"))
       .drop("__src", "__thresh")
   }
@@ -171,7 +181,7 @@ object Sampling {
         when(col("__n") <= maxTokens, lit(1)).otherwise(
           lit(1) + ceil((col("__n") - maxTokens).cast("double") / stride).cast("int")))
       .select(col("doc_id"), col("__ws"),
-        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_idx", "__c")))
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
       .withColumn("chunk_start", (col("chunk_idx") * stride).cast("long"))
       .withColumn("__chunk",
         slice(col("__ws"), col("chunk_idx") * stride + 1, lit(maxTokens)))

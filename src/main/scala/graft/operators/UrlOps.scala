@@ -24,7 +24,10 @@ object UrlOps {
     *  1. drop the fragment;
     *  2. lowercase the scheme://host prefix (never the path — paths are
     *     case-sensitive);
-    *  3. drop a `www.` host prefix;
+    *  3. drop a `www.` host prefix — anchored to the scheme (a
+    *     `://www.` inside a query-param value must not fire) and only
+    *     when a dotted host remains (`www.com` is a registrable host,
+    *     not a prefix);
     *  4. drop scheme-default ports (http:80, https:443);
     *  5. drop tracking parameters (utm_*, fbclid, gclid, msclkid, ref) —
     *     `&`-prefixed occurrences first (adjacent matches are
@@ -40,7 +43,8 @@ object UrlOps {
     val noFrag = regexp_replace(url, "#.*$", "")
     val pre = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     val lowered = concat(lower(pre), noFrag.substr(length(pre) + 1, length(noFrag)))
-    val noWww = regexp_replace(lowered, "://www\\.", "://")
+    val noWww = regexp_replace(lowered,
+      "^([a-z][a-z0-9+.-]*://)www\\.([^/?#]*\\.[^/?#]*)", "$1$2")
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(http://[^/:?#]+):80(/|\\?|$)", "$1$2"),
       "^(https://[^/:?#]+):443(/|\\?|$)", "$1$2")

@@ -618,7 +618,8 @@ object TextAnalytics {
                  || substr(u, len(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
              FROM c0),
       c2 AS (SELECT doc_id, quality,
-               regexp_replace(u, '://www\.', '://', 'g') AS u FROM c1),
+               regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.([^/?#]*\.[^/?#]*)',
+                              '\1\2') AS u FROM c1),
       c3 AS (SELECT doc_id, quality,
                regexp_replace(
                  regexp_replace(u, '^(http://[^/:?#]+):80(/|\?|$)', '\1\2'),

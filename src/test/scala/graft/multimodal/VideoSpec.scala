@@ -53,6 +53,22 @@ class VideoSpec extends SparkSpec {
     assert(HeaderCodec.decodeGifFrames(still).get.size == 1)
   }
 
+  test("a still whose image sits inside a larger logical screen decodes (single-frame path)") {
+    // review-caught: the animation full-frame contract must not reject
+    // stills — real crawls carry GIFs whose only image is smaller than
+    // the logical screen. Patch the screen dims of a valid still larger.
+    val still = MediaSynth.gif(7L)
+    val w = MediaSynth.gifWidth(7L); val h = MediaSynth.gifHeight(7L)
+    val patched = still.clone()
+    patched(6) = ((w + 10) & 0xff).toByte; patched(7) = ((w + 10) >> 8).toByte
+    patched(8) = ((h + 6) & 0xff).toByte; patched(9) = ((h + 6) >> 8).toByte
+    val px = HeaderCodec.decodeGifPixels(patched)
+    assert(px.isDefined && px.get.width == w && px.get.height == h,
+      "still decode must use the image's own dimensions")
+    // the ANIMATION path does reject it (composition would need state)
+    assert(HeaderCodec.decodeGifFrames(patched, maxFrames = 8).isEmpty)
+  }
+
   test("full-frame contract and frame cap are enforced, not crashed") {
     // a partial frame (offset/size mismatch) must fail closed
     val bytes = MediaSynth.nearDupVideo(id)

@@ -59,6 +59,14 @@ class CorpusStatsSpec extends SparkSpec {
     // doc 2: all OOV → score 0; doc 3: one bad → −3
     assert(got.toSeq == Seq((1L, 4L, 3L, 7L), (2L, 2L, 0L, 0L), (3L, 1L, 1L, -3L)),
       s"got ${got.toSeq}")
+    // review-caught: a duplicated term row must not fan out the count
+    // rows (n_tokens corrupted); duplicates SUM deterministically
+    val dup = Seq(("good", 5L), ("good", 5L), ("bad", -3L)).toDF("term", "weight")
+    val got2 = CorpusStats.linearScore(docs, col("text"), col("doc_id"), dup)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((1L, 4L, 3L, 17L), (2L, 2L, 0L, 0L), (3L, 1L, 1L, -3L)),
+      s"got ${got2.toSeq}")
   }
 
   test("dropRepeatedSpans strips corpus-wide boilerplate, keeps own spans in order") {

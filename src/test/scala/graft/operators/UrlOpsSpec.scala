@@ -30,6 +30,16 @@ class UrlOpsSpec extends SparkSpec {
       "path trailing slash stripped even before a query; params sorted")
   }
 
+  test("www strip is anchored to the host, never a param value or a bare www.com") {
+    // review-caught: unanchored '://www.' rewrote URLs EMBEDDED in query
+    // params, merging documents that point at different targets
+    assert(canon("https://a.com/out?next=http://www.b.com/p") ==
+      Seq("https://a.com/out?next=http://www.b.com/p"))
+    // and 'www.com' is a registrable host, not a prefix
+    assert(canon("http://www.com/x") == Seq("http://www.com/x"))
+    assert(canon("http://www.a.com/x") == Seq("http://a.com/x"))
+  }
+
   test("canonicalization is idempotent") {
     val messy = Seq(
       "HTTPS://WWW.Site7.Example.com:443/Docs/3/?b=2&utm_x=9&a=1#s",
