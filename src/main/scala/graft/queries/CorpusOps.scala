@@ -420,9 +420,141 @@ object CorpusOps {
       ORDER BY doc_id, chunk_idx
     """))
 
+  /** The round-5 hygiene operators composed END-TO-END in one plan —
+    * the shape of a real pre-training ingest: URL-level dedup
+    * ([[graft.operators.UrlOps.dedupByUrl]]) → PII scrub
+    * ([[graft.operators.PiiScrub.scrub]]) → linear quality-classifier
+    * gate ([[graft.operators.CorpusStats.linearScore]], score ≥ 0) →
+    * temperature-T=2 source mixing
+    * ([[graft.operators.Sampling.temperatureMixSqrt]]) → sliding-window
+    * chunking ([[graft.operators.Sampling.chunkDocuments]], counted per
+    * doc). Each stage is individually oracle-proven; this row gates the
+    * COMPOSITION (joins between stages, column contracts, filter
+    * ordering). The oracle recomputes every stage from first principles
+    * — the canonical URL directly in closed form, the full 4-rule
+    * scrub cascade, vocab/score, integer mix thresholds, and the
+    * chunk-count formula. */
+  val q86HygienePipeline = QueryDef(
+    "q86_hygiene_pipeline",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val k = col("doc_id")
+      val istr = (e: org.apache.spark.sql.Column) => e.cast("string")
+      val url = concat(lit("https://"),
+        when(pmod(k, lit(2)) === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), istr(pmod(k, lit(200))), lit(".example.com/d/"),
+        istr(pmod(k, lit(20))), lit("?utm_source=x&id="), istr(pmod(k, lit(10))))
+      val docs = Tables.documents(s, d).withColumn("url", url)
+      val kept = graft.operators.UrlOps.dedupByUrl(
+        docs, col("url"), k, col("n_chars"))
+      val withPii = docs.join(kept.select("doc_id"), "doc_id")
+        .select(k, col("source"), concat(col("text"),
+          when(pmod(k, lit(3)) === 0,
+            concat(lit(" contact user"), istr(k), lit("@host.org")))
+            .otherwise(lit(""))).as("text"))
+      val scrubbed = graft.operators.PiiScrub.scrub(withPii, col("text"))
+        .select(k, col("source"), col("n_email"), col("scrubbed"))
+      val vocab = scrubbed
+        .select(explode(tokens(col("scrubbed"))).as("term")).distinct()
+        .withColumn("__h",
+          conv(substring(md5(concat(lit("w8"), col("term"))), 1, 15), 16, 10)
+            .cast("long"))
+        .filter(pmod(col("__h"), lit(3)) =!= 0)
+        .select(col("term"), (pmod(col("__h"), lit(17)) - 8).as("weight"))
+      val scores = graft.operators.CorpusStats.linearScore(
+          scrubbed, col("scrubbed"), k, vocab)
+        .select(col("doc_id"), col("score"))
+      val qual = scrubbed.join(scores, "doc_id").filter(col("score") >= 0)
+      val mixed = graft.operators.Sampling.temperatureMixSqrt(
+        qual, "source", "doc_id", 600000L, "hp")
+      val chunkStats = graft.operators.Sampling.chunkDocuments(
+          mixed, k, col("scrubbed"), maxTokens = 32, stride = 24)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      mixed
+        .withColumn("n_tokens", size(tokens(col("scrubbed"))).cast("long"))
+        .join(chunkStats, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_email"), col("score"),
+          col("n_chunks"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, n_chars,
+          'https://site' || (doc_id % 200) || '.example.com/d/' || (doc_id % 20)
+            || '?id=' || (doc_id % 10) AS canon_url
+        FROM documents),
+      kept AS (
+        SELECT doc_id, text, source FROM (
+          SELECT doc_id, text, source,
+                 row_number() OVER (PARTITION BY canon_url
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM canon) WHERE rn = 1),
+      pii AS (
+        SELECT doc_id, source,
+          text || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@host.org'
+                       ELSE '' END AS t
+        FROM kept),
+      s1 AS (
+        SELECT doc_id, source,
+          len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+          regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+        FROM pii),
+      s2 AS (
+        SELECT doc_id, source, n_email,
+          regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, source, n_email,
+          regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, source, n_email,
+          regexp_replace(t, '\(?\b[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}\b', '<PHONE>', 'g') AS t
+        FROM s3),
+      toks AS (
+        SELECT doc_id, source, n_email, t,
+               list_filter(string_split(t, ' '), w -> len(w) > 0) AS ws
+        FROM s4),
+      tokrows AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+      counts AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS cnt
+        FROM tokrows GROUP BY doc_id, tok),
+      vocab AS (
+        SELECT term, (h % 17) - 8 AS weight FROM (
+          SELECT DISTINCT tok AS term,
+                 ('0x' || substr(md5('w8' || tok), 1, 15))::BIGINT AS h
+          FROM tokrows)
+        WHERE h % 3 <> 0),
+      scoredoc AS (
+        SELECT c.doc_id, sum(c.cnt * coalesce(v.weight, 0))::BIGINT AS score
+        FROM counts c LEFT JOIN vocab v ON v.term = c.tok GROUP BY c.doc_id),
+      qual AS (
+        SELECT t.doc_id, t.source, t.n_email, t.ws, s.score
+        FROM toks t JOIN scoredoc s USING (doc_id) WHERE s.score >= 0),
+      cnts AS (
+        SELECT source, count(*)::BIGINT AS n,
+               floor(sqrt(count(*)))::BIGINT AS w
+        FROM qual GROUP BY source),
+      tot AS (SELECT sum(n)::BIGINT AS nn, sum(w)::BIGINT AS ww FROM cnts),
+      rts AS (SELECT c.source, (600000 * t.nn * c.w) // (c.n * t.ww) AS thresh
+              FROM cnts c, tot t),
+      mixed AS (
+        SELECT q.* FROM qual q JOIN rts r ON r.source = q.source
+        WHERE (('0x' || substr(md5('hp' || q.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000) < r.thresh)
+      SELECT doc_id, source, n_email, score,
+             (CASE WHEN len(ws) <= 32 THEN 1
+                   ELSE 1 + ceil((len(ws) - 32)::DOUBLE / 24)::INT END)::BIGINT AS n_chunks,
+             len(ws)::BIGINT AS n_tokens
+      FROM mixed WHERE len(ws) > 0
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
     q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
-    q84ChunkDocuments)
+    q84ChunkDocuments, q86HygienePipeline)
 }
