@@ -256,6 +256,64 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
+  /** Streaming serving twin of [[duplicateSpans]]: flag duplicated
+    * spans in INCOMING documents against a FROZEN duplicated-gram set
+    * (e.g. last night's corpus scan, as [[flagContaminated]] serves a
+    * frozen benchmark) — STATELESS and map-only, so the same call runs
+    * on a batch DataFrame or a `readStream` one. All the work is
+    * row-local: positional gram hashes (one fused-kernel pass), a
+    * Bloom membership test per gram (supersets the exact set by the
+    * fpp, never misses a true duplicate), and the same gap-≤-L island
+    * merge as the batch operator — folded over the flagged-position
+    * array instead of a window, since one row holds all of its doc's
+    * grams. Adds `n_flagged` (flagged gram starts), `n_dup_spans`
+    * (maximal spans), `n_dup_tokens` (tokens covered by them). */
+  def flagDuplicateSpans(docs: DataFrame, text: Column, bloom: Array[Byte],
+                         spanTokens: Int = 13): DataFrame = {
+    if (bloom == null) // empty frozen set: nothing can be duplicated
+      return docs.withColumn("n_flagged", lit(0L))
+        .withColumn("n_dup_spans", lit(0L))
+        .withColumn("n_dup_tokens", lit(0L))
+    val L = spanTokens.toLong
+    val grams = shingleHash(
+      column(graft.expressions.OrderedShinglesExpr(expression(text), spanTokens)))
+    // flagged gram START positions, ascending by construction
+    val flagged = filter(
+      transform(grams, (g, i) =>
+        when(bloomMightContain(bloom)(g), i.cast("long")).otherwise(lit(-1L))),
+      p => p >= 0)
+    // fold the island merge over the positions: a new span starts when
+    // the gap exceeds L; coverage grows by min(L, gap) per flagged gram
+    val init = struct(lit(0L).as("spans"), lit(0L).as("toks"),
+      lit(Long.MinValue / 2).as("prev"))
+    val stats = aggregate(flagged, init, (acc, p) => struct(
+      (acc.getField("spans") +
+        when(p > acc.getField("prev") + L, 1L).otherwise(0L)).as("spans"),
+      (acc.getField("toks") +
+        least(lit(L), p - acc.getField("prev"))).as("toks"),
+      p.as("prev")))
+    docs
+      .withColumn("n_flagged", coalesce(size(flagged).cast("long"), lit(0L)))
+      .withColumn("n_dup_spans", coalesce(stats.getField("spans"), lit(0L)))
+      .withColumn("n_dup_tokens", coalesce(stats.getField("toks"), lit(0L)))
+  }
+
+  /** A Bloom filter over any LONG hash column — the generic builder
+    * behind the frozen-set serving twins (bits per the standard
+    * -n·ln(p)/ln(2)² formula). Returns null for an empty input (the
+    * flag operators treat null as "nothing frozen"). */
+  def hashBloom(df: DataFrame, c: Column, expectedItems: Long,
+                fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    df.select(column(new BloomFilterAggregate(
+        XxHash64(Seq(expression(c)), 42L),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
   def decontaminate(corpus: DataFrame, corpusText: Column, corpusId: Column,
                     bench: DataFrame, benchText: Column, benchId: Column,
                     shingleN: Int = 13): DataFrame = {
@@ -301,18 +359,9 @@ object Dedup {
     * to [[bloomMightContain]] / [[flagContaminated]]. */
   def benchGramBloom(bench: DataFrame, benchText: Column, shingleN: Int = 13,
                      expectedGrams: Long = 1000000L,
-                     fpp: Double = 0.01): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    // bits per the standard formula -n·ln(p)/ln(2)^2, as in BloomFilter.optimalNumOfBits
-    val numBits = math.ceil(
-      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    gramRows(bench, benchText, lit(0L), "__b", "bgram_h", shingleN)
-      .select(column(new BloomFilterAggregate(
-        XxHash64(Seq(expression(col("bgram_h"))), 42L),
-        Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-  }
+                     fpp: Double = 0.01): Array[Byte] =
+    hashBloom(gramRows(bench, benchText, lit(0L), "__b", "bgram_h", shingleN),
+      col("bgram_h"), expectedGrams, fpp)
 
   /** Membership predicate over a built gram bloom (codegen'd
     * `might_contain`, the same expression Catalyst runtime filters use). */

@@ -159,6 +159,63 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size <= 2 * 64)
   }
 
+  test("streaming duplicate-span flag == batch spans against a frozen gram set") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import graft.expressions.OrderedShinglesExpr
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+    // the frozen set: the corpus's own duplicated 13-grams (what a
+    // nightly batch scan would freeze for next-day serving)
+    val grams = docs.select(col("doc_id"), posexplode(
+        TextFunctions.shingleHash(
+          column(OrderedShinglesExpr(expression(col("text")), 13))))
+        .as(Seq("pos", "gram_h")))
+    val dup = grams.groupBy("gram_h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram_h")
+    val bloom = Dedup.hashBloom(dup, col("gram_h"),
+      expectedItems = 2000, fpp = 1e-6)
+    val flagged = Dedup.flagDuplicateSpans(docs, col("text"), bloom)
+      .select("doc_id", "n_flagged", "n_dup_spans", "n_dup_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batch truth from the oracle-gated operator
+    val batch = Dedup.duplicateSpans(docs, col("text"), col("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ns"), sum(col("span_end") - col("span_start")).as("nt"),
+        sum("n_grams").as("nf"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batch.nonEmpty, "corpus must contain duplicated spans")
+    // at fpp 1e-6 over ~20k probes the serving flag is exact in practice
+    // (deterministic bloom, pinned): spans, coverage, and flag counts match
+    batch.foreach { case (id, (ns, nt, nf)) =>
+      val (gf, gs, gt) = flagged(id)
+      assert(gs == ns && gt == nt && gf == nf,
+        s"doc $id: serving ($gf,$gs,$gt) != batch ($nf,$ns,$nt)")
+    }
+    flagged.filter(_._2._2 > 0).keys.foreach { id =>
+      assert(batch.contains(id), s"doc $id flagged with no batch span (fp beyond fpp)")
+    }
+    // and the same call runs stateless on a stream, row for row
+    val dir = Files.createTempDirectory("spanflag-stream").toString
+    docs.limit(80).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = Dedup.flagDuplicateSpans(
+        spark.readStream.schema("doc_id BIGINT, text STRING").parquet(dir),
+        col("text"), bloom)
+      .select("doc_id", "n_flagged", "n_dup_spans", "n_dup_tokens")
+      .writeStream.format("memory").queryName("spanflag_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("spanflag_stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batchCall = Dedup.flagDuplicateSpans(
+        spark.read.parquet(dir), col("text"), bloom)
+      .select("doc_id", "n_flagged", "n_dup_spans", "n_dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batchCall, "streaming span flag diverged from batch")
+  }
+
   test("PII scrub and URL canonicalization run stateless on a stream == batch") {
     // both are pure Column transforms: the streaming twin IS the same
     // call on a readStream frame — no state store, no watermark
