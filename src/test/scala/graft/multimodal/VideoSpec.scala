@@ -95,6 +95,26 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("videoFrameHashes runs stateless on a stream and matches the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("vhash_stream_").toString + "/in"
+    spark.range(40).map(i => i).write.parquet(dir)
+    val streamed = Multimodal.videoFrameHashes(
+      spark.readStream.schema("value BIGINT").parquet(dir)
+        .as[java.lang.Long].map(i => Multimodal.MediaRow(i, "synth",
+          MediaSynth.nearDupVideo(i), 0, 0, 0L)))
+    val q = streamed.writeStream.format("memory").queryName("vhash_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vhash_stream")
+        .as[(Long, Int, Int, String)].collect().toSet
+      val batch = Multimodal.videoFrameHashes(spark.range(40).map(i =>
+          Multimodal.MediaRow(i, "synth", MediaSynth.nearDupVideo(i), 0, 0, 0L)))
+        .collect().map(r => (r.media_id, r.frame_idx, r.n_sampled, r.dhash)).toSet
+      assert(got == batch, "streaming videoFrameHashes diverged from batch")
+    } finally q.stop()
+  }
+
   test("videoNearDup: same-group variants pair by majority vote, cross-group don't") {
     val n = 100
     val media = spark.range(n).map(i => Multimodal.MediaRow(
