@@ -9,7 +9,10 @@ object Verify {
     // the dump to matching queries (dev loop; the driver passes two args).
     val Array(sfDir, outDir) = args.take(2)
     val only: String => Boolean =
-      if (args.length > 2) (n: String) => n.contains(args(2)) else _ => true
+      if (args.length > 2) {
+        val subs = args(2).split(',').filter(_.nonEmpty)
+        (n: String) => subs.exists(n.contains)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -479,39 +479,217 @@ object Dedup {
     * form only WITHIN a key group (video frame index, source bucket, …)
     * — the keys simply join the (band, chunk) shuffle key, so the
     * bucketing gets finer, never coarser. Output: keys ++
-    * (id_a, id_b, hamming). */
+    * (id_a, id_b, hamming).
+    *
+    * Hot-bucket hardening: the self-join runs at the
+    * identical-fingerprint REPRESENTATIVE level
+    * ([[bandedHammingPairsGuarded]]) and the member-level pair list is
+    * re-expanded afterwards, so n byte-identical fingerprints cost one
+    * row in every band bucket instead of n (the candidate volume before
+    * `distinct()` is groups², not members² × bands). The OUTPUT is still
+    * inherently quadratic per identical group (n members pair n·(n-1)/2
+    * ways at hamming 0 — that is this method's contract); a pipeline
+    * that only needs clusters should use [[nearDupClusters]], whose
+    * re-expansion is linear. Key names are aliased to reserved internal
+    * names before any working column is built, so user keys can never
+    * collide with band/bv/__c under Spark's case-insensitive resolution;
+    * names that would collide with the OUTPUT columns are rejected. */
   def bandedHammingPairsBy(fps: DataFrame, keys: Seq[String],
                            bits: Int, bands: Int): DataFrame = {
+    requireSafeKeys(keys)
+    // work entirely under reserved aliases; restore names at the end
+    val ik = keys.indices.map(i => s"__k$i")
+    val in = fps.select(col("sid") +: col("fp") +:
+      keys.zip(ik).map { case (k, a) => col(k).as(a) }: _*)
+    val g = bandedHammingPairsGuarded(in, ik, bits, bands, maxBucket = 0)
+    // expansion rides multiMembers (members of >1-member groups ONLY,
+    // broadcast-small whenever identical dups are a sliver of the
+    // corpus) with LEFT joins — a rep with no multi row is its group's
+    // only member, so its sid is itself. Joining full membership here
+    // instead would sort-merge two corpus-sized frames to re-discover
+    // mostly-singleton groups.
+    val m = g.multiMembers
+    val ma = m.select(ik.map(col) :+ col("rep").as("id_a") :+
+      col("sid").as("__sa"): _*)
+    val mb = m.select(ik.map(col) :+ col("rep").as("id_b") :+
+      col("sid").as("__sb"): _*)
+    // cross-group pairs: every member of rep_a against every member of
+    // rep_b (hamming is a group-level constant — members share the exact
+    // fingerprint); output ordering restored with least/greatest because
+    // member ids interleave across groups even though rep_a < rep_b
+    val cross = g.pairs
+      .join(ma, (ik :+ "id_a").toSeq, "left")
+      .join(mb, (ik :+ "id_b").toSeq, "left")
+      .select(ik.map(col) ++ Seq(
+        least(coalesce(col("__sa"), col("id_a")),
+          coalesce(col("__sb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("__sa"), col("id_a")),
+          coalesce(col("__sb"), col("id_b"))).as("id_b"),
+        col("hamming")): _*)
+    // intra-group pairs: identical fingerprints, hamming 0
+    val i2 = m.select(ik.map(k => col(k).as(s"${k}_b")) :+
+      col("rep").as("__repb") :+ col("sid").as("id_b"): _*)
+    val icond = (ik.map(k => col(k) === col(s"${k}_b")) :+
+      (col("rep") === col("__repb")) :+ (col("sid") < col("id_b"))).reduce(_ && _)
+    val intra = m.join(i2, icond)
+      .select(ik.map(col) ++ Seq(col("sid").as("id_a"), col("id_b"),
+        lit(0L).as("hamming")): _*)
+    cross.unionByName(intra)
+      .select(keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
+        Seq(col("id_a"), col("id_b"), col("hamming")): _*)
+  }
+
+  /** Result of [[bandedHammingPairsGuarded]]:
+    *  - `pairs` — keys ++ (id_a, id_b, hamming), candidate pairs at the
+    *    identical-fingerprint REPRESENTATIVE level (one per distinct
+    *    (keys, fp) group, the group's smallest sid);
+    *  - `membership` — keys ++ (sid, rep), every input row's
+    *    representative (re-expand members into a rep's cluster with one
+    *    linear join, never a quadratic pair list);
+    *  - `multiMembers` — the subset of `membership` whose groups have
+    *    more than one member. On a mostly-distinct corpus this is a
+    *    sliver (AQE broadcasts joins against it); when it is NOT a
+    *    sliver the rep frame shrank by the same factor — never both big;
+    *  - `droppedBuckets` — keys ++ (band, bv, n_reps), the hot buckets
+    *    the `maxBucket` cap excluded from pairing (empty when uncapped).
+    *    Lazily computed: `count()` it for drop accounting. */
+  final case class GuardedBandedPairs(pairs: DataFrame, membership: DataFrame,
+                                      multiMembers: DataFrame,
+                                      droppedBuckets: DataFrame)
+
+  /** The scale-hardened core of the banded hamming family. Two guards on
+    * top of the plain banded self-join, both aimed at real web corpora
+    * (millions of byte-identical boilerplate images/pages whose identical
+    * fingerprints would otherwise meet in EVERY band bucket):
+    *
+    *  1. identical-fingerprint pre-grouping — one partial-agg shuffle
+    *     collapses each distinct (keys, fp) to its smallest sid before
+    *     the join, so a group of n identical fingerprints contributes 1
+    *     row per bucket, not n (candidate volume Σ bucket² over
+    *     DISTINCT fingerprints, with map-side combine absorbing the
+    *     skew that a window over fp could not);
+    *  2. an optional per-(keys, band, chunk-value) bucket cap — buckets
+    *     with more than `maxBucket` distinct fingerprints are excluded
+    *     from pairing and REPORTED in `droppedBuckets` (a bucket that
+    *     hot is dominated by a shared boilerplate band; pairs whose
+    *     other bands match still form). `maxBucket = 0` disables the
+    *     cap. Pigeonhole recall (total up to hamming ≤ bands-1) holds
+    *     exactly when no bucket is dropped; with drops it degrades only
+    *     for pairs ALL of whose matching bands were dropped — the
+    *     returned frame makes that loss observable instead of silent.
+    *
+    * Input contract: `fps` carries (sid, fp) plus `keys`; fp is a
+    * `bits`-char '0'/'1' string. Key names are aliased internally (so
+    * they cannot collide with working columns) and must not collide
+    * with the output columns (sid/fp/rep/id_a/id_b/hamming/band/bv/
+    * n_reps, case-insensitive — Spark resolution is case-insensitive). */
+  def bandedHammingPairsGuarded(fps: DataFrame, keys: Seq[String], bits: Int,
+                                bands: Int, maxBucket: Int = 0): GuardedBandedPairs = {
     require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
     val w = bits / bands
     require(w <= 62, s"band chunk of $w bits exceeds a signed long")
-    val kCols = keys.map(col)
+    requireSafeKeys(keys)
+    val ik = keys.indices.map(i => s"__k$i")
+    val in = fps.select(col("sid") +: col("fp") +:
+      keys.zip(ik).map { case (k, a) => col(k).as(a) }: _*)
+    val reps0 = in.groupBy((ik :+ "fp").map(col): _*)
+      .agg(min("sid").as("sid"), count(lit(1)).as("__n"))
+    val reps = reps0.drop("__n")
+    // members of >1-member identical groups only: the small side every
+    // re-expansion joins against (a join-back of FULL membership would
+    // sort-merge two corpus-sized frames; this side broadcasts whenever
+    // identical dups are a sliver, and when they dominate instead the
+    // rep frame shrank by the same factor)
+    val multiIk = in
+      .join(reps0.filter(col("__n") > 1)
+        .select((ik :+ "fp").map(col) :+ col("sid").as("rep"): _*),
+        (ik :+ "fp").toSeq)
+      .select(ik.map(col) ++ Seq(col("sid"), col("rep")): _*)
+    val membership = in.select(ik.map(col) :+ col("sid"): _*)
+      .join(multiIk.select((ik :+ "sid").map(col) :+ col("rep"): _*),
+        (ik :+ "sid").toSeq, "left")
+      .select(keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
+        Seq(col("sid"), coalesce(col("rep"), col("sid")).as("rep")): _*)
+    val multiMembers = multiIk
+      .select(keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
+        Seq(col("sid"), col("rep")): _*)
     val chunks = (0 until bands).map(i =>
       conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"__c$i"))
-    val withFp = fps.select(col("sid") +: (kCols ++ chunks): _*)
-    val banded = withFp.select(col("sid") +: (kCols ++
+    val withFp = reps.select(col("sid") +: (ik.map(col) ++ chunks): _*)
+    val banded0 = withFp.select(col("sid") +: (ik.map(col) ++
       (0 until bands).map(i => col(s"__c$i")) :+
       explode(array((0 until bands).map(i =>
         struct(lit(i).as("band"), col(s"__c$i").as("bv"))): _*)).as("hb")): _*)
-      .select(col("sid") +: (kCols ++ (0 until bands).map(i => col(s"__c$i")) :+
+      .select(col("sid") +: (ik.map(col) ++ (0 until bands).map(i => col(s"__c$i")) :+
         col("hb.band").as("band") :+ col("hb.bv").as("bv")): _*)
-    val l = banded.select(col("sid").as("id_a") +: (kCols ++
+    val bucketKey = ik :+ "band" :+ "bv"
+    val bucketSizes = banded0.groupBy(bucketKey.map(col): _*)
+      .agg(count(lit(1)).as("n_reps"))
+    val (banded, dropped) =
+      if (maxBucket > 0) {
+        val hot = bucketSizes.filter(col("n_reps") > maxBucket)
+        // hot is tiny (buckets over cap) — AQE broadcasts the anti-join
+        (banded0.join(hot.select(bucketKey.map(col): _*), bucketKey.toSeq,
+          "left_anti"), hot)
+      } else (banded0, bucketSizes.filter(lit(false)))
+    val l = banded.select(col("sid").as("id_a") +: (ik.map(col) ++
       (0 until bands).map(i => col(s"__c$i").as(s"__a$i")) :+
       col("band") :+ col("bv")): _*)
     val r = banded.select(col("sid").as("id_b") +:
-      (keys.map(k => col(k).as(s"${k}_b")) ++
+      (ik.map(k => col(k).as(s"${k}_b")) ++
         (0 until bands).map(i => col(s"__c$i").as(s"__b$i")) :+
         col("band").as("band_b") :+ col("bv").as("bv_b")): _*)
-    val cond = (keys.map(k => col(k) === col(s"${k}_b")) :+
+    val cond = (ik.map(k => col(k) === col(s"${k}_b")) :+
       (col("band") === col("band_b")) :+ (col("bv") === col("bv_b")) :+
       (col("id_a") < col("id_b"))).reduce(_ && _)
-    l.join(r, cond)
-      .select(kCols ++ Seq(col("id_a"), col("id_b")) ++
+    val pairs = l.join(r, cond)
+      .select(ik.map(col) ++ Seq(col("id_a"), col("id_b")) ++
         (0 until bands).flatMap(i => Seq(col(s"__a$i"), col(s"__b$i"))): _*)
       .distinct()
       .withColumn("hamming",
         (0 until bands).map(i => bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
           .reduce(_ + _))
-      .select(keys.map(col) ++ Seq(col("id_a"), col("id_b"), col("hamming")): _*)
+      .select(keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
+        Seq(col("id_a"), col("id_b"), col("hamming")): _*)
+    val droppedOut = dropped.select(
+      keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
+        Seq(col("band"), col("bv"), col("n_reps")): _*)
+    GuardedBandedPairs(pairs, membership, multiMembers, droppedOut)
+  }
+
+  /** Guarded near-dup CLUSTERING — the shape a 100 TB pipeline should
+    * consume: capped representative-level banded join
+    * ([[bandedHammingPairsGuarded]]), connected components over rep
+    * pairs at hamming ≤ `maxHamming`, then LINEAR re-expansion of every
+    * member into its representative's cluster. A million byte-identical
+    * thumbnails cost one representative in the join and a million
+    * (sid, cluster) output rows — never the 5·10¹¹ member pairs the
+    * pair-list contract implies. Returns (sid, cluster) covering every
+    * input row; cluster is the smallest sid in the near-dup cluster
+    * (rep = min sid per identical group, component label = min rep).
+    * Callers needing drop accounting for the bucket cap use
+    * [[bandedHammingPairsGuarded]] directly. */
+  def nearDupClusters(fps: DataFrame, bits: Int, bands: Int, maxHamming: Int,
+                      maxBucket: Int = 1 << 12, maxIter: Int = 20,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val g = bandedHammingPairsGuarded(fps, Nil, bits, bands, maxBucket)
+    val near = g.pairs.filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(near, maxIter, checkpointDir)
+    g.membership.join(comps, g.membership("rep") === comps("id"), "left")
+      .select(col("sid"), coalesce(col("comp"), col("rep")).as("cluster"))
+  }
+
+  /** Output/working-name collision guard shared by the banded-join
+    * family: user keys ride under reserved `__k` aliases internally, but
+    * names that collide with the OUTPUT columns would still be ambiguous
+    * for the caller — reject them loudly (resolution is case-insensitive). */
+  private def requireSafeKeys(keys: Seq[String]): Unit = {
+    val reserved =
+      Set("sid", "fp", "rep", "id_a", "id_b", "hamming", "band", "bv", "n_reps")
+    val bad = keys.filter(k => reserved.contains(k.toLowerCase))
+    require(bad.isEmpty,
+      s"banded-join key name(s) ${bad.mkString(", ")} collide with reserved " +
+        s"output columns (${reserved.toSeq.sorted.mkString(", ")})")
   }
 }
