@@ -3,10 +3,10 @@ package graft.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Tight-loop text-hashing kernels shared by the codegen expressions below.
@@ -150,6 +150,38 @@ object TextHashKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Token-stream span cut: drops every token whose index falls in
+    * ∪[p, p+L) over the sorted cut-start positions `cuts` (0-based
+    * gram starts, as [[orderedShingles]] numbers them) and rejoins the
+    * survivors with single spaces (the corpus reassembly convention —
+    * output is whitespace-normalized even when nothing is cut). One
+    * two-pointer pass, O(tokens + cuts) — the HOF `filter(tokens,
+    * (t, i) -> !exists(cuts, …))` form is O(tokens × cuts) under the
+    * interpreted lambda evaluator. */
+  def cutSpans(text: UTF8String, cuts: ArrayData, spanTokens: Int): UTF8String = {
+    val ws = tokens(text.toString)
+    val nc = cuts.numElements()
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var ci = 0
+    var coverEnd = -1L
+    var first = true
+    var j = 0
+    while (j < ws.length) {
+      while (ci < nc && cuts.getInt(ci) <= j) {
+        val e = cuts.getInt(ci).toLong + spanTokens
+        if (e > coverEnd) coverEnd = e
+        ci += 1
+      }
+      if (j >= coverEnd) {
+        if (!first) sb.append(' ')
+        sb.append(ws(j))
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** Per-doc n-gram repetition stats in one pass: [total gram instances,
@@ -403,4 +435,36 @@ case class WinnowingExpr(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(c: Expression): WinnowingExpr =
     copy(child = c)
+}
+
+/** Codegen wrapper for [[TextHashKernels.cutSpans]]: remove the token
+  * ranges ∪[p, p+spanTokens) named by a sorted cut-start array from a
+  * document and reassemble the survivors in order — the cut half of the
+  * Lee et al. 2021 substring dedup (detection half:
+  * [[graft.operators.Dedup.duplicateSpans]]). */
+case class CutSpansExpr(left: Expression, right: Expression, spanTokens: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cut_spans expects (string, array<int>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "cut_spans"
+
+  override def nullSafeEval(t: Any, c: Any): Any =
+    TextHashKernels.cutSpans(t.asInstanceOf[UTF8String],
+      c.asInstanceOf[ArrayData], spanTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c) =>
+      s"graft.expressions.TextHashKernels.cutSpans($t, $c, $spanTokens)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CutSpansExpr = copy(left = l, right = r)
 }

@@ -256,6 +256,54 @@ object Dedup {
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
+  /** The CUT half of Lee et al. 2021 §3 substring dedup: remove every
+    * duplicated span occurrence EXCEPT the corpus-wide first, with exact
+    * ordered reassembly of the surviving tokens. Occurrence granularity
+    * is the L-gram: each duplicated gram's first occurrence (smallest
+    * (doc_id, pos)) survives; every later occurrence becomes a cut
+    * start, and a document's cut region is ∪[pos, pos+L) over its cut
+    * starts — exactly the islands [[duplicateSpans]] reports, minus the
+    * one first occurrence. Re-running [[duplicateSpans]] on the output
+    * at the same (spanTokens, minOccur) finds nothing (each gram
+    * survives at most once; cuts can also destroy a first occurrence
+    * that overlaps another gram's later one — Lee et al. accept the
+    * same over-cut).
+    *
+    * Output: (doc_id, clean_text, n_cut_grams) for EVERY input document;
+    * clean_text is whitespace-normalized (single-space joined) even when
+    * nothing was cut. Scale shape: the [[duplicateSpans]] gram count
+    * shuffle plus one min-struct agg, a join-back on the gram hash, a
+    * per-doc collect of cut starts (bounded by doc length), and a LEFT
+    * join of the corpus against the flagged sliver (AQE broadcasts it
+    * when small); the reassembly itself is the O(tokens + cuts)
+    * [[graft.expressions.CutSpansExpr]] codegen kernel, map-only. */
+  def cutDuplicateSpans(docs: DataFrame, text: Column, id: Column,
+                        spanTokens: Int = 13, minOccur: Long = 2): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val grams = docs.select(id.as("doc_id"),
+      posexplode(shingleHash(
+        column(graft.expressions.OrderedShinglesExpr(expression(text), spanTokens))))
+        .as(Seq("pos", "gram_h")))
+    val dup = grams.groupBy("gram_h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("n_occ") >= minOccur)
+      .select("gram_h", "__first")
+    val cuts = grams.join(dup, "gram_h")
+      .filter(col("doc_id") =!= col("__first.doc_id") ||
+        col("pos") =!= col("__first.pos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        column(graft.expressions.CutSpansExpr(
+          expression(col("__text")),
+          expression(coalesce(col("__cuts"), array().cast("array<int>"))),
+          spanTokens)).as("clean_text"),
+        coalesce(size(col("__cuts")), lit(0)).cast("long").as("n_cut_grams"))
+  }
+
   /** Streaming serving twin of [[duplicateSpans]]: flag duplicated
     * spans in INCOMING documents against a FROZEN duplicated-gram set
     * (e.g. last night's corpus scan, as [[flagContaminated]] serves a

@@ -581,8 +581,67 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** The cut half of Lee et al. substring dedup
+    * ([[graft.operators.Dedup.cutDuplicateSpans]]): every duplicated
+    * 13-gram keeps its corpus-wide first occurrence, later occurrences
+    * are cut and the survivors reassemble in order. Span arithmetic is
+    * integer-exact, so the oracle replays it verbatim: rank occurrences
+    * per gram by (doc_id, pos), expand later occurrences into covered
+    * token positions, anti-join the token stream, rebuild with an
+    * ordered list agg — one misplaced cut boundary or a reassembly
+    * off-by-one fails the hash on clean_text. */
+  val q80bSpanCut = QueryDef(
+    "q80b_span_cut",
+    (s, d) => Dedup.cutDuplicateSpans(
+        Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        FROM documents),
+      gl AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(ws) - 13 + 2, 1)),
+                 i -> array_to_string(ws[i : i + 12], ' ')) AS gs
+        FROM toks),
+      grams AS (
+        SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+               ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS gram_h
+        FROM gl),
+      ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram_h ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY gram_h) AS n_occ
+        FROM grams),
+      cutpos AS (
+        SELECT DISTINCT doc_id, cpos FROM (
+          SELECT doc_id, unnest(range(pos, pos + 13)) AS cpos
+          FROM ranked WHERE n_occ >= 2 AND rn > 1)),
+      ncut AS (
+        SELECT doc_id, count(*) AS n_cut_grams
+        FROM ranked WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id),
+      tok_rows AS (
+        SELECT doc_id, generate_subscripts(ws, 1) - 1 AS tpos, unnest(ws) AS w
+        FROM toks),
+      kept AS (
+        SELECT t.doc_id,
+               array_to_string(list(t.w ORDER BY t.tpos), ' ') AS clean_text
+        FROM tok_rows t LEFT JOIN cutpos c
+          ON t.doc_id = c.doc_id AND t.tpos = c.cpos
+        WHERE c.cpos IS NULL
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             coalesce(k.clean_text, '') AS clean_text,
+             coalesce(n.n_cut_grams, 0)::BIGINT AS n_cut_grams
+      FROM documents d
+      LEFT JOIN kept k ON d.doc_id = k.doc_id
+      LEFT JOIN ncut n ON d.doc_id = n.doc_id
+      ORDER BY d.doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate,
-    q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup)
+    q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }
