@@ -58,4 +58,50 @@ class BpeSpec extends SparkSpec {
     // spaces folded into " low"): 4 tokens once {l}{o},{lo}{w},{ }{low} land
     assert(prev(3L) == 4L)
   }
+
+  test("incremental-index trainer matches the full-rescan reference") {
+    // a messy pseudo-random corpus exercises tie-breaks, overlapping
+    // pairs ("aaa"), cross-word interactions, and vocabulary exhaustion
+    val rnd = new scala.util.Random(97)
+    val alphabet = "abcde"
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(6) + 1)(
+        Seq.fill(rnd.nextInt(7) + 1)(
+          alphabet(rnd.nextInt(alphabet.length))).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 60
+    val got = Bpe.train(corpus, col("text"), k)
+    // full-rescan reference: recount every adjacent pair each round —
+    // the implementation the incremental index replaced
+    val rows = Bpe.vocab(corpus, col("text")).select("w", "freq").collect()
+    val words = rows.map(r => (r.getAs[Long]("freq"),
+      scala.collection.mutable.ArrayBuffer.from(
+        r.getAs[String]("w").map(c => s"$c"))))
+    val want = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (want.length < k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (freq, syms) =>
+        (0 until syms.length - 1).foreach(i =>
+          counts.update((syms(i), syms(i + 1)),
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + freq))
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, s"{$a}{$b}") }._1
+        want += s"{${best._1}}{${best._2}}"
+        words.foreach { case (_, syms) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == best._1 && syms(i + 1) == best._2) {
+              syms(i) = best._1 + best._2
+              syms.remove(i + 1)
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    assert(got == want.toSeq)
+  }
 }
