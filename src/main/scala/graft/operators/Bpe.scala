@@ -160,6 +160,65 @@ object Bpe {
     (merges.toSeq, segmented)
   }
 
+  /** The GPT-2 byte → printable-unicode mapping (the published
+    * `bytes_to_unicode` from the GPT-2 encoder, reproduced from its
+    * public definition): printable latin bytes map to themselves, every
+    * other byte b to U+0100+n over excluded bytes in ascending order —
+    * so 0x20 → 'Ġ' (U+0120) and 0x0A → 'Ċ' (U+010A), the markers seen
+    * throughout the published `vocab.bpe`. */
+  val gpt2ByteToChar: Map[Int, Char] = {
+    val printable = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (printable(b)) b -> b.toChar
+      else { val c = (256 + n).toChar; n += 1; b -> c }
+    }.toMap
+  }
+  private val gpt2CharToByte: Map[Char, Int] = gpt2ByteToChar.map(_.swap)
+
+  /** Decode one vocab.bpe symbol (byte-level unicode chars) to the raw
+    * string it denotes: "Ġlow" → " low". */
+  def gpt2DecodeSymbol(sym: String): String = {
+    val bytes = sym.map(c => gpt2CharToByte.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"'$c' (U+${c.toInt.toHexString}) is not a GPT-2 byte-level char in symbol '$sym'"))
+      .toByte).toArray
+    new String(bytes, "UTF-8")
+  }
+
+  /** Encode a raw symbol into vocab.bpe byte-level form: " low" → "Ġlow". */
+  def gpt2EncodeSymbol(sym: String): String =
+    sym.getBytes("UTF-8").map(b => gpt2ByteToChar(b & 0xff)).mkString
+
+  /** Load a merge table in the published GPT-2 `vocab.bpe` interchange
+    * format — optional `#version` header, then one merge per line as two
+    * space-separated byte-level symbols, rank = line order — into the
+    * wrapped-pair form [[applyMerges]]/[[tokenCounts]] consume. A user
+    * holding the published file runs
+    * `Bpe.loadGpt2Merges(Files.readAllLines(path).asScala)` and applies
+    * it unchanged; [[gpt2DecodeSymbol]] maps Ġ/Ċ byte-level chars back
+    * to the raw bytes our pre-tokenizer emits (leading literal space). */
+  def loadGpt2Merges(lines: IterableOnce[String]): Seq[String] =
+    lines.iterator
+      .map(_.stripLineEnd)
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed vocab.bpe merge line: '$l'")
+        s"{${gpt2DecodeSymbol(l.substring(0, sp))}}{${gpt2DecodeSymbol(l.substring(sp + 1))}}"
+      }.toSeq
+
+  /** Serialize a wrapped merge table to the vocab.bpe interchange format
+    * (with version header) — the export half of [[loadGpt2Merges]], so a
+    * table trained here loads into any GPT-2-compatible tokenizer. */
+  def writeGpt2Merges(merges: Seq[String]): Seq[String] =
+    "#version: 0.2" +: merges.map { m =>
+      val parts = m.stripPrefix("{").stripSuffix("}").split("\\}\\{", -1)
+      require(parts.length == 2, s"malformed wrapped merge: '$m'")
+      s"${gpt2EncodeSymbol(parts(0))} ${gpt2EncodeSymbol(parts(1))}"
+    }
+
   /** The merge-application chain over a wrapped-state column. */
   def applyMerges(state: Column, merges: Seq[String]): Column =
     merges.foldLeft(state)((c, m) => replace(c, lit(m), lit(fused(m))))
