@@ -629,8 +629,8 @@ object TextAnalytics {
                regexp_replace(
                  regexp_replace(
                    regexp_replace(u, '&(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
-                   '\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?'),
-                 '\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', '') AS u
+                   '\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?', 'g'),
+                 '\?(utm_[a-zA-Z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', '', 'g') AS u
              FROM c3),
       c5 AS (SELECT doc_id, quality,
                regexp_replace(regexp_extract(u, '^([^?]*)', 1), '/+$', '') AS base,
