@@ -207,6 +207,14 @@ object JpegCodec {
                 comp.tq > 3) return None
             comp
           }
+          // T.81 A.2: a single-component scan is NON-interleaved — one 8x8
+          // data unit per MCU, row-major over ceil(w/8) x ceil(h/8) — and
+          // the declared sampling factors play no role in its layout (they
+          // only govern interleaving). A grayscale file declaring Hi=Vi=2
+          // must therefore decode exactly like one declaring 1x1; treating
+          // it as interleaved would silently emit blocks in the wrong
+          // spatial order whenever w,h are multiples of 16.
+          if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
           i = segStart + len
         case m if m == 0xc2 || (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8) =>
           return None // progressive/extended/arithmetic: not baseline

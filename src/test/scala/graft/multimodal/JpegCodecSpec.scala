@@ -150,6 +150,39 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("grayscale sampling factors do not change the scan layout (T.81 A.2)") {
+    // A single-component scan is non-interleaved: one 8x8 data unit per
+    // MCU, row-major over ceil(w/8) x ceil(h/8), sampling factors ignored.
+    // Patch a 32x16 grayscale file's declared sampling from 1x1 to 2x2 —
+    // the entropy data is unchanged, so a correct decoder must produce
+    // identical pixels. (An interleaved-layout bug instead reorders the 8
+    // distinct blocks silently: same block count at w,h multiples of 16.)
+    val original = MediaSynth.jpeg(12L) // grayscale, 32x16
+    assert(MediaSynth.jpegWidth(12L) == 32 && MediaSynth.jpegHeight(12L) == 16)
+    var i = 2
+    while (!((original(i) & 0xff) == 0xff && (original(i + 1) & 0xff) == 0xc0)) i += 1
+    val patched = original.clone()
+    assert((patched(i + 11) & 0xff) == 0x11, "component sampling byte located")
+    patched(i + 11) = 0x22.toByte
+    val base = JpegCodec.decodeJpegPixels(original)
+      .getOrElse(fail("original grayscale file must decode"))
+    val got = JpegCodec.decodeJpegPixels(patched)
+      .getOrElse(fail("2x2-sampled grayscale file must decode"))
+    assert((got.width, got.height) == (base.width, base.height))
+    for (y <- 0 until base.height; x <- 0 until base.width)
+      assert(got.r(x, y) == base.r(x, y) && got.g(x, y) == base.g(x, y) &&
+        got.b(x, y) == base.b(x, y),
+        s"pixel ($x,$y) moved when only the declared sampling changed")
+    // javax.imageio agrees the patched file is the same image
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(patched))
+    if (img != null) {
+      val raster = img.getRaster
+      for (y <- 0 until base.height; x <- 0 until base.width)
+        assert(raster.getSample(x, y, 0) == (base.r(x, y) & 0xff),
+          s"imageio disagrees at ($x,$y) on the patched file")
+    }
+  }
+
   test("progressive and arithmetic-coded markers fall to None (stub path)") {
     val b = MediaSynth.jpeg(0L)
     var i = 2
