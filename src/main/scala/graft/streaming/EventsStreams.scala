@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming pipelines over the events table.
   *
@@ -99,5 +101,84 @@ object EventsStreams {
             out.result().iterator
           }
       }.toDF()
+  }
+
+  /** [[sessionize]]'s state machine on the Spark 4 arbitrary-state API
+    * (`transformWithState`), with EVENT-TIME timers: a `ValueState` holds
+    * the open session; one timer per key at `last + gap` (the previous
+    * deadline is deleted on new input) flushes a session once the
+    * watermark passes its close — deterministic under replay, unlike the
+    * processing-time timeout in [[sessionize]], and it terminates under
+    * `Trigger.AvailableNow` (processing-time timers keep
+    * `shouldRunAnotherBatch` true forever there).
+    *
+    * This is the primary streaming sessionizer: unlike
+    * `FlatMapGroupsWithStateExec`, `TransformWithStateExec` builds its
+    * metrics lazily, so planning it never touches the SparkContext from
+    * the exec constructor — the eager `PythonSQLMetrics` init in the
+    * flat-map exec NPEs (a Spark planning bug) when the final
+    * timeout-check batch of a `Trigger.AvailableNow` run is planned on a
+    * thread with no active session. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`) — the
+    * operator needs multi-column-family stores for state + timers. */
+  final class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, (Long, Long), SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.map(_._2).toSeq.sorted
+      var st =
+        if (state.exists()) state.get()
+        else SessionState(sorted.headOption.getOrElse(0L),
+          sorted.headOption.getOrElse(0L), 0)
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { t =>
+        if (st.n > 0 && t - st.last > gapSec) {
+          out += SessionOut(key, st.start, st.n)
+          st = SessionState(t, t, 1)
+        } else {
+          st = SessionState(if (st.n == 0) t else st.start, t, st.n + 1)
+        }
+      }
+      state.update(st)
+      // single live timer per key: the session closes (event time) at
+      // last + gap unless a newer event replaces the deadline first
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((st.last + gapSec) * 1000)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val out =
+        if (state.exists() && state.get().n > 0)
+          Iterator.single(SessionOut(key, state.get().start, state.get().n))
+        else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** Streaming sessionizer on `transformWithState` — emits a session when
+    * a later event opens a new one ([[sessionize]]'s gap split) and when
+    * the watermark passes `last + gap` (the event-time flush of quiet
+    * users; see [[SessionProcessor]] for why this exec and time mode are
+    * preferred). `events` must carry `ts` as an event-time column; the
+    * watermark is applied here. */
+  def sessionizeTws(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id", "cast(ts as long) AS ts_sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(1800L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
   }
 }
