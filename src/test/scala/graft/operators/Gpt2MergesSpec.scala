@@ -63,6 +63,23 @@ class Gpt2MergesSpec extends SparkSpec {
     assert(tc.getAs[Long]("n_bpe") == 11L)
   }
 
+  test("head of the published GPT-2 table reproduces known tokenizations") {
+    // The first 8 merges of the published vocab.bpe, in rank order —
+    // the most-quoted lines of the file (space is Ġ in byte-level form).
+    // Feeding them through the loader must reproduce the published
+    // table's behavior on text they fully cover: " the" collapses
+    // Ġ t → Ġt, h e → he, Ġt he → Ġthe — the canonical leading-space
+    // GPT-2 token — while " era" stops at [Ġ, er, a] because Ġer is a
+    // later merge than this head holds.
+    val head = Seq("#version: 0.2",
+      "Ġ t", "Ġ a", "h e", "i n", "r e", "o n", "Ġt he", "e r")
+    val merges = Bpe.loadGpt2Merges(head)
+    val docs = Seq((1L, "in the era")).toDF("doc_id", "text")
+    val segs = docs.select(Bpe.segment(col("text"), merges).as("s"))
+      .head().getSeq[String](0)
+    assert(segs == Seq("in", " the", " ", "er", "a"))
+  }
+
   test("malformed lines and non-byte-level chars fail loudly") {
     intercept[IllegalArgumentException] {
       Bpe.loadGpt2Merges(Seq("a b c"))
