@@ -1,13 +1,16 @@
 package graft.multimodal
 
-/** Baseline sequential JPEG decode in pure JVM byte math — the last
-  * image format that previously fell to the deterministic stub. Scope
-  * (ITU T.81 baseline): 8-bit precision, Huffman entropy coding (DHT
+/** Baseline and progressive JPEG decode in pure JVM byte math — the
+  * last image format that previously fell to the deterministic stub.
+  * Scope (ITU T.81): 8-bit precision, Huffman entropy coding (DHT
   * canonical tables), 1- or 3-component scans, sampling factors 1 or 2
   * (4:4:4 / 4:2:2 / 4:2:0), restart markers (DRI/RSTn), multi-segment
-  * DQT/DHT, APPn/COM skipping, 0xFF00 byte stuffing. Progressive
-  * (SOF2), arithmetic coding, 12-bit, and hierarchical modes return
-  * None (stub fallback) — as does truncation or corruption anywhere.
+  * DQT/DHT, APPn/COM skipping, 0xFF00 byte stuffing; progressive
+  * (SOF2) adds multi-scan spectral selection and successive
+  * approximation (DC first/refine, AC first/refine with EOB runs,
+  * tables and DRI redefinable between scans). Arithmetic coding,
+  * 12-bit, and hierarchical modes return None (stub fallback) — as
+  * does truncation or corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -117,10 +120,99 @@ object JpegCodec {
       }
       marker == 0xd9
     }
+    /** Byte-align and return the pending marker code without consuming
+      * it (`bytePos` stays on its 0xFF), or -1 if the stream ends with
+      * no marker — how a progressive scan hands control back to the
+      * marker loop. */
+    def alignMarker(): Int = {
+      cnt = 0
+      if (marker < 0) {
+        if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return -1
+        marker = b(pos + 1) & 0xff
+      }
+      marker
+    }
   }
 
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Separable float IDCT of one dequantized block (natural order) into
+    * the component plane at block (bx, by). `tmp` is a caller-owned
+    * 64-slot scratch (allocation-free inner loop). */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, bx: Int, by: Int): Unit = {
+    // tmp(u, y) = Σv cos(v)(y) F(u, v)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += CosTable(v)(y) * coef(v * 8 + u); v += 1 }
+        tmp(u * 8 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val x0 = bx * 8; val y0 = by * 8
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var uu = 0
+        while (uu < 8) { acc += CosTable(uu)(x) * tmp(uu * 8 + y); uu += 1 }
+        val px = math.round(acc + 128.0).toInt
+        val clamped = if (px < 0) 0 else if (px > 255) 255 else px
+        plane((y0 + y) * planeW + (x0 + x)) = clamped.toByte
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Upsample component planes to the frame grid and convert to RGB —
+    * grayscale copies Y, color runs the JFIF YCbCr transform. */
+  private def assembleRgb(comps: Array[Component], width: Int, height: Int,
+      hMax: Int, vMax: Int): HeaderCodec.Pixels = {
+    val rgb = new Array[Byte](3 * width * height)
+    val y = comps(0)
+    if (comps.length == 1) {
+      var yy = 0
+      while (yy < height) {
+        var xx = 0
+        while (xx < width) {
+          val v = y.plane(yy * y.planeW + xx)
+          val o = 3 * (yy * width + xx)
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+          xx += 1
+        }
+        yy += 1
+      }
+    } else {
+      val cb = comps(1); val cr = comps(2)
+      var yy = 0
+      while (yy < height) {
+        var xx = 0
+        while (xx < width) {
+          val lum = y.plane((yy * y.v / vMax) * y.planeW + (xx * y.h / hMax)) & 0xff
+          val cbv = (cb.plane((yy * cb.v / vMax) * cb.planeW + (xx * cb.h / hMax)) & 0xff) - 128
+          val crv = (cr.plane((yy * cr.v / vMax) * cr.planeW + (xx * cr.h / hMax)) & 0xff) - 128
+          val r = math.round(lum + 1.402 * crv).toInt
+          val g = math.round(lum - 0.344136 * cbv - 0.714136 * crv).toInt
+          val bl = math.round(lum + 1.772 * cbv).toInt
+          val o = 3 * (yy * width + xx)
+          rgb(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          rgb(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+          rgb(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    HeaderCodec.Pixels(width, height, rgb)
+  }
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
@@ -130,6 +222,14 @@ object JpegCodec {
     var plane: Array[Byte] = null
     var planeW = 0; var planeH = 0
     var dcPred = 0
+    // progressive-only state: unquantized coefficients for every padded
+    // block (natural order within each 64), the component's REAL
+    // (non-padded) block dims for non-interleaved scans, and whether a
+    // first DC scan has arrived (T.81 requires it before anything else)
+    var coefs: Array[Int] = null
+    var blocksW = 0; var blocksH = 0 // padded (interleaved MCU) grid
+    var realBw = 0; var realBh = 0   // ceil(compW/8) x ceil(compH/8)
+    var sawDc = false
   }
 
   def decodeJpegPixels(b: Array[Byte]): Option[HeaderCodec.Pixels] = {
@@ -139,20 +239,205 @@ object JpegCodec {
     val acTabs = new Array[Huff](4)
     var comps: Array[Component] = null
     var width = 0; var height = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
     var restartInterval = 0
+    var progressive = false
+    var sawScan = false
     var i = 2
-    var sos = -1
-    while (sos < 0) {
-      if (i + 4 > b.length) return None
+
+    /** One progressive scan's entropy data: a DC scan (ss==0; interleaved
+      * when the SOS lists several components, else non-interleaved over
+      * the real block grid) or a single-component AC band scan, in the
+      * first (ah==0) or refinement pass. Coefficients accumulate RAW
+      * (unquantized, successively approximated); dequant + IDCT happen
+      * once at EOI. Returns false on any corruption (fail closed). */
+    def progressiveScan(br: BitReader, scanComps: Array[Component],
+        ss: Int, se: Int, ah: Int, al: Int): Boolean = {
+      var eobrun = 0
+      val p1 = 1 << al
+
+      def refineOne(coefs: Array[Int], idx: Int): Boolean = {
+        val cv = coefs(idx)
+        val bit = br.nextBit()
+        if (bit < 0) return false
+        if (bit != 0 && (cv & p1) == 0)
+          coefs(idx) = if (cv >= 0) cv + p1 else cv - p1
+        true
+      }
+
+      def dcUnit(c: Component, off: Int): Boolean = {
+        if (ah == 0) {
+          val t = dcTabs(c.td).decode(br)
+          if (t < 0 || t > 11) return false
+          val d = br.receive(t)
+          if (d == Int.MinValue) return false
+          c.dcPred += extend(d, t)
+          c.coefs(off) = c.dcPred << al
+          c.sawDc = true
+        } else {
+          // refinement: one raw bit of the two's-complement DC value
+          val bit = br.nextBit()
+          if (bit < 0) return false
+          if (bit != 0) c.coefs(off) |= p1
+        }
+        true
+      }
+
+      def acFirstUnit(c: Component, off: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = acTabs(c.ta).decode(br)
+          if (rs < 0) return false
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1 // EOBn: run of (1<<r)+ext all-EOB blocks
+              if (r > 0) {
+                val eb = br.receive(r)
+                if (eb == Int.MinValue) return false
+                eobrun += eb
+              }
+              return true
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            val v = br.receive(s)
+            if (v == Int.MinValue) return false
+            c.coefs(off + Zigzag(k)) = extend(v, s) << al
+            k += 1
+          }
+        }
+        true
+      }
+
+      // T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: zero-history
+      // coefficients take new ±(1<<al) values; nonzero-history ones
+      // consume a correction bit whenever the scan passes over them
+      def acRefineUnit(c: Component, off: Int): Boolean = {
+        val coefs = c.coefs
+        var k = ss
+        if (eobrun == 0) {
+          var atEob = false
+          while (!atEob && k <= se) {
+            val rs = acTabs(c.ta).decode(br)
+            if (rs < 0) return false
+            var r = rs >> 4; val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val eb = br.receive(r)
+                  if (eb == Int.MinValue) return false
+                  eobrun += eb
+                }
+                atEob = true
+              }
+              // r == 15 (ZRL): pass 16 zero-history coefficients
+            } else {
+              if (s != 1) return false // refinement values are ±1 only
+              val bit = br.nextBit()
+              if (bit < 0) return false
+              newVal = if (bit != 0) p1 else -p1
+            }
+            if (!atEob) {
+              var placed = false
+              while (!placed && k <= se) {
+                val z = Zigzag(k)
+                if (coefs(off + z) != 0) {
+                  if (!refineOne(coefs, off + z)) return false
+                } else if (r == 0) {
+                  if (newVal != 0) coefs(off + z) = newVal
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+              if (!placed && newVal != 0) return false // ran past se
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) { // correction bits for the block's remainder
+            val z = Zigzag(k)
+            if (coefs(off + z) != 0 && !refineOne(coefs, off + z)) return false
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      def unit(c: Component, off: Int): Boolean =
+        if (ss == 0) dcUnit(c, off)
+        else if (ah == 0) acFirstUnit(c, off)
+        else acRefineUnit(c, off)
+
+      scanComps.foreach(_.dcPred = 0) // predictors reset per scan (F.2.1.3.1)
+      if (scanComps.length == 1) {
+        // non-interleaved: one data unit per MCU, row-major over the
+        // component's REAL (non-padded) block grid (T.81 A.2.2)
+        val c = scanComps(0)
+        val total = c.realBw * c.realBh
+        var blk = 0
+        while (blk < total) {
+          if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+            if (!br.restart()) return false
+            c.dcPred = 0; eobrun = 0
+          }
+          val off = ((blk / c.realBw) * c.blocksW + blk % c.realBw) * 64
+          if (!unit(c, off)) return false
+          blk += 1
+        }
+      } else {
+        val total = mcusX * mcusY
+        var mcu = 0
+        while (mcu < total) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!br.restart()) return false
+            scanComps.foreach(_.dcPred = 0)
+            eobrun = 0
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var byy = 0
+            while (byy < c.v) {
+              var bxx = 0
+              while (bxx < c.h) {
+                val off = ((my * c.v + byy) * c.blocksW + (mx * c.h + bxx)) * 64
+                if (!unit(c, off)) return false
+                bxx += 1
+              }
+              byy += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      }
+      true
+    }
+
+    while (true) {
+      if (i + 2 > b.length) return None
       if (u8(b, i) != 0xff) return None
       var marker = u8(b, i + 1)
       while (marker == 0xff && i + 2 < b.length) { i += 1; marker = u8(b, i + 1) } // fill bytes
-      // re-check after fill-byte skipping: a 0xFF run ending near EOF
-      // would otherwise read a length field past the buffer (fuzz-caught)
-      if (i + 4 > b.length) return None
+      // standalone markers (SOI/EOI/RSTn) carry no length field; anything
+      // else needs 2 more bytes for it — re-checked after fill-byte
+      // skipping, where a 0xFF run ending near EOF would otherwise read a
+      // length field past the buffer (fuzz-caught)
+      val standalone = marker == 0xd8 || marker == 0xd9 ||
+        (marker >= 0xd0 && marker <= 0xd7)
+      if (i + 2 > b.length || (!standalone && i + 4 > b.length)) return None
       val segStart = i + 2
       marker match {
         case 0xd8 => i += 2 // stray SOI
+        case m if m >= 0xd0 && m <= 0xd7 => i += 2 // stray RSTn (standalone)
         case 0xdb => // DQT: one or more tables in the segment
           val len = be16(b, segStart)
           var p = segStart + 2
@@ -190,7 +475,9 @@ object JpegCodec {
             p += 17 + total
           }
           i = end
-        case 0xc0 => // SOF0 baseline
+        case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (comps != null) return None // second frame header
+          progressive = m == 0xc2
           val len = be16(b, segStart)
           if (segStart + len > b.length || len < 8) return None
           val precision = u8(b, segStart + 2)
@@ -215,9 +502,23 @@ object JpegCodec {
           // it as interleaved would silently emit blocks in the wrong
           // spatial order whenever w,h are multiples of 16.
           if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+          hMax = comps.map(_.h).max
+          vMax = comps.map(_.v).max
+          mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          comps.foreach { c =>
+            c.planeW = mcusX * c.h * 8
+            c.planeH = mcusY * c.v * 8
+            c.blocksW = mcusX * c.h
+            c.blocksH = mcusY * c.v
+            val compW = (width * c.h + hMax - 1) / hMax
+            val compH = (height * c.v + vMax - 1) / vMax
+            c.realBw = (compW + 7) / 8
+            c.realBh = (compH + 7) / 8
+          }
           i = segStart + len
-        case m if m == 0xc2 || (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8) =>
-          return None // progressive/extended/arithmetic: not baseline
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+          return None // extended/arithmetic/hierarchical: unsupported
         case 0xdd => // DRI
           if (segStart + 4 > b.length) return None
           restartInterval = be16(b, segStart + 2)
@@ -227,7 +528,8 @@ object JpegCodec {
           val len = be16(b, segStart)
           if (segStart + len > b.length) return None
           val ns = u8(b, segStart + 2)
-          if (ns != comps.length || len < 6 + 2 * ns) return None
+          if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return None
+          val scanComps = new Array[Component](ns)
           var c = 0
           while (c < ns) {
             val cs = u8(b, segStart + 3 + 2 * c)
@@ -235,162 +537,153 @@ object JpegCodec {
             comp.td = u8(b, segStart + 4 + 2 * c) >> 4
             comp.ta = u8(b, segStart + 4 + 2 * c) & 15
             if (comp.td > 3 || comp.ta > 3) return None
+            scanComps(c) = comp
             c += 1
           }
-          sos = segStart + len
-        case 0xd9 => return None // EOI before any scan
+          val ss = u8(b, segStart + 3 + 2 * ns)
+          val se = u8(b, segStart + 4 + 2 * ns)
+          val ah = u8(b, segStart + 5 + 2 * ns) >> 4
+          val al = u8(b, segStart + 5 + 2 * ns) & 15
+          val entry = segStart + len
+          if (!sawScan) {
+            // SOF-claimed size is attacker-controlled: bound total pixels
+            // by the entropy data actually present before any plane or
+            // coefficient store allocates (a DC-only block is >= 2 bits
+            // per 64 pixels; 2048 px/byte is generous)
+            val totalPx = width.toLong * height
+            if (totalPx > Int.MaxValue / 8 ||
+                totalPx > (b.length - entry).toLong * 2048L + 4096L) return None
+            comps.foreach { cc =>
+              if (cc.planeW.toLong * cc.planeH > totalPx * 4 + 65536) return None
+            }
+            sawScan = true
+          }
+          if (!progressive) {
+            // baseline: exactly one scan, all components, interleaved
+            if (ns != comps.length) return None
+            comps.foreach { cc =>
+              if (qt(cc.tq) == null) return None
+              if (dcTabs(cc.td) == null || acTabs(cc.ta) == null) return None
+              cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+            }
+            val br = new BitReader(b, entry)
+            val coef = new Array[Int](64)
+            val tmp = new Array[Double](64)
+
+            def decodeBlock(cc: Component, bx: Int, by: Int): Boolean = {
+              java.util.Arrays.fill(coef, 0)
+              val q = qt(cc.tq)
+              val t = dcTabs(cc.td).decode(br)
+              if (t < 0 || t > 11) return false
+              val diffBits = br.receive(t)
+              if (diffBits == Int.MinValue) return false
+              cc.dcPred += extend(diffBits, t)
+              coef(0) = cc.dcPred * q(0)
+              var k = 1
+              var done = false
+              while (!done && k < 64) {
+                val rs = acTabs(cc.ta).decode(br)
+                if (rs < 0) return false
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 else done = true // ZRL vs EOB
+                } else {
+                  k += r
+                  if (k > 63) return false
+                  val vv = br.receive(s)
+                  if (vv == Int.MinValue) return false
+                  coef(Zigzag(k)) = extend(vv, s) * q(k)
+                  k += 1
+                }
+              }
+              idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
+              true
+            }
+
+            var mcu = 0
+            val totalMcus = mcusX * mcusY
+            while (mcu < totalMcus) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                if (!br.restart()) return None
+                comps.foreach(_.dcPred = 0)
+              }
+              val mx = mcu % mcusX; val my = mcu / mcusX
+              var ci = 0
+              while (ci < comps.length) {
+                val cc = comps(ci)
+                var byy = 0
+                while (byy < cc.v) {
+                  var bxx = 0
+                  while (bxx < cc.h) {
+                    if (!decodeBlock(cc, mx * cc.h + bxx, my * cc.v + byy)) return None
+                    bxx += 1
+                  }
+                  byy += 1
+                }
+                ci += 1
+              }
+              mcu += 1
+            }
+            // fail closed on truncated entropy data: a file cut after the
+            // last complete MCU but before EOI is damaged, not
+            // decodable-by-luck
+            if (!br.atEoi()) return None
+            return Some(assembleRgb(comps, width, height, hMax, vMax))
+          } else {
+            // scan-header validity (T.81 G.1): the DC band is exactly
+            // [0,0] and may interleave components; AC bands are
+            // single-component; a refinement pass lowers Al by exactly 1;
+            // every component's first scan must be a first DC scan
+            if (ss == 0) { if (se != 0) return None }
+            else if (ns != 1 || se < ss || se > 63) return None
+            if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            if (ss == 0 && ah == 0 &&
+                scanComps.exists(sc => dcTabs(sc.td) == null)) return None
+            if (ss == 0 && ah > 0 && scanComps.exists(!_.sawDc)) return None
+            if (ss > 0 &&
+                (acTabs(scanComps(0).ta) == null || !scanComps(0).sawDc)) return None
+            scanComps.foreach { sc =>
+              if (sc.coefs == null) sc.coefs = new Array[Int](sc.planeW * sc.planeH)
+            }
+            val br = new BitReader(b, entry)
+            if (!progressiveScan(br, scanComps, ss, se, ah, al)) return None
+            if (br.alignMarker() < 0) return None
+            i = br.bytePos // resume the marker loop at the pending marker
+          }
+        case 0xd9 => // EOI: for progressive, coefficients are complete now
+          if (!progressive || comps == null || !sawScan) return None
+          val coef = new Array[Int](64)
+          val tmp = new Array[Double](64)
+          comps.foreach { cc =>
+            if (cc.coefs == null || !cc.sawDc) return None
+            val q = qt(cc.tq)
+            if (q == null) return None
+            cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+            var by = 0
+            while (by < cc.blocksH) {
+              var bx = 0
+              while (bx < cc.blocksW) {
+                val off = (by * cc.blocksW + bx) * 64
+                var k = 0
+                while (k < 64) {
+                  val z = Zigzag(k)
+                  coef(z) = cc.coefs(off + z) * q(k) // q is zigzag-ordered
+                  k += 1
+                }
+                idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          return Some(assembleRgb(comps, width, height, hMax, vMax))
         case _ => // APPn / COM / anything with a length field
           val len = be16(b, segStart)
           if (len < 2 || segStart + len > b.length) return None
           i = segStart + len
       }
     }
-
-    // SOF-claimed size is attacker-controlled: bound total pixels by the
-    // entropy data actually present before allocating planes (DC-only
-    // blocks are >= 2 bits per 64 pixels; 2048 px/byte is generous)
-    val totalPx = width.toLong * height
-    if (totalPx > Int.MaxValue / 8 ||
-        totalPx > (b.length - sos).toLong * 2048L + 4096L) return None
-
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    comps.foreach { c =>
-      c.planeW = mcusX * c.h * 8
-      c.planeH = mcusY * c.v * 8
-      if (c.planeW.toLong * c.planeH > totalPx * 4 + 65536) return None
-      c.plane = new Array[Byte](c.planeW * c.planeH)
-      if (qt(c.tq) == null) return None
-      if (dcTabs(c.td) == null || acTabs(c.ta) == null) return None
-    }
-
-    val br = new BitReader(b, sos)
-    val coef = new Array[Int](64)
-    val tmp = new Array[Double](64)
-
-    def decodeBlock(c: Component, bx: Int, by: Int): Boolean = {
-      java.util.Arrays.fill(coef, 0)
-      val q = qt(c.tq)
-      val t = dcTabs(c.td).decode(br)
-      if (t < 0 || t > 11) return false
-      val diffBits = br.receive(t)
-      if (diffBits == Int.MinValue) return false
-      c.dcPred += extend(diffBits, t)
-      coef(0) = c.dcPred * q(0)
-      var k = 1
-      var done = false
-      while (!done && k < 64) {
-        val rs = acTabs(c.ta).decode(br)
-        if (rs < 0) return false
-        val r = rs >> 4; val s = rs & 15
-        if (s == 0) {
-          if (r == 15) k += 16 else done = true // ZRL vs EOB
-        } else {
-          k += r
-          if (k > 63) return false
-          val vv = br.receive(s)
-          if (vv == Int.MinValue) return false
-          coef(Zigzag(k)) = extend(vv, s) * q(k)
-          k += 1
-        }
-      }
-      // separable float IDCT: tmp(u, y) = Σv cos(v)(y) F(u, v)
-      var u = 0
-      while (u < 8) {
-        var y = 0
-        while (y < 8) {
-          var acc = 0.0
-          var v = 0
-          while (v < 8) { acc += CosTable(v)(y) * coef(v * 8 + u); v += 1 }
-          tmp(u * 8 + y) = acc
-          y += 1
-        }
-        u += 1
-      }
-      val x0 = bx * 8; val y0 = by * 8
-      var x = 0
-      while (x < 8) {
-        var y = 0
-        while (y < 8) {
-          var acc = 0.0
-          var uu = 0
-          while (uu < 8) { acc += CosTable(uu)(x) * tmp(uu * 8 + y); uu += 1 }
-          val px = math.round(acc + 128.0).toInt
-          val clamped = if (px < 0) 0 else if (px > 255) 255 else px
-          c.plane((y0 + y) * c.planeW + (x0 + x)) = clamped.toByte
-          y += 1
-        }
-        x += 1
-      }
-      true
-    }
-
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        if (!br.restart()) return None
-        comps.foreach(_.dcPred = 0)
-      }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        var byy = 0
-        while (byy < c.v) {
-          var bxx = 0
-          while (bxx < c.h) {
-            if (!decodeBlock(c, mx * c.h + bxx, my * c.v + byy)) return None
-            bxx += 1
-          }
-          byy += 1
-        }
-        ci += 1
-      }
-      mcu += 1
-    }
-    // fail closed on truncated entropy data: a file cut after the last
-    // complete MCU but before EOI is damaged, not decodable-by-luck
-    if (!br.atEoi()) return None
-
-    val rgb = new Array[Byte](3 * width * height)
-    val y = comps(0)
-    if (comps.length == 1) {
-      var yy = 0
-      while (yy < height) {
-        var xx = 0
-        while (xx < width) {
-          val v = y.plane(yy * y.planeW + xx)
-          val o = 3 * (yy * width + xx)
-          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-          xx += 1
-        }
-        yy += 1
-      }
-    } else {
-      val cb = comps(1); val cr = comps(2)
-      var yy = 0
-      while (yy < height) {
-        var xx = 0
-        while (xx < width) {
-          val lum = y.plane((yy * y.v / vMax) * y.planeW + (xx * y.h / hMax)) & 0xff
-          val cbv = (cb.plane((yy * cb.v / vMax) * cb.planeW + (xx * cb.h / hMax)) & 0xff) - 128
-          val crv = (cr.plane((yy * cr.v / vMax) * cr.planeW + (xx * cr.h / hMax)) & 0xff) - 128
-          val r = math.round(lum + 1.402 * crv).toInt
-          val g = math.round(lum - 0.344136 * cbv - 0.714136 * crv).toInt
-          val bl = math.round(lum + 1.772 * cbv).toInt
-          val o = 3 * (yy * width + xx)
-          rgb(o) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
-          rgb(o + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
-          rgb(o + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
-          xx += 1
-        }
-        yy += 1
-      }
-    }
-    Some(HeaderCodec.Pixels(width, height, rgb))
+    None // unreachable: the loop exits only via return
   }
 
   def decodeJpeg(b: Array[Byte]): Option[HeaderCodec.PixelStats] =

@@ -445,6 +445,180 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ---- progressive JPEG corpus (q58e): REAL ITU T.81 progressive (SOF2)
+  // files with the same closed-form constant-block pixels as q58d. The
+  // successive-approximation trick: quant table has q(0)=8, so the
+  // quantized DC is exactly (v-128) — ODD for odd v — and splitting it as
+  // a DC-first scan at Al=1 plus a DC-refinement scan at Al=0 exercises
+  // both passes with nonzero refinement bits while staying byte-exact
+  // (decoder reassembles (sv<<1)|bit0 = v-128, dequantizes by 8, IDCT
+  // returns v). All AC coefficients are zero, so the AC band scans are
+  // pure EOB-run streams (chunked to cover EOBn categories r=0..3), and
+  // the AC refinement scans exercise the eobrun-refinement path with no
+  // correction bits. Variants mirror q58d: grayscale (non-interleaved DC
+  // scans), 4:4:4, and 4:2:0 with DRI/RSTn inside every scan.
+
+  /** One progressive JPEG of constant 8×8 blocks (same dims/gray formula
+    * as [[jpeg]]). Scan script: DC-first Al=1 (all components) → AC-first
+    * Al=1 band scans (Y split 1–5 / 6–63; chroma 1–63) → DC-refine Al=0 →
+    * AC-refine Al=0 over the same bands. */
+  def progressiveJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val subsampled = variant == 2
+    val nc = if (variant == 0) 1 else 3
+    val dri = if (subsampled) 2 else 0
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0 / JFIF
+    be16w(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16w(1); be16w(1)
+    out.write(0); out.write(0)
+    out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
+    be16w(67); out.write(0x00)
+    out.write(8); (1 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc2) // SOF2 progressive
+    be16w(8 + 3 * nc); out.write(8); be16w(h); be16w(w); out.write(nc)
+    if (nc == 1) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      out.write(1); out.write(if (subsampled) 0x22 else 0x11); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — twelve 4-bit codes
+    be16w(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — EOBn symbols
+    be16w(2 + 17 + 15); out.write(0x10) // (r<<4)|0 for r=0..14, 4-bit codes
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 15).foreach(r => out.write(r << 4))
+    if (dri > 0) { out.write(0xff); out.write(0xdd); be16w(4); be16w(dri) }
+
+    val mcusX = w / (8 * (if (subsampled) 2 else 1))
+    val mcusY = h / (8 * (if (subsampled) 2 else 1))
+    // quantized DC of the Y block at (bx, by): v - 128 with q(0)=8
+    def dcOf(bx: Int, by: Int): Int = jpegBlockGray(id, bx, by) - 128
+    // Y blocks in interleaved order (the DC scans' walk); grayscale is
+    // non-interleaved but its walk coincides (1x1 factors, exact dims)
+    def yBlocksInterleaved: Seq[(Int, Int)] =
+      if (!subsampled) for (my <- 0 until mcusY; mx <- 0 until mcusX) yield (mx, my)
+      else for (my <- 0 until mcusY; mx <- 0 until mcusX;
+                by <- 0 until 2; bx <- 0 until 2) yield (mx * 2 + bx, my * 2 + by)
+
+    var rst = 0
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): JpegBits = {
+      rst = 0 // RSTn numbering restarts at RST0 in every scan (T.81 E.1.2)
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      new JpegBits(out)
+    }
+    def restartMark(bits: JpegBits): Unit = {
+      bits.align()
+      out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+    }
+
+    // ---- scan 1: DC first, Ah=0 Al=1, all components interleaved.
+    // Values are the quantized DCs arithmetic-shifted right by 1; chroma
+    // DCs are 0. Categories fit the 12-entry DC table.
+    locally {
+      val bits = sos(1 to nc, 0, 0, 0, 1)
+      def putDc(bits: JpegBits, diff: Int): Unit = {
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bits.put(s, 4)
+        if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+      }
+      var predY = 0; var predCb = 0; var predCr = 0
+      var mcu = 0
+      val yPerMcu = if (subsampled) 4 else 1
+      val blocks = yBlocksInterleaved
+      while (mcu < mcusX * mcusY) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          restartMark(bits); predY = 0; predCb = 0; predCr = 0
+        }
+        var k = 0
+        while (k < yPerMcu) {
+          val (bx, by) = blocks(mcu * yPerMcu + k)
+          val sv = dcOf(bx, by) >> 1 // point transform: arithmetic >> Al
+          putDc(bits, sv - predY); predY = sv
+          k += 1
+        }
+        if (nc == 3) {
+          putDc(bits, 0 - predCb); predCb = 0
+          putDc(bits, 0 - predCr); predCr = 0
+        }
+        mcu += 1
+      }
+      bits.align()
+    }
+
+    // ---- AC band scans: every coefficient is zero, so each restart
+    // interval is covered by EOB runs, chunked to exercise EOBn r=0..3
+    // and the extension-bit path. Used for both the Al=1 first pass and
+    // the Al=0 refinement pass (which then carries no correction bits).
+    def acScan(comp: Int, blocks: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val bits = sos(Seq(comp), ss, se, ah, al)
+      val chunks = Array(1, 2, 3, 6, 11, 32767)
+      var chunkAt = 0
+      def emitRun(n: Int): Unit = {
+        val r = 31 - Integer.numberOfLeadingZeros(n)
+        bits.put(r, 4) // canonical code for symbol (r<<4) is the value r
+        if (r > 0) bits.put(n - (1 << r), r)
+      }
+      var blk = 0
+      while (blk < blocks) {
+        if (dri > 0 && blk > 0 && blk % dri == 0) restartMark(bits)
+        val limit = if (dri > 0) math.min(blocks, blk + dri) else blocks
+        var run = limit - blk
+        while (run > 0) {
+          val n = math.min(run, chunks(chunkAt % chunks.length))
+          emitRun(n); chunkAt += 1
+          run -= n; blk += n
+        }
+      }
+      bits.align()
+    }
+    val yBlocks = (w / 8) * (h / 8)
+    val cBlocks = if (subsampled) (w / 16) * (h / 16) else yBlocks
+
+    // scans 2..: AC first pass at Al=1 (Y split into two bands)
+    acScan(1, yBlocks, 1, 5, 0, 1)
+    acScan(1, yBlocks, 6, 63, 0, 1)
+    if (nc == 3) { acScan(2, cBlocks, 1, 63, 0, 1); acScan(3, cBlocks, 1, 63, 0, 1) }
+
+    // ---- DC refinement, Ah=1 Al=0: one raw bit per block — bit 0 of the
+    // two's-complement quantized DC (nonzero for odd gray values)
+    locally {
+      val bits = sos(1 to nc, 0, 0, 1, 0)
+      val yPerMcu = if (subsampled) 4 else 1
+      val blocks = yBlocksInterleaved
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) restartMark(bits)
+        var k = 0
+        while (k < yPerMcu) {
+          val (bx, by) = blocks(mcu * yPerMcu + k)
+          bits.put(dcOf(bx, by) & 1, 1)
+          k += 1
+        }
+        if (nc == 3) { bits.put(0, 1); bits.put(0, 1) }
+        mcu += 1
+      }
+      bits.align()
+    }
+
+    // scans ..n: AC refinement at Al=0 over the same bands (EOB runs only)
+    acScan(1, yBlocks, 1, 5, 1, 0)
+    acScan(1, yBlocks, 6, 63, 1, 0)
+    if (nc == 3) { acScan(2, cBlocks, 1, 63, 1, 0); acScan(3, cBlocks, 1, 63, 1, 0) }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

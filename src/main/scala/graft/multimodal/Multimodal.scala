@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode/feature-extraction runs per-partition in
   * batches.
   *
-  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and baseline
-  * JPEG ([[JpegCodec]]) — pure-JVM byte math, no codec libraries. Only
-  * unknown blobs (and non-baseline JPEG modes) fall to the deterministic
-  * [[FakeCodec]] stub, so the plumbing — schema, binary column handling,
-  * partition-batched processing shape, metadata structs — always has a
-  * defined output.
+  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and both
+  * baseline and progressive JPEG ([[JpegCodec]]) — pure-JVM byte math, no
+  * codec libraries. Only unknown blobs (and arithmetic-coded/12-bit/
+  * hierarchical JPEG modes) fall to the deterministic [[FakeCodec]] stub,
+  * so the plumbing — schema, binary column handling, partition-batched
+  * processing shape, metadata structs — always has a defined output.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
   * extraction stage is map-only over partitions (no shuffle, no driver
@@ -34,9 +34,9 @@ object Multimodal {
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
     * Remit: UNKNOWN blobs only (codec-less formats and the text
     * stand-ins q37 uses) — BMP, WAV, PNG, GIF decode for real in
-    * [[HeaderCodec]] and baseline JPEG in [[JpegCodec]]; non-baseline
-    * JPEG (progressive/arithmetic) also falls here, reported as 'stub'
-    * rather than half-decoded. */
+    * [[HeaderCodec]] and baseline + progressive JPEG in [[JpegCodec]];
+    * the remaining JPEG modes (arithmetic, 12-bit, hierarchical) also
+    * fall here, reported as 'stub' rather than half-decoded. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -96,11 +96,12 @@ object Multimodal {
 
   /** REAL payload decode for every supported format: BMP pixel arrays
     * and WAV 16-bit PCM (pure byte math), PNG (JDK zlib + the five row
-    * filters), GIF (pure-JVM LZW + palette), and baseline JPEG
-    * (pure-JVM Huffman + dequant + IDCT — [[JpegCodec]]).
-    * [[FakeCodec]]'s remit is now ONLY unknown blobs and non-baseline
-    * JPEG modes, reported as format 'stub' with zeroed stats. Same
-    * partition-batched, shuffle-free shape as the other extraction
+    * filters), GIF (pure-JVM LZW + palette), and baseline + progressive
+    * JPEG (pure-JVM Huffman + dequant + IDCT, multi-scan coefficient
+    * accumulation for SOF2 — [[JpegCodec]]). [[FakeCodec]]'s remit is
+    * now ONLY unknown blobs and the exotic JPEG modes (arithmetic,
+    * 12-bit, hierarchical), reported as format 'stub' with zeroed stats.
+    * Same partition-batched, shuffle-free shape as the other extraction
     * stages. */
   def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {
     import media.sparkSession.implicits._

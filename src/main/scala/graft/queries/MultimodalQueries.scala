@@ -245,6 +245,57 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Progressive (SOF2) JPEG payload decode end to end, pure JVM: real
+    * multi-scan progressive files — DC first/refinement passes under
+    * successive approximation (Al=1→0, with nonzero refinement bits from
+    * odd gray values via the q(0)=8 quant trick), spectral-selection AC
+    * band scans carried entirely by EOB runs, non-interleaved grayscale
+    * DC scans, and 4:2:0 with DRI/RSTn inside every scan
+    * ([[graft.multimodal.MediaSynth.progressiveJpeg]]) — decoded by the
+    * multi-scan coefficient-accumulation pipeline in
+    * [[graft.multimodal.JpegCodec]] and checked against the same
+    * closed-form block oracle as q58d: a wrong successive-approximation
+    * shift, EOB-run count, band bound, or scan ordering shifts a sum and
+    * breaks the hash. (javax.imageio cross-validates both directions in
+    * JpegCodecSpec, including the JDK encoder's full 10-scan progressive
+    * script on AC-bearing images.) */
+  val q58eProgressiveJpegDecode = QueryDef(
+    "q58e_progressive_jpeg_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.progressiveJpeg)).toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               ((d.media_id*37 + 11*gx.x + 23*gy.y + 3*gx.x*gy.y) % 256) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   /** Image near-duplicate detection over REAL decoded pixels — the
     * multimodal dedup step of a training-data pipeline: a corpus of
     * grayscale images (groups of 5 perturbed variants of a shared base,
@@ -489,6 +540,7 @@ object MultimodalQueries {
     bench = true)
 
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
-    q58bPngDecode, q58cGifDecode, q58dJpegDecode, q75ImageNearDup,
+    q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
+    q75ImageNearDup,
     q79AudioNearDup, q82VideoNearDup)
 }

@@ -183,13 +183,115 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("progressive and arithmetic-coded markers fall to None (stub path)") {
+  test("malformed-progressive and arithmetic-coded markers fall to None (stub path)") {
     val b = MediaSynth.jpeg(0L)
     var i = 2
     while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0)) i += 1
+    // flipping SOF0→SOF2 leaves the baseline scan header (Ss=0, Se=63)
+    // behind, which violates the progressive DC-band rule Ss=0 ⇒ Se=0 —
+    // fail closed, not half-decode
     val progressive = b.clone(); progressive(i + 1) = 0xc2.toByte
     assert(JpegCodec.decodeJpegPixels(progressive).isEmpty)
     val arithmetic = b.clone(); arithmetic(i + 1) = 0xc9.toByte
     assert(JpegCodec.decodeJpegPixels(arithmetic).isEmpty)
+  }
+
+  test("progressive DC-only generator decodes byte-exactly in all three variants") {
+    // same dims/gray formula as baseline; multi-scan SOF2 with DC
+    // first/refine at Al=1/0 (odd grays put real bits in the refinement
+    // pass) and EOB-run AC band scans
+    (0L until 30L).foreach { id =>
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.progressiveJpeg(id))
+        .getOrElse(fail(s"progressive decode failed for id=$id"))
+      val (w, h, sum) = expected(id)
+      assert((px.width, px.height) == (w, h), s"dims for id=$id")
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = MediaSynth.jpegBlockGray(id, x / 8, y / 8)
+        assert(px.r(x, y) == g && px.g(x, y) == g && px.b(x, y) == g,
+          s"pixel ($x,$y) of id=$id: got (${px.r(x, y)},${px.g(x, y)},${px.b(x, y)}), want $g")
+      }
+      val st = HeaderCodec.statsOf(px)
+      assert((st.sumR, st.sumG, st.sumB) == (sum, sum, sum), s"sums for id=$id")
+    }
+  }
+
+  test("javax.imageio decodes our generated progressive JPEGs to the same pixels") {
+    Seq(0L, 1L, 2L, 7L, 11L, 17L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(MediaSynth.progressiveJpeg(id)))
+      assert(img != null, s"imageio rejected our progressive JPEG for id=$id")
+      assert((img.getWidth, img.getHeight) ==
+        (MediaSynth.jpegWidth(id), MediaSynth.jpegHeight(id)))
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+           band <- 0 until bands) {
+        val g = MediaSynth.jpegBlockGray(id, x / 8, y / 8)
+        assert(raster.getSample(x, y, band) == g,
+          s"imageio raster ($x,$y) band $band of id=$id")
+      }
+    }
+  }
+
+  test("our decoder reads imageio progressive-encoded AC-bearing JPEGs within IDCT tolerance") {
+    // the JDK writer's standard progressive script: spectral selection,
+    // successive approximation (DC and AC first + refinement passes),
+    // EOB runs — everything the multi-scan machinery must handle
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = (x * 255 / (w - 1) + y * 7 + (x * y) % 31) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = buf.toByteArray
+    // confirm the writer actually emitted SOF2
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "test premise: imageio emitted a progressive (SOF2) file")
+    val ours = JpegCodec.decodeJpegPixels(bytes)
+      .getOrElse(fail("decoder rejected an imageio-written progressive JPEG"))
+    val theirs = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert((ours.width, ours.height) == (theirs.getWidth, theirs.getHeight))
+    var maxDelta = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = theirs.getRGB(x, y)
+      maxDelta = math.max(maxDelta, math.abs(ours.r(x, y) - ((rgb >> 16) & 0xff)))
+      maxDelta = math.max(maxDelta, math.abs(ours.g(x, y) - ((rgb >> 8) & 0xff)))
+      maxDelta = math.max(maxDelta, math.abs(ours.b(x, y) - (rgb & 0xff)))
+    }
+    assert(maxDelta <= 3,
+      s"pixel delta $maxDelta vs imageio on progressive — decode disagreement too large")
+  }
+
+  test("progressive truncation anywhere returns None, never throws") {
+    val full = MediaSynth.progressiveJpeg(5L) // 4:2:0 variant with restarts
+    (0 until full.length - 1).foreach { n =>
+      assert(JpegCodec.decodeJpegPixels(full.take(n)).isEmpty,
+        s"truncated at $n bytes must not decode")
+    }
+  }
+
+  test("progressive bit-flip fuzz never throws or allocation-bombs") {
+    val rnd = new scala.util.Random(43)
+    val base = MediaSynth.progressiveJpeg(8L)
+    (0 until 500).foreach { _ =>
+      val mutated = base.clone()
+      val flips = 1 + rnd.nextInt(4)
+      (0 until flips).foreach { _ =>
+        val p = rnd.nextInt(mutated.length)
+        mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      JpegCodec.decodeJpegPixels(mutated) // Some or None, must not throw
+    }
   }
 }
