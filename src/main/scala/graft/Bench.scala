@@ -22,17 +22,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     // noop sink: evaluates every output column (a bare count() would let
     // Catalyst prune the projections being benchmarked) without write I/O.
-    def timeOnce(q: QueryDef): Double = {
+    // A failed run must NEVER read as a (fast) score: record it as a
+    // failure, not its fail-fast wall time — round 6's 7 broken queries
+    // showed as 0.05 s "wins" before this.
+    def timeOnce(q: QueryDef): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: $e"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val benched = SparkEntry.registry.filterNot(_.benchSkip)
     // Interleave rounds (all queries once, then again) rather than running
     // each query back-to-back: back-to-back repeats share a hot page cache
     // and JIT state the first run lacks, skewing medians optimistic.
-    val samples: Seq[Seq[(String, Double)]] =
+    val samples: Seq[Seq[(String, (Double, Boolean))]] =
       (1 to runs).map(_ => benched.map(q => q.name -> timeOnce(q)))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -40,15 +45,21 @@ object Bench {
     }
     val byQuery = benched.map { q =>
       val xs = samples.map(_.toMap.apply(q.name))
-      (q.name, median(xs), xs.min)
+      val ok = xs.forall(_._2)
+      (q.name, median(xs.map(_._1)), xs.map(_._1).min, ok)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    val qs = byQuery.map { case (k, med, _) => s"\"" + k + "\":" + fmt(med) }
+    // Failed queries emit null (not a number) so no consumer can mistake a
+    // crash for a speedup; their names also land in "failed".
+    def cell(v: Double, ok: Boolean) = if (ok) fmt(v).toString else "null"
+    val qs = byQuery.map { case (k, med, _, ok) => s"\"" + k + "\":" + cell(med, ok) }
       .mkString("{", ",", "}")
-    val qmins = byQuery.map { case (k, _, mn) => s"\"" + k + "\":" + fmt(mn) }
+    val qmins = byQuery.map { case (k, _, mn, ok) => s"\"" + k + "\":" + cell(mn, ok) }
       .mkString("{", ",", "}")
-    val total = fmt(byQuery.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
+    val failedArr = byQuery.collect { case (k, _, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = fmt(byQuery.collect { case (_, med, _, true) => med }.sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qmins,"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

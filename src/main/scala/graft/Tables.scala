@@ -23,15 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds
-    * (exactly DuckDB's ns→µs cast, so oracles agree). Integer `div` —
-    * a double division would lose precision above 2^53 ns. */
+  /** events.parquet has shipped as either TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — we read nanos as long and truncate to
+    * microseconds, exactly DuckDB's ns→µs cast, so oracles agree) or plain
+    * timestamp[us]. Adapt on the parquet footer schema rather than assuming
+    * one: upstream files regenerate and the physical type drifts. Integer
+    * `div` — a double division would lose precision above 2^53 ns. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

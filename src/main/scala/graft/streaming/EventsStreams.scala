@@ -21,16 +21,23 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
 object EventsStreams {
 
   /** File-stream source with the events schema (parquet directory —
-    * stands in for Kafka etc.). The testdata stores TIMESTAMP(NANOS):
-    * read as long nanos, truncate to microseconds (same normalization as
-    * Tables.events, so streaming and batch twins agree bit-for-bit). */
+    * stands in for Kafka etc.). The testdata has shipped as either
+    * TIMESTAMP(NANOS) (read as long nanos, truncate to microseconds) or
+    * plain timestamp[us]; a streaming source needs an explicit schema, so
+    * take it from the parquet footer via a driver-side batch read and
+    * apply the same normalization as Tables.events, keeping the streaming
+    * and batch twins bit-for-bit aligned whichever physical type the
+    * upstream regeneration produced. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val footer = spark.read.parquet(dir).schema
+    val base = spark.readStream.schema(footer).parquet(dir)
+    footer("ts").dataType match {
+      case LongType      => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => base
+      case _             => base.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour aggregation with a 2-hour watermark — the streaming
