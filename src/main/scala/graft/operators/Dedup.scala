@@ -632,35 +632,70 @@ object Dedup {
     * with the output columns (sid/fp/rep/id_a/id_b/hamming/band/bv/
     * n_reps, case-insensitive — Spark resolution is case-insensitive). */
   def bandedHammingPairsGuarded(fps: DataFrame, keys: Seq[String], bits: Int,
-                                bands: Int, maxBucket: Int = 0): GuardedBandedPairs = {
+                                bands: Int, maxBucket: Int = 0,
+                                memberCap: Int = 4096): GuardedBandedPairs = {
     require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
     val w = bits / bands
     require(w <= 62, s"band chunk of $w bits exceeds a signed long")
     requireSafeKeys(keys)
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val ik = keys.indices.map(i => s"__k$i")
     val in = fps.select(col("sid") +: col("fp") +:
       keys.zip(ik).map { case (k, a) => col(k).as(a) }: _*)
+    // ONE aggregation pass carries everything the guard needs: the
+    // representative (min sid), the exact group size, and — via the
+    // bounded collect, whose buffer is O(memberCap) however large the
+    // group — the group's MEMBERS. Membership then derives from the agg
+    // output alone (explode), so the upstream pipeline that produced the
+    // fingerprints (decode + hash — usually the expensive part) is
+    // evaluated exactly once; the old join-back of `in` against the
+    // multi-group reps re-evaluated it a second time.
+    val memberCol = column(graft.expressions.BoundedCollectList(
+      expression(col("sid")), memberCap).toAggregateExpression())
     val reps0 = in.groupBy((ik :+ "fp").map(col): _*)
-      .agg(min("sid").as("sid"), count(lit(1)).as("__n"))
-    val reps = reps0.drop("__n")
-    // members of >1-member identical groups only: the small side every
-    // re-expansion joins against (a join-back of FULL membership would
-    // sort-merge two corpus-sized frames; this side broadcasts whenever
-    // identical dups are a sliver, and when they dominate instead the
-    // rep frame shrank by the same factor)
-    val multiIk = in
-      .join(reps0.filter(col("__n") > 1)
-        .select((ik :+ "fp").map(col) :+ col("sid").as("rep"): _*),
-        (ik :+ "fp").toSeq)
-      .select(ik.map(col) ++ Seq(col("sid"), col("rep")): _*)
-    val membership = in.select(ik.map(col) :+ col("sid"): _*)
-      .join(multiIk.select((ik :+ "sid").map(col) :+ col("rep"): _*),
-        (ik :+ "sid").toSeq, "left")
-      .select(keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
-        Seq(col("sid"), coalesce(col("rep"), col("sid")).as("rep")): _*)
-    val multiMembers = multiIk
-      .select(keys.zip(ik).map { case (k, a) => col(a).as(k) } ++
-        Seq(col("sid"), col("rep")): _*)
+      .agg(min("sid").as("sid"), count(lit(1)).as("__n"),
+        memberCol.as("__sids"))
+    // Tautological guard (count ≥ 1 by construction; size of a non-null
+    // array ≥ 0) referencing EVERY aggregate output: without it,
+    // Catalyst's column pruning specializes reps0 per consumer branch —
+    // the pairs branch gets a pruned HashAggregate without the bounded
+    // collect, the membership branch the ObjectHashAggregate with it —
+    // and the two partial-agg exchanges stop being identical, so
+    // exchange reuse can't fire and the upstream fingerprint pipeline
+    // (decode + hash, the expensive part) runs once PER BRANCH. Keeping
+    // the full aggregate list in all branches makes the exchanges
+    // canonically equal: upstream runs exactly once, and the only cost
+    // is shipping the (O(memberCap)-bounded) member arrays through the
+    // one shuffle.
+    val keepAll = (col("__n") >= 1) && (size(col("__sids")) >= 0)
+    val reps = reps0.filter(keepAll).drop("__n", "__sids")
+    val outKeys = keys.zip(ik).map { case (k, a) => col(a).as(k) }
+    // groups the bounded collect kept whole (≤ cap members, i.e. every
+    // non-adversarial group): membership by explode, zero extra passes
+    val inCap = reps0.filter(keepAll && col("__n") <= memberCap)
+      .select(ik.map(col) ++ Seq(col("sid").as("rep"),
+        explode(col("__sids")).as("sid")): _*)
+    // overflowed groups (> cap identical members — mega-boilerplate):
+    // recover their membership with one broadcast-filter pass over the
+    // input. The broadcast side is the handful of hot (keys, fp) reps; on
+    // a corpus with NO overflow it materializes empty and AQE folds the
+    // whole branch away WITHOUT running the `in` side (the probe side of
+    // a broadcast join is never scheduled before the build side lands).
+    val overflow = reps0.filter(keepAll && col("__n") > memberCap)
+      .select((ik :+ "fp").map(col) :+ col("sid").as("rep"): _*)
+    val fromOverflow = in.join(broadcast(overflow), (ik :+ "fp").toSeq)
+      .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
+    val membership = inCap.unionByName(fromOverflow)
+      .select(outKeys ++ Seq(col("sid"), col("rep")): _*)
+    // members of >1-member identical groups only: the small side the
+    // pair re-expansion joins against (broadcast whenever identical dups
+    // are a sliver; when they dominate instead, the rep frame shrank by
+    // the same factor — never both big)
+    val multiSmall = reps0.filter(col("__n") > 1 && col("__n") <= memberCap)
+      .select(ik.map(col) ++ Seq(col("sid").as("rep"),
+        explode(col("__sids")).as("sid")): _*)
+    val multiMembers = multiSmall.unionByName(fromOverflow)
+      .select(outKeys ++ Seq(col("sid"), col("rep")): _*)
     val chunks = (0 until bands).map(i =>
       conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"__c$i"))
     val withFp = reps.select(col("sid") +: (ik.map(col) ++ chunks): _*)

@@ -147,4 +147,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q75: guarded banded join — membership rides the bounded-collect aggregate") {
+    val p = plan("q75_image_neardup")
+    assert(!p.contains("CartesianProduct"), s"banded join degenerated to n^2:\n$p")
+    // the identical-fingerprint guard must carry group membership inside
+    // the ONE aggregation shuffle (bounded_collect_list in an
+    // ObjectHashAggregate), never via a corpus-sized membership join-back
+    assert(p.contains("bounded_collect_list"), s"membership guard missing:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"typed aggregate not planned:\n$p")
+  }
+
+  test("q64: simhash banded join stays equi-join with the guard in place") {
+    val p = plan("q64_simhash_neardup")
+    assert(!p.contains("CartesianProduct"), s"banded join degenerated:\n$p")
+    assert(p.contains("bounded_collect_list"), s"membership guard missing:\n$p")
+  }
+
+  test("q80b: span cut — gram join equi, reassembly broadcast, no cartesian") {
+    val p = plan("q80b_span_cut")
+    assert(!p.contains("CartesianProduct"), s"span-cut join degenerated:\n$p")
+    // per-doc span reassembly joins the (tiny) cut-span aggregate back to
+    // the corpus: must be broadcast, never a corpus×corpus sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"reassembly not broadcast:\n$p")
+  }
+
+  test("q58e: progressive JPEG decode is one map pass — no joins") {
+    val p = plan("q58e_progressive_jpeg_decode")
+    assert(!p.contains("Join"), s"decode pipeline grew a join:\n$p")
+    // scan → distinct → mapPartitions decode → output sort: two exchanges
+    // (distinct, sort); a third would mean the decode path started
+    // shuffling pixel payloads
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"decode path shuffles payloads ($exchanges):\n$p")
+  }
 }
