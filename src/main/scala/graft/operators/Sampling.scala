@@ -169,25 +169,33 @@ object Sampling {
     * higher-order-function lambda over a column subtree (the q80
     * lesson). */
   def chunkDocuments(df: DataFrame, idCol: Column, text: Column,
-                     maxTokens: Int, stride: Int): DataFrame = {
+                     maxTokens: Int, stride: Int,
+                     carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(stride > 0 && stride <= maxTokens,
       "stride must be in [1, maxTokens] (larger would drop tokens)")
-    df.select(idCol.as("doc_id"),
-        graft.functions.TextFunctions.tokens(text).as("__ws"))
+    // `carry` rides per-doc metadata through the explode so STREAMING
+    // callers can keep scores/counters next to each chunk without a
+    // doc-level join afterwards (a stream⋈stream join would be stateful;
+    // this stays map-only)
+    val carried = carry.map { case (n, c) => c.as(n) }
+    val carriedRefs = carry.map { case (n, _) => col(n) }
+    df.select(idCol.as("doc_id") +: (carried :+
+        graft.functions.TextFunctions.tokens(text).as("__ws")): _*)
       .withColumn("__n", size(col("__ws")))
       .filter(col("__n") > 0)
       .withColumn("__nc",
         when(col("__n") <= maxTokens, lit(1)).otherwise(
           lit(1) + ceil((col("__n") - maxTokens).cast("double") / stride).cast("int")))
-      .select(col("doc_id"), col("__ws"),
-        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id") +: (carriedRefs :+ col("__ws") :+
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx")): _*)
       .withColumn("chunk_start", (col("chunk_idx") * stride).cast("long"))
       .withColumn("__chunk",
         slice(col("__ws"), col("chunk_idx") * stride + 1, lit(maxTokens)))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+      .select(col("doc_id") +: (carriedRefs ++ Seq(
+        col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_start"), size(col("__chunk")).cast("long").as("chunk_len"),
-        concat_ws(" ", col("__chunk")).as("chunk_text"))
+        concat_ws(" ", col("__chunk")).as("chunk_text"))): _*)
   }
 
   /** The writable form of [[packSequences]]'s layout: one row per

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 
@@ -36,6 +36,57 @@ object CorpusStreams {
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** The five hygiene twins composed END-TO-END on ONE streaming frame —
+    * the continuous form of q86's ingest: URL canonicalization
+    * ([[graft.operators.UrlOps.canonicalizeUrl]]) → PII scrub
+    * ([[graft.operators.PiiScrub.scrub]]) → frozen-weight linear
+    * quality gate → frozen-threshold temperature-bucket filter →
+    * sliding-window chunking
+    * ([[graft.operators.Sampling.chunkDocuments]], metadata carried
+    * through the explode). Every stage is per-row column algebra:
+    * NO stateful operator anywhere, so the stream needs no watermark,
+    * emits in Append mode, and its state store stays empty (the parity
+    * spec pins that). The stateful stages of the batch pipeline — URL
+    * dedup RANK and threshold DERIVATION — are deliberately not here: on
+    * a stream the first is [[dedupByFingerprint]]-shaped (watermarked
+    * state) and the second is a control-plane decision (weights and
+    * per-source keep thresholds arrive FROZEN, recomputed offline batch
+    * by batch — exactly how production mixing weights are shipped).
+    *
+    * Scale: the frozen maps become literal expressions — fine to ~10⁵
+    * entries (classifier term weights, per-source thresholds); a larger
+    * model belongs in a broadcast stream-static join, same shape,
+    * still stateless. The same function applied to a BATCH frame yields
+    * the identical plan modulo the source — that is the stream ≡ batch
+    * parity the spec asserts. */
+  def hygieneStateless(docs: DataFrame, url: Column,
+      weights: Map[String, Long], thresholds: Map[String, Long],
+      seed: String, maxTokens: Int = 32, stride: Int = 24): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.{PiiScrub, Sampling, UrlOps}
+    val canon = docs.withColumn("canon_url", UrlOps.canonicalizeUrl(url))
+    val scrubbed = PiiScrub.scrub(canon, col("text"))
+    // frozen-weight linear score: Σ over token INSTANCES of the term's
+    // weight — the per-row form of CorpusStats.linearScore, exact on any
+    // engine (integer weights, no join, no aggregation state)
+    val wmap = typedLit(weights)
+    val scored = scrubbed.withColumn("score",
+      aggregate(
+        transform(tokens(col("scrubbed")),
+          t => coalesce(element_at(wmap, t), lit(0L))),
+        lit(0L), (acc, w) => acc + w))
+    val tmap = typedLit(thresholds)
+    val gated = scored
+      .filter(col("score") >= 0)
+      .filter(Sampling.hashBucket(col("doc_id"), seed) <
+        coalesce(element_at(tmap, col("source").cast("string")), lit(0L)))
+    Sampling.chunkDocuments(gated, col("doc_id"), col("scrubbed"),
+      maxTokens, stride,
+      carry = Seq("canon_url" -> col("canon_url"),
+        "source" -> col("source"), "n_email" -> col("n_email"),
+        "score" -> col("score")))
+  }
 
   final case class QuotaDoc(doc_id: Long, source: String, ord: Long)
 

@@ -80,6 +80,55 @@ class Gpt2MergesSpec extends SparkSpec {
     assert(segs == Seq("in", " the", " ", "er", "a"))
   }
 
+  // The first 16 merges of the published vocab.bpe in rank order — the
+  // most-quoted opening of the file. Multi-merge pins below depend only
+  // on rank relations that are unambiguous in the published table
+  // (e.g. "i n" ranks above "i t"), never on adjacent-line ordering.
+  private val publishedHead16 = Seq("#version: 0.2",
+    "Ġ t", "Ġ a", "h e", "i n", "r e", "o n", "Ġt he", "e r",
+    "Ġ s", "a t", "Ġ w", "Ġ o", "e n", "Ġ c", "i t", "i s")
+
+  private def segmentWith(merges: Seq[String], text: String): Seq[String] = {
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    docs.select(Bpe.segment(col("text"), merges).as("s")).head().getSeq[String](0)
+  }
+
+  test("published head: multi-merge interactions reproduce known tokenizations") {
+    val merges = Bpe.loadGpt2Merges(publishedHead16)
+    // " where": three independent merges interleave by rank — "h e"
+    // fires before "r e" fires before "Ġ w" (ranks 3 < 5 < 11), and the
+    // result is invariant to the relative order of Ġw among the Ġ-pairs
+    assert(segmentWith(merges, " where") == Seq(" w", "he", "re"))
+    // " other": "Ġt he" must NOT fire on a bare (t, he) pair — the
+    // wrapped-table loader keeps Ġt and t distinct symbols
+    assert(segmentWith(merges, " other") == Seq(" o", "t", "he", "r"))
+    // "sitting": overlapping candidates share the middle 'i'/'t' — the
+    // published rank order ("i n" above "i t") decides: in forms first,
+    // then it; "in g" is below this head so the tail stays split
+    assert(segmentWith(merges, "sitting") == Seq("s", "it", "t", "in", "g"))
+    // "is" with no leading space is covered fully by merge 16
+    assert(segmentWith(merges, "is") == Seq("is"))
+    // " the" canonical collapse still holds with the longer head
+    assert(segmentWith(merges, " the") == Seq(" the"))
+  }
+
+  test("multi-merge tables survive the vocab.bpe interchange byte-for-byte") {
+    // train a table whose merges chain three deep (low → lowe → lower /
+    // lowest interactions, the learn_bpe paper's classic corpus), push it
+    // through the serializer and loader, and require IDENTICAL
+    // segmentation on held-out text — pinning that rank order, word
+    // markers, and chained merges all survive the published format
+    val corpus = Seq((1L, "low low low lower lower lowest lowest lowest"),
+      (2L, "newest newest wider low")).toDF("doc_id", "text")
+    val trained = Bpe.train(corpus, col("text"), 12)
+    val serialized = Bpe.writeGpt2Merges(trained)
+    assert(serialized.head == "#version: 0.2")
+    assert(Bpe.loadGpt2Merges(serialized) == trained)
+    // the chained (l,o) → (lo,w) merges dominate this corpus, so the
+    // reloaded table must collapse the bare word to a single token
+    assert(segmentWith(Bpe.loadGpt2Merges(serialized), "low") == Seq("low"))
+  }
+
   test("malformed lines and non-byte-level chars fail loudly") {
     intercept[IllegalArgumentException] {
       Bpe.loadGpt2Merges(Seq("a b c"))

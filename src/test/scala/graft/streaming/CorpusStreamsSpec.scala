@@ -248,4 +248,78 @@ class CorpusStreamsSpec extends SparkSpec {
         u.startsWith("http://site") && u.contains("?id=") && !u.contains("utm")
     })
   }
+
+  test("hygieneStateless: the five-stage composition is stream ≡ batch and stateless") {
+    import graft.operators.CorpusStats
+    // q86-shaped corpus: synthesized url + PII tail on the real documents
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@host.org"))).otherwise(lit(""))).as("text"),
+        concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          lit("site"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/d?utm_source=x&id="),
+          (col("doc_id") % 5).cast("string")).as("url"))
+    val dir = Files.createTempDirectory("hygiene-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    // frozen control-plane inputs: term weights + per-source keep
+    // thresholds (derived offline in production; fixed here)
+    val weights: Map[String, Long] = {
+      val terms = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .distinct().as[String].collect()
+      terms.map(t => t -> ((math.abs(t.hashCode) % 17) - 7).toLong).toMap
+    }
+    val thresholds = docs.select(col("source").cast("string")).distinct()
+      .as[String].collect()
+      .map(s => s -> (400000L + (math.abs(s.hashCode) % 400000))).toMap
+
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStreams.hygieneStateless(df, col("url"), weights, thresholds,
+        seed = "hs", maxTokens = 32, stride = 24)
+
+    val q = run(spark.readStream
+        .schema("doc_id BIGINT, source STRING, text STRING, url STRING")
+        .parquet(dir))
+      .writeStream.format("memory").queryName("hygiene_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // stateless end to end: the finished query ran NO stateful operators
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "hygiene composition grew a stateful operator")
+
+    val cols = Seq("doc_id", "canon_url", "source", "n_email", "score",
+      "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+    val streamed = spark.table("hygiene_stream")
+      .select(cols.map(col): _*)
+      .as[(Long, String, String, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    val batch = run(spark.read.parquet(dir))
+      .select(cols.map(col): _*)
+      .as[(Long, String, String, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    assert(streamed === batch,
+      "five-stage hygiene composition diverged between stream and batch")
+    assert(batch.nonEmpty)
+    // gates actually gated: some docs were dropped by score or bucket
+    assert(batch.map(_._1).size < docs.count(),
+      "no doc was filtered — gates are not exercising")
+
+    // the frozen-weight score is the BATCH linearScore, per doc id
+    val wdf = weights.toSeq.toDF("term", "weight")
+    val batchScores = CorpusStats.linearScore(
+        graft.operators.PiiScrub.scrub(docs, col("text")),
+        col("scrubbed"), col("doc_id"), wdf)
+      .select(col("doc_id"), col("score")).as[(Long, Long)].collect().toMap
+    val frozenScores = batch.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.head._5 }
+    frozenScores.foreach { case (id, s) =>
+      assert(batchScores.getOrElse(id, 0L) === s,
+        s"frozen score for doc $id diverged from batch linearScore")
+    }
+  }
 }
