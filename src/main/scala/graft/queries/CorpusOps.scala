@@ -552,9 +552,127 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** The round-7 STATELESS hygiene composition
+    * ([[graft.streaming.CorpusStreams.hygieneStateless]]) run on the
+    * batch frame — the same function the streaming parity spec drives
+    * over `readStream`, so this row oracle-gates the exact plan a
+    * production stream executes: URL canonicalization → PII scrub →
+    * frozen-weight per-row linear score (no join, no aggregation — the
+    * stateless twin of q86's linearScore stage) → frozen per-source
+    * bucket threshold → chunk explode with metadata carried through.
+    * Control-plane inputs (term weights, per-source thresholds) are
+    * frozen closed-form md5 fixtures the oracle reproduces exactly; the
+    * weight universe is the corpus's distinct scrubbed tokens, collected
+    * once (bounded metadata, the temperatureMix convention). */
+  val q87HygieneStateless = QueryDef(
+    "q87_hygiene_stateless",
+    (s, d) => {
+      val k = col("doc_id")
+      val istr = (e: org.apache.spark.sql.Column) => e.cast("string")
+      val url = concat(lit("https://"),
+        when(pmod(k, lit(2)) === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), istr(pmod(k, lit(200))), lit(".example.com/d/"),
+        istr(pmod(k, lit(20))), lit("?utm_source=x&id="), istr(pmod(k, lit(10))))
+      val docs = Tables.documents(s, d)
+        .select(k, col("source"),
+          concat(col("text"), when(pmod(k, lit(3)) === 0,
+            concat(lit(" contact user"), istr(k), lit("@host.org")))
+            .otherwise(lit(""))).as("text"),
+          url.as("url"))
+      // 60-bit md5 prefix as a long — the same arithmetic the oracle and
+      // hashBucket use, evaluated driver-side for the frozen maps
+      def h15(seed: String, v: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((seed + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      val weights = graft.operators.PiiScrub.scrub(docs, col("text"))
+        .select(explode(
+          graft.functions.TextFunctions.tokens(col("scrubbed"))).as("t"))
+        .distinct().collect().iterator.map(_.getString(0))
+        .map { t => val h = h15("w8", t)
+          t -> (if (h % 3 == 0) 0L else (h % 17) - 8) }
+        .filter(_._2 != 0L).toMap
+      val thresholds = docs.select(col("source").cast("string")).distinct()
+        .collect().iterator.map(_.getString(0))
+        .map(src => src -> (400000L + h15("th", src) % 400000L)).toMap
+      graft.streaming.CorpusStreams.hygieneStateless(docs, col("url"),
+        weights, thresholds, seed = "hp")
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      WITH pii AS (
+        SELECT doc_id, source,
+          text || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@host.org'
+                       ELSE '' END AS t
+        FROM documents),
+      s1 AS (
+        SELECT doc_id, source,
+          len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+          regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t
+        FROM pii),
+      s2 AS (
+        SELECT doc_id, source, n_email,
+          regexp_replace(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, source, n_email,
+          regexp_replace(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, source, n_email,
+          regexp_replace(t, '\(?\b[0-9]{3}\)?[ .-]?[0-9]{3}[.-]?[0-9]{4}\b', '<PHONE>', 'g') AS t
+        FROM s3),
+      toks AS (
+        SELECT doc_id, source, n_email,
+               list_filter(string_split(t, ' '), w -> len(w) > 0) AS ws
+        FROM s4),
+      tokrows AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+      counts AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS cnt
+        FROM tokrows GROUP BY doc_id, tok),
+      vocab AS (
+        SELECT term, (h % 17) - 8 AS weight FROM (
+          SELECT DISTINCT tok AS term,
+                 ('0x' || substr(md5('w8' || tok), 1, 15))::BIGINT AS h
+          FROM tokrows)
+        WHERE h % 3 <> 0),
+      scoredoc AS (
+        SELECT c.doc_id, sum(c.cnt * coalesce(v.weight, 0))::BIGINT AS score
+        FROM counts c LEFT JOIN vocab v ON v.term = c.tok GROUP BY c.doc_id),
+      gated AS (
+        SELECT t.doc_id, t.source, t.n_email, t.ws, s.score
+        FROM toks t JOIN scoredoc s USING (doc_id)
+        WHERE s.score >= 0
+          AND (('0x' || substr(md5('hp' || t.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000)
+              < 400000 + (('0x' || substr(md5('th' || t.source), 1, 15))::BIGINT
+                          % 400000)),
+      nc AS (
+        SELECT *, CASE WHEN len(ws) <= 32 THEN 1
+                       ELSE 1 + ceil((len(ws) - 32)::DOUBLE / 24)::INT END AS nchunks
+        FROM gated WHERE len(ws) > 0),
+      chunks AS (
+        SELECT doc_id, source, n_email, score, ws,
+               unnest(range(0, nchunks)) AS chunk_idx
+        FROM nc)
+      SELECT doc_id,
+             'https://site' || (doc_id % 200) || '.example.com/d/'
+               || (doc_id % 20) || '?id=' || (doc_id % 10) AS canon_url,
+             source, n_email, score,
+             chunk_idx::BIGINT AS chunk_idx,
+             (chunk_idx * 24)::BIGINT AS chunk_start,
+             len(ws[(chunk_idx*24+1)::INT : (chunk_idx*24+32)::INT])::BIGINT AS chunk_len,
+             array_to_string(ws[(chunk_idx*24+1)::INT : (chunk_idx*24+32)::INT], ' ') AS chunk_text
+      FROM chunks
+      ORDER BY doc_id, chunk_idx
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
     q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
-    q84ChunkDocuments, q86HygienePipeline)
+    q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless)
 }
