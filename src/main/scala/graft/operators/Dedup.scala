@@ -506,12 +506,17 @@ object Dedup {
     * for genuinely similar text. Per-pair hamming is Σ bit_count(xor)
     * over the band chunks carried as longs — codegen'd integer ops, not
     * a per-bit string loop. */
+  /** Bit-string simhash fingerprints in the banded-join input shape —
+    * (sid, fp) via the codegen SimhashBitsExpr kernel — for callers that
+    * feed [[bandedHammingPairs]] / [[nearDupClusters]] directly. */
+  def simhashFps(df: DataFrame, text: Column, id: Column,
+                 bits: Int = 128): DataFrame =
+    df.select(id.as("sid"),
+      column(SimhashBitsExpr(expression(text), bits)).as("fp"))
+
   def simhashCandidatePairs(df: DataFrame, text: Column, id: Column,
                             bits: Int = 128, bands: Int = 4): DataFrame =
-    bandedHammingPairs(
-      df.select(id.as("sid"),
-        column(SimhashBitsExpr(expression(text), bits)).as("fp")),
-      bits, bands)
+    bandedHammingPairs(simhashFps(df, text, id, bits), bits, bands)
 
   /** The banded hamming join over ANY precomputed bit-string fingerprint
     * column — the generalization shared by text simhash

@@ -363,6 +363,66 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** The GUARDED near-dup clustering contract under a full oracle —
+    * [[graft.operators.Dedup.nearDupClusters]] end-to-end: simhash
+    * fingerprints → identical-fp rep grouping (bounded-collect
+    * membership) → rep-level banded join → connected components → LINEAR
+    * member re-expansion. This is the shape a 100 TB pipeline consumes
+    * (one (sid, cluster) row per input doc, never the quadratic pair
+    * list); DuckDB recomputes the fingerprints, replays the banded join,
+    * and labels components with a recursive min-reachable-id CTE — the
+    * component label (min sid in the near-dup cluster) must match
+    * row-for-row. */
+  val q88NearDupClusters = QueryDef(
+    "q88_neardup_clusters",
+    (s, d) => {
+      val corpus = corpusNear(s, d)
+      Dedup.nearDupClusters(
+          Dedup.simhashFps(corpus, col("text"), col("doc_id"), bits = 128),
+          bits = 128, bands = 4, maxHamming = 3)
+        .orderBy("sid")
+    },
+    Some("""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
+      t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          list_aggregate(list_transform(range(0, 128), b ->
+            CASE WHEN COALESCE(list_sum(list_transform(words, t ->
+              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '') AS fp
+        FROM t),
+      banded AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM sh, (SELECT unnest(range(4)) AS band) b),
+      near AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE list_sum(list_transform(range(1, 129), i ->
+                CASE WHEN substr(a.fp, i::INT, 1) <> substr(b.fp, i::INT, 1)
+                     THEN 1 ELSE 0 END)) <= 3),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM near
+        UNION
+        SELECT id_b, id_a FROM near),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM sh
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS sid, min(r)::BIGINT AS cluster
+      FROM reach GROUP BY id
+      ORDER BY sid
+    """),
+    bench = true)
+
   /** Benchmark decontamination under an exact-join oracle: the "benchmark"
     * set is the middle 20-word slice of every 50th document (so
     * contamination exists by construction — each source doc contains its
@@ -642,6 +702,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
-    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup, q66Decontaminate,
+    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup,
+    q88NearDupClusters, q66Decontaminate,
     q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }

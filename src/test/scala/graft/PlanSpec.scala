@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"reassembly not broadcast:\n$p")
   }
 
+  test("q87: stateless hygiene composition has NO join — pure per-row algebra") {
+    val p = plan("q87_hygiene_stateless")
+    // the frozen-weight score and frozen thresholds are literal maps:
+    // any Join here means a stage regressed to the stateful batch form
+    // and the streaming twin would grow a state store
+    assert(!p.contains("Join"), s"hygiene composition grew a join:\n$p")
+    assert(!p.contains("Window"), s"hygiene composition grew a window:\n$p")
+  }
+
   test("q58e: progressive JPEG decode is one map pass — no joins") {
     val p = plan("q58e_progressive_jpeg_decode")
     assert(!p.contains("Join"), s"decode pipeline grew a join:\n$p")
