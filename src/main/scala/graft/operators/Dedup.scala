@@ -650,46 +650,45 @@ object Dedup {
     // ONE aggregation pass carries everything the guard needs: the
     // representative (min sid), the exact group size, and — via the
     // bounded collect, whose buffer is O(memberCap) however large the
-    // group — the group's MEMBERS. Membership then derives from the agg
-    // output alone (explode), so the upstream pipeline that produced the
-    // fingerprints (decode + hash — usually the expensive part) is
-    // evaluated exactly once; the old join-back of `in` against the
-    // multi-group reps re-evaluated it a second time.
+    // group — the group's MEMBERS. The aggregate is then EAGERLY
+    // localCheckpoint-ed: every consumer branch (rep-level banded join,
+    // membership explode, overflow detection) reads the materialized
+    // frame, so the upstream pipeline that produced the fingerprints
+    // (decode + hash — usually the expensive part) is evaluated exactly
+    // once no matter how many branches the caller executes. (Exchange
+    // reuse cannot guarantee this: Catalyst's column pruning specializes
+    // the aggregate per branch, and AQE does NOT skip the probe side of
+    // a broadcast join even when the build side materializes empty —
+    // measured, not assumed.) localCheckpoint persists the distinct-fp
+    // frame MEMORY_AND_DISK and truncates lineage — the connected-
+    // components convention already used for iterative consumers; on
+    // executor loss the operator recomputes from the caller's plan.
     val memberCol = column(graft.expressions.BoundedCollectList(
       expression(col("sid")), memberCap).toAggregateExpression())
     val reps0 = in.groupBy((ik :+ "fp").map(col): _*)
       .agg(min("sid").as("sid"), count(lit(1)).as("__n"),
         memberCol.as("__sids"))
-    // Tautological guard (count ≥ 1 by construction; size of a non-null
-    // array ≥ 0) referencing EVERY aggregate output: without it,
-    // Catalyst's column pruning specializes reps0 per consumer branch —
-    // the pairs branch gets a pruned HashAggregate without the bounded
-    // collect, the membership branch the ObjectHashAggregate with it —
-    // and the two partial-agg exchanges stop being identical, so
-    // exchange reuse can't fire and the upstream fingerprint pipeline
-    // (decode + hash, the expensive part) runs once PER BRANCH. Keeping
-    // the full aggregate list in all branches makes the exchanges
-    // canonically equal: upstream runs exactly once, and the only cost
-    // is shipping the (O(memberCap)-bounded) member arrays through the
-    // one shuffle.
-    val keepAll = (col("__n") >= 1) && (size(col("__sids")) >= 0)
-    val reps = reps0.filter(keepAll).drop("__n", "__sids")
+      .localCheckpoint()
+    val reps = reps0.drop("__n", "__sids")
     val outKeys = keys.zip(ik).map { case (k, a) => col(a).as(k) }
     // groups the bounded collect kept whole (≤ cap members, i.e. every
     // non-adversarial group): membership by explode, zero extra passes
-    val inCap = reps0.filter(keepAll && col("__n") <= memberCap)
+    val inCap = reps0.filter(col("__n") <= memberCap)
       .select(ik.map(col) ++ Seq(col("sid").as("rep"),
         explode(col("__sids")).as("sid")): _*)
     // overflowed groups (> cap identical members — mega-boilerplate):
     // recover their membership with one broadcast-filter pass over the
-    // input. The broadcast side is the handful of hot (keys, fp) reps; on
-    // a corpus with NO overflow it materializes empty and AQE folds the
-    // whole branch away WITHOUT running the `in` side (the probe side of
-    // a broadcast join is never scheduled before the build side lands).
-    val overflow = reps0.filter(keepAll && col("__n") > memberCap)
+    // input — the ONLY place the upstream is ever re-evaluated, and the
+    // branch is built only when overflow actually exists (a driver-side
+    // filter on the already-materialized aggregate, costing no extra
+    // upstream pass).
+    val overflow = reps0.filter(col("__n") > memberCap)
       .select((ik :+ "fp").map(col) :+ col("sid").as("rep"): _*)
-    val fromOverflow = in.join(broadcast(overflow), (ik :+ "fp").toSeq)
-      .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
+    val fromOverflow =
+      if (overflow.isEmpty) inCap.filter(lit(false))
+        .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
+      else in.join(broadcast(overflow), (ik :+ "fp").toSeq)
+        .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
     val membership = inCap.unionByName(fromOverflow)
       .select(outKeys ++ Seq(col("sid"), col("rep")): _*)
     // members of >1-member identical groups only: the small side the

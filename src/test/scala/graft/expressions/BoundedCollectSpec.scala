@@ -42,6 +42,31 @@ class BoundedCollectSpec extends SparkSpec {
     assert(got(1).sorted === Seq(5L, 7L))
   }
 
+  test("membership costs exactly ONE upstream evaluation (two with overflow)") {
+    // the whole point of carrying membership in the bounded collect: the
+    // (expensive) pipeline that produces the fingerprints must run once,
+    // not once per consumer branch. Counted with a side-effecting UDF —
+    // if a refactor reintroduces a join-back or per-branch aggregate
+    // specialization, this number jumps.
+    def countedRun(memberCap: Int): Long = {
+      val acc = spark.sparkContext.longAccumulator(s"upstream_rows_$memberCap")
+      val base = Seq((1L, "0000111100001111"), (2L, "0000111100001111"),
+        (10L, "1111000011110000"), (20L, "0101010101010101")).toDF("sid", "fp")
+      val tracked = base.filter(
+        udf((_: Long) => { acc.add(1); true }).apply(col("sid")))
+      graft.operators.Dedup.bandedHammingPairsGuarded(
+        tracked, Nil, bits = 16, bands = 2, memberCap = memberCap)
+        .membership.collect()
+      acc.value
+    }
+    assert(countedRun(memberCap = 8) === 4L,
+      "no-overflow membership re-evaluated the upstream input")
+    // with overflow (cap 1 < the 2-member group) the broadcast recovery
+    // pass legitimately reads the input once more — and only once more
+    assert(countedRun(memberCap = 1) === 8L,
+      "overflow recovery should cost exactly one extra upstream pass")
+  }
+
   test("guarded join recovers over-cap membership via the broadcast fallback") {
     // one 5-member identical group with memberCap=2 → overflow path;
     // one 2-member group → bounded-array path; one singleton
