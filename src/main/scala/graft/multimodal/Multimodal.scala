@@ -188,6 +188,51 @@ object Multimodal {
     }
   }
 
+  /** Per-media digest row of [[resizeDigest]]. */
+  final case class ResizeRow(media_id: Long, format: String,
+      in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      sum_luma: Long, min_luma: Int, max_luma: Int, checksum: Long)
+
+  /** Nearest-neighbor image RESIZE over decoded pixels — the
+    * normalization step multimodal training pipelines run before feature
+    * extraction (thumbnailing / fixed-input-size models). Source pixel
+    * for output (x, y) is (x·W / out_w, y·H / out_h) — integer floor,
+    * the [[dhashBits]] grid convention, so a SQL oracle recomputes every
+    * output pixel from the generating formulas. Emits an integer digest
+    * of the RESIZED raster (sum/min/max of the ITU-R BT.601 integer
+    * luma, plus the position-weighted checksum Σ (1 + x + out_w·y)·luma)
+    * pinning every pixel VALUE and POSITION — a transposed, reflected,
+    * off-by-one, or mis-rounded resample cannot match. Stateless
+    * mapPartitions: batch, `readStream`, and 100 TB splits alike, no
+    * shuffle. */
+  def resizeDigest(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizeRow] = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeImagePixels(m.payload).map { case (fmt, px) =>
+          var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * px.height / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * px.width / outW
+              val l = (299 * px.r(sx, sy) + 587 * px.g(sx, sy) +
+                114 * px.b(sx, sy)) / 1000
+              sum += l; if (l < mn) mn = l; if (l > mx) mx = l
+              ck += (1L + x + outW.toLong * y) * l
+              x += 1
+            }
+            y += 1
+          }
+          ResizeRow(m.media_id, fmt, px.width, px.height, outW, outH,
+            sum, mn, mx, ck)
+        }
+      }
+    }
+  }
+
   /** 64-bit frame-energy difference hash of a decoded PCM sample stream —
     * the 1-D audio analogue of [[dhashBits]], in the same portable
     * bit-string shape [[graft.operators.Dedup.bandedHammingPairs]] joins

@@ -539,8 +539,57 @@ object MultimodalQueries {
     """),
     bench = true)
 
+  /** Nearest-neighbor resize end to end over the three real containers
+    * (PNG / GIF / top-down BMP, [[graft.multimodal.MediaSynth.nearDupImage]]):
+    * every image is container-decoded and resampled to a fixed 8×8 raster
+    * ([[graft.multimodal.Multimodal.resizeDigest]]), and the oracle
+    * recomputes every RESIZED pixel from the generating formulas through
+    * the same floor-division source mapping — the position-weighted
+    * checksum means a resampler that transposes, reflects, rounds
+    * instead of flooring, or is off by one row cannot match. */
+  val q89ImageResize = QueryDef(
+    "q89_image_resize",
+    (s, d) => {
+      val media = synthMedia(s, d, 300, graft.multimodal.MediaSynth.nearDupImage)
+      Multimodal.resizeDigest(media, 8, 8).toDF().orderBy("media_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, media_id // 5 AS g, media_id % 5 AS v,
+               (16 + (media_id // 5) % 5)::INT AS w,
+               (12 + (media_id // 5) % 3)::INT AS h
+        FROM ids),
+      grid AS (
+        SELECT media_id, g, v, w, h, gx.x, gy.y,
+               (gx.x * w) // 8 AS sx, (gy.y * h) // 8 AS sy
+        FROM d, (SELECT unnest(range(0, 8)) AS x) gx,
+                (SELECT unnest(range(0, 8)) AS y) gy),
+      gray AS (
+        SELECT media_id, x, y,
+          ((g*31 + 5*sx*sx + 3*sy*sy + 7*sx*sy
+            + CASE WHEN v = 1 THEN 3
+                   WHEN v = 2 AND (sx + 7*sy + media_id) % 19 = 0 THEN 40
+                   WHEN v = 3 AND (sx + 5*sy + media_id) % 17 = 0 THEN 56
+                   WHEN v = 4 AND (sx + 3*sy + media_id) % 7 = 0 THEN 64
+                   ELSE 0 END) % 256) AS gv
+        FROM grid)
+      SELECT gr.media_id,
+             CASE gr.media_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                                  ELSE 'bmp' END AS format,
+             d.w AS in_w, d.h AS in_h, 8 AS out_w, 8 AS out_h,
+             sum(gv)::BIGINT AS sum_luma,
+             min(gv)::INT AS min_luma, max(gv)::INT AS max_luma,
+             sum((1 + x + 8*y) * gv)::BIGINT AS checksum
+      FROM gray gr JOIN d USING (media_id)
+      GROUP BY gr.media_id, d.w, d.h
+      ORDER BY gr.media_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
-    q75ImageNearDup,
+    q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup)
 }
