@@ -8,9 +8,11 @@ package graft.multimodal
   * DQT/DHT, APPn/COM skipping, 0xFF00 byte stuffing; progressive
   * (SOF2) adds multi-scan spectral selection and successive
   * approximation (DC first/refine, AC first/refine with EOB runs,
-  * tables and DRI redefinable between scans). Arithmetic coding,
-  * 12-bit, and hierarchical modes return None (stub fallback) — as
-  * does truncation or corruption anywhere.
+  * tables and DRI redefinable between scans); lossless (SOF3) adds the
+  * Annex H predictor walk (all 7 predictors, exact samples, no DCT).
+  * Arithmetic coding, 12-bit, hierarchical, and multi-component
+  * lossless modes return None (stub fallback) — as does truncation or
+  * corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -242,6 +244,7 @@ object JpegCodec {
     var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
     var restartInterval = 0
     var progressive = false
+    var lossless = false
     var sawScan = false
     var i = 2
 
@@ -475,9 +478,11 @@ object JpegCodec {
             p += 17 + total
           }
           i = end
-        case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+        case m if m == 0xc0 || m == 0xc2 || m == 0xc3 =>
+          // SOF0 baseline / SOF2 progressive / SOF3 lossless
           if (comps != null) return None // second frame header
           progressive = m == 0xc2
+          lossless = m == 0xc3
           val len = be16(b, segStart)
           if (segStart + len > b.length || len < 8) return None
           val precision = u8(b, segStart + 2)
@@ -557,6 +562,72 @@ object JpegCodec {
               if (cc.planeW.toLong * cc.planeH > totalPx * 4 + 65536) return None
             }
             sawScan = true
+          }
+          if (lossless) {
+            // T.81 Annex H lossless (process 14): Huffman-coded prediction
+            // DIFFERENCES — no DCT, no quantization, so dimensions need
+            // not be block multiples and every sample is exact. ss is the
+            // predictor selector (1..7), al the point transform. Remit:
+            // single-component non-interleaved scans at 8-bit precision
+            // without restart markers (multi-component lossless MCUs stay
+            // with the stub, honestly).
+            if (ns != 1 || restartInterval != 0) return None
+            if (ss < 1 || ss > 7 || se != 0 || ah != 0 || al > 7) return None
+            val cc = scanComps(0)
+            if (dcTabs(cc.td) == null) return None
+            val br = new BitReader(b, entry)
+            val raster = new Array[Int](width * height)
+            val defaultPred = 1 << (7 - al)
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val t = dcTabs(cc.td).decode(br)
+                if (t < 0 || t > 16) return None
+                val diff =
+                  if (t == 0) 0
+                  else if (t == 16) 32768 // T.81 H.2: category 16 carries no bits
+                  else {
+                    val v = br.receive(t)
+                    if (v == Int.MinValue) return None
+                    extend(v, t)
+                  }
+                // T.81 H.1.2: first sample predicts the midpoint; the rest
+                // of the first LINE predicts Ra; first COLUMN predicts Rb;
+                // everywhere else the scan-selected predictor, over
+                // RECONSTRUCTED neighbors in the point-transformed domain.
+                // /2 is an arithmetic shift right per the spec note.
+                val px =
+                  if (x == 0 && y == 0) defaultPred
+                  else if (y == 0) raster(x - 1)
+                  else if (x == 0) raster((y - 1) * width)
+                  else {
+                    val ra = raster(y * width + x - 1)
+                    val rb = raster((y - 1) * width + x)
+                    val rc = raster((y - 1) * width + x - 1)
+                    ss match {
+                      case 1 => ra
+                      case 2 => rb
+                      case 3 => rc
+                      case 4 => ra + rb - rc
+                      case 5 => ra + ((rb - rc) >> 1)
+                      case 6 => rb + ((ra - rc) >> 1)
+                      case _ => (ra + rb) >> 1
+                    }
+                  }
+                raster(y * width + x) = (px + diff) & 0xffff // modulo 2^16
+                x += 1
+              }
+              y += 1
+            }
+            val rgb = new Array[Byte](3 * width * height)
+            var p = 0
+            while (p < width * height) {
+              val v = ((raster(p) << al) & 0xff).toByte
+              rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+              p += 1
+            }
+            return Some(HeaderCodec.Pixels(width, height, rgb))
           }
           if (!progressive) {
             // baseline: exactly one scan, all components, interleaved

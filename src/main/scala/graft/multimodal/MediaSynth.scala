@@ -619,6 +619,82 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ---- lossless JPEG corpus (q58f): REAL ITU T.81 lossless (SOF3,
+  // process 14) files. No DCT and no quantization, so ANY per-pixel
+  // formula survives byte-exact and the dimensions are deliberately NOT
+  // block multiples (the block-padding rules do not exist in lossless).
+  // predictor = 1 + id % 7 covers all seven T.81 H.1 predictors across
+  // the corpus; the first-sample / first-line / first-column boundary
+  // rules are exercised by every file.
+
+  /** Per-pixel gray formula — mirrored in the q58f oracle SQL. */
+  def losslessGray(id: Long, x: Int, y: Int): Int =
+    ((id * 37 + 11 * x + 23 * y + 3L * x * y) % 256).toInt
+  def losslessWidth(id: Long): Int = (13 + id % 9).toInt
+  def losslessHeight(id: Long): Int = (11 + id % 7).toInt
+
+  /** One lossless JPEG: grayscale 8-bit, one scan, predictor 1+id%7,
+    * point transform 0. DC-class Huffman table of ten 4-bit codes for
+    * difference categories 0–9 (predictor 4 can predict in [-255, 510],
+    * so |diff| ≤ 510 ⇒ SSSS ≤ 9). */
+  def losslessJpeg(id: Long): Array[Byte] = {
+    val w = losslessWidth(id); val h = losslessHeight(id)
+    val pred = (1 + id % 7).toInt
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xc3) // SOF3 lossless
+    be16w(11); out.write(8); be16w(h); be16w(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — BITS[4]=10, vals 0..9
+    be16w(2 + 17 + 10); out.write(0x00)
+    val dcBits = Array(0, 0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(out.write)
+    (0 until 10).foreach(out.write)
+    out.write(0xff); out.write(0xda) // SOS: Ss = predictor, Se = 0, AhAl = 0
+    be16w(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(pred); out.write(0); out.write(0)
+
+    val bits = new JpegBits(out)
+    def putDiff(diff: Int): Unit = {
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.put(s, 4)
+      if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    }
+    // prediction over RECONSTRUCTED (= exact, lossless) neighbors with the
+    // T.81 H.1 boundary rules; must mirror JpegCodec's decode-side walk
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px =
+          if (x == 0 && y == 0) 128
+          else if (y == 0) losslessGray(id, x - 1, 0)
+          else if (x == 0) losslessGray(id, 0, y - 1)
+          else {
+            val ra = losslessGray(id, x - 1, y)
+            val rb = losslessGray(id, x, y - 1)
+            val rc = losslessGray(id, x - 1, y - 1)
+            pred match {
+              case 1 => ra
+              case 2 => rb
+              case 3 => rc
+              case 4 => ra + rb - rc
+              case 5 => ra + ((rb - rc) >> 1)
+              case 6 => rb + ((ra - rc) >> 1)
+              case _ => (ra + rb) >> 1
+            }
+          }
+        putDiff(losslessGray(id, x, y) - px)
+        x += 1
+      }
+      y += 1
+    }
+    bits.align()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode/feature-extraction runs per-partition in
   * batches.
   *
-  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and both
-  * baseline and progressive JPEG ([[JpegCodec]]) — pure-JVM byte math, no
-  * codec libraries. Only unknown blobs (and arithmetic-coded/12-bit/
-  * hierarchical JPEG modes) fall to the deterministic [[FakeCodec]] stub,
+  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and
+  * baseline, progressive, and lossless JPEG ([[JpegCodec]]) — pure-JVM
+  * byte math, no codec libraries. Only unknown blobs (and
+  * arithmetic-coded/12-bit/hierarchical/multi-component-lossless JPEG
+  * modes) fall to the deterministic [[FakeCodec]] stub,
   * so the plumbing — schema, binary column handling, partition-batched
   * processing shape, metadata structs — always has a defined output.
   *
@@ -34,9 +35,10 @@ object Multimodal {
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
     * Remit: UNKNOWN blobs only (codec-less formats and the text
     * stand-ins q37 uses) — BMP, WAV, PNG, GIF decode for real in
-    * [[HeaderCodec]] and baseline + progressive JPEG in [[JpegCodec]];
-    * the remaining JPEG modes (arithmetic, 12-bit, hierarchical) also
-    * fall here, reported as 'stub' rather than half-decoded. */
+    * [[HeaderCodec]] and baseline + progressive + lossless JPEG in
+    * [[JpegCodec]]; the remaining JPEG modes (arithmetic, 12-bit,
+    * hierarchical, multi-component lossless) also fall here, reported
+    * as 'stub' rather than half-decoded. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -98,9 +100,11 @@ object Multimodal {
     * and WAV 16-bit PCM (pure byte math), PNG (JDK zlib + the five row
     * filters), GIF (pure-JVM LZW + palette), and baseline + progressive
     * JPEG (pure-JVM Huffman + dequant + IDCT, multi-scan coefficient
-    * accumulation for SOF2 — [[JpegCodec]]). [[FakeCodec]]'s remit is
-    * now ONLY unknown blobs and the exotic JPEG modes (arithmetic,
-    * 12-bit, hierarchical), reported as format 'stub' with zeroed stats.
+    * accumulation for SOF2, Annex H predictor walk for SOF3 —
+    * [[JpegCodec]]). [[FakeCodec]]'s remit is now ONLY unknown blobs
+    * and the exotic JPEG modes (arithmetic, 12-bit, hierarchical,
+    * multi-component lossless), reported as format 'stub' with zeroed
+    * stats.
     * Same partition-batched, shuffle-free shape as the other extraction
     * stages. */
   def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {

@@ -245,6 +245,47 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Lossless (SOF3, process 14) JPEG payload decode end to end, pure
+    * JVM: real Huffman-coded prediction-difference files — all seven
+    * T.81 H.1 predictors across the corpus (predictor = 1 + id % 7),
+    * deliberately non-block-multiple dimensions, midpoint/first-line/
+    * first-column boundary rules in every file
+    * ([[graft.multimodal.MediaSynth.losslessJpeg]]) — decoded by the
+    * predictor walk in [[graft.multimodal.JpegCodec]] and checked
+    * against the per-PIXEL generating formula (no DCT and no quant in
+    * this mode, so every sample is exact): a decoder that picks the
+    * wrong predictor, mis-handles a boundary, or mis-signs the
+    * arithmetic shift in predictors 5–7 cannot match. */
+  val q58fLosslessJpegDecode = QueryDef(
+    "q58f_lossless_jpeg_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.losslessJpeg))
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, (13 + media_id % 9)::INT AS w,
+               (11 + media_id % 7)::INT AS h
+        FROM ids),
+      px AS (
+        SELECT d.media_id, d.w, d.h,
+               ((d.media_id*37 + 11*gx.x + 23*gy.y + 3*gx.x*gy.y) % 256) AS g
+        FROM d, (SELECT unnest(range(0, 21)) AS x) gx,
+                (SELECT unnest(range(0, 17)) AS y) gy
+        WHERE gx.x < d.w AND gy.y < d.h)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             sum(g)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+             sum(g)::BIGINT AS sum_b
+      FROM px GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   /** Progressive (SOF2) JPEG payload decode end to end, pure JVM: real
     * multi-scan progressive files — DC first/refinement passes under
     * successive approximation (Al=1→0, with nonzero refinement bits from
@@ -590,6 +631,7 @@ object MultimodalQueries {
 
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
+    q58fLosslessJpegDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup)
 }

@@ -281,6 +281,40 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("lossless (SOF3) decodes every predictor byte-exactly, boundaries included") {
+    // ids 0..6 cover all seven T.81 H.1 predictors (pred = 1 + id % 7)
+    // and, via the dims formulas, non-block-multiple widths/heights
+    (0L to 13L).foreach { id =>
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.losslessJpeg(id))
+        .getOrElse(fail(s"lossless id=$id did not decode"))
+      assert(px.width == MediaSynth.losslessWidth(id))
+      assert(px.height == MediaSynth.losslessHeight(id))
+      (0 until px.height).foreach { y =>
+        (0 until px.width).foreach { x =>
+          val want = MediaSynth.losslessGray(id, x, y)
+          assert(px.r(x, y) == want && px.g(x, y) == want && px.b(x, y) == want,
+            s"id=$id pixel ($x,$y): got ${px.r(x, y)}, want $want")
+        }
+      }
+    }
+  }
+
+  test("lossless truncation and bit-flip fuzz never throw") {
+    val full = MediaSynth.losslessJpeg(3L)
+    (0 until full.length - 1).foreach { n =>
+      JpegCodec.decodeJpegPixels(full.take(n)) // None or Some, must not throw
+    }
+    val rnd = new scala.util.Random(47)
+    (0 until 300).foreach { _ =>
+      val mutated = full.clone()
+      (0 to rnd.nextInt(3)).foreach { _ =>
+        val p = rnd.nextInt(mutated.length)
+        mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      JpegCodec.decodeJpegPixels(mutated) // must not throw
+    }
+  }
+
   test("progressive bit-flip fuzz never throws or allocation-bombs") {
     val rnd = new scala.util.Random(43)
     val base = MediaSynth.progressiveJpeg(8L)
