@@ -58,8 +58,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failedArr = byQuery.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // "value" sums ONLY passing queries, so a crash would otherwise read
+    // as a total-level speedup in round-over-round comparison: n_failed
+    // travels at the top level so any consumer of "value" sees the scope
+    // shrank without parsing the per-query nulls.
+    val nFailed = byQuery.count(!_._4)
     val total = fmt(byQuery.collect { case (_, med, _, true) => med }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qmins,"failed":$failedArr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":$nFailed,"queries":$qs,"queries_min":$qmins,"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

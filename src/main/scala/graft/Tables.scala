@@ -28,17 +28,25 @@ object Tables {
     * microseconds, exactly DuckDB's ns→µs cast, so oracles agree) or plain
     * timestamp[us]. Adapt on the parquet footer schema rather than assuming
     * one: upstream files regenerate and the physical type drifts. Integer
-    * `div` — a double division would lose precision above 2^53 ns. */
-  def events(s: SparkSession, d: String): DataFrame = {
+    * `div` — a double division would lose precision above 2^53 ns.
+    *
+    * [[normalizeEventsTs]] is the ONE copy of that dispatch — the
+    * streaming source (graft.streaming.EventsStreams.readEvents) applies
+    * the same function, keeping the batch and streaming twins bit-for-bit
+    * aligned on the next physical-type drift too. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = apply(s, d, "events")
     df.schema("ts").dataType match {
       case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
       case _             => df.withColumn("ts", col("ts").cast(TimestampType))
     }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

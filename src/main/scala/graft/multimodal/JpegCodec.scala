@@ -571,6 +571,7 @@ object JpegCodec {
             // single-component non-interleaved scans at 8-bit precision
             // without restart markers (multi-component lossless MCUs stay
             // with the stub, honestly).
+            if (comps.length != 1) return None // multi-component lossless: stub
             if (ns != 1 || restartInterval != 0) return None
             if (ss < 1 || ss > 7 || se != 0 || ah != 0 || al > 7) return None
             val cc = scanComps(0)

@@ -683,12 +683,24 @@ object Dedup {
     // filter on the already-materialized aggregate, costing no extra
     // upstream pass).
     val overflow = reps0.filter(col("__n") > memberCap)
-      .select((ik :+ "fp").map(col) :+ col("sid").as("rep"): _*)
+      .select(ik.map(k => col(k).as(s"__o$k")) ++
+        Seq(col("fp").as("__ofp"), col("sid").as("rep")): _*)
     val fromOverflow =
       if (overflow.isEmpty) inCap.filter(lit(false))
         .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
-      else in.join(broadcast(overflow), (ik :+ "fp").toSeq)
-        .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
+      else {
+        // null-SAFE equality on fp (and keys): a null-fp group — every
+        // undecodable input shares it — over the cap would silently lose
+        // all its members under a plain equi-join, breaking membership's
+        // every-input-row contract. Checkpoint like reps0: both
+        // membership and multiMembers read this frame, and the one
+        // legitimate extra upstream pass must stay exactly one.
+        val cond = (ik.map(k => col(k) <=> col(s"__o$k")) :+
+          (col("fp") <=> col("__ofp"))).reduce(_ && _)
+        in.join(broadcast(overflow), cond)
+          .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
+          .localCheckpoint()
+      }
     val membership = inCap.unionByName(fromOverflow)
       .select(outKeys ++ Seq(col("sid"), col("rep")): _*)
     // members of >1-member identical groups only: the small side the

@@ -177,7 +177,15 @@ object Sampling {
     // `carry` rides per-doc metadata through the explode so STREAMING
     // callers can keep scores/counters next to each chunk without a
     // doc-level join afterwards (a stream⋈stream join would be stateful;
-    // this stays map-only)
+    // this stays map-only). Names that collide with working or output
+    // columns would be silently shadowed — reject them loudly (the
+    // Dedup.requireSafeKeys convention; resolution is case-insensitive).
+    val reservedChunk = Set("doc_id", "chunk_idx", "chunk_start",
+      "chunk_len", "chunk_text", "__ws", "__n", "__nc", "__chunk")
+    val badCarry = carry.map(_._1).filter(n => reservedChunk.contains(n.toLowerCase))
+    require(badCarry.isEmpty,
+      s"carry name(s) ${badCarry.mkString(", ")} collide with reserved " +
+        s"chunk columns (${reservedChunk.toSeq.sorted.mkString(", ")})")
     val carried = carry.map { case (n, c) => c.as(n) }
     val carriedRefs = carry.map { case (n, _) => col(n) }
     df.select(idCol.as("doc_id") +: (carried :+

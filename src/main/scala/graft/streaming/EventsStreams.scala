@@ -29,15 +29,19 @@ object EventsStreams {
     * and batch twins bit-for-bit aligned whichever physical type the
     * upstream regeneration produced. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val footer = spark.read.parquet(dir).schema
-    val base = spark.readStream.schema(footer).parquet(dir)
-    footer("ts").dataType match {
-      case LongType      => base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => base
-      case _             => base.withColumn("ts", col("ts").cast(TimestampType))
-    }
+    // a stream may be defined before the producer writes its first file:
+    // when footer inference has nothing to read, fall back to the
+    // canonical events schema instead of failing construction
+    val footer =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+      }
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(footer).parquet(dir))
   }
 
   /** Tumbling 1-hour aggregation with a 2-hour watermark — the streaming

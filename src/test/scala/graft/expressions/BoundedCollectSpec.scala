@@ -67,6 +67,22 @@ class BoundedCollectSpec extends SparkSpec {
       "overflow recovery should cost exactly one extra upstream pass")
   }
 
+  test("an over-cap NULL-fingerprint group keeps every member (null-safe recovery)") {
+    // undecodable inputs share fp = NULL; when such a group exceeds the
+    // cap its members must come back through the overflow join, which a
+    // plain equi-join on fp would silently drop
+    val fps = Seq[(Long, String)](
+      (1L, null), (2L, null), (3L, null), (4L, null), (5L, null),
+      (10L, "1111000011110000"), (20L, "0101010101010101"))
+      .toDF("sid", "fp")
+    val g = graft.operators.Dedup.bandedHammingPairsGuarded(
+      fps, Nil, bits = 16, bands = 2, memberCap = 2)
+    val membership = g.membership.as[(Long, Long)].collect().toMap
+    assert(membership === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 20L -> 20L),
+      "null-fp members lost by the overflow recovery join")
+  }
+
   test("guarded join recovers over-cap membership via the broadcast fallback") {
     // one 5-member identical group with memberCap=2 → overflow path;
     // one 2-member group → bounded-array path; one singleton

@@ -299,6 +299,22 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-component lossless falls to None, not a mis-decoded first scan") {
+    // splice two extra components into the SOF3 of a valid lossless file:
+    // the first scan still says ns=1, so without the frame-level guard the
+    // decoder would return that single color plane as the whole image
+    val base = MediaSynth.losslessJpeg(0L)
+    // layout: [ffd8][ffc3 len=11 p h h w w nc comp1(3)] — SOF3 payload at 4
+    val patched = new scala.collection.mutable.ArrayBuffer[Byte]()
+    patched ++= base.take(15) // through comp1
+    patched(5) = 17.toByte    // SOF3 length 11 -> 17
+    patched(11) = 3.toByte    // nc 1 -> 3
+    patched ++= Seq[Byte](2, 0x11, 0, 3, 0x11, 0) // comp2, comp3
+    patched ++= base.drop(15)
+    assert(JpegCodec.decodeJpegPixels(patched.toArray).isEmpty,
+      "multi-component lossless must fall to the stub")
+  }
+
   test("lossless truncation and bit-flip fuzz never throw") {
     val full = MediaSynth.losslessJpeg(3L)
     (0 until full.length - 1).foreach { n =>
