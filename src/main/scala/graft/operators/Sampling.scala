@@ -154,6 +154,35 @@ object Sampling {
       .drop("__src", "__thresh")
   }
 
+  /** Epoch-replication source mixing — the multi-epoch half of the
+    * standard LLM data recipe (LLaMA/GPT-3 style mixture tables quote
+    * "epochs over the source"): a per-source rate of R epochs (ppm —
+    * 1e6 = exactly one pass) emits floor(R) full copies of every doc
+    * plus one more for the deterministic frac(R) slice selected by the
+    * seeded hash bucket, so the EXPECTED replication is exactly R and
+    * the output is bit-reproducible on any engine or partitioning.
+    * Rates arrive frozen (control-plane, the q87 convention); emits the
+    * input columns plus `epoch` (0-based copy index).
+    *
+    * Shape: broadcast |sources| rates + one map-only explode of the
+    * per-row copy range — no shuffle, no state; rate 0 drops the source
+    * entirely (the sequence guard matters: Spark's `sequence(0, -1)`
+    * would DESCEND, not empty). */
+  def epochMix(df: DataFrame, sourceCol: String, keyCol: String,
+               ratesPpm: Map[String, Long], seed: String): DataFrame = {
+    require(ratesPpm.values.forall(_ >= 0), "epoch rates must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rdf = broadcast(ratesPpm.toSeq.toDF("__src", "__rate"))
+    df.join(rdf, col(sourceCol).cast("string") === col("__src"))
+      .withColumn("__n", expr(s"__rate div $Buckets") +
+        when(hashBucket(col(keyCol), seed) < col("__rate") % Buckets, 1L)
+          .otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__src", "__rate", "__n")
+  }
+
   /** Sliding-window document chunking — the long-document preprocessing
     * step for context-bounded training/embedding (BERT-style stride
     * windows): chunk c covers tokens [c·stride, c·stride + maxTokens),

@@ -670,9 +670,51 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** Epoch-replication mixing ([[graft.operators.Sampling.epochMix]]):
+    * per-source epoch rates (floor = full copies, fraction = a
+    * deterministic hash-bucket slice getting one more) — the multi-epoch
+    * mixture-table recipe, complementary to q83's ≤1-pass temperature
+    * sampling. Rates are frozen closed-form md5 fixtures (0.5–2.5
+    * epochs across sources) the oracle reproduces; the oracle replays
+    * floor/fraction/bucket arithmetic and the copy-range explode
+    * exactly. */
+  val q90EpochMix = QueryDef(
+    "q90_epoch_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      def h15(seed: String, v: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((seed + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      val rates = docs.select(col("source").cast("string")).distinct()
+        .collect().iterator.map(_.getString(0))
+        .map(src => src -> (500000L + h15("ep", src) % 2000000L)).toMap
+      graft.operators.Sampling.epochMix(docs, "source", "doc_id", rates, "em")
+        .orderBy("doc_id", "epoch")
+    },
+    Some("""
+      WITH r AS (
+        SELECT source,
+               500000 + (('0x' || substr(md5('ep' || source), 1, 15))::BIGINT
+                         % 2000000) AS rate
+        FROM (SELECT DISTINCT source FROM documents)),
+      n AS (
+        SELECT d.doc_id, d.source,
+               r.rate // 1000000
+                 + CASE WHEN (('0x' || substr(md5('em' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                              % 1000000) < r.rate % 1000000
+                        THEN 1 ELSE 0 END AS n
+        FROM documents d JOIN r USING (source))
+      SELECT doc_id, source, unnest(range(0, n))::BIGINT AS epoch
+      FROM n WHERE n > 0
+      ORDER BY doc_id, epoch
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
     q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
-    q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless)
+    q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless, q90EpochMix)
 }
