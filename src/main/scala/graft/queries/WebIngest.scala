@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.io.Warc
+
+/** Web-corpus ingestion operators — the Common Crawl-shaped front of a
+  * training-data pipeline: WARC record parsing (plain and per-record-gzip
+  * compressed), HTTP message splitting, and downstream extraction.
+  *
+  * The synth side builds byte-valid WARC files IN-PLAN from the documents
+  * table (one multi-record file per `doc_id % WarcFiles` bucket, odd
+  * buckets as concatenated gzip members — the `.warc.gz` layout), so the
+  * DuckDB oracle can recompute every parsed field from the generating
+  * formulas alone: a parser that mis-frames a record, mis-splits the HTTP
+  * head, drops a gzip member, or mangles the length-framed body cannot
+  * match. The grouping step is test scaffolding only — production
+  * ingestion reads existing `.warc.gz` blobs via `binaryFile` and goes
+  * straight to the map-only `flatMap(Warc.parse)` stage.
+  */
+object WebIngest {
+
+  /** Buckets → synthetic WARC files (bounded file size scaffold). */
+  private val WarcFiles = 20L
+
+  private def targetUri(source: String, docId: Long): String =
+    s"http://corpus.example/$source/$docId"
+
+  private def contentTypeOf(docId: Long): String =
+    if (docId % 2 == 0) "text/html; charset=UTF-8" else "text/plain; charset=UTF-8"
+
+  /** One synthetic WARC file: leading warcinfo record, then one HTTP 200
+    * response record per doc (already sorted by doc_id). Odd buckets are
+    * compressed as one gzip member per record — the `.warc.gz` unit. */
+  private def buildWarcFile(fileId: Long,
+                            rows: Iterator[(Long, String, String)],
+                            htmlBodies: Boolean = false): Array[Byte] = {
+    val gz = fileId % 2 == 1
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    def emit(rec: Array[Byte]): Unit = out.write(if (gz) Warc.gzipMember(rec) else rec)
+    emit(Warc.warcinfoRecord(Warc.recordId(s"file:$fileId"), Warc.warcDate(0),
+      "software: graft/1.0\r\n"))
+    rows.foreach { case (docId, text, source) =>
+      val uri = targetUri(source, docId)
+      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ctype = if (htmlBodies) "text/html; charset=UTF-8" else contentTypeOf(docId)
+      val http = Warc.httpResponse(200, "OK", ctype, body)
+      emit(Warc.responseRecord(uri, Warc.recordId(uri), Warc.warcDate(docId), http))
+    }
+    out.toByteArray
+  }
+
+  /** Flat row a downstream corpus stage consumes. */
+  final case class WarcDocRow(doc_id: Long, target_uri: String, record_id: String,
+                              warc_date: String, http_status: Int,
+                              content_type: String, n_body_bytes: Long,
+                              body_text: String, from_gzip: Boolean)
+
+  /** WARC ingestion end to end: synthesize multi-record WARC files (half
+    * of them as concatenated per-record gzip members), parse them back
+    * with the real framing parser, split the HTTP messages, and emit one
+    * corpus row per response record. The oracle recomputes target URI,
+    * RFC 4122-shaped record id (md5-derived), ISO WARC-Date, content
+    * type, body bytes, and the gzip flag from the documents table. */
+  val q91WarcExtract = QueryDef(
+    "q91_warc_extract",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"),
+          (col("doc_id") % WarcFiles).as("file_id"))
+        .as[(Long, String, String, Long)]
+      val blobs = docs.groupByKey(_._4)
+        .flatMapSortedGroups($"doc_id") { (fileId, rows) =>
+          Iterator.single(buildWarcFile(fileId, rows.map(r => (r._1, r._2, r._3))))
+        }
+      blobs.flatMap(Warc.parse(_))
+        .filter(r => r.warc_type == "response")
+        .map { r =>
+          val docId = r.target_uri.substring(r.target_uri.lastIndexOf('/') + 1).toLong
+          WarcDocRow(docId, r.target_uri, r.record_id, r.warc_date,
+            r.http_status, r.content_type, r.body.length.toLong,
+            new String(r.body, java.nio.charset.StandardCharsets.UTF_8),
+            r.from_gzip)
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text,
+               'http://corpus.example/' || source || '/' || doc_id AS target_uri,
+               md5('http://corpus.example/' || source || '/' || doc_id) AS h
+        FROM documents)
+      SELECT doc_id, target_uri,
+             '<urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+               substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+               substr(h, 21, 12) || '>' AS record_id,
+             strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+                      '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+             200 AS http_status,
+             CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=UTF-8'
+                  ELSE 'text/plain; charset=UTF-8' END AS content_type,
+             strlen(text)::BIGINT AS n_body_bytes,
+             text AS body_text,
+             ((doc_id % 20) % 2 = 1) AS from_gzip
+      FROM base
+      ORDER BY doc_id
+    """),
+    bench = true)
+
+  // ------------------------------------------------------------- q92 html
+
+  /** Constant second content paragraph for `doc_id % 5 == 0` pages —
+    * exercises multi-block keeps with an oracle-expressible text. */
+  private val ExtraPara = "reference section stable content for padding and balance"
+
+  /** Deterministic page synth: title + script/style noise + nav, article
+    * content (the doc text, HTML-escaped), a promo link block on odd ids,
+    * an extra content paragraph on multiples of five, and a link footer.
+    * By construction the extractor must keep exactly the article
+    * paragraph(s) and drop every boilerplate block (nav/promo/footer are
+    * ~100% link density; the title is under the length floor). */
+  private[queries] def synthHtml(docId: Long, text: String): String = {
+    val esc = graft.text.HtmlText.escape(text)
+    val extra = if (docId % 5 == 0) s"<p>$ExtraPara</p>" else ""
+    val promo =
+      if (docId % 2 == 1)
+        """<div class="promo"><a href="/buy">Buy now</a> <a href="/offer">Offer</a></div>"""
+      else ""
+    s"""<html><head><title>Doc $docId</title><script>var x = $docId;</script>""" +
+      """<style>.m{color:red}</style></head><body>""" +
+      """<nav><a href="/">Home</a> <a href="/about">About</a></nav>""" +
+      s"""<article><p>$esc</p>$extra</article>$promo""" +
+      """<footer><a href="/tos">Terms</a></footer></body></html>"""
+  }
+
+  /** Oracle fragment: collapsed doc text (the synth article block). */
+  private val CollapsedText = raw"trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))"
+
+  /** HTML main-content extraction ([[graft.text.HtmlText]]): block
+    * segmentation + link-density scoring over deterministically
+    * synthesized pages. The oracle recomputes title, block counts, and
+    * the surviving main text purely from the generating construction —
+    * an extractor that keeps a nav block, drops a content paragraph,
+    * splits blocks at the wrong tags, or mangles entity decoding cannot
+    * match. */
+  val q92HtmlExtract = QueryDef(
+    "q92_html_extract",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val r = graft.text.HtmlText.extract(synthHtml(id, text))
+          (id, r.title, r.n_blocks, r.n_kept, r.main_text)
+        }
+        .toDF("doc_id", "title", "n_blocks", "n_kept", "main_text")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             'Doc ' || doc_id AS title,
+             (4 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::INT AS n_blocks,
+             (1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::INT AS n_kept,
+             CASE WHEN doc_id % 5 = 0
+                  THEN $CollapsedText || chr(10) || '$ExtraPara'
+                  ELSE $CollapsedText END AS main_text
+      FROM documents
+      ORDER BY doc_id
+    """),
+    bench = true)
+
+  // ------------------------------------------------------------ q93 chain
+
+  /** Whitespace token count (q20 convention). */
+  private def countTokens(s: String): Long =
+    s.split("[ \t\n\r]+").iterator.count(_.nonEmpty).toLong
+
+  /** The full Common Crawl-shaped chain in ONE map-only plan: synth WARC
+    * files whose response bodies are the q92 HTML pages → parse records
+    * ([[graft.io.Warc]]) → extract main text ([[graft.text.HtmlText]]) →
+    * token-count gate. The oracle chains the same constructions in SQL.
+    * Everything after the synth grouping scaffold is flatMap/map — the
+    * shape that ingests real `.warc.gz` at 100 TB with zero shuffles
+    * before the corpus-level stages. */
+  val q93CcChain = QueryDef(
+    "q93_cc_chain",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"),
+          (col("doc_id") % WarcFiles).as("file_id"))
+        .as[(Long, String, String, Long)]
+      val blobs = docs.groupByKey(_._4)
+        .flatMapSortedGroups($"doc_id") { (fileId, rows) =>
+          Iterator.single(buildWarcFile(fileId,
+            rows.map(r => (r._1, synthHtml(r._1, r._2), r._3)), htmlBodies = true))
+        }
+      blobs.flatMap(Warc.parse(_))
+        .filter(r => r.warc_type == "response" && r.http_status == 200 &&
+          r.content_type.startsWith("text/html"))
+        .map { r =>
+          val docId = r.target_uri.substring(r.target_uri.lastIndexOf('/') + 1).toLong
+          val html = new String(r.body, java.nio.charset.StandardCharsets.UTF_8)
+          val ex = graft.text.HtmlText.extract(html)
+          (docId, r.target_uri, ex.title, countTokens(ex.main_text), ex.main_text)
+        }
+        .toDF("doc_id", "target_uri", "title", "n_tokens", "main_text")
+        .filter(col("n_tokens") >= 12)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH extracted AS (
+        SELECT doc_id,
+               'http://corpus.example/' || source || '/' || doc_id AS target_uri,
+               'Doc ' || doc_id AS title,
+               CASE WHEN doc_id % 5 = 0
+                    THEN $CollapsedText || chr(10) || '$ExtraPara'
+                    ELSE $CollapsedText END AS main_text
+        FROM documents)
+      SELECT doc_id, target_uri, title,
+             len(list_filter(string_split_regex(main_text, '[ \t\n\r]+'),
+                             t -> t <> ''))::BIGINT AS n_tokens,
+             main_text
+      FROM extracted
+      WHERE len(list_filter(string_split_regex(main_text, '[ \t\n\r]+'),
+                            t -> t <> '')) >= 12
+      ORDER BY doc_id
+    """),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain)
+}
