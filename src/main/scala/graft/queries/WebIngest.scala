@@ -232,5 +232,94 @@ object WebIngest {
     """),
     bench = true)
 
-  val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain)
+  // ----------------------------------------------------------- q94 robots
+
+  /** Deterministic per-source robots.txt: a `*` group with prefix, allow-
+    * override, and `$`-anchored wildcard rules; even-numbered sources add
+    * a named GraftBot group — which, per RFC 9309, then applies
+    * EXCLUSIVELY (the `*` rules must not leak into it). */
+  private[queries] def synthRobots(source: String): String = {
+    val k = source.stripPrefix("src").toInt
+    val base =
+      s"""# robots for $source
+         |User-agent: *
+         |Disallow: /private/
+         |Allow: /private/pub/
+         |Disallow: /*.tmp$$
+         |""".stripMargin
+    if (k % 2 == 0) base + "\nUser-agent: GraftBot\nDisallow: /graft-only/\n"
+    else base
+  }
+
+  /** RFC 9309 robots.txt URL admission ([[graft.operators.Robots]]):
+    * parse ONCE per source into an effective rule list for the crawler
+    * token, broadcast the tiny rules dim, and decide each synthesized
+    * URL path by longest-pattern match (allow wins ties). The oracle
+    * enumerates the decision table from the construction: path class ×
+    * group parity — a matcher that leaks `*` rules into the named group,
+    * mis-ranks specificity, or mishandles the `$` anchor cannot match. */
+  val q94RobotsFilter = QueryDef(
+    "q94_robots_filter",
+    (s, d) => {
+      import org.apache.spark.sql.Row
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val rulesUdf = udf { (source: String) =>
+        graft.operators.Robots.rulesFor(synthRobots(source), "graftbot")
+      }
+      val robotsDim = docs.select(col("source")).distinct()
+        .withColumn("rules", rulesUdf(col("source")))
+      val decideUdf = udf { (rules: Seq[Row], path: String) =>
+        val rs = rules.map(r => graft.operators.Robots.Rule(r.getBoolean(0), r.getString(1)))
+        graft.operators.Robots.decide(rs, path)
+      }
+      val cls = col("doc_id") % 7
+      val path = when(cls === 0, concat(lit("/a/"), col("doc_id")))
+        .when(cls === 1, concat(lit("/private/"), col("doc_id")))
+        .when(cls === 2, concat(lit("/private/pub/"), col("doc_id")))
+        .when(cls === 3, concat(lit("/file"), col("doc_id"), lit(".tmp")))
+        .when(cls === 4, concat(lit("/graft-only/"), col("doc_id")))
+        .when(cls === 5, concat(lit("/private/pub/"), col("doc_id"), lit(".tmp")))
+        .otherwise(concat(lit("/b/"), col("doc_id")))
+      docs.join(broadcast(robotsDim), "source")
+        .withColumn("path", path)
+        .withColumn("decision", decideUdf(col("rules"), col("path")))
+        .select(col("doc_id"), col("source"), col("path"),
+          col("decision._1").as("allowed"),
+          col("decision._2").as("matched_rule"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+               doc_id % 7 AS cls,
+               substr(source, 4)::INT % 2 AS k
+        FROM documents),
+      paths AS (
+        SELECT doc_id, source, cls, k,
+               CASE cls
+                 WHEN 0 THEN '/a/' || doc_id
+                 WHEN 1 THEN '/private/' || doc_id
+                 WHEN 2 THEN '/private/pub/' || doc_id
+                 WHEN 3 THEN '/file' || doc_id || '.tmp'
+                 WHEN 4 THEN '/graft-only/' || doc_id
+                 WHEN 5 THEN '/private/pub/' || doc_id || '.tmp'
+                 ELSE '/b/' || doc_id
+               END AS path
+        FROM base)
+      SELECT doc_id, source, path,
+             CASE WHEN k = 0 THEN cls <> 4
+                  ELSE cls NOT IN (1, 3) END AS allowed,
+             CASE WHEN k = 0 THEN (CASE WHEN cls = 4 THEN '/graft-only/' ELSE '' END)
+                  ELSE (CASE cls WHEN 1 THEN '/private/'
+                                 WHEN 2 THEN '/private/pub/'
+                                 WHEN 3 THEN '/*.tmp$'
+                                 WHEN 5 THEN '/private/pub/'
+                                 ELSE '' END) END AS matched_rule
+      FROM paths
+      ORDER BY doc_id
+    """),
+    bench = true)
+
+  val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
+    q94RobotsFilter)
 }
