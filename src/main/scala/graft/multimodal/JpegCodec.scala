@@ -9,10 +9,12 @@ package graft.multimodal
   * (SOF2) adds multi-scan spectral selection and successive
   * approximation (DC first/refine, AC first/refine with EOB runs,
   * tables and DRI redefinable between scans); lossless (SOF3) adds the
-  * Annex H predictor walk (all 7 predictors, exact samples, no DCT).
-  * Arithmetic coding, 12-bit, hierarchical, and multi-component
-  * lossless modes return None (stub fallback) — as does truncation or
-  * corruption anywhere.
+  * Annex H predictor walk (all 7 predictors, exact samples, no DCT);
+  * arithmetic-coded sequential (SOF9) adds the Annex D/E QM coder with
+  * the F.1.4.4 DC/AC statistics models and DAC conditioning tables
+  * ([[QmCoder]]). 12-bit, hierarchical, multi-component-lossless,
+  * progressive-arithmetic, and arithmetic-with-restarts modes return
+  * None (stub fallback) — as does truncation or corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -245,6 +247,11 @@ object JpegCodec {
     var restartInterval = 0
     var progressive = false
     var lossless = false
+    var arith = false
+    // DAC conditioning (T.81 B.2.4.3), spec defaults when absent
+    val dcCondL = Array(0, 0, 0, 0)
+    val dcCondU = Array(1, 1, 1, 1)
+    val acCondK = Array(5, 5, 5, 5)
     var sawScan = false
     var i = 2
 
@@ -478,11 +485,13 @@ object JpegCodec {
             p += 17 + total
           }
           i = end
-        case m if m == 0xc0 || m == 0xc2 || m == 0xc3 =>
-          // SOF0 baseline / SOF2 progressive / SOF3 lossless
+        case m if m == 0xc0 || m == 0xc2 || m == 0xc3 || m == 0xc9 =>
+          // SOF0 baseline / SOF2 progressive / SOF3 lossless /
+          // SOF9 extended sequential with arithmetic entropy coding
           if (comps != null) return None // second frame header
           progressive = m == 0xc2
           lossless = m == 0xc3
+          arith = m == 0xc9
           val len = be16(b, segStart)
           if (segStart + len > b.length || len < 8) return None
           val precision = u8(b, segStart + 2)
@@ -522,8 +531,28 @@ object JpegCodec {
             c.realBh = (compH + 7) / 8
           }
           i = segStart + len
+        case 0xcc => // DAC: arithmetic conditioning tables (B.2.4.3)
+          val len = be16(b, segStart)
+          if (segStart + len > b.length) return None
+          var p = segStart + 2
+          val end = segStart + len
+          while (p + 1 < end) {
+            val tc = u8(b, p) >> 4; val tb = u8(b, p) & 15
+            val cs = u8(b, p + 1)
+            if (tb > 3) return None
+            if (tc == 0) {
+              val l = cs & 15; val u = cs >> 4
+              if (u > 15 || l > u) return None
+              dcCondL(tb) = l; dcCondU(tb) = u
+            } else if (tc == 1) {
+              if (cs < 1 || cs > 63) return None
+              acCondK(tb) = cs
+            } else return None
+            p += 2
+          }
+          i = end
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-          return None // extended/arithmetic/hierarchical: unsupported
+          return None // other extended/hierarchical modes: unsupported
         case 0xdd => // DRI
           if (segStart + 4 > b.length) return None
           restartInterval = be16(b, segStart + 2)
@@ -629,6 +658,72 @@ object JpegCodec {
               p += 1
             }
             return Some(HeaderCodec.Pixels(width, height, rgb))
+          }
+          if (arith) {
+            // SOF9: extended sequential with arithmetic entropy coding
+            // (T.81 F.1.4.4 statistics over the Annex D/E QM coder). One
+            // interleaved scan, full spectral band, no successive
+            // approximation; restart markers are out of remit (the stub
+            // keeps those files defined). No Huffman tables involved.
+            if (ns != comps.length || restartInterval != 0) return None
+            if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
+            comps.foreach { cc =>
+              if (qt(cc.tq) == null) return None
+              cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+            }
+            val dec = new QmCoder.Decoder(b, entry)
+            val dcSt = comps.map(cc => new QmCoder.DcState(dcCondL(cc.td), dcCondU(cc.td)))
+            val acSt = comps.map(cc => new QmCoder.AcState(acCondK(cc.ta)))
+            val czig = new Array[Int](64)
+            val coef = new Array[Int](64)
+            val tmp = new Array[Double](64)
+
+            def decodeBlock(cc: Component, cIdx: Int, bx: Int, by: Int): Boolean = {
+              java.util.Arrays.fill(czig, 0)
+              val q = qt(cc.tq)
+              if (!QmCoder.decodeDc(dec, dcSt(cIdx))) return false
+              if (!QmCoder.decodeAc(dec, acSt(cIdx), czig)) return false
+              java.util.Arrays.fill(coef, 0)
+              coef(0) = dcSt(cIdx).pred * q(0)
+              var k = 1
+              while (k < 64) { coef(Zigzag(k)) = czig(k) * q(k); k += 1 }
+              idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
+              true
+            }
+
+            var mcu = 0
+            val totalMcus = mcusX * mcusY
+            while (mcu < totalMcus) {
+              val mx = mcu % mcusX; val my = mcu / mcusX
+              var ci = 0
+              while (ci < comps.length) {
+                val cc = comps(ci)
+                var byy = 0
+                while (byy < cc.v) {
+                  var bxx = 0
+                  while (bxx < cc.h) {
+                    if (!decodeBlock(cc, ci, mx * cc.h + bxx, my * cc.v + byy))
+                      return None
+                    bxx += 1
+                  }
+                  byy += 1
+                }
+                ci += 1
+              }
+              mcu += 1
+            }
+            // fail closed: walk any unread flush bytes (0xFF + stuffed
+            // <= 0x8F pairs are still data) and require the EOI marker
+            var p = dec.bytePos
+            var eoi = false
+            while (!eoi) {
+              if (p + 1 >= b.length) return None
+              if (u8(b, p) == 0xff && u8(b, p + 1) > 0x8f) {
+                if (u8(b, p + 1) != 0xd9) return None
+                eoi = true
+              } else p += 1
+            }
+            return Some(assembleRgb(comps, width, height, hMax, vMax))
           }
           if (!progressive) {
             // baseline: exactly one scan, all components, interleaved

@@ -695,6 +695,88 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** One arithmetic-coded sequential JPEG (SOF9, T.81 Annex D QM coder +
+    * F.1.4.4 statistics): same dims, variants (grayscale / 4:4:4 /
+    * 4:2:0), all-ones quant, and constant-block gray formula as
+    * [[jpeg]], so the q58d pixel oracle carries over verbatim. Variant 1
+    * additionally ships a DAC segment with non-default conditioning
+    * (DC U=2, AC Kx=4), and the encoder uses those bounds — this
+    * corpus's x8-quantized DC diffs happen to classify identically
+    * under U=1 and U=2, so DAC parse coverage comes from these files
+    * while conditioning EFFECTIVENESS is pinned at the model level in
+    * QmCoderSpec (wrong U / wrong Kx diverge the stream). No restart
+    * markers (decoder remit). */
+  def arithJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val subsampled = variant == 2
+    val nc = if (variant == 0) 1 else 3
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0 / JFIF
+    be16w(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16w(1); be16w(1)
+    out.write(0); out.write(0)
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc9) // SOF9: sequential, arithmetic coding
+    be16w(8 + 3 * nc); out.write(8); be16w(h); be16w(w); out.write(nc)
+    if (nc == 1) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      out.write(1); out.write(if (subsampled) 0x22 else 0x11); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    val dcU = if (variant == 1) 2 else 1
+    val acKx = if (variant == 1) 4 else 5
+    if (variant == 1) {
+      out.write(0xff); out.write(0xcc) // DAC: DC table 0 (U=2,L=0), AC Kx=4
+      be16w(2 + 4)
+      out.write(0x00); out.write(dcU << 4)
+      out.write(0x10); out.write(acKx)
+    }
+    out.write(0xff); out.write(0xda) // SOS
+    be16w(6 + 2 * nc); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+
+    val enc = new QmCoder.Encoder
+    val dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+    val acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+    val zeroAc = new Array[Int](64)
+    def block(ci: Int, dc: Int): Unit = {
+      QmCoder.encodeDc(enc, dcSt(ci), dc - dcSt(ci).pred)
+      QmCoder.encodeAc(enc, acSt(ci), zeroAc)
+    }
+    val hMax = if (subsampled) 2 else 1
+    val mcusX = w / (8 * hMax); val mcusY = h / (8 * hMax)
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      if (!subsampled) {
+        block(0, 8 * (jpegBlockGray(id, mx, my) - 128))
+        if (nc == 3) { block(1, 0); block(2, 0) }
+      } else {
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            block(0, 8 * (jpegBlockGray(id, mx * 2 + bx, my * 2 + by) - 128))
+            bx += 1
+          }
+          by += 1
+        }
+        block(1, 0); block(2, 0)
+      }
+      mcu += 1
+    }
+    out.write(enc.finish())
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * batches.
   *
   * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and
-  * baseline, progressive, and lossless JPEG ([[JpegCodec]]) — pure-JVM
-  * byte math, no codec libraries. Only unknown blobs (and
-  * arithmetic-coded/12-bit/hierarchical/multi-component-lossless JPEG
-  * modes) fall to the deterministic [[FakeCodec]] stub,
+  * baseline, progressive, lossless, and arithmetic-coded sequential
+  * JPEG ([[JpegCodec]] + [[QmCoder]]) — pure-JVM byte math, no codec
+  * libraries. Only unknown blobs (and 12-bit/hierarchical/
+  * multi-component-lossless/progressive-arithmetic JPEG modes) fall to
+  * the deterministic [[FakeCodec]] stub,
   * so the plumbing — schema, binary column handling, partition-batched
   * processing shape, metadata structs — always has a defined output.
   *
@@ -35,10 +36,11 @@ object Multimodal {
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
     * Remit: UNKNOWN blobs only (codec-less formats and the text
     * stand-ins q37 uses) — BMP, WAV, PNG, GIF decode for real in
-    * [[HeaderCodec]] and baseline + progressive + lossless JPEG in
-    * [[JpegCodec]]; the remaining JPEG modes (arithmetic, 12-bit,
-    * hierarchical, multi-component lossless) also fall here, reported
-    * as 'stub' rather than half-decoded. */
+    * [[HeaderCodec]] and baseline + progressive + lossless +
+    * arithmetic-sequential JPEG in [[JpegCodec]]; the remaining JPEG
+    * modes (12-bit, hierarchical, multi-component lossless,
+    * progressive-arithmetic, arithmetic with restarts) also fall here,
+    * reported as 'stub' rather than half-decoded. */
   object FakeCodec {
     def decode(payload: Array[Byte]): (String, Int, Int) = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -183,7 +183,7 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("malformed-progressive and arithmetic-coded markers fall to None (stub path)") {
+  test("malformed-progressive marker falls to None; mislabeled SOF9 never crashes") {
     val b = MediaSynth.jpeg(0L)
     var i = 2
     while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0)) i += 1
@@ -192,8 +192,17 @@ class JpegCodecSpec extends AnyFunSuite {
     // fail closed, not half-decode
     val progressive = b.clone(); progressive(i + 1) = 0xc2.toByte
     assert(JpegCodec.decodeJpegPixels(progressive).isEmpty)
+    // SOF9 decodes for real now; a Huffman stream mislabeled as
+    // arithmetic is undetectable in general (the QM coder decodes any
+    // byte sequence), so the contract is: no crash, and any output is a
+    // well-formed raster of the declared dimensions
     val arithmetic = b.clone(); arithmetic(i + 1) = 0xc9.toByte
-    assert(JpegCodec.decodeJpegPixels(arithmetic).isEmpty)
+    JpegCodec.decodeJpegPixels(arithmetic).foreach { p =>
+      assert(p.rgb.length == 3 * p.width * p.height)
+    }
+    // a 12-bit-precision arithmetic frame stays out of remit
+    val hierarchical = b.clone(); hierarchical(i + 1) = 0xcb.toByte
+    assert(JpegCodec.decodeJpegPixels(hierarchical).isEmpty)
   }
 
   test("progressive DC-only generator decodes byte-exactly in all three variants") {
