@@ -90,7 +90,11 @@ object GraftExtensions {
     ("from_roman", "from_roman(s) - greedy front-parse of a roman numeral",
       1, a => FromRomanExpr(a.head)),
     ("cleanup_title", "cleanup_title(s) - OMIM C1 title cleanup pipeline",
-      1, a => CleanupTitleExpr(a.head)))
+      1, a => CleanupTitleExpr(a.head)),
+    ("nfc_normalize", "nfc_normalize(s) - UAX #15 canonical composition",
+      1, a => NfcNormalizeExpr(a.head)),
+    ("nfkc_normalize", "nfkc_normalize(s) - UAX #15 compatibility composition",
+      1, a => NfkcNormalizeExpr(a.head)))
 
   /** Wrap a builder with an arity check: a wrong argument count raises a
     * clear error carrying the usage string instead of surfacing an

@@ -136,4 +136,23 @@ object TextFunctions {
   /** Count of tokens that appear in `markers`. */
   def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  // ---- Unicode hygiene (UAX #15 normalization + invisible-char strip) ----
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** Unicode NFC normalization (codegen; [[graft.text.UnicodeNorm.nfc]]).
+    * Cross-engine parity with DuckDB's `nfc_normalize` pinned by q95. */
+  def nfcNormalize(c: Column): Column =
+    column(graft.expressions.NfcNormalizeExpr(expression(c)))
+
+  /** Unicode NFKC normalization (codegen). DuckDB has no NFKC, so this is
+    * pinned by UnicodeNormSpec against published UAX #15 foldings. */
+  def nfkcNormalize(c: Column): Column =
+    column(graft.expressions.NfkcNormalizeExpr(expression(c)))
+
+  /** Drop controls/zero-widths/BOM ([[graft.text.UnicodeNorm.StripPattern]]
+    * — same pattern string runs in the DuckDB oracle). */
+  def stripInvisibles(c: Column): Column =
+    regexp_replace(c, graft.text.UnicodeNorm.StripPattern, "")
 }

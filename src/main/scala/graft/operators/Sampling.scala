@@ -70,6 +70,28 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Weighted reservoir sampling (Efraimidis–Spirakis A-Res) with a
+    * deterministic reservoir: each row draws u ∈ (0,1] from the md5
+    * bucket of (seed ++ key) and keeps key ln(u)/w — a monotone transform
+    * of the A-Res priority u^(1/w), so the k LARGEST keys per group are
+    * exactly the A-Res reservoir, and heavier rows win proportionally
+    * more often. Same run → same sample (auditable corpus builds), and
+    * the DuckDB oracle replays the identical arithmetic.
+    *
+    * Selection is [[quotaPerGroup]] on the key, so Spark's
+    * WindowGroupLimit keeps ≤ k rows per group on the map side — the
+    * shuffle carries O(groups·k) rows, never the corpus: the reservoir
+    * property holds in the PLAN, not just the semantics. Weights must be
+    * strictly positive (u ≤ 1 makes ln(u)/w ≤ 0; w ≤ 0 would flip the
+    * ordering silently, so callers filter first). */
+  def weightedReservoir(df: DataFrame, keyCol: String, groupCol: String,
+                        weight: Column, k: Int, seed: String): DataFrame = {
+    val u = (hashBucket(col(keyCol), seed) + 1).cast("double") / Buckets.toDouble
+    val keyed = df.withColumn("__ares", log(u) / weight.cast("double"))
+    quotaPerGroup(keyed, groupCol, k, col("__ares").desc, col(keyCol).asc)
+      .drop("__ares")
+  }
+
   /** Deterministic training-order shuffle key: ORDER BY this column
     * (plus the key for tie stability) is a plain distributed range sort —
     * no global window, no driver state, same order every run. */

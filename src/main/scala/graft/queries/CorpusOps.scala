@@ -712,9 +712,35 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** Deterministic weighted reservoir (Efraimidis–Spirakis A-Res): 10
+    * docs per source, selection probability ∝ n_chars — the "prefer
+    * longer documents, but not deterministically the longest" sampling a
+    * curriculum/mixture build uses (contrast q53's hard top-k quota).
+    * The md5-driven priority replays exactly in the oracle; Spark-side
+    * selection is quotaPerGroup, so WindowGroupLimit keeps ≤ k rows per
+    * group map-side and the shuffle carries O(sources·k). */
+  val q97WeightedReservoir = QueryDef(
+    "q97_weighted_reservoir",
+    (s, d) =>
+      Sampling.weightedReservoir(Tables.documents(s, d), "doc_id", "source",
+          col("n_chars"), k = 10, seed = "s9")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "doc_id"),
+    Some(s"""
+      SELECT source, doc_id, n_chars
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY source
+        ORDER BY ln((${bucketSql("s9", "doc_id")} + 1) / 1000000.0)
+                   / n_chars::DOUBLE DESC,
+                 doc_id) <= 10
+      ORDER BY source, doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
     q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
-    q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless, q90EpochMix)
+    q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless, q90EpochMix,
+    q97WeightedReservoir)
 }

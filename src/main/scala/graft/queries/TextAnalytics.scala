@@ -700,9 +700,129 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Unicode hygiene: NFC normalization + invisible-char strip.
+    *
+    * The synthetic corpus is ASCII, so the query first derives an
+    * adversarial "dirty" twin deterministically IN BOTH ENGINES — every
+    * 'e' decomposed to e+COMBINING ACUTE (U+0301), a ZWSP after every
+    * space, a BOM up front — then strips invisibles and NFC-composes.
+    * The oracle replays the identical derivation with DuckDB's
+    * `nfc_normalize` (utf8proc), so the md5 of the cleaned text pins our
+    * JDK-Normalizer NFC byte-for-byte against an independent Unicode
+    * implementation. Map-only; one presentation sort. */
+  val q95UnicodeNormalize = QueryDef(
+    "q95_unicode_normalize",
+    (s, d) => {
+      val dirty = concat(lit("\ufeff"),
+        regexp_replace(
+          regexp_replace(col("text"), "e", "e\u0301"), " ", " \u200b"))
+      val clean = nfcNormalize(stripInvisibles(dirty))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(dirty).as("n_dirty"),
+          length(clean).as("n_clean"),
+          md5(clean).as("h_clean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               chr(65279) || regexp_replace(
+                 regexp_replace(text, 'e', 'e' || chr(769), 'g'),
+                 ' ', ' ' || chr(8203), 'g') AS dirty
+        FROM documents),
+      c AS (
+        SELECT doc_id, dirty,
+               nfc_normalize(regexp_replace(
+                 dirty, '${graft.text.UnicodeNorm.StripPattern}', '', 'g')) AS clean
+        FROM t)
+      SELECT doc_id, length(dirty) AS n_dirty, length(clean) AS n_clean,
+             md5(clean) AS h_clean
+      FROM c ORDER BY doc_id
+    """),
+    bench = true)
+
+  /** BM25 ranked retrieval (Robertson/Sparck Jones; the idf(+1) smoothing
+    * variant Lucene uses) for a fixed 3-term query, top 20 documents.
+    *
+    * Shape notes for 100 TB: per-term tf is `size(filter(tokens))` — a
+    * per-row array op, NO token explode/groupBy (the corpus never
+    * shuffles at token granularity); corpus stats (N, avgdl, df per
+    * term) are ONE aggregate row cross-joined back by broadcast; the
+    * top-k is `orderBy.limit`, which Spark executes as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 20·P
+    * rows), never a global sort; `row_number` runs on the 20 surviving
+    * rows only. Float determinism: both engines evaluate the identical
+    * association (constants pre-folded: k1=1.2, b=0.75 → 0.25/0.75), and
+    * scores round at 1e-6 far above ulp scale. */
+  val q96Bm25Rank = QueryDef(
+    "q96_bm25_rank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "query", "window")
+      val toks = tokens(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +: size(toks).cast("double").as("dl") +:
+          terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t")): _*)
+      val stats = base.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0))
+            .cast("double").as(s"df_$t")): _*)
+      val score = terms.map { t =>
+        val tf = col(s"tf_$t")
+        val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5)) + lit(1.0))
+        idf * (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val top = base.join(broadcast(stats))
+        .withColumn("score", score)
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> len(w) > 0))::DOUBLE AS dl,
+               len(list_filter(string_split(text, ' '), w -> w = 'spark'))::DOUBLE AS tf_spark,
+               len(list_filter(string_split(text, ' '), w -> w = 'query'))::DOUBLE AS tf_query,
+               len(list_filter(string_split(text, ' '), w -> w = 'window'))::DOUBLE AS tf_window
+        FROM documents),
+      stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+               sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
+               sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_query,
+               sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_window
+        FROM base),
+      scored AS (
+        SELECT doc_id,
+               ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                 * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df_query + 0.5) / (df_query + 0.5) + 1.0)
+                 * (tf_query * 2.2) / (tf_query + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                 * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+        FROM base CROSS JOIN stats),
+      top AS (
+        SELECT doc_id, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+             doc_id, round(score, 6) AS score
+      FROM top ORDER BY rank
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
     q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
-    q81UrlDedup, q85QualityClassifier)
+    q81UrlDedup, q85QualityClassifier, q95UnicodeNormalize, q96Bm25Rank)
 }

@@ -194,4 +194,25 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"decode path shuffles payloads ($exchanges):\n$p")
   }
+
+  test("q96: BM25 top-k is TakeOrdered, corpus stats broadcast, no token explode") {
+    val p = plan("q96_bm25_rank")
+    // the global top-20 must be per-partition heaps + driver merge,
+    // never a full sort or a corpus-wide single-partition window
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to sort:\n$p")
+    // one-row stats side joins by broadcast (BNLJ on a 1-row build is fine)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"stats not broadcast:\n$p")
+    // tf is per-row array math — a Generate here means the corpus explodes
+    // to token granularity and shuffles it
+    assert(!p.contains("Generate"), s"BM25 grew a token explode:\n$p")
+  }
+
+  test("q97: weighted reservoir keeps the map-side group limit") {
+    val p = plan("q97_weighted_reservoir")
+    // WindowGroupLimit prunes to ≤k rows per source BEFORE the exchange —
+    // without it the shuffle carries the whole corpus
+    assert(p.contains("WindowGroupLimit"), s"reservoir lost partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"reservoir went cartesian:\n$p")
+  }
 }

@@ -163,4 +163,43 @@ class SamplingSpec extends SparkSpec {
     val webN = mix.filter(col("mix_source") === "web").count().toDouble
     assert(math.abs(webN / web.count() - 0.5) < 0.07)
   }
+
+  test("weightedReservoir matches a driver-side replay of A-Res exactly") {
+    val k = 7
+    val got = Sampling.weightedReservoir(docs.filter(col("n_chars") > 0),
+        "doc_id", "source", col("n_chars"), k, "wr")
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    // independent replay of the same deterministic math on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(seed: String, key: Long): Long = {
+      val hex = md.digest(s"$seed$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val want = docs.filter(col("n_chars") > 0)
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)]
+      .collect().toSeq.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        rows.map { case (_, id, w) =>
+          val u = (bucket("wr", id) + 1).toDouble / 1000000.0
+          (id, math.log(u) / w.toDouble)
+        }.sortBy { case (id, key) => (-key, id) }.take(k).map(p => (src, p._1))
+      }.toSet
+    assert(got == want)
+    assert(got.groupBy(_._1).forall(_._2.size == k))
+  }
+
+  test("weightedReservoir prefers heavier rows proportionally, not rank-wise") {
+    // two weight classes in one group: heavy (w=1000) vs light (w=10).
+    // A-Res: heavy rows should dominate the reservoir but light rows must
+    // still appear across seeds (it's a sample, not a top-k).
+    val df = (1L to 2000L).map(i =>
+      (i, "g", if (i <= 1000) 1000L else 10L)).toDF("doc_id", "source", "w")
+    val picks = (1 to 5).flatMap { s =>
+      Sampling.weightedReservoir(df, "doc_id", "source", col("w"), 50, s"seed$s")
+        .select("doc_id").as[Long].collect()
+    }
+    val heavy = picks.count(_ <= 1000).toDouble / picks.size
+    assert(heavy > 0.85, s"heavy share $heavy")   // w-ratio 100:1 dominates
+    assert(picks.exists(_ > 1000), "light rows must still be sampleable")
+  }
 }
