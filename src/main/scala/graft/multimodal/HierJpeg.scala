@@ -1,0 +1,424 @@
+package graft.multimodal
+
+import JpegCodec.{BitReader, Huff, be16, extend, idctBlockRaw, u8}
+
+/** Hierarchical JPEG decode (ITU T.81 Annex J): a DHP-framed pyramid of
+  * frames, each either non-differential (codes the image, possibly at
+  * reduced resolution) or differential (codes a correction added to the
+  * reference built from prior frames), with EXP reference doubling
+  * between frames (J.1.1.2 interpolation: out(2u)=in(u),
+  * out(2u+1)=(in(u)+in(u+1)+1)>>1, last column/row replicated; when both
+  * dimensions expand, horizontal runs first — with the +1 rounding the
+  * order is observable, so it is pinned here and in the encoder/oracle).
+  *
+  * Remit (the rest falls to the deterministic stub via None):
+  *  - frames: SOF0 (sequential DCT) and SOF3 (lossless) non-differential;
+  *    SOF5 (differential sequential DCT) and SOF7 (differential lossless);
+  *    Huffman entropy coding; 8-bit precision;
+  *  - all components 1x1 sampling inside hierarchical frames, one SOS per
+  *    frame covering all of its components, no restart markers, no point
+  *    transform;
+  *  - differential lossless scans use no prediction (T.81: Ss=0 in
+  *    differential frames) and add modulo 2^16 to the reference (J.2.3);
+  *    DCT frames merge with the +128 level shift (non-differential) or a
+  *    plain signed add (differential) and clamp to [0,255] — references
+  *    for DCT hierarchies are P-precision sample arrays.
+  *
+  * Forged-header safety mirrors the single-frame path: the DHP-claimed
+  * pixel count is capped against the actual byte length before any
+  * reference plane allocates.
+  */
+object HierJpeg {
+
+  /** One reference component: real (unpadded) dims + full-precision
+    * samples. */
+  private final class Ref(var w: Int, var h: Int, var s: Array[Int])
+
+  /** J.1.1.2 doubling along one axis (horizontal when `horiz`). */
+  private def expand1d(in: Array[Int], w: Int, h: Int, horiz: Boolean): Array[Int] =
+    if (horiz) {
+      val out = new Array[Int](2 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val a = in(y * w + x)
+          val b = in(y * w + math.min(x + 1, w - 1))
+          out(y * 2 * w + 2 * x) = a
+          out(y * 2 * w + 2 * x + 1) = (a + b + 1) >> 1
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else {
+      val out = new Array[Int](w * 2 * h)
+      var y = 0
+      while (y < h) {
+        val yn = math.min(y + 1, h - 1)
+        var x = 0
+        while (x < w) {
+          val a = in(y * w + x)
+          val b = in(yn * w + x)
+          out(2 * y * w + x) = a
+          out((2 * y + 1) * w + x) = (a + b + 1) >> 1
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  def decode(b: Array[Byte]): Option[HeaderCodec.Pixels] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var fullW = 0; var fullH = 0
+    var dhpIds: Array[Int] = null
+    // insertion-ordered: assembly order is the DHP component order
+    val refs = scala.collection.mutable.LinkedHashMap.empty[Int, Ref]
+    // current frame (between its SOF and the end of its single scan)
+    var fW = 0; var fH = 0
+    var fIds: Array[Int] = null
+    var fTq: Array[Int] = null
+    var fDiff = false; var fLossless = false
+    var frameOpen = false
+    var i = 2
+
+    def mergeDct(id: Int, plane: Array[Int], planeW: Int): Boolean = {
+      if (fDiff) {
+        val r = refs.getOrElse(id, return false)
+        if (r.w != fW || r.h != fH) return false
+        var y = 0
+        while (y < fH) {
+          var x = 0
+          while (x < fW) {
+            val v = r.s(y * fW + x) + plane(y * planeW + x)
+            r.s(y * fW + x) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        if (refs.contains(id)) return false // second non-differential pass
+        val out = new Array[Int](fW * fH)
+        var y = 0
+        while (y < fH) {
+          var x = 0
+          while (x < fW) {
+            val v = 128 + plane(y * planeW + x)
+            out(y * fW + x) = if (v < 0) 0 else if (v > 255) 255 else v
+            x += 1
+          }
+          y += 1
+        }
+        refs(id) = new Ref(fW, fH, out)
+      }
+      true
+    }
+
+    def mergeLossless(id: Int, plane: Array[Int]): Boolean = {
+      if (fDiff) {
+        val r = refs.getOrElse(id, return false)
+        if (r.w != fW || r.h != fH) return false
+        var p = 0
+        while (p < fW * fH) {
+          r.s(p) = (r.s(p) + plane(p)) & 0xffff // J.2.3: modulo 2^16
+          p += 1
+        }
+      } else {
+        if (refs.contains(id)) return false
+        refs(id) = new Ref(fW, fH, plane)
+      }
+      true
+    }
+
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xff) return None
+      val marker = u8(b, i + 1)
+      i += 2
+      if (marker == 0xd8) return None // second SOI
+      val segStart = i
+      marker match {
+        case 0xde => // DHP: same syntax as SOF (B.3.2)
+          if (dhpIds != null || frameOpen) return None
+          val len = be16(b, segStart)
+          if (segStart + len > b.length || len < 8) return None
+          if (u8(b, segStart + 2) != 8) return None // precision
+          fullH = be16(b, segStart + 3); fullW = be16(b, segStart + 5)
+          val nc = u8(b, segStart + 7)
+          if (fullW <= 0 || fullH <= 0 || (nc != 1 && nc != 3)) return None
+          if (len < 8 + 3 * nc) return None
+          // DHP-claimed size is attacker-controlled: bound by byte length
+          val totalPx = fullW.toLong * fullH
+          if (totalPx > Int.MaxValue / 8 ||
+              totalPx > b.length.toLong * 2048L + 4096L) return None
+          dhpIds = Array.tabulate(nc)(c => u8(b, segStart + 8 + 3 * c))
+          if (dhpIds.distinct.length != nc) return None
+          i = segStart + len
+        case 0xdb => // DQT
+          val len = be16(b, segStart)
+          var p = segStart + 2
+          val end = segStart + len
+          if (end > b.length) return None
+          while (p < end) {
+            val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+            if (pq != 0 || tq > 3 || p + 65 > end) return None
+            qt(tq) = Array.tabulate(64)(k => u8(b, p + 1 + k))
+            p += 65
+          }
+          i = end
+        case 0xc4 => // DHT
+          val len = be16(b, segStart)
+          var p = segStart + 2
+          val end = segStart + len
+          if (end > b.length) return None
+          while (p < end) {
+            val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+            if (tc > 1 || th > 3 || p + 17 > end) return None
+            val counts = Array.tabulate(16)(k => u8(b, p + 1 + k))
+            val total = counts.sum
+            if (total > 256 || p + 17 + total > end) return None
+            val h = new Huff(counts, b.slice(p + 17, p + 17 + total))
+            if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+            p += 17 + total
+          }
+          i = end
+        case 0xdf => // EXP (B.3.3): expand all references for the next frame
+          if (dhpIds == null || frameOpen || refs.isEmpty) return None
+          val len = be16(b, segStart)
+          if (len != 3 || segStart + len > b.length) return None
+          val eh = u8(b, segStart + 2) >> 4; val ev = u8(b, segStart + 2) & 15
+          if (eh > 1 || ev > 1) return None
+          refs.valuesIterator.foreach { r =>
+            if (eh == 1) {
+              if (r.w.toLong * 2 * r.h > fullW.toLong * fullH * 4 + 65536) return None
+              r.s = expand1d(r.s, r.w, r.h, horiz = true); r.w *= 2
+            }
+            if (ev == 1) {
+              if (r.w.toLong * r.h * 2 > fullW.toLong * fullH * 4 + 65536) return None
+              r.s = expand1d(r.s, r.w, r.h, horiz = false); r.h *= 2
+            }
+          }
+          i = segStart + len
+        case m if m == 0xc0 || m == 0xc3 || m == 0xc5 || m == 0xc7 =>
+          // frame header: SOF0/SOF3 non-differential, SOF5/SOF7 differential
+          if (dhpIds == null || frameOpen) return None
+          fDiff = m == 0xc5 || m == 0xc7
+          fLossless = m == 0xc3 || m == 0xc7
+          val len = be16(b, segStart)
+          if (segStart + len > b.length || len < 8) return None
+          if (u8(b, segStart + 2) != 8) return None
+          fH = be16(b, segStart + 3); fW = be16(b, segStart + 5)
+          val nc = u8(b, segStart + 7)
+          if (fW <= 0 || fH <= 0 || fW > fullW || fH > fullH) return None
+          if (nc < 1 || nc > dhpIds.length || len < 8 + 3 * nc) return None
+          fIds = new Array[Int](nc); fTq = new Array[Int](nc)
+          var c = 0
+          while (c < nc) {
+            val o = segStart + 8 + 3 * c
+            fIds(c) = u8(b, o)
+            if (!dhpIds.contains(fIds(c))) return None
+            if (u8(b, o + 1) != 0x11) return None // remit: 1x1 sampling
+            fTq(c) = u8(b, o + 2)
+            if (fTq(c) > 3) return None
+            c += 1
+          }
+          if (fIds.distinct.length != nc) return None
+          frameOpen = true
+          i = segStart + len
+        case 0xdd => // DRI: parsed, but restarts are out of remit
+          if (segStart + 4 > b.length) return None
+          if (be16(b, segStart + 2) != 0) return None
+          i = segStart + be16(b, segStart)
+        case 0xda => // SOS: the frame's single scan, all components
+          if (!frameOpen) return None
+          val len = be16(b, segStart)
+          if (segStart + len > b.length) return None
+          val ns = u8(b, segStart + 2)
+          if (ns != fIds.length || len < 6 + 2 * ns) return None
+          val td = new Array[Int](ns); val ta = new Array[Int](ns)
+          var c = 0
+          while (c < ns) {
+            if (u8(b, segStart + 3 + 2 * c) != fIds(c)) return None
+            td(c) = u8(b, segStart + 4 + 2 * c) >> 4
+            ta(c) = u8(b, segStart + 4 + 2 * c) & 15
+            if (td(c) > 3 || ta(c) > 3) return None
+            c += 1
+          }
+          val ss = u8(b, segStart + 3 + 2 * ns)
+          val se = u8(b, segStart + 4 + 2 * ns)
+          val ah = u8(b, segStart + 5 + 2 * ns) >> 4
+          val al = u8(b, segStart + 5 + 2 * ns) & 15
+          if (ah != 0 || al != 0) return None
+          val br = new BitReader(b, segStart + len)
+          if (fLossless) {
+            // lossless scan: raster-interleaved samples (1x1 MCUs). A
+            // differential frame codes the correction directly (Ss=0, no
+            // prediction); a non-differential one runs the Annex H
+            // predictor walk.
+            if (fDiff) { if (ss != 0 || se != 0) return None }
+            else if (ss < 1 || ss > 7 || se != 0) return None
+            c = 0
+            while (c < ns) { if (dcTabs(td(c)) == null) return None; c += 1 }
+            val planes = Array.fill(ns)(new Array[Int](fW * fH))
+            var y = 0
+            while (y < fH) {
+              var x = 0
+              while (x < fW) {
+                c = 0
+                while (c < ns) {
+                  val t = dcTabs(td(c)).decode(br)
+                  if (t < 0 || t > 16) return None
+                  val diff =
+                    if (t == 0) 0
+                    else if (t == 16) 32768
+                    else {
+                      val v = br.receive(t)
+                      if (v == Int.MinValue) return None
+                      extend(v, t)
+                    }
+                  val plane = planes(c)
+                  val v =
+                    if (fDiff) diff & 0xffff
+                    else {
+                      val px =
+                        if (x == 0 && y == 0) 128
+                        else if (y == 0) plane(x - 1)
+                        else if (x == 0) plane((y - 1) * fW)
+                        else {
+                          val ra = plane(y * fW + x - 1)
+                          val rb = plane((y - 1) * fW + x)
+                          val rc = plane((y - 1) * fW + x - 1)
+                          ss match {
+                            case 1 => ra
+                            case 2 => rb
+                            case 3 => rc
+                            case 4 => ra + rb - rc
+                            case 5 => ra + ((rb - rc) >> 1)
+                            case 6 => rb + ((ra - rc) >> 1)
+                            case _ => (ra + rb) >> 1
+                          }
+                        }
+                      (px + diff) & 0xffff
+                    }
+                  plane(y * fW + x) = v
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            if (br.alignMarker() < 0) return None
+            c = 0
+            while (c < ns) {
+              if (!mergeLossless(fIds(c), planes(c))) return None
+              c += 1
+            }
+          } else {
+            // sequential DCT scan, interleaved 1x1 MCUs (one block per
+            // component), full band
+            if (ss != 0 || se != 63) return None
+            c = 0
+            while (c < ns) {
+              if (qt(fTq(c)) == null || dcTabs(td(c)) == null ||
+                  acTabs(ta(c)) == null) return None
+              c += 1
+            }
+            val bw = (fW + 7) / 8; val bh = (fH + 7) / 8
+            val planeW = bw * 8
+            val planes = Array.fill(ns)(new Array[Int](planeW * bh * 8))
+            val pred = new Array[Int](ns)
+            val coef = new Array[Int](64)
+            val tmp = new Array[Double](64)
+            var mcu = 0
+            while (mcu < bw * bh) {
+              val bx = mcu % bw; val by = mcu / bw
+              c = 0
+              while (c < ns) {
+                java.util.Arrays.fill(coef, 0)
+                val q = qt(fTq(c))
+                val t = dcTabs(td(c)).decode(br)
+                if (t < 0 || t > 11) return None
+                val diffBits = br.receive(t)
+                if (diffBits == Int.MinValue) return None
+                pred(c) += extend(diffBits, t)
+                coef(0) = pred(c) * q(0)
+                var k = 1
+                var done = false
+                while (!done && k < 64) {
+                  val rs = acTabs(ta(c)).decode(br)
+                  if (rs < 0) return None
+                  val r = rs >> 4; val sv = rs & 15
+                  if (sv == 0) {
+                    if (r == 15) k += 16 else done = true
+                  } else {
+                    k += r
+                    if (k > 63) return None
+                    val vv = br.receive(sv)
+                    if (vv == Int.MinValue) return None
+                    coef(JpegCodec.Zigzag(k)) = extend(vv, sv) * q(k)
+                    k += 1
+                  }
+                }
+                idctBlockRaw(coef, tmp, planes(c), planeW, bx, by)
+                c += 1
+              }
+              mcu += 1
+            }
+            if (br.alignMarker() < 0) return None
+            c = 0
+            while (c < ns) {
+              if (!mergeDct(fIds(c), planes(c), planeW)) return None
+              c += 1
+            }
+          }
+          frameOpen = false
+          // resume the marker loop at the marker the entropy segment
+          // stopped on
+          i = br.bytePos
+        case 0xd9 => // EOI: every DHP component present at full size
+          if (dhpIds == null || frameOpen || refs.size != dhpIds.length)
+            return None
+          dhpIds.foreach { id =>
+            val r = refs.getOrElse(id, return None)
+            if (r.w != fullW || r.h != fullH) return None
+          }
+          val rgb = new Array[Byte](3 * fullW * fullH)
+          if (dhpIds.length == 1) {
+            val s = refs(dhpIds(0)).s
+            var p = 0
+            while (p < fullW * fullH) {
+              val v = (if (s(p) < 0) 0 else if (s(p) > 255) 255 else s(p)).toByte
+              rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+              p += 1
+            }
+          } else {
+            val ys = refs(dhpIds(0)).s
+            val cbs = refs(dhpIds(1)).s
+            val crs = refs(dhpIds(2)).s
+            var p = 0
+            while (p < fullW * fullH) {
+              val lum = ys(p); val cbv = cbs(p) - 128; val crv = crs(p) - 128
+              val r = math.round(lum + 1.402 * crv).toInt
+              val g = math.round(lum - 0.344136 * cbv - 0.714136 * crv).toInt
+              val bl = math.round(lum + 1.772 * cbv).toInt
+              rgb(3 * p) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+              rgb(3 * p + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+              rgb(3 * p + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
+              p += 1
+            }
+          }
+          return Some(HeaderCodec.Pixels(fullW, fullH, rgb))
+        case m if (m >= 0xc1 && m <= 0xcf) || m == 0xd8 =>
+          return None // other frame types in a hierarchy: unsupported
+        case _ => // APPn / COM
+          val len = be16(b, segStart)
+          if (len < 2 || segStart + len > b.length) return None
+          i = segStart + len
+      }
+    }
+    None
+  }
+}

@@ -12,9 +12,11 @@ package graft.multimodal
   * Annex H predictor walk (all 7 predictors, exact samples, no DCT);
   * arithmetic-coded sequential (SOF9) adds the Annex D/E QM coder with
   * the F.1.4.4 DC/AC statistics models and DAC conditioning tables
-  * ([[QmCoder]]). 12-bit, hierarchical, multi-component-lossless,
-  * progressive-arithmetic, and arithmetic-with-restarts modes return
-  * None (stub fallback) — as does truncation or corruption anywhere.
+  * ([[QmCoder]]); hierarchical (DHP) streams dispatch to the Annex J
+  * multi-frame driver ([[HierJpeg]]). 12-bit, multi-component-lossless,
+  * progressive-arithmetic, arithmetic-with-restarts, and
+  * out-of-[[HierJpeg]]-remit hierarchical modes return None (stub
+  * fallback) — as does truncation or corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -41,7 +43,7 @@ object JpegCodec {
     0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16)
   }
 
-  private final class Huff(counts: Array[Int], vals: Array[Byte]) {
+  private[multimodal] final class Huff(counts: Array[Int], vals: Array[Byte]) {
     // canonical code assignment (T.81 C.2): firstCode/firstVal per length
     private val firstCode = new Array[Int](17)
     private val firstVal = new Array[Int](17)
@@ -72,7 +74,7 @@ object JpegCodec {
 
   /** MSB-first bit reader over the entropy-coded segment: un-stuffs
     * 0xFF00, stops (and records) at any real marker. */
-  private final class BitReader(b: Array[Byte], start: Int) {
+  private[multimodal] final class BitReader(b: Array[Byte], start: Int) {
     private var pos = start
     private var cur = 0
     private var cnt = 0
@@ -138,7 +140,7 @@ object JpegCodec {
     }
   }
 
-  private def extend(v: Int, s: Int): Int =
+  private[multimodal] def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
   /** Separable float IDCT of one dequantized block (natural order) into
@@ -170,6 +172,41 @@ object JpegCodec {
         val px = math.round(acc + 128.0).toInt
         val clamped = if (px < 0) 0 else if (px > 255) 255 else px
         plane((y0 + y) * planeW + (x0 + x)) = clamped.toByte
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  /** IDCT of one dequantized block into an Int plane WITHOUT the +128
+    * level shift or clamping — the form hierarchical differential frames
+    * need (T.81 J: differential samples are signed; shift/clamp happen at
+    * reference merge). Rounding is identical to [[idctBlock]]:
+    * floor(x+0.5) commutes with integer shifts, so
+    * idctBlock ≡ clamp(128 + idctBlockRaw). */
+  private[multimodal] def idctBlockRaw(coef: Array[Int], tmp: Array[Double],
+      out: Array[Int], planeW: Int, bx: Int, by: Int): Unit = {
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += CosTable(v)(y) * coef(v * 8 + u); v += 1 }
+        tmp(u * 8 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    val x0 = bx * 8; val y0 = by * 8
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var uu = 0
+        while (uu < 8) { acc += CosTable(uu)(x) * tmp(uu * 8 + y); uu += 1 }
+        out((y0 + y) * planeW + (x0 + x)) = math.round(acc).toInt
         y += 1
       }
       x += 1
@@ -218,8 +255,8 @@ object JpegCodec {
     HeaderCodec.Pixels(width, height, rgb)
   }
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private[multimodal] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[multimodal] def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var td = 0; var ta = 0
@@ -552,7 +589,16 @@ object JpegCodec {
           }
           i = end
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
-          return None // other extended/hierarchical modes: unsupported
+          return None // other extended modes: unsupported
+        case 0xde => // DHP: the stream is hierarchical (T.81 Annex J) —
+          // hand the WHOLE stream to the multi-frame driver. Before this
+          // dispatch existed, the skip-unknown-segment default silently
+          // decoded just the base frame of a pyramid and returned it as
+          // the image — wrong output, not fail-closed.
+          if (comps != null || sawScan) return None // DHP must precede frames
+          return HierJpeg.decode(b)
+        case 0xdf => // EXP outside a hierarchical stream: malformed
+          return None
         case 0xdd => // DRI
           if (segStart + 4 > b.length) return None
           restartInterval = be16(b, segStart + 2)

@@ -777,6 +777,139 @@ object MediaSynth {
     out.toByteArray
   }
 
+  // ---- hierarchical JPEG corpus (q58h): REAL ITU T.81 Annex J pyramids.
+  // Three variants by id % 3, all exact by construction so the oracle is
+  // a closed-form pixel formula:
+  //  0: grayscale pyramid — SOF0 base at half resolution (constant 8x8
+  //     blocks, DC-only exact), EXP(1,1) doubling, then a SOF7
+  //     differential-lossless correction whose samples are hierDetail
+  //     (signed, so negative-category coding is exercised); final pixel
+  //     = upsample(base) + detail, in [16, 239] by construction.
+  //  1: grayscale quality refinement — SOF0 at FULL resolution, then a
+  //     SOF5 differential-DCT frame at the same resolution (no EXP; legal
+  //     per J.1) adding a constant per-block delta; final pixel
+  //     = clamp(base + delta), so the [0,255] clamp path is exercised.
+  //  2: the color twin of variant 0 — 3 components 4:4:4, chroma constant
+  //     128 in the base and zero in the correction, so r=g=b=Y exactly
+  //     and the grayscale oracle formula carries over.
+
+  /** Base-layer block value for the pyramid variants: [32, 223], keeping
+    * upsample+detail inside [0, 255] with no wraparound. */
+  def hierBase(id: Long, bx: Int, by: Int): Int =
+    32 + jpegBlockGray(id, bx, by) % 192
+
+  /** Differential-lossless correction sample, in [-16, 16]. */
+  def hierDetail(id: Long, x: Int, y: Int): Int =
+    (((id + x + 2 * y) % 33) - 16).toInt
+
+  /** Differential-DCT per-block delta for variant 1, in [-30, 30]. */
+  def hierDelta(id: Long, bx: Int, by: Int): Int =
+    (((id * 5 + 7 * bx + 3 * by) % 61) - 30).toInt
+
+  /** One hierarchical JPEG (same dims family as [[jpeg]]). */
+  def hierJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val nc = if (variant == 2) 3 else 1
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def frameHeader(marker: Int, fw: Int, fh: Int): Unit = {
+      out.write(0xff); out.write(marker)
+      be16w(8 + 3 * nc); out.write(8); be16w(fh); be16w(fw); out.write(nc)
+      (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    }
+    def sos(ss: Int, se: Int): Unit = {
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * nc); out.write(nc)
+      (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write(0)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — BITS[4]=12, vals 0..11
+    be16w(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — one 2-bit EOB code
+    be16w(2 + 17 + 1); out.write(0x10)
+    Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00)
+    frameHeader(0xde, w, h) // DHP: the hierarchy's full dimensions
+
+    def dctScan(fw: Int, fh: Int, blockVal: (Int, Int) => Int,
+        levelShift: Int): Unit = {
+      sos(0, 63)
+      val bits = new JpegBits(out)
+      def putDc(diff: Int): Unit = {
+        val s = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bits.put(s, 4)
+        if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+      }
+      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
+      val pred = new Array[Int](nc)
+      var mcu = 0
+      while (mcu < bw * bh) {
+        val bx = mcu % bw; val by = mcu / bw
+        var c = 0
+        while (c < nc) {
+          // Y carries the pattern; chroma (c>0) is constant 128 in the
+          // base layer and zero in deltas — either way a zero DC coefficient
+          val dc = if (c == 0) 8 * (blockVal(bx, by) - levelShift) else 0
+          putDc(dc - pred(c)); pred(c) = dc
+          bits.put(0, 2) // EOB
+          c += 1
+        }
+        mcu += 1
+      }
+      bits.align()
+    }
+
+    def losslessDiffScan(fw: Int, fh: Int): Unit = {
+      sos(0, 0) // differential frame: Ss = 0 (no prediction)
+      val bits = new JpegBits(out)
+      def putDiff(diff: Int): Unit = {
+        val s = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bits.put(s, 4)
+        if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+      }
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          var c = 0
+          while (c < nc) {
+            putDiff(if (c == 0) hierDetail(id, x, y) else 0)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      bits.align()
+    }
+
+    if (variant == 1) {
+      frameHeader(0xc0, w, h)
+      dctScan(w, h, (bx, by) => jpegBlockGray(id, bx, by), levelShift = 128)
+      frameHeader(0xc5, w, h)
+      dctScan(w, h, (bx, by) => hierDelta(id, bx, by), levelShift = 0)
+    } else {
+      val w2 = w / 2; val h2 = h / 2
+      frameHeader(0xc0, w2, h2)
+      dctScan(w2, h2, (bx, by) => hierBase(id, bx, by), levelShift = 128)
+      out.write(0xff); out.write(0xdf) // EXP: double both dimensions
+      be16w(3); out.write(0x11)
+      frameHeader(0xc7, w, h)
+      losslessDiffScan(w, h)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

@@ -102,10 +102,13 @@ object Multimodal {
     * and WAV 16-bit PCM (pure byte math), PNG (JDK zlib + the five row
     * filters), GIF (pure-JVM LZW + palette), and baseline + progressive
     * JPEG (pure-JVM Huffman + dequant + IDCT, multi-scan coefficient
-    * accumulation for SOF2, Annex H predictor walk for SOF3 —
-    * [[JpegCodec]]). [[FakeCodec]]'s remit is now ONLY unknown blobs
-    * and the exotic JPEG modes (arithmetic, 12-bit, hierarchical,
-    * multi-component lossless), reported as format 'stub' with zeroed
+    * accumulation for SOF2, Annex H predictor walk for SOF3, Annex D/E
+    * QM arithmetic for SOF9 — [[JpegCodec]]), and hierarchical Annex J
+    * pyramids (DHP/EXP + SOF5/SOF7 differential frames — [[HierJpeg]]).
+    * [[FakeCodec]]'s remit is now ONLY unknown blobs and the residual
+    * exotic JPEG modes (12-bit precision, multi-component lossless,
+    * progressive-arithmetic, arithmetic-with-restarts, hierarchical
+    * frames outside the J remit), reported as format 'stub' with zeroed
     * stats.
     * Same partition-batched, shuffle-free shape as the other extraction
     * stages. */
