@@ -820,9 +820,58 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Sharded inverted-index construction: token → (df, cf, posting-list
+    * digest) with postings SHARDED by a doc-id hash before any list
+    * materializes. The scale contract: a posting list for a stopword in
+    * a 100 TB corpus is unboundedly long, so no operator may collect one
+    * token's postings into a single array — each (token, shard) group is
+    * ~1/N of the term's postings (bounded by choosing N per corpus
+    * size), exactly how a real IR index shards hot terms. Positions are
+    * 1-based within the empty-filtered token sequence. The digest (md5
+    * over the ordered "doc:pos" run) verifies the ENTIRE posting list
+    * content without shipping it to the output. */
+  val q98InvertedIndex = QueryDef(
+    "q98_inverted_index",
+    (s, d) => {
+      val shards = 4
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "token")))
+        .select(col("doc_id"), col("token"), (col("p0") + 1).as("pos"),
+          pmod(graft.operators.Sampling.hashBucket(col("doc_id"), "ix"),
+            lit(shards.toLong)).as("shard"))
+      toks.groupBy("token", "shard")
+        .agg(
+          count(lit(1)).as("cf"),
+          countDistinct(col("doc_id")).as("df"),
+          md5(concat_ws(",",
+            transform(
+              sort_array(collect_list(struct(col("doc_id"), col("pos")))),
+              e => concat(e("doc_id"), lit(":"), e("pos"))))).as("postings_md5"))
+        .orderBy("token", "shard")
+    },
+    Some(s"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(words) AS token,
+               generate_subscripts(words, 1) AS pos,
+               (('0x' || substr(md5('ix' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 1000000) % 4 AS shard
+        FROM toks0)
+      SELECT token, shard, count(*) AS cf, count(DISTINCT doc_id) AS df,
+             md5(string_agg(doc_id::VARCHAR || ':' || pos::VARCHAR, ','
+               ORDER BY doc_id, pos)) AS postings_md5
+      FROM toks GROUP BY token, shard
+      ORDER BY token, shard
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
     q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
-    q81UrlDedup, q85QualityClassifier, q95UnicodeNormalize, q96Bm25Rank)
+    q81UrlDedup, q85QualityClassifier, q95UnicodeNormalize, q96Bm25Rank,
+    q98InvertedIndex)
 }

@@ -320,6 +320,34 @@ object WebIngest {
     """),
     bench = true)
 
+  /** JSONL interchange round-trip: the documents table is written as
+    * newline-delimited JSON (the lingua franca corpora actually ship in —
+    * one object per line, splittable, streamable) and read back with an
+    * EXPLICIT schema, and the oracle pins the round-trip lossless against
+    * the original parquet. Schema-on-read discipline: `spark.read.json`
+    * without a schema costs a full inference pass over 100 TB and can
+    * silently widen types between runs, so the reader always passes the
+    * canonical StructType (a drifted field then fails loudly instead of
+    * reading as null-typed). The write is per-run scratch (temp dir,
+    * partitioned by Spark) — the exercise is the codec, not the sink
+    * location. */
+  val q99JsonlRoundtrip = QueryDef(
+    "q99_jsonl_roundtrip",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      Tables.documents(s, d).write.mode("overwrite").json(dir)
+      s.read.schema(Tables.documents(s, d).schema).json(dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
-    q94RobotsFilter)
+    q94RobotsFilter, q99JsonlRoundtrip)
 }

@@ -208,6 +208,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"BM25 grew a token explode:\n$p")
   }
 
+  test("q98: inverted index groups by (token, shard) — never token alone") {
+    val p = plan("q98_inverted_index")
+    // the shard key must survive into the aggregate grouping: without it
+    // one stopword's postings all land in a single group and the
+    // collect_list is unbounded at corpus scale
+    assert(p.contains("shard"), s"shard key lost from the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"index build went cartesian:\n$p")
+  }
+
   test("q97: weighted reservoir keeps the map-side group limit") {
     val p = plan("q97_weighted_reservoir")
     // WindowGroupLimit prunes to ≤k rows per source BEFORE the exchange —
