@@ -31,6 +31,24 @@ object Dedup {
       .agg(min(id).as("rep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
 
+  /** Incremental exact dedup: keep the batch rows that survive (a)
+    * keep-first within the batch (smallest `ord` per fingerprint) and
+    * (b) an anti-join against the standing fingerprint index — the daily
+    * shape of a crawl pipeline, where yesterday's corpus is an index of
+    * fingerprints, never re-read as documents. `index` needs only an
+    * `fp` column, so at 100 TB it is the skinny fingerprint store
+    * (16 bytes/doc), not the corpus; both the within-batch quota
+    * (WindowGroupLimit partial top-k) and the anti-join shuffle on fp.
+    * Order of (a)/(b) is observable only for batch groups whose
+    * fingerprint is already indexed — all of those die in (b) either
+    * way. */
+  def incrementalExactDedup(index: DataFrame, batch: DataFrame,
+                            text: Column, ord: Column): DataFrame = {
+    val keyed = batch.withColumn("fp", fingerprint(text))
+    val firsts = Sampling.quotaPerGroup(keyed, "fp", 1, ord.asc)
+    firsts.join(index.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   /** Per-document banded MinHash signature rows: (id, band, band_hash).
     * `numBands * rowsPerBand` affine hash permutations over ONE md5 pass
     * per shingle (TextFunctions.shingleHash — the md5 is the dominant cost,

@@ -92,6 +92,29 @@ object Sampling {
       .drop("__ares")
   }
 
+  /** Leakage-safe train/val/test assignment: the split is a hash of the
+    * GROUP (domain, source, url-host…), not the row, so near-duplicates
+    * that share a group can never straddle a split boundary — the
+    * classic eval-contamination failure of row-hash splits. Map-only
+    * (the group value hashes in place; no join, no shuffle) and stable
+    * under corpus growth: a group keeps its split forever, so refreshing
+    * the corpus never migrates yesterday's eval docs into train.
+    * `fracs` are (name, fraction) in priority order; fractions must sum
+    * to ≤ 1 and any remainder falls to the LAST split. */
+  def groupedSplit(df: DataFrame, groupCol: String, seed: String,
+                   fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = hashBucket(col(groupCol), seed)
+    val cuts = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * Buckets))
+    val expr = fracs.zip(cuts).init.foldRight(
+      lit(fracs.last._1): Column) { case (((name, _), cut), acc) =>
+      when(bucket < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic training-order shuffle key: ORDER BY this column
     * (plus the key for tie stability) is a plain distributed range sort —
     * no global window, no driver state, same order every run. */

@@ -59,4 +59,47 @@ object Sketches {
       .groupBy(gcols.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** KMV hash-space size: hashes are uniform in [0, 2^60). 2^60 is
+    * exactly representable as a double, so the estimator arithmetic is
+    * bit-identical across engines. */
+  val KmvSpace: Double = math.pow(2, 60)
+
+  /** Uniform 60-bit hash of a distinct-counting key (same md5-prefix
+    * scheme as every cross-engine hash here). */
+  def kmvHash(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** KMV (k minimum values) distinct sketch per group: the k smallest
+    * distinct key hashes. Unlike HLL it supports set INTERSECTION
+    * estimates and its merge is just "k smallest of the union"
+    * (kmvMergeEstimate / SketchesSpec pin that property), and unlike
+    * exact countDistinct its state is O(k) per group. Plan shape: the
+    * distinct collapses map-side, then [[Sampling.quotaPerGroup]] keeps
+    * ≤ k rows per group BEFORE the shuffle (WindowGroupLimit) — at
+    * 100 TB the exchange carries O(groups·k) hashes. Returns
+    * (group, n_kept, kth, est_nd): est = (k-1)·2^60/kth, the standard
+    * KMV estimator, deterministic because the hash is. Groups with
+    * < k distinct keys report their exact count (n_kept) and est from
+    * the largest kept hash. */
+  def kmvSketch(df: DataFrame, groupCol: String, key: Column, k: Int,
+                seed: String): DataFrame = {
+    val hashed = df.select(col(groupCol), kmvHash(key, seed).as("h")).distinct()
+    Sampling.quotaPerGroup(hashed, groupCol, k, col("h").asc)
+      .groupBy(groupCol)
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_kept"))
+      .select(col(groupCol), col("n_kept"), col("kth"),
+        round(lit((k - 1).toDouble) * lit(KmvSpace) / col("kth").cast("double"), 0)
+          .cast("long").as("est_nd"))
+  }
+
+  /** Merge two KMV k-sets (arrays of hashes) and estimate the union's
+    * distinct count — the driver-side mergeability primitive the spec
+    * pins against a sketch built on the concatenated input. */
+  def kmvMergeEstimate(a: Seq[Long], b: Seq[Long], k: Int): (Seq[Long], Long) = {
+    val merged = (a ++ b).distinct.sorted.take(k)
+    val est = math.round((k - 1).toDouble * KmvSpace / merged.last.toDouble)
+    (merged, est)
+  }
 }

@@ -737,10 +737,32 @@ object CorpusOps {
     """),
     bench = true)
 
+  /** Leakage-safe train/val/test split: the assignment hashes the GROUP
+    * (here `source`, standing in for url-host/domain), so near-dups
+    * sharing a group can never straddle a split — the contamination mode
+    * a row-hash split invites. Map-only (no join/shuffle before the
+    * presentation sort) and stable under growth: a group keeps its split
+    * across corpus refreshes. 80/10/10 with remainder to test. */
+  val q101GroupedSplit = QueryDef(
+    "q101_grouped_split",
+    (s, d) =>
+      Sampling.groupedSplit(Tables.documents(s, d), "source", "sp1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, source,
+             CASE WHEN ${bucketSql("sp1", "source")} < 800000 THEN 'train'
+                  WHEN ${bucketSql("sp1", "source")} < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
     q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
     q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless, q90EpochMix,
-    q97WeightedReservoir)
+    q97WeightedReservoir, q101GroupedSplit)
 }

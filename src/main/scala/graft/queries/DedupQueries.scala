@@ -700,7 +700,63 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** Incremental cross-version dedup — the daily crawl shape: a standing
+    * fingerprint INDEX (yesterday's corpus, 16 bytes/doc, never re-read
+    * as text) plus today's batch containing (a) re-crawls of indexed
+    * docs (whitespace-perturbed, same fingerprint), (b) within-batch
+    * duplicate pairs, and (c) genuinely new docs. Survivors = keep-first
+    * within the batch, then anti-join against the index
+    * ([[graft.operators.Dedup.incrementalExactDedup]]). The batch here
+    * derives deterministically from documents: doc_id%3==0 re-crawls an
+    * indexed doc (dies), %3==1 appears twice (one survives), %3==2 is
+    * new (survives). */
+  val q100IncrementalDedup = QueryDef(
+    "q100_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = docs.select(
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val recrawl = docs.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 500000).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+      val twice = docs.filter(col("doc_id") % 3 === 1).select(
+        col("doc_id"), concat(col("text"), lit(" fresh")).as("text"))
+      val twiceB = twice.select((col("doc_id") + 600000).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 3 === 2).select(
+        (col("doc_id") + 700000).as("doc_id"),
+        concat(col("text"), lit(" novel")).as("text"))
+      val batch = recrawl.unionByName(twice).unionByName(twiceB).unionByName(fresh)
+      Dedup.incrementalExactDedup(index, batch, col("text"), col("doc_id"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH index_fp AS (
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      batch AS (
+        SELECT doc_id + 500000 AS doc_id, replace(text, ' ', '  ') AS text
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, text || ' fresh' FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id + 600000, text || ' fresh' FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id + 700000, text || ' novel' FROM documents WHERE doc_id % 3 = 2),
+      keyed AS (
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM batch),
+      firsts AS (
+        SELECT doc_id, fp FROM keyed
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+      SELECT doc_id, fp FROM firsts
+      WHERE fp NOT IN (SELECT fp FROM index_fp)
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
+    q100IncrementalDedup,
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup,
     q88NearDupClusters, q66Decontaminate,

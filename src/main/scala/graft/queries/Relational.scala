@@ -554,11 +554,55 @@ object Relational {
       ORDER BY l_returnflag
     """))
 
+  /** KMV (k minimum values) distinct sketch per group — the third
+    * mergeable sketch in the family (HLL q56b, count-min q62): O(k)
+    * state, supports set intersection, merge = k smallest of the union
+    * (property pinned in SketchesSpec). The md5-driven hash makes the
+    * whole sketch DETERMINISTIC, so unlike HLL the oracle replays kth
+    * hash, kept count, and the (k-1)·2^60/kth estimate exactly; the
+    * exact distinct count rides along as the accuracy anchor (within
+    * the ±k^-1/2-ish KMV error, asserted as a boolean so the compare
+    * stays exact). */
+  val q56cKmvDistinct = QueryDef(
+    "q56c_kmv_distinct",
+    (s, d) => {
+      val k = 64
+      val sk = graft.operators.Sketches.kmvSketch(
+        Tables.lineitem(s, d), "l_returnflag", col("l_partkey"), k, "kmv")
+      val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+      sk.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_kept"), col("kth"), col("est_nd"),
+          (abs(col("est_nd").cast("double") / col("exact_nd") - 1.0) <= 0.4)
+            .as("in_bound"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT DISTINCT l_returnflag,
+               ('0x' || substr(md5('kmv' || l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM lineitem),
+      kept AS (
+        SELECT l_returnflag, h FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h) <= 64),
+      sk AS (
+        SELECT l_returnflag, count(*) AS n_kept, max(h) AS kth,
+               round(63.0 * 1152921504606846976.0 / max(h)::DOUBLE)::BIGINT AS est_nd
+        FROM kept GROUP BY l_returnflag),
+      exact AS (
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT sk.l_returnflag, n_kept, kth, est_nd,
+             abs(est_nd::DOUBLE / exact_nd - 1.0) <= 0.4 AS in_bound
+      FROM sk JOIN exact USING (l_returnflag)
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
-    q56bApproxDistinctSketch)
+    q56bApproxDistinctSketch, q56cKmvDistinct)
 }

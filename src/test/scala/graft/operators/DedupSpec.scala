@@ -255,4 +255,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got2.toSeq == Seq((0L, 6L), (15L, 21L)), s"got ${got2.toSeq}")
   }
+
+  test("incrementalExactDedup: keep-first within batch, then anti vs index") {
+    val index = Seq((100L, "already indexed doc")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (1L, "already  indexed doc"),   // ws re-crawl of an indexed doc: dies
+      (2L, "brand new doc"),          // survives
+      (3L, "brand  new doc"),         // within-batch dup of 2: dies (2 first)
+      (4L, "another new doc"))        // survives
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExactDedup(index, batch, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 4L), s"got $got")
+  }
 }

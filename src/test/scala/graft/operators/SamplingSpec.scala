@@ -188,6 +188,38 @@ class SamplingSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == k))
   }
 
+  test("groupedSplit: every group lands wholly in one split, fractions hold") {
+    val df = (1L to 6000L).map(i => (i, s"host${i % 300}"))
+      .toDF("doc_id", "host")
+    val split = Sampling.groupedSplit(df, "host", "sp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    // leakage safety: a group is never divided
+    val perGroup = split.groupBy("host")
+      .agg(countDistinct(col("split")).as("n")).agg(max("n")).as[Long].head()
+    assert(perGroup == 1L, "a group straddles a split boundary")
+    // fractions are met at the GROUP level (300 groups, ±10 pp)
+    val byName = split.select("host", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byName("train") / 300.0 - 0.8) < 0.1, byName.toString)
+    assert(byName.values.sum == 300L)
+    // stability under growth: adding rows never reassigns a group
+    val grown = Sampling.groupedSplit(
+      df.unionByName((6001L to 9000L).map(i => (i, s"host${i % 300}"))
+        .toDF("doc_id", "host")),
+      "host", "sp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val before = split.select("host", "split").distinct()
+      .as[(String, String)].collect().toMap
+    val after = grown.select("host", "split").distinct()
+      .as[(String, String)].collect().toMap
+    assert(before.forall { case (h, sp) => after(h) == sp })
+  }
+
+  test("groupedSplit rejects fractions that do not sum to 1") {
+    assertThrows[IllegalArgumentException] {
+      Sampling.groupedSplit(docs, "source", "sp", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("weightedReservoir prefers heavier rows proportionally, not rank-wise") {
     // two weight classes in one group: heavy (w=1000) vs light (w=10).
     // A-Res: heavy rows should dominate the reservoir but light rows must

@@ -66,4 +66,46 @@ class SketchesSpec extends SparkSpec {
     val m = merged.as[(Int, Long, Long)].collect().toSet
     assert(m == w, "cell-wise merge of disjoint partitions differs from the whole-stream sketch")
   }
+
+  test("KMV estimate lands near the truth and small groups are exact") {
+    val df = (1L to 5000L).map(i => (if (i % 10 == 0) "big" else "small", i))
+      .toDF("g", "k")
+    // 'big': 500 distinct; 'small': 4500 distinct — both >> k = 64
+    val sk = Sketches.kmvSketch(df, "g", col("k"), 64, "s")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(sk("big")._2 == 64 && sk("small")._2 == 64)
+    assert(math.abs(sk("big")._4.toDouble / 500.0 - 1.0) < 0.4, sk("big").toString)
+    assert(math.abs(sk("small")._4.toDouble / 4500.0 - 1.0) < 0.4, sk("small").toString)
+    // a group with fewer than k distinct keys keeps them ALL: exact count
+    val tiny = Sketches.kmvSketch(
+      (1L to 20L).map(i => ("t", i % 7)).toDF("g", "k"), "g", col("k"), 64, "s")
+      .as[(String, Long, Long, Long)].head()
+    assert(tiny._2 == 7)
+  }
+
+  test("KMV merges as 'k smallest of the union' (set semantics, order-free)") {
+    val all = (1L to 3000L)
+    val hashed = all.map(i => (i, s"s$i")).toDF("k", "raw")
+      .select(Sketches.kmvHash(col("k"), "mg").as("h"))
+      .as[Long].collect().sorted.toSeq
+    val aSet = all.filter(_ % 2 == 0).map(i => (i, 0)).toDF("k", "z")
+      .select(Sketches.kmvHash(col("k"), "mg").as("h")).as[Long].collect()
+      .sorted.take(64).toSeq
+    val bSet = all.filter(_ % 3 == 0).map(i => (i, 0)).toDF("k", "z")
+      .select(Sketches.kmvHash(col("k"), "mg").as("h")).as[Long].collect()
+      .sorted.take(64).toSeq
+    val (merged, est) = Sketches.kmvMergeEstimate(aSet, bSet, 64)
+    // the union stream's own sketch over the same keys
+    val unionKeys = (all.filter(_ % 2 == 0) ++ all.filter(_ % 3 == 0)).distinct
+    val direct = unionKeys.map(i => (i, 0)).toDF("k", "z")
+      .select(Sketches.kmvHash(col("k"), "mg").as("h")).as[Long].collect()
+      .sorted.take(64).toSeq
+    assert(merged == direct,
+      "merged k-set differs from the union stream's sketch")
+    assert(math.abs(est.toDouble / unionKeys.size - 1.0) < 0.4)
+    // hashes used above really are the engine's: first value matches
+    assert(hashed.take(1).head == all.map(i => (i, 0)).toDF("k", "z")
+      .select(Sketches.kmvHash(col("k"), "mg").as("h"))
+      .orderBy("h").as[Long].head())
+  }
 }
