@@ -294,6 +294,61 @@ object Multimodal {
     }
   }
 
+  /** Downsampled-audio summary row; format 'stub' for non-PCM payloads. */
+  final case class AudioResampleRow(media_id: Long, format: String,
+                                    channels: Int, in_rate: Int, out_rate: Int,
+                                    n_out: Long, sum_out: Long,
+                                    min_out: Int, max_out: Int)
+
+  /** Integer-factor audio downsample (boxcar/mean decimation): per
+    * channel, each run of `factor` consecutive FRAMES averages into one
+    * output sample (floor division — Math.floorDiv, so negative PCM
+    * rounds toward -inf identically in the DuckDB oracle's
+    * floor(sum/F)). The box mean is the standard anti-aliasing
+    * pre-filter for integer decimation; a trailing partial box is
+    * dropped (out frames = inFrames/factor). Same stateless
+    * mapPartitions shape as [[audioHash]] — map-only at any scale,
+    * batch ≡ readStream. */
+  def resampleAudio(media: Dataset[MediaRow], factor: Int): Dataset[AudioResampleRow] = {
+    require(factor >= 1)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        HeaderCodec.decodeWavSamples(r.payload) match {
+          case Some(pcm) =>
+            val ch = pcm.channels
+            val inFrames = pcm.samples.length / ch
+            val outFrames = inFrames / factor
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var t = 0
+            while (t < outFrames) {
+              var c = 0
+              while (c < ch) {
+                var acc = 0L
+                var i = 0
+                while (i < factor) {
+                  acc += pcm.samples((t * factor + i) * ch + c)
+                  i += 1
+                }
+                val v = Math.floorDiv(acc, factor.toLong).toInt
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                c += 1
+              }
+              t += 1
+            }
+            if (outFrames == 0) AudioResampleRow(r.media_id, "wav", ch,
+              pcm.sampleRate, pcm.sampleRate / factor, 0L, 0L, 0, 0)
+            else AudioResampleRow(r.media_id, "wav", ch, pcm.sampleRate,
+              pcm.sampleRate / factor, outFrames.toLong * ch, sum, mn, mx)
+          case None =>
+            AudioResampleRow(r.media_id, "stub", 0, 0, 0, 0L, 0L, 0, 0)
+        }
+      }
+    }
+  }
+
   /** One sampled video frame's perceptual fingerprint. */
   final case class FrameHashRow(media_id: Long, frame_idx: Int,
                                 n_sampled: Int, dhash: String)

@@ -750,9 +750,54 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Integer-factor audio downsample (mean/boxcar decimation by 4) over
+    * real RIFF/WAV payloads — the audio leg of the resize family (q89 is
+    * the image leg): decode 16-bit PCM, average each run of 4 frames per
+    * channel with floor division, summarize. The oracle recomputes every
+    * output sample from the generator's closed form, including the
+    * channel interleave and the floor-toward-negative-infinity rounding
+    * on negative PCM (DuckDB's `//` truncates, so the oracle floors in
+    * double — exact at these magnitudes). Map-only, stateless — the
+    * batch ≡ readStream shape shared with audioHash. */
+  val q102AudioResample = QueryDef(
+    "q102_audio_resample",
+    (s, d) =>
+      Multimodal.resampleAudio(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.wav), 4)
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, (1 + media_id % 2)::INT AS ch,
+               (8000 + media_id % 1000)::INT AS rate,
+               (50 + media_id % 60)::INT AS frames
+        FROM ids),
+      g AS (
+        SELECT d.*, t.t, c.c
+        FROM d, (SELECT unnest(range(0, 28)) AS t) t,
+                (SELECT unnest(range(0, 2)) AS c) c
+        WHERE t.t < frames // 4 AND c.c < ch),
+      v AS (
+        SELECT media_id, ch, rate,
+          floor((
+              ((media_id*31 + ((t*4 + 0)*ch + c)*17) % 65536) - 32768
+            + ((media_id*31 + ((t*4 + 1)*ch + c)*17) % 65536) - 32768
+            + ((media_id*31 + ((t*4 + 2)*ch + c)*17) % 65536) - 32768
+            + ((media_id*31 + ((t*4 + 3)*ch + c)*17) % 65536) - 32768
+          )::DOUBLE / 4)::INT AS v
+        FROM g)
+      SELECT media_id, 'wav' AS format, any_value(ch) AS channels,
+             any_value(rate) AS in_rate, (any_value(rate) // 4)::INT AS out_rate,
+             count(*)::BIGINT AS n_out, sum(v)::BIGINT AS sum_out,
+             min(v)::INT AS min_out, max(v)::INT AS max_out
+      FROM v GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
     q75ImageNearDup, q89ImageResize,
-    q79AudioNearDup, q82VideoNearDup)
+    q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

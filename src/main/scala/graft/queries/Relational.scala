@@ -598,11 +598,89 @@ object Relational {
       ORDER BY l_returnflag
     """))
 
+  /** One-pass table profiler (the ANALYZE/data-quality shape): null
+    * count, exact ndv, and min/max for six lineitem columns computed in
+    * a SINGLE aggregate over one scan, then melted to one row per column
+    * with `stack`. At 100 TB this is the maintenance-job formulation —
+    * one pass, map-side partials, no per-column rescans (the oracle's
+    * UNION ALL branches all read one shared aggregate CTE for the same
+    * reason). min/max travel as strings via date-cast for the timestamp
+    * (identical rendering in both engines) and shortest-round-trip
+    * doubles elsewhere. */
+  val q103TableProfile = QueryDef(
+    "q103_table_profile",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def metrics(c: String, p: String,
+          repr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
+        countDistinct(col(c)).as(s"${p}_nd"),
+        repr(min(col(c))).cast("string").as(s"${p}_mn"),
+        repr(max(col(c))).cast("string").as(s"${p}_mx"))
+      val ident = (x: org.apache.spark.sql.Column) => x
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        (metrics("l_returnflag", "rf", ident) ++
+          metrics("l_linestatus", "ls", ident) ++
+          metrics("l_linenumber", "ln", ident) ++
+          metrics("l_quantity", "qt", ident) ++
+          metrics("l_extendedprice", "ep", ident) ++
+          metrics("l_shipdate", "sd", _.cast("date"))): _*)
+      a.selectExpr(
+        """stack(6,
+          'l_returnflag',    rf_nl, rf_nd, rf_mn, rf_mx,
+          'l_linestatus',    ls_nl, ls_nd, ls_mn, ls_mx,
+          'l_linenumber',    ln_nl, ln_nd, ln_mn, ln_mx,
+          'l_quantity',      qt_nl, qt_nd, qt_mn, qt_mx,
+          'l_extendedprice', ep_nl, ep_nd, ep_mn, ep_mx,
+          'l_shipdate',      sd_nl, sd_nd, sd_mn, sd_mx)
+          AS (col_name, n_null, ndv, min_v, max_v)""",
+        "n")
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH a AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS rf_nl,
+          count(DISTINCT l_returnflag)::BIGINT AS rf_nd,
+          min(l_returnflag)::VARCHAR AS rf_mn, max(l_returnflag)::VARCHAR AS rf_mx,
+          sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS ls_nl,
+          count(DISTINCT l_linestatus)::BIGINT AS ls_nd,
+          min(l_linestatus)::VARCHAR AS ls_mn, max(l_linestatus)::VARCHAR AS ls_mx,
+          sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)::BIGINT AS ln_nl,
+          count(DISTINCT l_linenumber)::BIGINT AS ln_nd,
+          min(l_linenumber)::VARCHAR AS ln_mn, max(l_linenumber)::VARCHAR AS ln_mx,
+          sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS qt_nl,
+          count(DISTINCT l_quantity)::BIGINT AS qt_nd,
+          min(l_quantity)::VARCHAR AS qt_mn, max(l_quantity)::VARCHAR AS qt_mx,
+          sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS ep_nl,
+          count(DISTINCT l_extendedprice)::BIGINT AS ep_nd,
+          min(l_extendedprice)::VARCHAR AS ep_mn, max(l_extendedprice)::VARCHAR AS ep_mx,
+          sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS sd_nl,
+          count(DISTINCT l_shipdate)::BIGINT AS sd_nd,
+          min(l_shipdate)::DATE::VARCHAR AS sd_mn, max(l_shipdate)::DATE::VARCHAR AS sd_mx
+        FROM lineitem)
+      SELECT col_name, n_null, ndv, min_v, max_v, n FROM (
+        SELECT 'l_returnflag' AS col_name, rf_nl AS n_null, rf_nd AS ndv,
+               rf_mn AS min_v, rf_mx AS max_v, n FROM a
+        UNION ALL
+        SELECT 'l_linestatus', ls_nl, ls_nd, ls_mn, ls_mx, n FROM a
+        UNION ALL
+        SELECT 'l_linenumber', ln_nl, ln_nd, ln_mn, ln_mx, n FROM a
+        UNION ALL
+        SELECT 'l_quantity', qt_nl, qt_nd, qt_mn, qt_mx, n FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', ep_nl, ep_nd, ep_mn, ep_mx, n FROM a
+        UNION ALL
+        SELECT 'l_shipdate', sd_nl, sd_nd, sd_mn, sd_mx, n FROM a)
+      ORDER BY col_name
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
-    q56bApproxDistinctSketch, q56cKmvDistinct)
+    q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile)
 }
