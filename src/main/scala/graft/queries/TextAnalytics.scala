@@ -759,7 +759,6 @@ object TextAnalytics {
   val q96Bm25Rank = QueryDef(
     "q96_bm25_rank",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val terms = Seq("spark", "query", "window")
       val toks = tokens(col("text"))
       val base = Tables.documents(s, d).select(
@@ -777,13 +776,11 @@ object TextAnalytics {
         idf * (tf * lit(2.2)) /
           (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
       }.reduce(_ + _)
-      val top = base.join(broadcast(stats))
+      val scored = base.join(broadcast(stats))
         .withColumn("score", score)
         .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
-      top.withColumn("rank",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      graft.operators.Windows.topKRank(scored, 20, "rank",
+          col("score").desc, col("doc_id"))
         .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("rank")
     },
