@@ -268,4 +268,31 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("probe_id"), col("id"), col("cos"))
   }
+
+  /** Deterministic ±1 sign row `k` of the Johnson–Lindenstrauss
+    * projection matrix: sign(i) = +1 iff the first md5 byte of
+    * "<seed>|k|i" is odd. A public, engine-independent derivation — the
+    * plan embeds the rows as literal arrays and the oracle embeds the
+    * SAME literals, so the projection is pinned end to end. */
+  def jlSigns(k: Int, dim: Int, seed: String): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      if ((md.digest(s"$seed|$k|$i".getBytes("UTF-8"))(0) & 1) == 1) 1.0
+      else -1.0
+    }
+  }
+
+  /** Random ±1 projection (Achlioptas/JL) of a `dim`-vector column to
+    * `outDims` columns p0..p(outDims-1): p_k = <v, signs_k>. The cheap
+    * dimensionality-reduction front of an ANN ladder — sign matrices
+    * need no storage (rederived from the seed anywhere), each output is
+    * ONE codegen [[graft.functions.VectorFunctions.dot]] against a
+    * broadcast-free literal array, and the whole projection is a
+    * map-only stage. Distances are preserved to 1±ε with the usual JL
+    * bound (ε ~ sqrt(ln n / outDims)). */
+  def randomProjection(vec: org.apache.spark.sql.Column, outDims: Int,
+                       dim: Int, seed: String): Seq[org.apache.spark.sql.Column] =
+    (0 until outDims).map { k =>
+      dot(vec, array(jlSigns(k, dim, seed).map(lit): _*)).as(s"p$k")
+    }
 }

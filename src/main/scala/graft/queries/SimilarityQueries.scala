@@ -285,6 +285,42 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** Random ±1 (Johnson–Lindenstrauss) projection 64 → 8 dims — the
+    * storage-free dimensionality-reduction front of the ANN ladder: sign
+    * rows rederive from the seed anywhere, each output dim is one
+    * codegen dot against a literal array, the stage is map-only. The
+    * oracle embeds the IDENTICAL sign literals (both sides call
+    * [[graft.operators.Similarity.jlSigns]] at plan/SQL build time) and
+    * `list_dot_product`'s left-to-right accumulation matches the
+    * DotProduct kernel bit-for-bit, so projections round-trip exactly at
+    * 1e-6. */
+  val q105RandomProjection = QueryDef(
+    "q105_random_projection",
+    (s, d) => {
+      val ps = Similarity.randomProjection(col("e"), outDims = 8, dim = 64,
+        seed = "jl7")
+      emb(s, d)
+        .select(col("vec_id") +: ps: _*)
+        .select(col("vec_id") +:
+          (0 until 8).map(k => round(col(s"p$k"), 6).as(s"p$k")): _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val rows = (0 until 8).map { k =>
+        val lits = Similarity.jlSigns(k, 64, "jl7")
+          .map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+        s"round(list_dot_product(e, [$lits]::DOUBLE[]), 6) AS p$k"
+      }.mkString(",\n             ")
+      s"""
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      SELECT vec_id,
+             $rows
+      FROM emb
+      ORDER BY vec_id
+      """
+    },
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
-    q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh)
+    q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection)
 }

@@ -865,10 +865,49 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** Character-distribution Shannon entropy — the compression-proxy
+    * quality signal (low entropy ⇒ repetitive/degenerate text, high ⇒
+    * natural): H = -Σ p(c)·ln p(c) over the a-z + space alphabet.
+    * Per-character counts come from the length-after-removal identity
+    * (len(text) - len(translate(text, c, ''))) — 27 codegen'd passes per
+    * row, no explode, no shuffle; the oracle evaluates the SAME term
+    * sequence left to right so the float sum associates identically. */
+  val q104CharEntropy = QueryDef(
+    "q104_char_entropy",
+    (s, d) => {
+      val alphabet = ('a' to 'z').map(_.toString) :+ " "
+      val len = length(col("text")).cast("double")
+      val terms = alphabet.map { ch =>
+        val cnt = (length(col("text")) -
+          length(translate(col("text"), ch, ""))).cast("double")
+        when(cnt > 0, -(cnt / len) * log(cnt / len)).otherwise(lit(0.0))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n"),
+          round(terms.reduce(_ + _), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val alphabet = ('a' to 'z').map(_.toString) :+ " "
+      val terms = alphabet.map { ch =>
+        val lit = if (ch == " ") "chr(32)" else s"'$ch'"
+        s"""CASE WHEN len(text) - len(replace(text, $lit, '')) > 0
+           THEN -((len(text) - len(replace(text, $lit, '')))::DOUBLE / len(text))
+                * ln((len(text) - len(replace(text, $lit, '')))::DOUBLE / len(text))
+           ELSE 0.0 END"""
+      }.mkString("\n           + ")
+      s"""
+      SELECT doc_id, len(text) AS n,
+             round($terms, 6) AS entropy
+      FROM documents
+      ORDER BY doc_id
+      """
+    })
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
     q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
     q81UrlDedup, q85QualityClassifier, q95UnicodeNormalize, q96Bm25Rank,
-    q98InvertedIndex)
+    q98InvertedIndex, q104CharEntropy)
 }
