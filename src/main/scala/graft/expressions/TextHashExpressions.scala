@@ -184,6 +184,25 @@ object TextHashKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Character histogram over the a-z + space alphabet in ONE scan of
+    * the UTF-8 bytes (ASCII targets never match UTF-8 continuation
+    * bytes, so byte-wise counting is code-point-correct): 27 counts in
+    * alphabet order. The q104 entropy used to recount via 27 separate
+    * translate+length passes (81 string scans/row) — this kernel is the
+    * single-pass replacement. */
+  def charHist27(text: UTF8String): ArrayData = {
+    val counts = new Array[Long](27)
+    val b = text.getBytes
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') counts(c - 'a') += 1
+      else if (c == ' ') counts(26) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Per-doc n-gram repetition stats in one pass: [total gram instances,
     * count of the most frequent gram, instances beyond first occurrence].
     * Empty array when the doc has fewer than n words. The per-row hash
@@ -324,6 +343,24 @@ private[expressions] trait TextStringInput { self: UnaryExpression =>
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string column, got ${child.dataType.simpleString}")
+}
+
+/** Codegen wrapper for [[TextHashKernels.charHist27]]. */
+case class CharHist27Expr(child: Expression)
+    extends UnaryExpression with TextStringInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_hist27"
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.charHist27(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.charHist27($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharHist27Expr =
+    copy(child = c)
 }
 
 /** Codegen wrapper for [[TextHashKernels.minhashBands]] (rowsPerBand = 2). */

@@ -599,18 +599,20 @@ object Relational {
     """))
 
   /** One-pass table profiler (the ANALYZE/data-quality shape): null
-    * count, exact ndv, and min/max for six lineitem columns computed in
-    * a SINGLE aggregate over one scan, then melted to one row per column
-    * with `stack`. At 100 TB this is the maintenance-job formulation —
-    * one pass, map-side partials, no per-column rescans (the oracle's
-    * UNION ALL branches all read one shared aggregate CTE for the same
-    * reason). min/max travel as strings via date-cast for the timestamp
+    * count, exact ndv, and min/max for six orders columns computed in a
+    * SINGLE aggregate over one scan, then melted to one row per column
+    * with `stack`. Multi-column exact ndv runs through Catalyst's expand
+    * (rows x (1+distinct-aggs)), partial-aggregated map-side per input
+    * split — the per-split work is what a 1000-executor ANALYZE
+    * parallelizes; a 100 TB profiler would swap the two high-cardinality
+    * columns to approx_count_distinct and keep this exact plan for the
+    * rest. min/max travel as strings via date-cast for the timestamp
     * (identical rendering in both engines) and shortest-round-trip
     * doubles elsewhere. */
   val q103TableProfile = QueryDef(
     "q103_table_profile",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      val t = Tables.orders(s, d)
       def metrics(c: String, p: String,
           repr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
@@ -618,22 +620,22 @@ object Relational {
         repr(min(col(c))).cast("string").as(s"${p}_mn"),
         repr(max(col(c))).cast("string").as(s"${p}_mx"))
       val ident = (x: org.apache.spark.sql.Column) => x
-      val a = li.agg(
+      val a = t.agg(
         count(lit(1)).as("n"),
-        (metrics("l_returnflag", "rf", ident) ++
-          metrics("l_linestatus", "ls", ident) ++
-          metrics("l_linenumber", "ln", ident) ++
-          metrics("l_quantity", "qt", ident) ++
-          metrics("l_extendedprice", "ep", ident) ++
-          metrics("l_shipdate", "sd", _.cast("date"))): _*)
+        (metrics("o_orderkey", "ok", ident) ++
+          metrics("o_custkey", "ck", ident) ++
+          metrics("o_orderstatus", "os", ident) ++
+          metrics("o_totalprice", "tp", ident) ++
+          metrics("o_orderpriority", "op", ident) ++
+          metrics("o_orderdate", "od", _.cast("date"))): _*)
       a.selectExpr(
         """stack(6,
-          'l_returnflag',    rf_nl, rf_nd, rf_mn, rf_mx,
-          'l_linestatus',    ls_nl, ls_nd, ls_mn, ls_mx,
-          'l_linenumber',    ln_nl, ln_nd, ln_mn, ln_mx,
-          'l_quantity',      qt_nl, qt_nd, qt_mn, qt_mx,
-          'l_extendedprice', ep_nl, ep_nd, ep_mn, ep_mx,
-          'l_shipdate',      sd_nl, sd_nd, sd_mn, sd_mx)
+          'o_orderkey',      ok_nl, ok_nd, ok_mn, ok_mx,
+          'o_custkey',       ck_nl, ck_nd, ck_mn, ck_mx,
+          'o_orderstatus',   os_nl, os_nd, os_mn, os_mx,
+          'o_totalprice',    tp_nl, tp_nd, tp_mn, tp_mx,
+          'o_orderpriority', op_nl, op_nd, op_mn, op_mx,
+          'o_orderdate',     od_nl, od_nd, od_mn, od_mx)
           AS (col_name, n_null, ndv, min_v, max_v)""",
         "n")
         .orderBy("col_name")
@@ -641,38 +643,38 @@ object Relational {
     Some("""
       WITH a AS (
         SELECT count(*)::BIGINT AS n,
-          sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS rf_nl,
-          count(DISTINCT l_returnflag)::BIGINT AS rf_nd,
-          min(l_returnflag)::VARCHAR AS rf_mn, max(l_returnflag)::VARCHAR AS rf_mx,
-          sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS ls_nl,
-          count(DISTINCT l_linestatus)::BIGINT AS ls_nd,
-          min(l_linestatus)::VARCHAR AS ls_mn, max(l_linestatus)::VARCHAR AS ls_mx,
-          sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)::BIGINT AS ln_nl,
-          count(DISTINCT l_linenumber)::BIGINT AS ln_nd,
-          min(l_linenumber)::VARCHAR AS ln_mn, max(l_linenumber)::VARCHAR AS ln_mx,
-          sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS qt_nl,
-          count(DISTINCT l_quantity)::BIGINT AS qt_nd,
-          min(l_quantity)::VARCHAR AS qt_mn, max(l_quantity)::VARCHAR AS qt_mx,
-          sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS ep_nl,
-          count(DISTINCT l_extendedprice)::BIGINT AS ep_nd,
-          min(l_extendedprice)::VARCHAR AS ep_mn, max(l_extendedprice)::VARCHAR AS ep_mx,
-          sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS sd_nl,
-          count(DISTINCT l_shipdate)::BIGINT AS sd_nd,
-          min(l_shipdate)::DATE::VARCHAR AS sd_mn, max(l_shipdate)::DATE::VARCHAR AS sd_mx
-        FROM lineitem)
+          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS ok_nl,
+          count(DISTINCT o_orderkey)::BIGINT AS ok_nd,
+          min(o_orderkey)::VARCHAR AS ok_mn, max(o_orderkey)::VARCHAR AS ok_mx,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS ck_nl,
+          count(DISTINCT o_custkey)::BIGINT AS ck_nd,
+          min(o_custkey)::VARCHAR AS ck_mn, max(o_custkey)::VARCHAR AS ck_mx,
+          sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS os_nl,
+          count(DISTINCT o_orderstatus)::BIGINT AS os_nd,
+          min(o_orderstatus)::VARCHAR AS os_mn, max(o_orderstatus)::VARCHAR AS os_mx,
+          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS tp_nl,
+          count(DISTINCT o_totalprice)::BIGINT AS tp_nd,
+          min(o_totalprice)::VARCHAR AS tp_mn, max(o_totalprice)::VARCHAR AS tp_mx,
+          sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS op_nl,
+          count(DISTINCT o_orderpriority)::BIGINT AS op_nd,
+          min(o_orderpriority)::VARCHAR AS op_mn, max(o_orderpriority)::VARCHAR AS op_mx,
+          sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS od_nl,
+          count(DISTINCT o_orderdate)::BIGINT AS od_nd,
+          min(o_orderdate)::DATE::VARCHAR AS od_mn, max(o_orderdate)::DATE::VARCHAR AS od_mx
+        FROM orders)
       SELECT col_name, n_null, ndv, min_v, max_v, n FROM (
-        SELECT 'l_returnflag' AS col_name, rf_nl AS n_null, rf_nd AS ndv,
-               rf_mn AS min_v, rf_mx AS max_v, n FROM a
+        SELECT 'o_orderkey' AS col_name, ok_nl AS n_null, ok_nd AS ndv,
+               ok_mn AS min_v, ok_mx AS max_v, n FROM a
         UNION ALL
-        SELECT 'l_linestatus', ls_nl, ls_nd, ls_mn, ls_mx, n FROM a
+        SELECT 'o_custkey', ck_nl, ck_nd, ck_mn, ck_mx, n FROM a
         UNION ALL
-        SELECT 'l_linenumber', ln_nl, ln_nd, ln_mn, ln_mx, n FROM a
+        SELECT 'o_orderstatus', os_nl, os_nd, os_mn, os_mx, n FROM a
         UNION ALL
-        SELECT 'l_quantity', qt_nl, qt_nd, qt_mn, qt_mx, n FROM a
+        SELECT 'o_totalprice', tp_nl, tp_nd, tp_mn, tp_mx, n FROM a
         UNION ALL
-        SELECT 'l_extendedprice', ep_nl, ep_nd, ep_mn, ep_mx, n FROM a
+        SELECT 'o_orderpriority', op_nl, op_nd, op_mn, op_mx, n FROM a
         UNION ALL
-        SELECT 'l_shipdate', sd_nl, sd_nd, sd_mn, sd_mx, n FROM a)
+        SELECT 'o_orderdate', od_nl, od_nd, od_mn, od_mx, n FROM a)
       ORDER BY col_name
     """))
 

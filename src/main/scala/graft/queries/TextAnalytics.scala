@@ -868,21 +868,25 @@ object TextAnalytics {
   /** Character-distribution Shannon entropy — the compression-proxy
     * quality signal (low entropy ⇒ repetitive/degenerate text, high ⇒
     * natural): H = -Σ p(c)·ln p(c) over the a-z + space alphabet.
-    * Per-character counts come from the length-after-removal identity
-    * (len(text) - len(translate(text, c, ''))) — 27 codegen'd passes per
-    * row, no explode, no shuffle; the oracle evaluates the SAME term
-    * sequence left to right so the float sum associates identically. */
+    * Per-character counts come from ONE pass over the UTF-8 bytes (the
+    * codegen [[graft.expressions.CharHist27Expr]] histogram kernel — the
+    * 27-separate-translate formulation cost 81 string scans per row and
+    * benched 8-10 s at sf0.1; the histogram is ~40x fewer character
+    * touches); the entropy terms then read the 27 counts in alphabet
+    * order, and the oracle evaluates the SAME term sequence left to
+    * right so the float sum associates identically. */
   val q104CharEntropy = QueryDef(
     "q104_char_entropy",
     (s, d) => {
-      val alphabet = ('a' to 'z').map(_.toString) :+ " "
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val hist = column(graft.expressions.CharHist27Expr(expression(col("text"))))
       val len = length(col("text")).cast("double")
-      val terms = alphabet.map { ch =>
-        val cnt = (length(col("text")) -
-          length(translate(col("text"), ch, ""))).cast("double")
+      val terms = (0 until 27).map { i =>
+        val cnt = element_at(col("h"), i + 1).cast("double")
         when(cnt > 0, -(cnt / len) * log(cnt / len)).otherwise(lit(0.0))
       }
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), hist.as("h"))
         .select(col("doc_id"), length(col("text")).as("n"),
           round(terms.reduce(_ + _), 6).as("entropy"))
         .orderBy("doc_id")
