@@ -12,11 +12,13 @@ package graft.multimodal
   * Annex H predictor walk (all 7 predictors, exact samples, no DCT);
   * arithmetic-coded sequential (SOF9) adds the Annex D/E QM coder with
   * the F.1.4.4 DC/AC statistics models and DAC conditioning tables
-  * ([[QmCoder]]); hierarchical (DHP) streams dispatch to the Annex J
-  * multi-frame driver ([[HierJpeg]]). 12-bit, multi-component-lossless,
-  * progressive-arithmetic, arithmetic-with-restarts, and
-  * out-of-[[HierJpeg]]-remit hierarchical modes return None (stub
-  * fallback) — as does truncation or corruption anywhere.
+  * ([[QmCoder]]); lossless also covers 3-component 1x1 INTERLEAVED
+  * scans (per-channel predictor chains + JFIF YCbCr); hierarchical
+  * (DHP) streams dispatch to the Annex J multi-frame driver
+  * ([[HierJpeg]]). 12-bit, progressive-arithmetic,
+  * arithmetic-with-restarts, and out-of-[[HierJpeg]]-remit hierarchical
+  * modes return None (stub fallback) — as does truncation or corruption
+  * anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -643,65 +645,94 @@ object JpegCodec {
             // DIFFERENCES — no DCT, no quantization, so dimensions need
             // not be block multiples and every sample is exact. ss is the
             // predictor selector (1..7), al the point transform. Remit:
-            // single-component non-interleaved scans at 8-bit precision
-            // without restart markers (multi-component lossless MCUs stay
-            // with the stub, honestly).
-            if (comps.length != 1) return None // multi-component lossless: stub
-            if (ns != 1 || restartInterval != 0) return None
+            // 8-bit precision, no restart markers; single-component
+            // non-interleaved scans (with point transform), or 3-component
+            // 1x1 INTERLEAVED scans (al = 0; one sample per component per
+            // MCU, H.2 — each component predicts from its own plane).
+            if (ns != comps.length || restartInterval != 0) return None
+            if (comps.length != 1 && comps.length != 3) return None
+            if (comps.length == 3 &&
+                (comps.exists(c => c.h != 1 || c.v != 1) || al != 0)) return None
             if (ss < 1 || ss > 7 || se != 0 || ah != 0 || al > 7) return None
-            val cc = scanComps(0)
-            if (dcTabs(cc.td) == null) return None
+            if (scanComps.exists(sc => dcTabs(sc.td) == null)) return None
             val br = new BitReader(b, entry)
-            val raster = new Array[Int](width * height)
+            val nsC = scanComps.length
+            val planes = Array.fill(nsC)(new Array[Int](width * height))
             val defaultPred = 1 << (7 - al)
             var y = 0
             while (y < height) {
               var x = 0
               while (x < width) {
-                val t = dcTabs(cc.td).decode(br)
-                if (t < 0 || t > 16) return None
-                val diff =
-                  if (t == 0) 0
-                  else if (t == 16) 32768 // T.81 H.2: category 16 carries no bits
-                  else {
-                    val v = br.receive(t)
-                    if (v == Int.MinValue) return None
-                    extend(v, t)
-                  }
-                // T.81 H.1.2: first sample predicts the midpoint; the rest
-                // of the first LINE predicts Ra; first COLUMN predicts Rb;
-                // everywhere else the scan-selected predictor, over
-                // RECONSTRUCTED neighbors in the point-transformed domain.
-                // /2 is an arithmetic shift right per the spec note.
-                val px =
-                  if (x == 0 && y == 0) defaultPred
-                  else if (y == 0) raster(x - 1)
-                  else if (x == 0) raster((y - 1) * width)
-                  else {
-                    val ra = raster(y * width + x - 1)
-                    val rb = raster((y - 1) * width + x)
-                    val rc = raster((y - 1) * width + x - 1)
-                    ss match {
-                      case 1 => ra
-                      case 2 => rb
-                      case 3 => rc
-                      case 4 => ra + rb - rc
-                      case 5 => ra + ((rb - rc) >> 1)
-                      case 6 => rb + ((ra - rc) >> 1)
-                      case _ => (ra + rb) >> 1
+                var ci = 0
+                while (ci < nsC) {
+                  val t = dcTabs(scanComps(ci).td).decode(br)
+                  if (t < 0 || t > 16) return None
+                  val diff =
+                    if (t == 0) 0
+                    else if (t == 16) 32768 // T.81 H.2: category 16 carries no bits
+                    else {
+                      val v = br.receive(t)
+                      if (v == Int.MinValue) return None
+                      extend(v, t)
                     }
-                  }
-                raster(y * width + x) = (px + diff) & 0xffff // modulo 2^16
+                  // T.81 H.1.2: first sample predicts the midpoint; the rest
+                  // of the first LINE predicts Ra; first COLUMN predicts Rb;
+                  // everywhere else the scan-selected predictor, over
+                  // RECONSTRUCTED neighbors in the point-transformed domain.
+                  // /2 is an arithmetic shift right per the spec note.
+                  val raster = planes(ci)
+                  val px =
+                    if (x == 0 && y == 0) defaultPred
+                    else if (y == 0) raster(x - 1)
+                    else if (x == 0) raster((y - 1) * width)
+                    else {
+                      val ra = raster(y * width + x - 1)
+                      val rb = raster((y - 1) * width + x)
+                      val rc = raster((y - 1) * width + x - 1)
+                      ss match {
+                        case 1 => ra
+                        case 2 => rb
+                        case 3 => rc
+                        case 4 => ra + rb - rc
+                        case 5 => ra + ((rb - rc) >> 1)
+                        case 6 => rb + ((ra - rc) >> 1)
+                        case _ => (ra + rb) >> 1
+                      }
+                    }
+                  raster(y * width + x) = (px + diff) & 0xffff // modulo 2^16
+                  ci += 1
+                }
                 x += 1
               }
               y += 1
             }
+            // fail closed on trailing truncation, like the DCT paths
+            if (!br.atEoi()) return None
             val rgb = new Array[Byte](3 * width * height)
-            var p = 0
-            while (p < width * height) {
-              val v = ((raster(p) << al) & 0xff).toByte
-              rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
-              p += 1
+            if (nsC == 1) {
+              val raster = planes(0)
+              var p = 0
+              while (p < width * height) {
+                val v = ((raster(p) << al) & 0xff).toByte
+                rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+                p += 1
+              }
+            } else {
+              // JFIF 3-component: YCbCr, same transform as the DCT paths
+              val ys = planes(0); val cbs = planes(1); val crs = planes(2)
+              var p = 0
+              while (p < width * height) {
+                val lum = ys(p) & 0xff
+                val cbv = (cbs(p) & 0xff) - 128
+                val crv = (crs(p) & 0xff) - 128
+                val r = math.round(lum + 1.402 * crv).toInt
+                val g = math.round(lum - 0.344136 * cbv - 0.714136 * crv).toInt
+                val bl = math.round(lum + 1.772 * cbv).toInt
+                rgb(3 * p) = (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+                rgb(3 * p + 1) = (if (g < 0) 0 else if (g > 255) 255 else g).toByte
+                rgb(3 * p + 2) = (if (bl < 0) 0 else if (bl > 255) 255 else bl).toByte
+                p += 1
+              }
             }
             return Some(HeaderCodec.Pixels(width, height, rgb))
           }

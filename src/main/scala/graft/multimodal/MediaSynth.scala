@@ -695,6 +695,80 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** Chroma-red plane for the color-lossless corpus: a gentle ±4 ripple
+    * around neutral so every channel exercises its own predictor chain
+    * while the YCbCr→RGB outputs stay clamped-free and closed-form. */
+  def losslessCr(id: Long, x: Int, y: Int): Int =
+    (124 + (id + 3 * x + y) % 9).toInt
+
+  /** One 3-component INTERLEAVED lossless JPEG (T.81 H.2 MCUs: one
+    * sample per component at each raster position, all 1x1 sampling):
+    * Y = [[losslessGray]], Cb = 128 constant, Cr = [[losslessCr]].
+    * Same predictor sweep and Huffman table as [[losslessJpeg]]; each
+    * component predicts from ITS OWN reconstructed plane. */
+  def losslessColorJpeg(id: Long): Array[Byte] = {
+    val w = losslessWidth(id); val h = losslessHeight(id)
+    val pred = (1 + id % 7).toInt
+    val chan: Array[(Int, Int) => Int] = Array(
+      (x, y) => losslessGray(id, x, y),
+      (_, _) => 128,
+      (x, y) => losslessCr(id, x, y))
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xc3) // SOF3 lossless, 3 components
+    be16w(8 + 9); out.write(8); be16w(h); be16w(w); out.write(3)
+    (1 to 3).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — BITS[4]=10, vals 0..9
+    be16w(2 + 17 + 10); out.write(0x00)
+    Array(0, 0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 10).foreach(out.write)
+    out.write(0xff); out.write(0xda) // SOS: all 3 comps, Ss = predictor
+    be16w(6 + 6); out.write(3)
+    (1 to 3).foreach { c => out.write(c); out.write(0x00) }
+    out.write(pred); out.write(0); out.write(0)
+
+    val bits = new JpegBits(out)
+    def putDiff(diff: Int): Unit = {
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.put(s, 4)
+      if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val f = chan(c)
+          val px =
+            if (x == 0 && y == 0) 128
+            else if (y == 0) f(x - 1, 0)
+            else if (x == 0) f(0, y - 1)
+            else {
+              val ra = f(x - 1, y); val rb = f(x, y - 1); val rc = f(x - 1, y - 1)
+              pred match {
+                case 1 => ra
+                case 2 => rb
+                case 3 => rc
+                case 4 => ra + rb - rc
+                case 5 => ra + ((rb - rc) >> 1)
+                case 6 => rb + ((ra - rc) >> 1)
+                case _ => (ra + rb) >> 1
+              }
+            }
+          putDiff(f(x, y) - px)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bits.align()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** One arithmetic-coded sequential JPEG (SOF9, T.81 Annex D QM coder +
     * F.1.4.4 statistics): same dims, variants (grayscale / 4:4:4 /
     * 4:2:0), all-ones quant, and constant-block gray formula as

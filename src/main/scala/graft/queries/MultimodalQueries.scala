@@ -795,9 +795,56 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** 3-component INTERLEAVED lossless (SOF3) decode — the
+    * "multi-component lossless" slice that previously fell to the stub:
+    * H.2 MCUs of one sample per component, each channel running its own
+    * predictor chain (all seven predictors across the corpus), then the
+    * JFIF YCbCr→RGB transform. Cb is neutral and Cr a ±4 ripple chosen
+    * so no rounding input lands on an exact .5 (Scala's floor(x+.5) and
+    * DuckDB's half-away-from-zero agree everywhere the corpus reaches)
+    * while the red channel still exercises the [0,255] clamp. */
+  val q58iColorLosslessDecode = QueryDef(
+    "q58i_color_lossless_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.losslessColorJpeg))
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id, (13 + media_id % 9)::INT AS w,
+               (11 + media_id % 7)::INT AS h
+        FROM ids),
+      px AS (
+        SELECT d.media_id, d.w, d.h,
+               ((d.media_id*37 + 11*gx.x + 23*gy.y + 3*gx.x*gy.y) % 256) AS lum,
+               ((d.media_id + 3*gx.x + gy.y) % 9) - 4 AS crv
+        FROM d, (SELECT unnest(range(0, 21)) AS x) gx,
+                (SELECT unnest(range(0, 17)) AS y) gy
+        WHERE gx.x < d.w AND gy.y < d.h),
+      rgb AS (
+        SELECT media_id, w, h,
+               LEAST(255, GREATEST(0, round(lum + 1.402 * crv)))::INT AS r,
+               LEAST(255, GREATEST(0, round(lum - 0.714136 * crv)))::INT AS g,
+               lum::INT AS b
+        FROM px)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             sum(r + g + b)::BIGINT AS sum_values,
+             min(LEAST(r, g, b))::INT AS min_value,
+             max(GREATEST(r, g, b))::INT AS max_value,
+             sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+             sum(b)::BIGINT AS sum_b
+      FROM rgb GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
+    q58iColorLosslessDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }
