@@ -678,11 +678,41 @@ object Relational {
       ORDER BY col_name
     """))
 
+  /** Per-group OLS regression aggregates (extendedprice ~ quantity per
+    * return flag) — Spark-first: the built-in regr_* aggregate family
+    * (regr_slope/intercept/r2/count, SQL:2003) in one partial-aggregated
+    * pass, mirrored by DuckDB's identical builtins. Cross-engine float
+    * note: the co-moment accumulations associate differently per engine,
+    * but at 6M rows the relative drift (~1e-12) sits far below the 1e-6
+    * rounding, and slope/r2 are RATIOS of co-moments so scale cancels. */
+  val q106GroupRegression = QueryDef(
+    "q106_group_regression",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n_pairs"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             regr_count(l_extendedprice, l_quantity) AS n_pairs
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
-    q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile)
+    q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile,
+    q106GroupRegression)
 }

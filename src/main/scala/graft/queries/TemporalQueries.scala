@@ -180,6 +180,62 @@ object TemporalQueries {
     """),
     bench = true)
 
+  /** Conversion funnel (view → click → purchase, each stage within 24 h
+    * of the prior) — the sequential-pattern query of product analytics.
+    * Expressed as three chained min-aggregates, NOT a per-user ordered
+    * window: each stage is a filter + groupBy(user) min(ts) + join back,
+    * so the heavy side shuffles at most once per stage on user_id and
+    * partial aggs collapse map-side — per-user event history length
+    * never enters a sort. Users missing a stage (or outside the window)
+    * report the stages they did reach (1/2/3). */
+  val q107Funnel = QueryDef(
+    "q107_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stages"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts::TIMESTAMP) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > v.t_view
+          AND e.ts::TIMESTAMP <= v.t_view + INTERVAL 24 HOUR
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.t_click
+          AND e.ts::TIMESTAMP <= c.t_click + INTERVAL 24 HOUR
+        GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+             1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+               + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stages
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id
+    """),
+    bench = true)
+
   def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
-    q60cAsofForward, q61RangeJoin)
+    q60cAsofForward, q61RangeJoin, q107Funnel)
 }
