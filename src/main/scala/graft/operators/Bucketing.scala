@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Bucketed-table helpers for shuffle-free co-located joins.
   *
@@ -26,4 +26,30 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Z-order (Morton) key of two non-negative dimension columns, `bits`
+    * bits each (≤ 31): bit i of `a` lands at output bit 2i, bit i of `b`
+    * at 2i+1, so a RANGE SORT on the key interleaves both dimensions —
+    * the data-layout primitive behind Delta/Iceberg Z-ORDER BY: files
+    * written in z-key order are simultaneously clustered on BOTH
+    * columns, and min/max file statistics prune scans for predicates on
+    * either one. Pure integer column algebra (42 codegen'd bit terms for
+    * 21 bits), reproduced term-for-term by the SQL oracle; callers
+    * pre-reduce dimensions into [0, 2^bits) (e.g. `% (1<<bits)` for ids,
+    * day-number for dates). */
+  def zOrderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    (0 until bits).map { i =>
+      (shiftright(a.cast("long"), i) % 2L) * lit(1L << (2 * i)) +
+        (shiftright(b.cast("long"), i) % 2L) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[zOrderKey]] — the same term sequence as SQL text,
+    * for oracle construction. */
+  def zOrderKeySql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
 }

@@ -707,6 +707,37 @@ object Relational {
       ORDER BY l_returnflag
     """))
 
+  /** Z-order (Morton) layout keys over (customer, order-day) — the
+    * Delta/Iceberg Z-ORDER BY primitive: a range sort on the interleaved
+    * key clusters files on BOTH dimensions at once, so min/max file
+    * stats prune scans for predicates on either. The output IS the
+    * layout plan (orderkey → zkey in z-order); at 100 TB this ordering
+    * feeds the writer and the sort is a plain distributed range sort —
+    * no window, no driver state. The oracle reproduces the 42-term bit
+    * interleave exactly ([[graft.operators.Bucketing.zOrderKeySql]]). */
+  val q109ZorderLayout = QueryDef(
+    "q109_zorder_layout",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % (1L << 21)).as("zx"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("zy"))
+        .select(col("o_orderkey"),
+          graft.operators.Bucketing.zOrderKey(col("zx"), col("zy"), 21).as("zkey"))
+        .orderBy("zkey", "o_orderkey"),
+    Some(s"""
+      WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey % ${1L << 21} AS zx,
+               date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS zy
+        FROM orders)
+      SELECT o_orderkey,
+             (${graft.operators.Bucketing.zOrderKeySql("zx", "zy", 21)}) AS zkey
+      FROM dims
+      ORDER BY zkey, o_orderkey
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
@@ -714,5 +745,5 @@ object Relational {
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
     q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile,
-    q106GroupRegression)
+    q106GroupRegression, q109ZorderLayout)
 }

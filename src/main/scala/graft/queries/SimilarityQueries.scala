@@ -321,6 +321,49 @@ object SimilarityQueries {
     },
     bench = true)
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * memory/IO reduction a 100 TB vector store runs before ANN: per
+    * vector, scale = amax/127 and q_i = round(127·v_i/amax) ∈ [-127,127]
+    * (symmetric, zero-point-free, the faiss/SQ8 shape). Map-only; both
+    * engines evaluate the identical per-element expression (round is
+    * half-away-from-zero in both), and the quantized checksum + bounds
+    * pin every element without shipping the arrays. Null-amax (all-zero
+    * vector) would divide by zero — guarded to an all-zero code, and the
+    * synthetic corpus has none (n_nonzero pins that visibly). */
+  val q108EmbeddingQuantize = QueryDef(
+    "q108_embedding_quantize",
+    (s, d) => {
+      val amax = array_max(transform(col("e"), v => abs(v)))
+      val q = transform(col("e"), v =>
+        when(lit(0.0) < amax, round(lit(127.0) * v / amax, 0).cast("int"))
+          .otherwise(lit(0)))
+      emb(s, d)
+        .select(col("vec_id"), round(amax, 6).as("amax"), q.as("q"))
+        .select(col("vec_id"), col("amax"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+          size(filter(col("q"), x => x =!= 0)).as("n_nonzero"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      qz AS (
+        SELECT vec_id,
+               list_max(list_transform(e, v -> abs(v))) AS amax,
+               list_transform(e, v ->
+                 CASE WHEN list_max(list_transform(e, w -> abs(w))) > 0.0
+                   THEN round(127.0 * v / list_max(list_transform(e, w -> abs(w))))::INT
+                   ELSE 0 END) AS q
+        FROM emb)
+      SELECT vec_id, round(amax, 6) AS amax,
+             list_sum(q)::BIGINT AS q_sum,
+             list_min(q)::INT AS q_min, list_max(q)::INT AS q_max,
+             len(list_filter(q, x -> x <> 0))::INT AS n_nonzero
+      FROM qz
+      ORDER BY vec_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
-    q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection)
+    q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection,
+    q108EmbeddingQuantize)
 }

@@ -26,4 +26,28 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("zOrderKey interleaves bits exactly (reference replay) and clusters quadrants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pts = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Bucketing.zOrderKey($"x", $"y", 21).as("z"))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    def ref(x: Long, y: Long): Long =
+      (0 until 21).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y), s"($x,$y)") }
+    // locality: sorting by z visits each 16x16 quadrant contiguously
+    val order = pts.sortBy(p => got(p))
+    val quadrant = order.map { case (x, y) => (x / 16, y / 16) }
+    val transitions = quadrant.zip(quadrant.tail).count { case (a, b) => a != b }
+    assert(transitions == 3, s"z-order must visit the 4 quadrants contiguously, got $transitions transitions")
+  }
+
+  test("zOrderKey rejects out-of-range bit widths") {
+    import spark.implicits._
+    assertThrows[IllegalArgumentException] {
+      Bucketing.zOrderKey(Seq(1L).toDF("a")("a"), Seq(1L).toDF("b")("b"), 32)
+    }
+  }
 }
