@@ -13,12 +13,14 @@ package graft.multimodal
   * arithmetic-coded sequential (SOF9) adds the Annex D/E QM coder with
   * the F.1.4.4 DC/AC statistics models and DAC conditioning tables
   * ([[QmCoder]]); lossless also covers 3-component 1x1 INTERLEAVED
-  * scans (per-channel predictor chains + JFIF YCbCr); hierarchical
-  * (DHP) streams dispatch to the Annex J multi-frame driver
-  * ([[HierJpeg]]). 12-bit, progressive-arithmetic,
-  * arithmetic-with-restarts, and out-of-[[HierJpeg]]-remit hierarchical
-  * modes return None (stub fallback) — as does truncation or corruption
-  * anywhere.
+  * scans (per-channel predictor chains + JFIF YCbCr); 12-bit precision
+  * decodes through the extended-sequential (SOF1) grayscale path
+  * (level shift 2048, DC categories to 15, top-8-bit emission);
+  * hierarchical (DHP) streams dispatch to the Annex J multi-frame
+  * driver ([[HierJpeg]]). Progressive-arithmetic,
+  * arithmetic-with-restarts, 12-bit-color, and
+  * out-of-[[HierJpeg]]-remit hierarchical modes return None (stub
+  * fallback) — as does truncation or corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -263,6 +265,7 @@ object JpegCodec {
   private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
     var td = 0; var ta = 0
     var plane: Array[Byte] = null
+    var plane12: Array[Int] = null // 12-bit precision path (SOF1)
     var planeW = 0; var planeH = 0
     var dcPred = 0
     // progressive-only state: unquantized coefficients for every padded
@@ -287,6 +290,7 @@ object JpegCodec {
     var progressive = false
     var lossless = false
     var arith = false
+    var p12 = false // 12-bit extended sequential (SOF1)
     // DAC conditioning (T.81 B.2.4.3), spec defaults when absent
     val dcCondL = Array(0, 0, 0, 0)
     val dcCondU = Array(1, 1, 1, 1)
@@ -524,9 +528,9 @@ object JpegCodec {
             p += 17 + total
           }
           i = end
-        case m if m == 0xc0 || m == 0xc2 || m == 0xc3 || m == 0xc9 =>
-          // SOF0 baseline / SOF2 progressive / SOF3 lossless /
-          // SOF9 extended sequential with arithmetic entropy coding
+        case m if m == 0xc0 || m == 0xc1 || m == 0xc2 || m == 0xc3 || m == 0xc9 =>
+          // SOF0 baseline / SOF1 extended sequential (8- or 12-bit) /
+          // SOF2 progressive / SOF3 lossless / SOF9 arithmetic sequential
           if (comps != null) return None // second frame header
           progressive = m == 0xc2
           lossless = m == 0xc3
@@ -536,7 +540,13 @@ object JpegCodec {
           val precision = u8(b, segStart + 2)
           height = be16(b, segStart + 3); width = be16(b, segStart + 5)
           val nc = u8(b, segStart + 7)
-          if (precision != 8 || width <= 0 || height <= 0) return None
+          // 12-bit is extended-sequential only (T.81 table 1), and our
+          // remit keeps it single-component (grayscale)
+          if (precision == 12) {
+            if (m != 0xc1 || nc != 1) return None
+            p12 = true
+          } else if (precision != 8) return None
+          if (width <= 0 || height <= 0) return None
           if (nc != 1 && nc != 3) return None
           if (len < 8 + 3 * nc) return None
           comps = Array.tabulate(nc) { c =>
@@ -803,12 +813,18 @@ object JpegCodec {
             return Some(assembleRgb(comps, width, height, hMax, vMax))
           }
           if (!progressive) {
-            // baseline: exactly one scan, all components, interleaved
+            // baseline / extended sequential: one scan, all components,
+            // interleaved. 12-bit (SOF1) decodes through Int planes with
+            // level shift 2048 and a [0,4095] clamp, emitted as the top
+            // 8 bits (>>4) of each sample; DC difference categories run
+            // to 15 there (T.81 table F.1) vs 11 at 8-bit.
             if (ns != comps.length) return None
+            val maxDcCat = if (p12) 15 else 11
             comps.foreach { cc =>
               if (qt(cc.tq) == null) return None
               if (dcTabs(cc.td) == null || acTabs(cc.ta) == null) return None
-              cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+              if (p12) cc.plane12 = new Array[Int](cc.planeW * cc.planeH)
+              else cc.plane = new Array[Byte](cc.planeW * cc.planeH)
             }
             val br = new BitReader(b, entry)
             val coef = new Array[Int](64)
@@ -818,7 +834,7 @@ object JpegCodec {
               java.util.Arrays.fill(coef, 0)
               val q = qt(cc.tq)
               val t = dcTabs(cc.td).decode(br)
-              if (t < 0 || t > 11) return false
+              if (t < 0 || t > maxDcCat) return false
               val diffBits = br.receive(t)
               if (diffBits == Int.MinValue) return false
               cc.dcPred += extend(diffBits, t)
@@ -840,7 +856,8 @@ object JpegCodec {
                   k += 1
                 }
               }
-              idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
+              if (p12) idctBlockRaw(coef, tmp, cc.plane12, cc.planeW, bx, by)
+              else idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
               true
             }
 
@@ -872,6 +889,27 @@ object JpegCodec {
             // last complete MCU but before EOI is damaged, not
             // decodable-by-luck
             if (!br.atEoi()) return None
+            if (p12) {
+              // grayscale by remit: level shift 2048, clamp to 12 bits,
+              // emit the top 8 bits
+              val plane12 = comps(0).plane12
+              val planeW = comps(0).planeW
+              val rgb = new Array[Byte](3 * width * height)
+              var yy = 0
+              while (yy < height) {
+                var xx = 0
+                while (xx < width) {
+                  val raw = 2048 + plane12(yy * planeW + xx)
+                  val v12 = if (raw < 0) 0 else if (raw > 4095) 4095 else raw
+                  val v = (v12 >> 4).toByte
+                  val o = 3 * (yy * width + xx)
+                  rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+                  xx += 1
+                }
+                yy += 1
+              }
+              return Some(HeaderCodec.Pixels(width, height, rgb))
+            }
             return Some(assembleRgb(comps, width, height, hMax, vMax))
           } else {
             // scan-header validity (T.81 G.1): the DC band is exactly

@@ -695,6 +695,60 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** 12-bit block value for the SOF1 corpus, in [0, 4095]. */
+  def jpeg12Block(id: Long, bx: Int, by: Int): Int =
+    ((id * 151 + 29 * bx + 17 * by + 5 * bx * by) % 4096).toInt
+
+  /** One 12-bit extended-sequential JPEG (SOF1, T.81 table 1): grayscale
+    * DC-only constant blocks at precision 12 — all-ones quant, level
+    * shift 2048, DC table of SIXTEEN 4-bit category codes (12-bit DC
+    * differences reach category 15), single EOB AC code. The decoder
+    * emits the top 8 bits of each 12-bit sample, so the oracle is
+    * jpeg12Block >> 4. */
+  def jpeg12(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc1) // SOF1 extended sequential, 12-bit
+    be16w(11); out.write(12); be16w(h); be16w(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — BITS[4]=16, vals 0..15
+    be16w(2 + 17 + 16); out.write(0x00)
+    Array(0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 16).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — one 2-bit EOB code
+    be16w(2 + 17 + 1); out.write(0x10)
+    Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00)
+    out.write(0xff); out.write(0xda) // SOS
+    be16w(8); out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+
+    val bits = new JpegBits(out)
+    def putDc(diff: Int): Unit = {
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.put(s, 4)
+      if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    }
+    val bw = w / 8; val bh = h / 8
+    var pred = 0
+    var mcu = 0
+    while (mcu < bw * bh) {
+      val bx = mcu % bw; val by = mcu / bw
+      val dc = 8 * (jpeg12Block(id, bx, by) - 2048)
+      putDc(dc - pred); pred = dc
+      bits.put(0, 2) // EOB
+      mcu += 1
+    }
+    bits.align()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Chroma-red plane for the color-lossless corpus: a gentle ±4 ripple
     * around neutral so every channel exercises its own predictor chain
     * while the YCbCr→RGB outputs stay clamped-free and closed-form. */

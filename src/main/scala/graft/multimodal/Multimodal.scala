@@ -36,10 +36,11 @@ object Multimodal {
   /** STUB decode: deterministic pseudo-dimensions from md5(payload).
     * Remit: UNKNOWN blobs only (codec-less formats and the text
     * stand-ins q37 uses) — BMP, WAV, PNG, GIF decode for real in
-    * [[HeaderCodec]]; baseline/progressive/lossless (incl. 3-component
-    * interleaved)/arithmetic-sequential JPEG in [[JpegCodec]] and
-    * Annex J hierarchical pyramids in [[HierJpeg]]; the residual JPEG
-    * modes (12-bit, progressive-arithmetic, arithmetic with restarts,
+    * [[HeaderCodec]]; baseline/extended-sequential (incl. 12-bit
+    * grayscale)/progressive/lossless (incl. 3-component interleaved)/
+    * arithmetic-sequential JPEG in [[JpegCodec]] and Annex J
+    * hierarchical pyramids in [[HierJpeg]]; the residual JPEG modes
+    * (progressive-arithmetic, arithmetic with restarts, 12-bit color,
     * out-of-remit hierarchical) also fall here, reported as 'stub'
     * rather than half-decoded. */
   object FakeCodec {
@@ -107,9 +108,10 @@ object Multimodal {
     * QM arithmetic for SOF9 — [[JpegCodec]]), and hierarchical Annex J
     * pyramids (DHP/EXP + SOF5/SOF7 differential frames — [[HierJpeg]]).
     * [[FakeCodec]]'s remit is now ONLY unknown blobs and the residual
-    * exotic JPEG modes (12-bit precision, progressive-arithmetic,
-    * arithmetic-with-restarts, hierarchical frames outside the J
-    * remit), reported as format 'stub' with zeroed stats.
+    * exotic JPEG modes (progressive-arithmetic,
+    * arithmetic-with-restarts, 12-bit color, hierarchical frames
+    * outside the J remit), reported as format 'stub' with zeroed
+    * stats.
     * Same partition-batched, shuffle-free shape as the other extraction
     * stages. */
   def extractContentStats(media: Dataset[MediaRow]): Dataset[MediaStatsRow] = {

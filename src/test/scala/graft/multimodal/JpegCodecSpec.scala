@@ -353,4 +353,35 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decodeJpegPixels(mutated) // Some or None, must not throw
     }
   }
+
+  test("12-bit SOF1 decodes to the top 8 bits of each sample, pixel-exactly") {
+    (0L until 30L).foreach { id =>
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.jpeg12(id))
+        .getOrElse(fail(s"12-bit decode failed for id=$id"))
+      val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+      assert((px.width, px.height) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = MediaSynth.jpeg12Block(id, x / 8, y / 8) >> 4
+        assert(px.r(x, y) == e && px.g(x, y) == e && px.b(x, y) == e,
+          s"id=$id ($x,$y): got ${px.r(x, y)}, want $e")
+      }
+    }
+  }
+
+  test("12-bit precision is rejected outside the SOF1 grayscale remit") {
+    // flip the fixture's SOF marker to SOF0: 12-bit baseline is illegal
+    val f = MediaSynth.jpeg12(3L).clone()
+    val sof = f.indices.find(i => (f(i) & 0xff) == 0xff &&
+      i + 1 < f.length && (f(i + 1) & 0xff) == 0xc1).get
+    f(sof + 1) = 0xc0.toByte
+    assert(JpegCodec.decodeJpegPixels(f).isEmpty)
+    // an 8-bit SOF1 file decodes like baseline (extended sequential)
+    val g = MediaSynth.jpeg(0L).clone()
+    val sof0 = g.indices.find(i => (g(i) & 0xff) == 0xff &&
+      i + 1 < g.length && (g(i + 1) & 0xff) == 0xc0).get
+    g(sof0 + 1) = 0xc1.toByte
+    val px = JpegCodec.decodeJpegPixels(g)
+      .getOrElse(fail("8-bit SOF1 should decode"))
+    assert(px.r(0, 0) == MediaSynth.jpegBlockGray(0L, 0, 0))
+  }
 }
