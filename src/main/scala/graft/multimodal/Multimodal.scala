@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * typed metadata struct; decode/feature-extraction runs per-partition in
   * batches.
   *
-  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and
-  * baseline, progressive, lossless, and arithmetic-coded sequential
-  * JPEG ([[JpegCodec]] + [[QmCoder]]) — pure-JVM byte math, no codec
-  * libraries. Only unknown blobs (and 12-bit/hierarchical/
-  * multi-component-lossless/progressive-arithmetic JPEG modes) fall to
-  * the deterministic [[FakeCodec]] stub,
-  * so the plumbing — schema, binary column handling, partition-batched
-  * processing shape, metadata structs — always has a defined output.
+  * Decode is REAL for BMP, WAV, PNG, GIF ([[HeaderCodec]]) and the full
+  * Huffman+arithmetic JPEG matrix — baseline, extended sequential
+  * (incl. 12-bit grayscale), progressive, lossless (incl. 3-component
+  * interleaved), QM-arithmetic sequential, and Annex J hierarchical
+  * pyramids ([[JpegCodec]] + [[QmCoder]] + [[HierJpeg]]) — pure-JVM
+  * byte math, no codec libraries. Only unknown blobs (and the residual
+  * exotic JPEG modes: progressive-arithmetic, arithmetic-with-restarts,
+  * 12-bit color, out-of-remit hierarchical) fall to the deterministic
+  * [[FakeCodec]] stub, so the plumbing — schema, binary column
+  * handling, partition-batched processing shape, metadata structs —
+  * always has a defined output.
   *
   * Scale notes: payloads stay columnar (parquet binary) end-to-end; the
   * extraction stage is map-only over partitions (no shuffle, no driver
