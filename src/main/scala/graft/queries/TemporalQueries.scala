@@ -236,6 +236,97 @@ object TemporalQueries {
     """),
     bench = true)
 
+  /** Last-touch attribution: every purchase credits the most recent
+    * click at or before it from the same user — the as-of join operator
+    * (q60 family) composed into its canonical marketing-analytics use,
+    * then rolled up per user: purchases, attributed purchases, and
+    * attributed revenue. Same one-shuffle as-of plan (union + keyed
+    * window pass), one more partial-aggregated rollup. */
+  val q110LastTouchAttribution = QueryDef(
+    "q110_last_touch_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(14,2)").as("revenue"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(count(lit(1)).as("n_click_dups"))
+        .drop("n_click_dups")
+      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("click_ts").isNotNull, 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(col("click_ts").isNotNull, col("revenue"))
+            .otherwise(lit(0).cast("decimal(14,2)"))).cast("double").as("attributed_revenue"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value, ts::TIMESTAMP AS ts
+        FROM events),
+      purchases AS (
+        SELECT event_id, user_id, ts, value::DECIMAL(14,2) AS revenue
+        FROM ev WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT DISTINCT user_id, ts AS click_ts FROM ev
+        WHERE event_type = 'click'),
+      best AS (
+        SELECT p.event_id, max(c.click_ts) AS click_ts
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        GROUP BY p.event_id)
+      SELECT p.user_id,
+             count(*) AS n_purchases,
+             sum(CASE WHEN b.click_ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_attributed,
+             sum(CASE WHEN b.click_ts IS NOT NULL THEN p.revenue
+                 ELSE 0::DECIMAL(14,2) END)::DOUBLE AS attributed_revenue
+      FROM purchases p LEFT JOIN best b ON p.event_id = b.event_id
+      GROUP BY p.user_id
+      ORDER BY p.user_id
+    """))
+
+  /** Frame-based running aggregates (ROWS BETWEEN): per-user 5-row
+    * trailing moving average and running decimal sum over the event
+    * stream — the ordered-frame window family (the rank family is
+    * covered elsewhere). Partitioned by user, so no global window; the
+    * decimal running sum keeps both engines bit-identical and the final
+    * cast to double is representation-stable. */
+  val q111MovingAvg = QueryDef(
+    "q111_moving_avg",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val trail = w.rowsBetween(-4, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(14,2)").as("v"))
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("v")).over(trail), 4).cast("double").as("ma5"),
+          sum(col("v")).over(trail.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+               value::DECIMAL(14,2) AS v
+        FROM events)
+      SELECT event_id, user_id,
+             round(avg(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)::DOUBLE AS ma5,
+             sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+               AS running
+      FROM ev
+      ORDER BY event_id
+    """),
+    bench = true)
+
   def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
-    q60cAsofForward, q61RangeJoin, q107Funnel)
+    q60cAsofForward, q61RangeJoin, q107Funnel, q110LastTouchAttribution,
+    q111MovingAvg)
 }
