@@ -192,4 +192,104 @@ object EventsStreams {
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
+
+  /** Per-user funnel state: earliest view plus the candidate clicks /
+    * purchases still inside the funnel horizon (micros). */
+  final case class FunnelState(tView: Long, clicks: Seq[Long], purchases: Seq[Long])
+
+  /** One emitted funnel outcome (micros; None = stage not reached). */
+  final case class FunnelOut(user_id: Long, t_view: Long,
+                             t_click: Option[Long], t_purchase: Option[Long],
+                             stages: Int)
+
+  /** Streaming twin of the q107 conversion funnel on `transformWithState`
+    * with event-time timers. Exact out-of-order-safe incremental form of
+    * the batch chain (t1 = min view; t2 = min click in (t1, t1+24h];
+    * t3 = min purchase in (t2, t2+24h]):
+    *  - t1 only ever decreases, so both windows' UPPER edges only move
+    *    down: pruning clicks above t1+24h and purchases above t1+48h
+    *    (t2 ≤ t1+24h ⇒ t2+24h ≤ t1+48h) is lossless. Lower edges must
+    *    not prune — a click at t ≤ t1 turns valid if an earlier view
+    *    arrives later;
+    *  - state retention is horizon-bounded in TIME (the timer at t1+48h
+    *    emits and clears), holding the user's clicks/purchases up to
+    *    that horizon;
+    *  - the outcome is a pure function of events in [t1, t1+48h], and no
+    *    event ≤ t1+48h can arrive once the watermark passes it (nor can
+    *    an earlier view — it would be below the watermark too), so ONE
+    *    event-time timer at t1+48h emits a deterministic final answer.
+    * Same exec/time-mode rationale as [[SessionProcessor]]. */
+  final class FunnelProcessor(stageUs: Long)
+      extends StatefulProcessor[Long, (Long, String, Long), FunnelOut] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      var st = if (state.exists()) state.get() else FunnelState(Long.MaxValue, Nil, Nil)
+      val t1Before = st.tView
+      rows.foreach { case (_, typ, t) =>
+        typ match {
+          case "view"     => if (t < st.tView) st = st.copy(tView = t)
+          case "click"    => st = st.copy(clicks = t +: st.clicks)
+          case "purchase" => st = st.copy(purchases = t +: st.purchases)
+          case _          => ()
+        }
+      }
+      if (st.tView != Long.MaxValue) {
+        val horizon = st.tView + 2 * stageUs
+        // prune by UPPER bound only: t1 only decreases, so both windows'
+        // upper edges only move down and dropped events can never become
+        // valid again. The LOWER bound must NOT prune — a click at
+        // t ≤ t1 becomes valid if an earlier view arrives later. State
+        // lives only until the watermark passes t1+2·stage (the timer
+        // emits and clears), so retention is horizon-bounded.
+        st = FunnelState(st.tView,
+          st.clicks.filter(_ <= st.tView + stageUs),
+          st.purchases.filter(_ <= horizon))
+        if (st.tView != t1Before) {
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(horizon / 1000 + 1) // timers are millis
+        }
+      }
+      state.update(st)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelOut] = {
+      val out =
+        if (state.exists() && state.get().tView != Long.MaxValue) {
+          val st = state.get()
+          val t1 = st.tView
+          val t2 = st.clicks.filter(t => t > t1 && t <= t1 + stageUs)
+            .sorted.headOption
+          val t3 = t2.flatMap(c => st.purchases
+            .filter(t => t > c && t <= c + stageUs).sorted.headOption)
+          Iterator.single(FunnelOut(key, t1, t2, t3,
+            1 + t2.size + t3.size))
+        } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** Streaming funnel: one final FunnelOut per user once the watermark
+    * passes their 48-hour funnel horizon ([[FunnelProcessor]]). The
+    * parity spec pins it row-for-row against the q107 batch funnel for
+    * every user whose horizon the final watermark covers. */
+  def funnelTws(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tus")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelProcessor(24L * 3600 * 1000000),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 }

@@ -151,4 +151,56 @@ class EventsStreamsSpec extends SparkSpec {
     assert(batchRun == closed)
     assert(batchRun.nonEmpty)
   }
+
+  test("funnelTws (transformWithState) == q107 batch funnel for covered users") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed =
+      try {
+        val q = EventsStreams.funnelTws(EventsStreams.readEvents(spark, eventsDir))
+          .writeStream.format("memory").queryName("funnel")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        spark.table("funnel")
+          .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+          .map(r => r._1 -> r).toMap
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None    => spark.conf.unset(providerKey)
+        }
+      }
+
+    // batch truth: q107's chained-min funnel, converted to micros
+    val batch = graft.queries.TemporalQueries.q107Funnel.fn(spark, sf001)
+      .selectExpr("user_id", "unix_micros(t_view)", "unix_micros(t_click)",
+        "unix_micros(t_purchase)", "stages")
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // a user emits iff the final watermark passed their t1+48h horizon
+    val maxTsUs = Tables.events(spark, sf001)
+      .agg(max(unix_micros(col("ts")))).as[Long].head()
+    val wmMs = maxTsUs / 1000 - 3600 * 1000 // 1h delay, ms floor
+    val horizonUs = 48L * 3600 * 1000000
+    val covered = batch.filter { case (_, r) =>
+      (r._2 + horizonUs) / 1000 + 1 < wmMs }
+    // every covered user must match the batch chain exactly
+    covered.foreach { case (u, want) =>
+      assert(streamed.contains(u), s"user $u not emitted")
+      assert(streamed(u) == want, s"user $u: ${streamed(u)} != $want")
+    }
+    // no spurious users, and every emission matches batch (boundary
+    // users may or may not emit depending on Spark's timer strictness)
+    streamed.foreach { case (u, got) =>
+      assert(batch.contains(u) && batch(u) == got, s"user $u spurious/mismatch")
+    }
+    assert(covered.nonEmpty && streamed.nonEmpty)
+    // the funnel must be non-trivial: some covered user converts fully
+    assert(covered.exists(_._2._5 == 3), "no 3-stage conversion in fixture")
+  }
 }
