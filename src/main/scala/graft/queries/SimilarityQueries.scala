@@ -333,12 +333,17 @@ object SimilarityQueries {
   val q108EmbeddingQuantize = QueryDef(
     "q108_embedding_quantize",
     (s, d) => {
-      val amax = array_max(transform(col("e"), v => abs(v)))
+      // amax is projected FIRST so the per-element lambda reads a
+      // computed column — inlining it into transform would recompute the
+      // O(d) max for every element (O(d²)/row; measured 7× slower)
       val q = transform(col("e"), v =>
-        when(lit(0.0) < amax, round(lit(127.0) * v / amax, 0).cast("int"))
+        when(lit(0.0) < col("amax0"),
+          round(lit(127.0) * v / col("amax0"), 0).cast("int"))
           .otherwise(lit(0)))
       emb(s, d)
-        .select(col("vec_id"), round(amax, 6).as("amax"), q.as("q"))
+        .select(col("vec_id"), col("e"),
+          array_max(transform(col("e"), v => abs(v))).as("amax0"))
+        .select(col("vec_id"), round(col("amax0"), 6).as("amax"), q.as("q"))
         .select(col("vec_id"), col("amax"),
           aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
           array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
