@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusOps, DedupQueries, MultimodalQueries, OmimQueries, QueryDef, Relational, SimilarityQueries, TemporalQueries, TextAnalytics, WebIngest}
+import graft.queries.{CorpusOps, DedupQueries, GraphQueries, MultimodalQueries, OmimQueries, QueryDef, Relational, SimilarityQueries, TemporalQueries, TextAnalytics, WebIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Relational.all ++ TextAnalytics.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ OmimQueries.all ++ MultimodalQueries.all ++
-      CorpusOps.all ++ TemporalQueries.all ++ WebIngest.all
+      CorpusOps.all ++ TemporalQueries.all ++ WebIngest.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

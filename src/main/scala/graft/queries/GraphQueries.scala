@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.GraphAlgos
+
+/** Graph-analytics operators ([[graft.operators.GraphAlgos]]) over a
+  * deterministic synthetic graph on the document ids (four out-edges
+  * per node: d+1, d+2, 7d+3, 13d+5 mod N, loops dropped — the d+1/d+2
+  * ring closes a triangle at every consecutive triple, and the affine
+  * families add irregular chords) — link analysis is
+  * the web-corpus quality signal family (host-graph PageRank feeds page
+  * quality scores; triangle density flags spam farms).
+  */
+object GraphQueries {
+
+  /** Shared edge derivation, mirrored verbatim in the oracles. */
+  private def edgesDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    Tables.documents(s, d).crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array(
+          (col("doc_id") + 1) % col("n"),
+          (col("doc_id") + 2) % col("n"),
+          (col("doc_id") * 7 + 3) % col("n"),
+          (col("doc_id") * 13 + 5) % col("n"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  private val EdgesSql = """
+      nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      edges0 AS (
+        SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn) FROM documents
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn) FROM documents),
+      edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst)"""
+
+  /** 10 damped PageRank iterations — the shuffle-per-iteration workload.
+    * The oracle unrolls the same ten steps as chained CTEs (recursive
+    * CTEs cannot aggregate in the recursive term), with the identical
+    * update expression, so ranks match at 1e-9 after ten rounds of
+    * engine-local float summation (drift ~1e-15/step, far below). */
+  val q112PageRank = QueryDef(
+    "q112_pagerank",
+    (s, d) =>
+      GraphAlgos.pageRank(edgesDf(s, d), iters = 10, damping = 0.85)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node"),
+    Some {
+      val iters = (1 to 10).map { i =>
+        s"""r$i AS (
+        SELECT n.node, 0.15 / (SELECT n FROM nd) + 0.85 * coalesce(c.c, 0) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, sum(r.rank / g.outdeg) AS c
+          FROM r${i - 1} r JOIN edges e ON r.node = e.src
+          JOIN deg g ON g.src = e.src
+          GROUP BY e.dst) c ON c.dst = n.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $EdgesSql,
+      nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      nd AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0 / (SELECT n FROM nd) AS rank FROM nodes),
+      $iters
+      SELECT node, round(rank, 9) AS rank FROM r10
+      ORDER BY node
+      """
+    },
+    bench = true)
+
+  /** Per-node triangle counts with the degree-orientation bound
+    * (Σ orientedDeg² ≤ m^{3/2}, not Σ deg²) — the oracle replays the
+    * same canonicalization, orientation, wedge join, and closure. */
+  val q113Triangles = QueryDef(
+    "q113_triangles",
+    (s, d) =>
+      GraphAlgos.triangles(edgesDf(s, d))
+        .orderBy("node"),
+    Some(s"""
+      WITH $EdgesSql,
+      und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+      deg AS (
+        SELECT v, count(*)::BIGINT AS dv FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+      oriented AS (
+        SELECT CASE WHEN da.dv < db.dv OR (da.dv = db.dv AND u.a < u.b)
+                 THEN u.a ELSE u.b END AS lo,
+               CASE WHEN da.dv < db.dv OR (da.dv = db.dv AND u.a < u.b)
+                 THEN u.b ELSE u.a END AS hi
+        FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      wedges AS (
+        SELECT w1.lo, w1.hi AS x, w2.hi AS y
+        FROM oriented w1 JOIN oriented w2 ON w1.lo = w2.lo
+        WHERE w1.hi < w2.hi),
+      closed AS (
+        SELECT w.lo, w.x, w.y
+        FROM wedges w JOIN und ON und.a = w.x AND und.b = w.y)
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT lo AS node FROM closed
+        UNION ALL SELECT x FROM closed
+        UNION ALL SELECT y FROM closed)
+      GROUP BY node
+      ORDER BY node
+    """))
+
+  val all: Seq[QueryDef] = Seq(q112PageRank, q113Triangles)
+}
