@@ -738,6 +738,65 @@ object Relational {
     """),
     bench = true)
 
+  /** CUBE with GROUPING ids — all four aggregation lattices of
+    * (returnflag, linestatus) in ONE pass (Catalyst expands to grouping
+    * sets; partial aggs still collapse map-side), distinguished by the
+    * standard GROUPING() bits. Complements q17's ROLLUP. */
+  val q114Cube = QueryDef(
+    "q114_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("qty"))
+        // coalesce the rolled-up keys so the presentation sort is total
+        // with identical null-ordering semantics in both engines
+        .select(coalesce(col("l_returnflag"), lit("")).as("rf"),
+          coalesce(col("l_linestatus"), lit("")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls"),
+    Some("""
+      SELECT coalesce(l_returnflag, '') AS rf, coalesce(l_linestatus, '') AS ls,
+             GROUPING(l_returnflag)::INT AS g_rf,
+             GROUPING(l_linestatus)::INT AS g_ls,
+             count(*) AS n,
+             sum(l_quantity::DECIMAL(14,2))::DOUBLE AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY g_rf, g_ls, rf, ls
+    """))
+
+  /** PIVOT: per-supplier quantity totals pivoted by return flag — the
+    * wide-format export step of reporting pipelines. Spark's relational
+    * `.pivot(col, values)` with EXPLICIT pivot values (never the
+    * distinct-scan inference pass — that is an extra job at 100 TB and a
+    * nondeterministic column set); the oracle states the same thing as
+    * portable filtered aggregates. */
+  val q115Pivot = QueryDef(
+    "q115_pivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("decimal(14,2)")).cast("double"))
+        .select(col("l_suppkey"),
+          coalesce(col("A"), lit(0.0)).as("qty_a"),
+          coalesce(col("N"), lit(0.0)).as("qty_n"),
+          coalesce(col("R"), lit(0.0)).as("qty_r"))
+        .orderBy("l_suppkey"),
+    Some("""
+      SELECT l_suppkey,
+             coalesce(sum(l_quantity::DECIMAL(14,2)) FILTER (WHERE l_returnflag = 'A'), 0)::DOUBLE AS qty_a,
+             coalesce(sum(l_quantity::DECIMAL(14,2)) FILTER (WHERE l_returnflag = 'N'), 0)::DOUBLE AS qty_n,
+             coalesce(sum(l_quantity::DECIMAL(14,2)) FILTER (WHERE l_returnflag = 'R'), 0)::DOUBLE AS qty_r
+      FROM lineitem
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
@@ -745,5 +804,5 @@ object Relational {
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
     q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile,
-    q106GroupRegression, q109ZorderLayout)
+    q106GroupRegression, q109ZorderLayout, q114Cube, q115Pivot)
 }

@@ -326,7 +326,58 @@ object TemporalQueries {
     """),
     bench = true)
 
+  /** Time-series resampling with forward fill: each user's event stream
+    * regularized onto an hourly grid spanning their active range, every
+    * grid point carrying the last observation at or before it — the
+    * gap-filling step of metric pipelines. The grid is `sequence()` +
+    * explode (no driver loop, no cross join with a calendar table); the
+    * fill is the as-of join operator, so the whole query is one grid
+    * explode + one keyed window pass. Grid points before the first
+    * event in their opening hour keep nulls (nothing to carry). */
+  val q116GapFill = QueryDef(
+    "q116_gap_fill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val obs = ev.groupBy(col("user_id"), col("ts").as("ev_ts"))
+        .agg(round(max("value"), 6).as("ev_value"))
+      val grid = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min("ts")).as("t0"),
+          date_trunc("hour", max("ts")).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR")))
+            .as("grid_ts"))
+      TemporalJoins.asofJoin(grid, obs, Seq("user_id"), "grid_ts", "ev_ts")
+        .select(col("user_id"), col("grid_ts"), col("ev_ts"), col("ev_value"))
+        .orderBy("user_id", "grid_ts")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+      obs AS (
+        SELECT user_id, ts AS ev_ts, round(max(value), 6) AS ev_value
+        FROM ev GROUP BY user_id, ts),
+      span AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+               date_trunc('hour', max(ts)) AS t1
+        FROM ev GROUP BY user_id),
+      grid AS (
+        SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+                 AS grid_ts
+        FROM span),
+      best AS (
+        SELECT g.user_id, g.grid_ts, max(o.ev_ts) AS ev_ts
+        FROM grid g JOIN obs o
+          ON o.user_id = g.user_id AND o.ev_ts <= g.grid_ts
+        GROUP BY g.user_id, g.grid_ts)
+      SELECT g.user_id, g.grid_ts, b.ev_ts, o.ev_value
+      FROM grid g
+      LEFT JOIN best b ON b.user_id = g.user_id AND b.grid_ts = g.grid_ts
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.ev_ts = b.ev_ts
+      ORDER BY g.user_id, g.grid_ts
+    """),
+    bench = true)
+
   def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
     q60cAsofForward, q61RangeJoin, q107Funnel, q110LastTouchAttribution,
-    q111MovingAvg)
+    q111MovingAvg, q116GapFill)
 }
