@@ -26,7 +26,8 @@ object GraphAlgos {
   /** `iters` PageRank steps at damping `d` over `edges` (src, dst; no
     * dangling nodes — every node needs ≥1 out-edge). Returns
     * (node, rank). Node set = src ∪ dst. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+               checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -34,7 +35,14 @@ object GraphAlgos {
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
+      // checkpointEvery > 0 truncates the lineage every K steps — what
+      // GraphX/ALS do at scale, where re-planning/re-executing an
+      // iters-deep join tree dominates; at small scale the lazy plan is
+      // cheaper than materializing intermediates, so 0 (fully lazy) is
+      // the default and the spec pins both paths identical
+      if (checkpointEvery > 0 && i > 1 && (i - 1) % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint(true)
       val contrib = ranks.join(edges, col("node") === col("src"))
         .join(deg, "src")
         .groupBy(col("dst"))

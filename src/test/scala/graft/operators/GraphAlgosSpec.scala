@@ -22,6 +22,11 @@ class GraphAlgosSpec extends SparkSpec {
     // 3 collects from 1 (half) AND 2 (all); 1 collects all of 3; 2 only
     // half of 1 — stationary order is 3 > 1 > 2
     assert(pr2(3L) > pr2(1L) && pr2(1L) > pr2(2L), pr2.toString)
+    // lineage-truncated path (the 100 TB formulation) is value-identical
+    val prCk = GraphAlgos.pageRank(g, iters = 30, damping = 0.85,
+        checkpointEvery = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(prCk == pr2, s"checkpointed path diverged: $prCk vs $pr2")
   }
 
   test("triangles counts K4 and ignores pendant paths") {
