@@ -755,8 +755,57 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** Fuzzy-match verification: LSH candidate pairs (the q23 generator)
+    * verified by EDIT DISTANCE with a relative threshold — the
+    * entity-resolution / fuzzy-dedup shape where token-level Jaccard is
+    * too coarse (q24 is the Jaccard leg). Classic DP levenshtein is
+    * implemented identically in both engines (probed: kitten/sitting=3),
+    * so the oracle is exact. Scale: the edit-distance DP is
+    * O(len_a·len_b) and runs ONLY on candidate pairs that already share
+    * an LSH band — never all pairs; at 100 TB a length-difference
+    * prefilter (|len_a-len_b| > k ⇒ dist > k) prunes before the DP. */
+  val q117FuzzyVerify = QueryDef(
+    "q117_fuzzy_verify",
+    (s, d) => {
+      val corpus = corpusNear(s, d)
+      val bands = Dedup.minhashBands(corpus, col("text"), col("doc_id"))
+      val pairs = Dedup.lshCandidatePairs(bands)
+      val ta = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val tb = corpus.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        // cheap length prefilter BEFORE the O(n·m) DP
+        .filter(abs(length(col("text_a")) - length(col("text_b"))) <=
+          greatest(length(col("text_a")), length(col("text_b"))) * 0.2)
+        .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+        .filter(col("dist") <=
+          greatest(length(col("text_a")), length(col("text_b"))) * 0.2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH $bandsSql,
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT p.id_a, p.id_b,
+               levenshtein(ca.text, cb.text) AS dist,
+               GREATEST(len(ca.text), len(cb.text)) AS mx
+        FROM pairs p
+        JOIN corpus ca ON ca.doc_id = p.id_a
+        JOIN corpus cb ON cb.doc_id = p.id_b
+        WHERE abs(len(ca.text) - len(cb.text)) <=
+              GREATEST(len(ca.text), len(cb.text)) * 0.2)
+      SELECT id_a, id_b, dist::INT AS dist FROM verified
+      WHERE dist <= mx * 0.2
+      ORDER BY id_a, id_b
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
-    q100IncrementalDedup,
+    q100IncrementalDedup, q117FuzzyVerify,
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup,
     q88NearDupClusters, q66Decontaminate,

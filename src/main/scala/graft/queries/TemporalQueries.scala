@@ -377,7 +377,50 @@ object TemporalQueries {
     """),
     bench = true)
 
+  /** First-order Markov transition matrix over per-user event sequences
+    * (LEAD within user, then a global (from, to) count + row-normalized
+    * probabilities) — the path-analysis aggregate behind "what do users
+    * do after X". One per-user window pass + two small aggregations;
+    * the 5×5 output is driver-sized however large the event log is. */
+  val q118TransitionMatrix = QueryDef(
+    "q118_transition_matrix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = trans
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum(col("n")).as("total"))
+      counts.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
+      trans AS (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM ev),
+      counts AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM trans WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type),
+      totals AS (
+        SELECT from_type, sum(n)::BIGINT AS total FROM counts GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n,
+             round(c.n::DOUBLE / t.total, 6) AS p
+      FROM counts c JOIN totals t USING (from_type)
+      ORDER BY from_type, to_type
+    """))
+
   def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
     q60cAsofForward, q61RangeJoin, q107Funnel, q110LastTouchAttribution,
-    q111MovingAvg, q116GapFill)
+    q111MovingAvg, q116GapFill, q118TransitionMatrix)
 }
