@@ -21,9 +21,12 @@ import graft.expressions._
   * spark.sql("SELECT minhash_bands(text, 3, 4) FROM docs")
   * }}}
   *
-  * This is the SURVEY.md §2.9 extension path — no custom optimizer rules
-  * or strategies are needed for the reference's semantics (SURVEY.md §4),
-  * so the extension surface is exactly the function registry.
+  * This is the SURVEY.md §2.9 extension path: the function registry for
+  * the codegen kernels, plus one genuinely beneficial optimizer rule —
+  * [[graft.plans.EditDistancePrefilter]] injects the length lower-bound
+  * guard in front of bounded levenshtein predicates (the reference's own
+  * semantics need no custom rules, SURVEY.md §4; this one serves the
+  * fuzzy-dedup north star).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -33,11 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, arity, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),
         GraftExtensions.checkedBuilder(name, usage, arity)(builder)))
     }
+    ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+  }
 }
 
 /** Registration for an EXISTING session (tests, REPLs): the extensions
@@ -114,5 +119,10 @@ object GraftExtensions {
           "", "", "", "", "", "", "built-in"),
         checkedBuilder(name, usage, arity)(builder))
     }
+    // extraOptimizations is the live-session twin of injectOptimizerRule
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.EditDistancePrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EditDistancePrefilter
   }
 }
