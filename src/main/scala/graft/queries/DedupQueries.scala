@@ -775,7 +775,17 @@ object DedupQueries {
     "q117_fuzzy_verify",
     (s, d) => {
       val maxDist = 60
-      val corpus = corpusNear(s, d)
+      // exact keep-first dedup FIRST: on a dup-dense corpus the LSH
+      // bucket sizes — and the candidate-pair volume — grow with the
+      // SQUARE of the exact-duplicate group size, so the standard
+      // pipeline removes byte-identical (post-normalization) copies
+      // before near-dup candidates are generated. The 10x soak corpus
+      // (5 exact copies/doc) runs 105 s without this stage.
+      val corpus = graft.operators.Sampling.quotaPerGroup(
+          corpusNear(s, d).withColumn("fp",
+            graft.functions.TextFunctions.fingerprint(col("text"))),
+          "fp", 1, col("doc_id").asc)
+        .drop("fp")
       val bands = Dedup.minhashBands(corpus, col("text"), col("doc_id"))
       val pairs = Dedup.lshCandidatePairs(bands)
       val ta = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
@@ -791,7 +801,33 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
     Some(s"""
-      WITH $bandsSql,
+      WITH $corpusNearSql,
+      cdedup AS (
+        SELECT doc_id, text FROM corpus
+        QUALIFY row_number() OVER (
+          PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) = 1),
+      toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM cdedup),
+      sh AS (
+        SELECT doc_id,
+          list_transform(range(1, len(words) - 1),
+            i -> concat_ws(' ', words[i], words[i+1], words[i+2])) AS s
+        FROM toks WHERE len(words) >= 3),
+      hs AS (
+        SELECT doc_id,
+          list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b.band,
+          list_min(list_transform(h, v ->
+            ((v % 2147483647) * (37 + 61*(b.band*2)) + (101 + 31*(b.band*2))) % 2147483647))
+            * 2147483647 +
+          list_min(list_transform(h, v ->
+            ((v % 2147483647) * (37 + 61*(b.band*2+1)) + (101 + 31*(b.band*2+1))) % 2147483647))
+            AS band_hash
+        FROM hs CROSS JOIN (SELECT unnest(range(4)) AS band) b),
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a
@@ -799,8 +835,8 @@ object DedupQueries {
                     AND a.doc_id < b.doc_id)
       SELECT p.id_a, p.id_b, levenshtein(ca.text, cb.text)::INT AS dist
       FROM pairs p
-      JOIN corpus ca ON ca.doc_id = p.id_a
-      JOIN corpus cb ON cb.doc_id = p.id_b
+      JOIN cdedup ca ON ca.doc_id = p.id_a
+      JOIN cdedup cb ON cb.doc_id = p.id_b
       WHERE abs(len(ca.text) - len(cb.text)) <= 60
         AND levenshtein(ca.text, cb.text) <= 60
       ORDER BY id_a, id_b
