@@ -217,6 +217,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"index build went cartesian:\n$p")
   }
 
+  test("q112: every PageRank iteration joins on keys — no cartesian anywhere") {
+    val p = plan("q112_pagerank")
+    assert(!p.contains("CartesianProduct"), s"iteration went cartesian:\n$p")
+    // the 1-row n frame must broadcast, not shuffle-join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"count frame not broadcast:\n$p")
+  }
+
+  test("q117: fuzzy verify joins stay keyed; the DP kernel is in the plan") {
+    val p = plan("q117_fuzzy_verify")
+    assert(!p.contains("CartesianProduct"), s"verify went cartesian:\n$p")
+    assert(p.contains("bounded_levenshtein"),
+      s"banded kernel missing (built-in DP would be quadratic per pair):\n$p")
+  }
+
   test("q97: weighted reservoir keeps the map-side group limit") {
     val p = plan("q97_weighted_reservoir")
     // WindowGroupLimit prunes to ≤k rows per source BEFORE the exchange —
