@@ -797,6 +797,88 @@ object Relational {
       ORDER BY l_suppkey
     """))
 
+  /** The analytic-rank family in one pass: percent_rank, cume_dist,
+    * ntile(4), and dense_rank per supplier over extended price — the
+    * window functions q06's row_number family left uncovered. All four
+    * share one partitioned sort; percent_rank/cume_dist are exact
+    * rationals of ranks (deterministic in both engines), rounded at 6. */
+  val q119RankFamily = QueryDef(
+    "q119_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") % 10 === 0)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("dr"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd,
+             ntile(4) OVER w AS quartile,
+             dense_rank() OVER w AS dr
+      FROM lineitem
+      WHERE l_suppkey % 10 = 0
+      WINDOW w AS (PARTITION BY l_suppkey
+        ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """))
+
+  /** Order-independent table checksum — the cross-cluster consistency
+    * primitive (does replica B hold exactly replica A's rows?): each row
+    * canonicalizes to a 60-bit md5 integer, aggregated with bit_xor
+    * (commutative + associative ⇒ partition- and order-independent, no
+    * overflow semantics to align, and any single-row difference flips
+    * the digest). One map pass + one 1-row aggregate per table; at
+    * 100 TB this is how you diff two copies without shuffling either.
+    * Doubles enter the row hash through fixed-point casts so the
+    * canonical string never depends on float rendering. */
+  val q120TableChecksum = QueryDef(
+    "q120_table_checksum",
+    (s, d) => {
+      def rowHash(cols: org.apache.spark.sql.Column*) =
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long")
+      val li = Tables.lineitem(s, d)
+        .withColumn("h", rowHash(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity") * 100, 0).cast("long"),
+          round(col("l_extendedprice") * 100, 0).cast("long"),
+          col("l_returnflag")))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+        .select(lit("lineitem").as("table_name"), col("n"), col("digest"))
+      val docs = Tables.documents(s, d)
+        .withColumn("h", rowHash(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text"))))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+        .select(lit("documents").as("table_name"), col("n"), col("digest"))
+      li.unionByName(docs).orderBy("table_name")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'lineitem' AS table_name, count(*) AS n,
+               bit_xor(('0x' || substr(md5(
+                 l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' ||
+                 l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR || '|' ||
+                 round(l_quantity * 100)::BIGINT::VARCHAR || '|' ||
+                 round(l_extendedprice * 100)::BIGINT::VARCHAR || '|' ||
+                 l_returnflag), 1, 15))::BIGINT) AS digest
+        FROM lineitem
+        UNION ALL
+        SELECT 'documents', count(*),
+               bit_xor(('0x' || substr(md5(
+                 doc_id::VARCHAR || '|' || lang || '|' || source || '|' ||
+                 n_chars::VARCHAR || '|' || md5(text)), 1, 15))::BIGINT)
+        FROM documents)
+      ORDER BY table_name
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinRevenue, q04SemiJoin,
     q05AntiJoin, q06WindowTopK, q07SelfJoinClique, q08SetExcept,
@@ -804,5 +886,6 @@ object Relational {
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
     q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile,
-    q106GroupRegression, q109ZorderLayout, q114Cube, q115Pivot)
+    q106GroupRegression, q109ZorderLayout, q114Cube, q115Pivot,
+    q119RankFamily, q120TableChecksum)
 }
