@@ -759,10 +759,53 @@ object CorpusOps {
       ORDER BY doc_id
     """))
 
+  /** Robust outlier scoring (median/MAD, the length-anomaly gate a
+    * quality pipeline prefers over mean/stddev — one 5 MB page does not
+    * drag the threshold): per source, z = (x - median) / (1.4826·MAD),
+    * flag |z| > 2.5. Two percentile aggregations with the per-source
+    * stats broadcast back — the corpus itself never shuffles. Degenerate
+    * sources (MAD = 0) are excluded rather than emitting ±∞ scores.
+    * median/MAD midpoints of ints are exact doubles, so the z
+    * arithmetic and the threshold compare are bit-identical across
+    * engines. */
+  val q121RobustOutliers = QueryDef(
+    "q121_robust_outliers",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val withMed = docs.join(broadcast(med), "source")
+      val mad = withMed.groupBy("source")
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "source")
+        .filter(col("mad") > 0)
+        .withColumn("z", (col("n_chars") - col("med")) / (col("mad") * 1.4826))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("z"), 4).as("z"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med
+        FROM documents GROUP BY source),
+      wm AS (
+        SELECT d.doc_id, d.source, d.n_chars, m.med
+        FROM documents d JOIN med m USING (source)),
+      mad AS (
+        SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+        FROM wm GROUP BY source)
+      SELECT doc_id, source, n_chars,
+             round((n_chars - med) / (mad * 1.4826), 4) AS z
+      FROM wm JOIN mad USING (source)
+      WHERE mad > 0 AND abs((n_chars - med) / (mad * 1.4826)) > 2.5
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q50DeterministicSample, q51StratifiedSample, q52CorpusMix,
     q53QuotaPerSource, q54ShuffleOrder, q55CorpusPipeline, q63CorpusBuild,
     q68SequencePack, q71SpanDedup, q73PackManifest, q83TemperatureMix,
     q84ChunkDocuments, q86HygienePipeline, q87HygieneStateless, q90EpochMix,
-    q97WeightedReservoir, q101GroupedSplit)
+    q97WeightedReservoir, q101GroupedSplit, q121RobustOutliers)
 }
