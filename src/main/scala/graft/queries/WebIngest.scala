@@ -348,6 +348,56 @@ object WebIngest {
     """),
     bench = true)
 
+  /** Row-level dataset diff between two corpus versions — the release
+    * audit that accompanies q120's whole-table checksum when the digests
+    * DON'T match: full outer join on the key, rows classified
+    * added / removed / changed (content hash differs) with unchanged
+    * rows dropped. One shuffle on the key with md5 content hashes
+    * computed map-side — at 100 TB the diff of two versions never
+    * compares text bodies, only 16-byte hashes, and unchanged rows
+    * (the overwhelming majority) never reach the output. v2 derives
+    * deterministically: doc_id%5==0 edited, %5==1 deleted, plus a new
+    * id range appended. */
+  val q122DatasetDiff = QueryDef(
+    "q122_dataset_diff",
+    (s, d) => {
+      val v1 = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2base = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val v2 = v2base.unionByName(
+          Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+            .select((col("doc_id") + 900000).as("doc_id"), col("text")))
+        .select(col("doc_id"), md5(col("text")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(col("doc_id"), col("change"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, md5(text) AS h1 FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h2
+        FROM documents WHERE doc_id % 5 <> 1
+        UNION ALL
+        SELECT doc_id + 900000, md5(text) FROM documents WHERE doc_id % 7 = 3)
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR h1 <> h2)
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
-    q94RobotsFilter, q99JsonlRoundtrip)
+    q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff)
 }
