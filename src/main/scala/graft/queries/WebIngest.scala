@@ -398,6 +398,35 @@ object WebIngest {
       ORDER BY doc_id
     """))
 
+  /** Hive-style partitioned layout round-trip: orders written
+    * `partitionBy(o_year)`, read back with a partition predicate — the
+    * data-layout counterpart of q109's z-order: the filter must resolve
+    * from DIRECTORY names (PartitionFilters in the scan), so the 1997
+    * read touches one partition's files and never opens the rest. At
+    * 100 TB this is the difference between scanning a year and scanning
+    * the lake; PlanSpec pins the PartitionFilters placement. Scratch
+    * temp dir per run — the exercise is the layout, not the location. */
+  val q123PartitionPrune = QueryDef(
+    "q123_partition_prune",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-part").toString
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_year") === 1997)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_year").cast("int").as("o_year"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_totalprice, year(o_orderdate)::INT AS o_year
+      FROM orders
+      WHERE year(o_orderdate) = 1997
+      ORDER BY o_orderkey
+    """))
+
   val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
-    q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff)
+    q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff, q123PartitionPrune)
 }

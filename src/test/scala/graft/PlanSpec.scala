@@ -232,6 +232,15 @@ class PlanSpec extends SparkSpec {
       s"banded kernel missing (built-in DP would be quadratic per pair):\n$p")
   }
 
+  test("q123: the year predicate prunes PARTITIONS, not rows") {
+    val p = plan("q123_partition_prune")
+    // the filter must land in PartitionFilters (directory pruning); a
+    // data-filter fallback reads every partition's files then discards
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("o_year"), s"o_year not a partition filter: $pf")
+  }
+
   test("q97: weighted reservoir keeps the map-side group limit") {
     val p = plan("q97_weighted_reservoir")
     // WindowGroupLimit prunes to ≤k rows per source BEFORE the exchange —
