@@ -187,13 +187,18 @@ object TextHashKernels {
   /** Bounded (Ukkonen-banded) Levenshtein distance: the exact edit
     * distance when it is ≤ k, else -1. O(k·min(n,m)) cells instead of
     * O(n·m), with an early bail-out once every band cell exceeds k.
-    * Runs on java.lang.String (O(1) charAt) — Spark's built-in
-    * `levenshtein` walks UTF8String offsets per cell and measured
+    * Operates on CODE POINTS (one int[] conversion per string, then
+    * O(1) indexing), matching both Spark's built-in `levenshtein` and
+    * the DuckDB oracle — a supplementary character (emoji, astral CJK)
+    * counts as ONE unit, not its two UTF-16 surrogates. Spark's
+    * built-in walks UTF8String offsets per DP cell and measured
     * ~1 ms/pair on 300-char documents; this kernel is the fuzzy-join
     * verify form (q117). Semantics pinned against the built-in in
-    * BoundedLevenshteinSpec. */
+    * BoundedLevenshteinSpec (incl. non-BMP cases). */
+  private def codePoints(s: String): Array[Int] = s.codePoints().toArray
+
   def boundedLevenshtein(ua: UTF8String, ub: UTF8String, k: Int): Int = {
-    val a = ua.toString; val b = ub.toString
+    val a = codePoints(ua.toString); val b = codePoints(ub.toString)
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val n = s.length; val m = t.length
     if (m - n > k) return -1
@@ -212,7 +217,7 @@ object TextHashKernels {
       var jj = lo
       while (jj <= hi) {
         val sub =
-          if (s.charAt(i - 1) == t.charAt(jj - 1)) prev(jj - 1)
+          if (s(i - 1) == t(jj - 1)) prev(jj - 1)
           else prev(jj - 1) + 1
         val del = prev(jj) + 1
         val ins = cur(jj - 1) + 1

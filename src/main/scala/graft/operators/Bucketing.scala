@@ -39,10 +39,15 @@ object Bucketing {
     * day-number for dates). */
   def zOrderKey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
-    import org.apache.spark.sql.functions.{lit, shiftright}
+    import org.apache.spark.sql.functions.{lit, pmod, shiftright}
+    // pmod (not %) so each term is the BIT `(x >> i) & 1` even for
+    // negative inputs — Spark's % is sign-preserving and would emit -1
+    // terms where the SQL twin's `& 1` emits 1, silently de-Morton-izing
+    // the key off-contract. With pmod both twins agree on all inputs
+    // (callers still owe [0, 2^bits) for a meaningful Morton code).
     (0 until bits).map { i =>
-      (shiftright(a.cast("long"), i) % 2L) * lit(1L << (2 * i)) +
-        (shiftright(b.cast("long"), i) % 2L) * lit(1L << (2 * i + 1))
+      pmod(shiftright(a.cast("long"), i), lit(2L)) * lit(1L << (2 * i)) +
+        pmod(shiftright(b.cast("long"), i), lit(2L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
   }
 

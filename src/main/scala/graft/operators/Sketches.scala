@@ -99,7 +99,11 @@ object Sketches {
     * pins against a sketch built on the concatenated input. */
   def kmvMergeEstimate(a: Seq[Long], b: Seq[Long], k: Int): (Seq[Long], Long) = {
     val merged = (a ++ b).distinct.sorted.take(k)
-    val est = math.round((k - 1).toDouble * KmvSpace / merged.last.toDouble)
-    (merged, est)
+    // < k survivors means we saw EVERY distinct hash of the union — the
+    // exact count is the right answer (kmvSketch's own small-group
+    // convention); the (k-1)·2^60/kth estimator only applies at capacity.
+    // Empty ∪ empty is a legal merge of two empty sketches → (Nil, 0).
+    if (merged.size < k) (merged, merged.size.toLong)
+    else (merged, math.round((k - 1).toDouble * KmvSpace / merged.last.toDouble))
   }
 }

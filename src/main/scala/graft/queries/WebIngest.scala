@@ -24,6 +24,21 @@ object WebIngest {
   /** Buckets → synthetic WARC files (bounded file size scaffold). */
   private val WarcFiles = 20L
 
+  /** Deterministic per-process scratch path for the round-trip queries
+    * (q99/q123): a fixed name under java.io.tmpdir keyed by PID, reused
+    * across every bench/soak invocation in the process with
+    * mode("overwrite") — repeated runs REPLACE the copy instead of
+    * leaking a corpus-sized directory per run (createTempDirectory would
+    * mint a fresh one each time). PID-keyed so concurrent test/bench
+    * JVMs never clobber each other's in-flight writes. */
+  private def scratchDir(name: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-scratch-$pid", name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   private def targetUri(source: String, docId: Long): String =
     s"http://corpus.example/$source/$docId"
 
@@ -334,8 +349,7 @@ object WebIngest {
   val q99JsonlRoundtrip = QueryDef(
     "q99_jsonl_roundtrip",
     (s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-jsonl").toString
+      val dir = scratchDir("jsonl")
       Tables.documents(s, d).write.mode("overwrite").json(dir)
       s.read.schema(Tables.documents(s, d).schema).json(dir)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -409,8 +423,7 @@ object WebIngest {
   val q123PartitionPrune = QueryDef(
     "q123_partition_prune",
     (s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-part").toString
+      val dir = scratchDir("part")
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.partitionBy("o_year").mode("overwrite").parquet(dir)

@@ -213,7 +213,10 @@ object EventsStreams {
     *    arrives later;
     *  - state retention is horizon-bounded in TIME (the timer at t1+48h
     *    emits and clears), holding the user's clicks/purchases up to
-    *    that horizon;
+    *    that horizon; view-LESS keys are bounded too — their events are
+    *    pruned to (watermark, ∞) each batch and a fallback timer just
+    *    past the newest survivor clears the key once the watermark
+    *    passes it (no event ≤ W can follow a view at ≥ W);
     *  - the outcome is a pure function of events in [t1, t1+48h], and no
     *    event ≤ t1+48h can arrive once the watermark passes it (nor can
     *    an earlier view — it would be below the watermark too), so ONE
@@ -253,6 +256,28 @@ object EventsStreams {
         if (st.tView != t1Before) {
           getHandle.listTimers().foreach(getHandle.deleteTimer)
           getHandle.registerTimer(horizon / 1000 + 1) // timers are millis
+        }
+      } else {
+        // View-less key: no funnel has started, but clicks/purchases are
+        // arriving. A future view has event time ≥ the watermark W (lower
+        // events can no longer be processed), and clicks/purchases only
+        // count strictly AFTER the view — so every retained event ≤ W is
+        // dead. Prune to events above W and park a fallback timer just
+        // past the newest survivor: when the watermark passes it the
+        // state clears (handleExpiredTimer emits nothing for view-less
+        // keys). Without this branch click/purchase-only users would
+        // accumulate per-event state forever (TTL is NONE and the main
+        // path only registers timers once a view exists).
+        val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+        st = FunnelState(st.tView,
+          st.clicks.filter(_ > wmUs), st.purchases.filter(_ > wmUs))
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        if (st.clicks.nonEmpty || st.purchases.nonEmpty) {
+          val maxT = (st.clicks ++ st.purchases).max
+          getHandle.registerTimer(maxT / 1000 + 1)
+        } else {
+          state.clear()
+          return Iterator.empty
         }
       }
       state.update(st)

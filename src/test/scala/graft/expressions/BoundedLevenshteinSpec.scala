@@ -46,6 +46,32 @@ class BoundedLevenshteinKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP: supplementary characters count as ONE edit unit") {
+    // 😀 = U+1F600 (2 UTF-16 units, 1 code point). Substituting one emoji
+    // for another must cost 1, matching built-in levenshtein / DuckDB
+    // (code-point semantics), not 2 (UTF-16-unit semantics).
+    assert(TextHashKernels.boundedLevenshtein(u("a😀b"), u("a😁b"), 1) == 1)
+    assert(TextHashKernels.boundedLevenshtein(u("😀"), u(""), 1) == 1)
+    assert(TextHashKernels.boundedLevenshtein(u("😀"), u("x"), 1) == 1)
+    // astral CJK (U+20000): insert one ideograph = 1 edit
+    assert(TextHashKernels.boundedLevenshtein(u("ab"), u("a𠀀b"), 1) == 1)
+    // and beyond k still bails to -1
+    assert(TextHashKernels.boundedLevenshtein(u("😀😁"), u(""), 1) == -1)
+  }
+
+  test("non-BMP parity with Spark built-in levenshtein") {
+    val cases = Seq(
+      ("a😀b", "a😁b"),
+      ("𠀀𠀁", "𠀁"),
+      ("mix😀ed", "mixed"),
+      ("😀", "😀"))
+    cases.foreach { case (a, b) =>
+      val want = u(a).levenshteinDistance(u(b)) // Spark's own kernel
+      val got = TextHashKernels.boundedLevenshtein(u(a), u(b), 10)
+      assert(got == want, s"'$a' vs '$b': got $got want $want")
+    }
+  }
+
   test("edges: empty strings, k=0, equal strings") {
     assert(TextHashKernels.boundedLevenshtein(u(""), u(""), 0) == 0)
     assert(TextHashKernels.boundedLevenshtein(u("abc"), u(""), 3) == 3)

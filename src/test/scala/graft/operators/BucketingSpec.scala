@@ -44,6 +44,21 @@ class BucketingSpec extends SparkSpec {
     assert(transitions == 3, s"z-order must visit the 4 quadrants contiguously, got $transitions transitions")
   }
 
+  test("zOrderKey matches the SQL twin's `& 1` bit extraction on NEGATIVE inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // off-contract inputs (callers owe [0, 2^bits)) must still agree
+    // with zOrderKeySql's `(x >> i) & 1` — pmod makes each term the bit,
+    // where sign-preserving % would emit -1 terms and silently diverge
+    val pts = Seq((-1L, 3L), (-7L, -2L), (5L, -9L), (Long.MinValue, 1L))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Bucketing.zOrderKey($"x", $"y", 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x,$y)") }
+  }
+
   test("zOrderKey rejects out-of-range bit widths") {
     import spark.implicits._
     assertThrows[IllegalArgumentException] {

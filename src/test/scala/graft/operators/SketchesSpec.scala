@@ -108,4 +108,20 @@ class SketchesSpec extends SparkSpec {
       .select(Sketches.kmvHash(col("k"), "mg").as("h"))
       .orderBy("h").as[Long].head())
   }
+
+  test("kmvMergeEstimate: empty and below-capacity merges are exact") {
+    // empty ∪ empty is a legal merge → (Nil, 0), not NoSuchElementException
+    assert(Sketches.kmvMergeEstimate(Nil, Nil, 64) == (Nil, 0L))
+    // below capacity the merged set IS the full distinct hash set — the
+    // exact count is correct (kmvSketch's small-group convention), not
+    // the (k-1)·2^60/kth estimator which wildly overshoots tiny kth
+    val (m1, e1) = Sketches.kmvMergeEstimate(Seq(10L, 20L), Seq(20L, 30L), 64)
+    assert(m1 == Seq(10L, 20L, 30L) && e1 == 3L)
+    val (m2, e2) = Sketches.kmvMergeEstimate(Nil, Seq(5L), 64)
+    assert(m2 == Seq(5L) && e2 == 1L)
+    // at capacity the estimator applies (k smallest survive)
+    val (m3, e3) = Sketches.kmvMergeEstimate(Seq(1L, 2L), Seq(3L, 4L), 3)
+    assert(m3 == Seq(1L, 2L, 3L) &&
+      e3 == math.round(2.0 * Sketches.KmvSpace / 3.0))
+  }
 }

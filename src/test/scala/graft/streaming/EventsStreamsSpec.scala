@@ -203,4 +203,61 @@ class EventsStreamsSpec extends SparkSpec {
     // the funnel must be non-trivial: some covered user converts fully
     assert(covered.exists(_._2._5 == 3), "no 3-stage conversion in fixture")
   }
+
+  test("funnelTws bounds state for view-LESS keys (click-only users clear)") {
+    // user 100 emits clicks but never a view: its per-event state must be
+    // pruned/cleared once the watermark passes its events (fallback
+    // timer), not retained forever (TTL is NONE). user 200 completes a
+    // funnel whose horizon the watermark covers → emits and clears.
+    // user 300's view horizon stays open → exactly ONE state row remains.
+    val t0 = 1700000000000000L // µs
+    val h = 3600L * 1000000
+    val dir = Files.createTempDirectory("funnel-viewless")
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "tus")
+        .select($"user_id", $"event_type",
+          timestamp_micros($"tus").as("ts"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: the click-only user + a full funnel
+    write("f1", Seq(
+      (100L, "click", t0), (100L, "click", t0 + 10 * 1000000),
+      (100L, "purchase", t0 + 20 * 1000000),
+      (200L, "view", t0), (200L, "click", t0 + h),
+      (200L, "purchase", t0 + 2 * h)))
+    // batch 2: far-future view pushes the watermark past both horizons
+    write("f2", Seq((300L, "view", t0 + 100 * h)))
+    val src = spark.readStream
+      .schema("user_id BIGINT, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/f*")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStreams.funnelTws(src)
+        .writeStream.format("memory").queryName("funnel_viewless")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val out = spark.table("funnel_viewless")
+        .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      // only user 200 emits (3 stages); the view-less user must not
+      assert(out.map(_._1).toSet == Set(200L), out.mkString(","))
+      assert(out.head._5 == 3)
+      // state store holds ONLY user 300 (open horizon): the click-only
+      // user's state was cleared by the fallback timer / prune path
+      val stateRows = q.recentProgress.reverse
+        .flatMap(_.stateOperators.headOption).headOption
+        .map(_.numRowsTotal).getOrElse(-1L)
+      assert(stateRows == 1L,
+        s"expected 1 surviving state row (user 300), got $stateRows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
