@@ -23,35 +23,103 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
-  /** `iters` PageRank steps at damping `d` over `edges` (src, dst; no
-    * dangling nodes — every node needs ≥1 out-edge). Returns
-    * (node, rank). Node set = src ∪ dst. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double,
-               checkpointEvery: Int = 0): DataFrame = {
+  /** `iters` PageRank steps at damping `d` over `edges` (src, dst).
+    * Returns (node, rank). Node set = src ∪ dst. DANGLING nodes (no
+    * out-edge — ubiquitous in real host graphs) are handled with the
+    * standard mass-redistribution term: each step adds
+    * `damping · Σ(rank over dangling) / n` uniformly, so Σrank stays 1
+    * instead of silently leaking toward (1-d) (the spec pins mass
+    * conservation; on sink-free graphs the term is exactly 0.0 and the
+    * update reproduces the plain form bit-for-bit — the q112 oracle has
+    * no dangling term and still hash-matches).
+    *
+    * Two execution shapes, picked by `hasSinks` — the caller's
+    * knowledge when supplied (a generator that guarantees out-edges, a
+    * crawl frontier that never does), else a one-time probe of the
+    * static dangling set (`limit 1` on nodes ∖ out-degree keys; one
+    * extra pass over the edge derivation, cheap next to the iteration
+    * shuffles but not free — that is why callers may assert it away).
+    * `Some(false)` on a graph that DOES have sinks silently re-opens
+    * the mass leak — assert only what the edge source guarantees:
+    *  - SINK-FREE graphs run the fully-lazy loop: each step is
+    *    join(ranks ⋈ edges on src) → groupBy(dst) sum, the rank frame
+    *    consumed once, nothing materializes until the caller's action.
+    *  - Graphs WITH sinks consume the rank frame twice per step
+    *    (contributions + the 1-row dangling aggregate), so each step
+    *    eagerly materializes it (`localCheckpoint`) — a lazy
+    *    formulation would double the plan tree per iteration
+    *    (exponential Catalyst traversal). Per-iteration materialization
+    *    of the skinny (node, rank) frame is the GraphX/ALS shape at
+    *    100 TB anyway: constant plan depth, the wide edge table never
+    *    re-shuffles (pre-bucket it by src), and the previous step's
+    *    blocks are freed as soon as the next exists, so live memory
+    *    stays O(one rank frame). */
+  def pageRank(edges0: DataFrame, iters: Int, damping: Double,
+               hasSinks: Option[Boolean] = None): DataFrame = {
     require(iters >= 1)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    def derive(edges: DataFrame) = {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val deg = edges.groupBy("src")
+        .agg(count(lit(1)).cast("double").as("outdeg"))
+      (nodes, deg)
+    }
+    val (nodes0, deg0) = derive(edges0)
+    val dang0 = nodes0.join(
+      deg0.select(col("src").as("node")), Seq("node"), "left_anti")
+    val hasDangling = hasSinks.getOrElse(!dang0.isEmpty)
+    // The sink-free loop is ONE lazy query: Spark's ReusedExchange makes
+    // the edge/node/degree subtrees compute once. The sinks loop runs an
+    // eager job per iteration (no cross-job exchange reuse), so the
+    // static frames are materialized ONCE up front — the GraphX "cache
+    // the edges" step; MEMORY_AND_DISK, so 100 TB edge frames spill
+    // rather than OOM (or hand pageRank an already-materialized bucketed
+    // edge table).
+    val edges = if (hasDangling) edges0.select(col("src"), col("dst"))
+      .localCheckpoint(true) else edges0
+    val (nodes, deg) =
+      if (hasDangling) {
+        val (n, d) = derive(edges)
+        (n.localCheckpoint(true), d.localCheckpoint(true))
+      } else (nodes0, deg0)
+    val dang = if (hasDangling) nodes.join(
+      deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true) else dang0
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    (1 to iters).foreach { i =>
-      // checkpointEvery > 0 truncates the lineage every K steps — what
-      // GraphX/ALS do at scale, where re-planning/re-executing an
-      // iters-deep join tree dominates; at small scale the lazy plan is
-      // cheaper than materializing intermediates, so 0 (fully lazy) is
-      // the default and the spec pins both paths identical
-      if (checkpointEvery > 0 && i > 1 && (i - 1) % checkpointEvery == 0)
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    (1 to iters).foreach { _ =>
+      if (hasDangling) {
         ranks = ranks.localCheckpoint(true)
+        prevRdd.foreach(_.unpersist(false))
+        prevRdd = Some(ranks.queryExecution.toRdd)
+      }
       val contrib = ranks.join(edges, col("node") === col("src"))
         .join(deg, "src")
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
-      ranks = nodes.crossJoin(broadcast(nDf))
+      // Σ rank over sink nodes: semi-join against the broadcast static
+      // dangling set + 1-row aggregate. Skipped (exactly-0 term elided)
+      // on sink-free graphs, where the update below reproduces the plain
+      // form bit-for-bit.
+      val danglingTerm =
+        if (hasDangling) {
+          val dm = ranks.join(broadcast(dang), Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          Some(broadcast(dm))
+        } else None
+      val base = nodes.crossJoin(broadcast(nDf))
+      val withDm = danglingTerm.map(base.crossJoin).getOrElse(base)
+      val collected =
+        if (danglingTerm.isDefined)
+          coalesce(col("c"), lit(0.0)) + col("dm") / col("n")
+        else coalesce(col("c"), lit(0.0))
+      ranks = withDm
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+            lit(damping) * collected).as("rank"))
     }
     ranks
   }

@@ -49,7 +49,10 @@ object GraphQueries {
   val q112PageRank = QueryDef(
     "q112_pagerank",
     (s, d) =>
-      GraphAlgos.pageRank(edgesDf(s, d), iters = 10, damping = 0.85)
+      // hasSinks=false is a generator guarantee: every doc_id appears as
+      // src with a surviving out-edge ((d+1)%n ≠ d for n ≥ 2)
+      GraphAlgos.pageRank(edgesDf(s, d), iters = 10, damping = 0.85,
+        hasSinks = Some(false))
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node"),
     Some {
@@ -68,6 +71,55 @@ object GraphQueries {
         SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       nd AS (SELECT count(*)::DOUBLE AS n FROM nodes),
       deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0 / (SELECT n FROM nd) AS rank FROM nodes),
+      $iters
+      SELECT node, round(rank, 9) AS rank FROM r10
+      ORDER BY node
+      """
+    },
+    bench = true)
+
+  /** PageRank on a graph WITH sinks: dropping every out-edge of nodes
+    * ≡ 0 (mod 17) makes them DANGLING (they keep in-edges — real host
+    * graphs are full of such pages). Gates the mass-redistribution term
+    * of [[GraphAlgos.pageRank]]: each oracle step folds
+    * `0.85 · Σ(rank over dangling)/n` in exactly like the engine, so a
+    * rank vector that silently leaks mass (the naive update: Σrank
+    * decays toward 0.15) cannot hash-match. GraphAlgosSpec additionally
+    * pins Σrank ≈ 1 on this shape. */
+  val q112bPageRankDangling = QueryDef(
+    "q112b_pagerank_dangling",
+    (s, d) =>
+      GraphAlgos.pageRank(
+        edgesDf(s, d).filter(pmod(col("src"), lit(17)) =!= 0),
+        iters = 10, damping = 0.85, hasSinks = Some(true))
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node"),
+    Some {
+      val iters = (1 to 10).map { i =>
+        s"""d$i AS (
+        SELECT coalesce(sum(rank), 0) AS dm FROM r${i - 1}
+        WHERE node NOT IN (SELECT src FROM sedges)),
+      r$i AS (
+        SELECT n.node, 0.15 / (SELECT n FROM nd)
+               + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d$i) / (SELECT n FROM nd)) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst, sum(r.rank / g.outdeg) AS c
+          FROM r${i - 1} r JOIN sedges e ON r.node = e.src
+          JOIN deg g ON g.src = e.src
+          GROUP BY e.dst) c ON c.dst = n.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $EdgesSql,
+      -- MATERIALIZED: the 10 unrolled steps reference sedges ~30× (contrib
+      -- join, deg, NOT IN); inlined, DuckDB re-opens the parquet per
+      -- reference and exhausts file descriptors
+      sedges AS MATERIALIZED (SELECT src, dst FROM edges WHERE src % 17 <> 0),
+      nodes AS MATERIALIZED (
+        SELECT src AS node FROM sedges UNION SELECT dst FROM sedges),
+      nd AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS MATERIALIZED (
+        SELECT src, count(*)::DOUBLE AS outdeg FROM sedges GROUP BY src),
       r0 AS (SELECT node, 1.0 / (SELECT n FROM nd) AS rank FROM nodes),
       $iters
       SELECT node, round(rank, 9) AS rank FROM r10
@@ -113,5 +165,6 @@ object GraphQueries {
       ORDER BY node
     """))
 
-  val all: Seq[QueryDef] = Seq(q112PageRank, q113Triangles)
+  val all: Seq[QueryDef] =
+    Seq(q112PageRank, q112bPageRankDangling, q113Triangles)
 }

@@ -22,11 +22,50 @@ class GraphAlgosSpec extends SparkSpec {
     // 3 collects from 1 (half) AND 2 (all); 1 collects all of 3; 2 only
     // half of 1 — stationary order is 3 > 1 > 2
     assert(pr2(3L) > pr2(1L) && pr2(1L) > pr2(2L), pr2.toString)
-    // lineage-truncated path (the 100 TB formulation) is value-identical
-    val prCk = GraphAlgos.pageRank(g, iters = 30, damping = 0.85,
-        checkpointEvery = 5)
+  }
+
+  test("pageRank conserves mass on graphs WITH dangling nodes") {
+    // 1→2, 1→3, 2→3; node 3 is a SINK (no out-edge). Without the
+    // dangling-mass term Σrank decays toward (1-d) = 0.15 — the silent
+    // wrong answer on real host graphs.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val pr = GraphAlgos.pageRank(g, iters = 50, damping = 0.85)
       .as[(Long, Double)].collect().toMap
-    assert(prCk == pr2, s"checkpointed path diverged: $prCk vs $pr2")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"mass leak with sink: Σ=${pr.values.sum}")
+    // the sink collects from both others: highest rank
+    assert(pr(3L) > pr(1L) && pr(3L) > pr(2L), pr.toString)
+    // exact replay: 50 driver-side power-iteration steps with the same
+    // update (contrib + dangling redistribution) must agree ~bitwise
+    val d = 0.85; val base = (1.0 - d) / 3
+    var (r1, r2, r3) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    (1 to 50).foreach { _ =>
+      val dm = r3 // only the sink is dangling
+      val n1 = base + d * (0.0 + dm / 3)
+      val n2 = base + d * (r1 / 2 + dm / 3)
+      val n3 = base + d * ((r1 / 2 + r2) + dm / 3)
+      r1 = n1; r2 = n2; r3 = n3
+    }
+    assert(math.abs(pr(1L) - r1) < 1e-12 && math.abs(pr(2L) - r2) < 1e-12 &&
+      math.abs(pr(3L) - r3) < 1e-12, s"$pr vs ($r1,$r2,$r3)")
+    // an ALL-dangling graph (edge into a sink-only world): 2-node graph
+    // 1→2 — node 2 redistributes everything, ranks stay finite and sum 1
+    val tiny = Seq((1L, 2L)).toDF("src", "dst")
+    val prT = GraphAlgos.pageRank(tiny, iters = 30, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(prT.values.sum - 1.0) < 1e-9, prT.toString)
+    assert(prT(2L) > prT(1L))
+    // caller-asserted hasSinks agrees with the probed default on both
+    // shapes (the assertion only skips the probe, never changes values)
+    val prAsserted = GraphAlgos.pageRank(g, iters = 50, damping = 0.85,
+        hasSinks = Some(true)).as[(Long, Double)].collect().toMap
+    assert(prAsserted == pr, s"asserted path diverged: $prAsserted vs $pr")
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cycProbe = GraphAlgos.pageRank(cyc, iters = 10, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val cycAsserted = GraphAlgos.pageRank(cyc, iters = 10, damping = 0.85,
+        hasSinks = Some(false)).as[(Long, Double)].collect().toMap
+    assert(cycAsserted == cycProbe)
   }
 
   test("triangles counts K4 and ignores pendant paths") {
