@@ -562,8 +562,9 @@ object CorpusOps {
     * bucket threshold → chunk explode with metadata carried through.
     * Control-plane inputs (term weights, per-source thresholds) are
     * frozen closed-form md5 fixtures the oracle reproduces exactly; the
-    * weight universe is the corpus's distinct scrubbed tokens, collected
-    * once (bounded metadata, the temperatureMix convention). */
+    * weight universe is the top-4096 scrubbed tokens by document
+    * frequency — a BOUNDED collect whatever the corpus size, the shape
+    * a production classifier vocab actually has. */
   val q87HygieneStateless = QueryDef(
     "q87_hygiene_stateless",
     (s, d) => {
@@ -586,10 +587,20 @@ object CorpusOps {
           .digest((seed + v).getBytes("UTF-8")).map("%02x".format(_)).mkString
         java.lang.Long.parseLong(hex.substring(0, 15), 16)
       }
+      // frozen vocab = top-K terms by document frequency (ties by term):
+      // the collect is bounded at K rows NO MATTER the corpus size —
+      // exactly how a production classifier vocab is derived — where the
+      // previous form collected every distinct token (driver-unbounded
+      // at sf10+). The oracle replays the same top-K cut.
+      val VocabK = 4096
       val weights = graft.operators.PiiScrub.scrub(docs, col("text"))
-        .select(explode(
+        .select(col("doc_id"), explode(
           graft.functions.TextFunctions.tokens(col("scrubbed"))).as("t"))
-        .distinct().collect().iterator.map(_.getString(0))
+        .distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t").asc)
+        .limit(VocabK)
+        .collect().iterator.map(_.getString(0))
         .map { t => val h = h15("w8", t)
           t -> (if (h % 3 == 0) 0L else (h % 17) - 8) }
         .filter(_._2 != 0L).toMap
@@ -632,11 +643,15 @@ object CorpusOps {
       counts AS (
         SELECT doc_id, tok, count(*)::BIGINT AS cnt
         FROM tokrows GROUP BY doc_id, tok),
+      dfreq AS (
+        SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tokrows GROUP BY tok),
+      topk AS (SELECT tok FROM dfreq ORDER BY df DESC, tok LIMIT 4096),
       vocab AS (
         SELECT term, (h % 17) - 8 AS weight FROM (
-          SELECT DISTINCT tok AS term,
+          SELECT tok AS term,
                  ('0x' || substr(md5('w8' || tok), 1, 15))::BIGINT AS h
-          FROM tokrows)
+          FROM topk)
         WHERE h % 3 <> 0),
       scoredoc AS (
         SELECT c.doc_id, sum(c.cnt * coalesce(v.weight, 0))::BIGINT AS score

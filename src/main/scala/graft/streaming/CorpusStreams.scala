@@ -54,12 +54,16 @@ object CorpusStreams {
     * per-source keep thresholds arrive FROZEN, recomputed offline batch
     * by batch — exactly how production mixing weights are shipped).
     *
-    * Scale: the frozen maps become literal expressions — fine to ~10⁵
-    * entries (classifier term weights, per-source thresholds); a larger
-    * model belongs in a broadcast stream-static join, same shape,
-    * still stateless. The same function applied to a BATCH frame yields
-    * the identical plan modulo the source — that is the stream ≡ batch
-    * parity the spec asserts. */
+    * Scale: the frozen maps ship as BROADCAST variables captured by a
+    * scoring UDF — one copy per executor, the plan carrying only the
+    * function reference. (An earlier form embedded them as `typedLit`
+    * plan literals: fine at classifier size, but a fastText-scale 10⁵–
+    * 10⁶-term vocab makes the literal the per-micro-batch analysis/
+    * serialization bottleneck — the soak row in SOAK.md pins the
+    * broadcast shape flat in vocab size.) Still per-row, stateless,
+    * deterministic integer math, so stream ≡ batch parity holds — the
+    * same function applied to a BATCH frame yields the identical plan
+    * modulo the source, which is what the parity spec asserts. */
   def hygieneStateless(docs: DataFrame, url: Column,
       weights: Map[String, Long], thresholds: Map[String, Long],
       seed: String, maxTokens: Int = 32, stride: Int = 24): DataFrame = {
@@ -70,17 +74,21 @@ object CorpusStreams {
     // frozen-weight linear score: Σ over token INSTANCES of the term's
     // weight — the per-row form of CorpusStats.linearScore, exact on any
     // engine (integer weights, no join, no aggregation state)
-    val wmap = typedLit(weights)
-    val scored = scrubbed.withColumn("score",
-      aggregate(
-        transform(tokens(col("scrubbed")),
-          t => coalesce(element_at(wmap, t), lit(0L))),
-        lit(0L), (acc, w) => acc + w))
-    val tmap = typedLit(thresholds)
+    val sc = docs.sparkSession.sparkContext
+    val bw = sc.broadcast(weights)
+    val bt = sc.broadcast(thresholds)
+    val scoreOf = udf { ts: Seq[String] =>
+      val w = bw.value
+      var s = 0L
+      ts.foreach { t => s += w.getOrElse(t, 0L) }
+      s
+    }
+    val thresholdOf = udf { src: String => bt.value.getOrElse(src, 0L) }
+    val scored = scrubbed.withColumn("score", scoreOf(tokens(col("scrubbed"))))
     val gated = scored
       .filter(col("score") >= 0)
       .filter(Sampling.hashBucket(col("doc_id"), seed) <
-        coalesce(element_at(tmap, col("source").cast("string")), lit(0L)))
+        thresholdOf(col("source").cast("string")))
     Sampling.chunkDocuments(gated, col("doc_id"), col("scrubbed"),
       maxTokens, stride,
       carry = Seq("canon_url" -> col("canon_url"),

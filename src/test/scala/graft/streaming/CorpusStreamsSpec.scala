@@ -14,6 +14,10 @@ import graft.functions.TextFunctions
 class CorpusStreamsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Term that exists only in the vocab map — if it shows up in a plan
+    * string, the vocab rode in as a literal instead of a broadcast. */
+  private val PlanSentinel = "zz_plan_sentinel_term_xq9"
+
   // q22's synthesized dup corpus (doubled spaces normalize to the same
   // fingerprint), plus a constant in-watermark ingest time
   private lazy val corpusDir: String = {
@@ -278,7 +282,8 @@ class CorpusStreamsSpec extends SparkSpec {
       .map(s => s -> (400000L + (math.abs(s.hashCode) % 400000))).toMap
 
     def run(df: org.apache.spark.sql.DataFrame) =
-      CorpusStreams.hygieneStateless(df, col("url"), weights, thresholds,
+      CorpusStreams.hygieneStateless(df, col("url"),
+        weights + (PlanSentinel -> 5L), thresholds,
         seed = "hs", maxTokens = 32, stride = 24)
 
     val q = run(spark.readStream
@@ -291,6 +296,14 @@ class CorpusStreamsSpec extends SparkSpec {
     // stateless end to end: the finished query ran NO stateful operators
     assert(q.lastProgress.stateOperators.isEmpty,
       "hygiene composition grew a stateful operator")
+
+    // broadcast shape: the vocab must NOT ride in the plan as a map
+    // literal (re-analyzed/serialized per micro-batch, the bottleneck at
+    // fastText-scale vocabs) — the sentinel term injected above would
+    // appear verbatim in a typedLit plan
+    val planStr = run(spark.read.parquet(dir)).queryExecution.analyzed.toString
+    assert(!planStr.contains(PlanSentinel),
+      "vocab terms leaked into the plan as literals — not broadcast-shaped")
 
     val cols = Seq("doc_id", "canon_url", "source", "n_email", "score",
       "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
