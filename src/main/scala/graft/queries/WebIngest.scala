@@ -440,6 +440,51 @@ object WebIngest {
       ORDER BY o_orderkey
     """))
 
+  /** Small-file compaction ([[graft.operators.Compaction.compact]]) —
+    * the OPTIMIZE maintenance primitive q109 (clustering) and q123
+    * (partition layout) were missing: a deliberately fragmented orders
+    * table (16 shuffle outputs per year directory) is bin-packed back to
+    * ~target-size files per partition, and the query returns the
+    * POST-compaction per-year row counts + order-independent bit_xor
+    * digests (the q120 checksum convention). The oracle computes the
+    * same counts/digests from the original table, so any dropped,
+    * duplicated, or partition-misfiled row changes a digest and cannot
+    * hash-match. File-count reduction and preserved partition pruning
+    * are pinned in CompactionSpec (file counts aren't SQL-expressible). */
+  val q124CompactFiles = QueryDef(
+    "q124_compact_files",
+    (s, d) => {
+      val in = scratchDir("compact_in")
+      val out = scratchDir("compact_out")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(16) // fragment: up to 16 small files per year dir
+        .write.partitionBy("o_year").mode("overwrite").parquet(in)
+      graft.operators.Compaction.compact(s, in, out,
+        partitionCols = Seq("o_year"), binKey = "o_orderkey",
+        targetBytes = 128L * 1024 * 1024)
+      def rowHash(cols: org.apache.spark.sql.Column*) =
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long")
+      s.read.parquet(out)
+        .withColumn("h", rowHash(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long")))
+        .groupBy(col("o_year").cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+        .orderBy("o_year")
+    },
+    Some("""
+      SELECT year(o_orderdate)::INT AS o_year, count(*) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+               round(o_totalprice * 100)::BIGINT::VARCHAR), 1, 15))::BIGINT)
+               AS digest
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_year
+    """))
+
   val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
-    q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff, q123PartitionPrune)
+    q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff, q123PartitionPrune,
+    q124CompactFiles)
 }
