@@ -13,10 +13,11 @@ package graft.multimodal
   *  - encoder: MPS occupies the bottom of the interval (C unchanged on
   *    an MPS, `C += A` after the Qe subtraction on an LPS) with the
   *    conditional-exchange rule when the MPS subinterval shrinks below
-  *    Qe; BYTEOUT emits bits 26..19, a carry (bit 27) increments the
-  *    last written byte (never ripples further: a byte following 0xFF
-  *    is written in bit-stuffed 7-bit form whose spare msb absorbs the
-  *    carry, which is the purpose of T.81's bit stuffing).
+  *    Qe; BYTEOUT appends bits 26..19 to a bit buffer, a carry (bit 27)
+  *    ripples +1 through the buffered bits, and FLUSH packs the
+  *    resolved bit string into bytes with the 7-bit stuff slot after
+  *    every 0xFF (see the [[Encoder]] scaladoc for why the packing must
+  *    be deferred until carries are resolved).
   *
   * The statistics models are the sequential DC (F.1.4.4.1, conditioning
   * classes from the DAC L/U bounds) and AC (F.1.4.4.2, 3 decisions per
@@ -186,36 +187,39 @@ object QmCoder {
   // ------------------------------------------------------------- encoder
 
   /** Annex D encoder. Output is a fully stuffed entropy segment (no
-    * trailing marker — the caller appends EOI/RSTn). */
+    * trailing marker — the caller appends EOI/RSTn/SOS).
+    *
+    * The back end is a BIT buffer, not a byte buffer: each BYTEOUT
+    * appends 8 raw stream bits and applies any carry as a +1 ripple on
+    * the bits already emitted; [[finish]] packs the resolved bit string
+    * into bytes, inserting the 7-bit stuff slot after every 0xFF at
+    * pack time. Eager byte finalization (the first version of this
+    * class) is subtly wrong: a carry can increment an already-written
+    * 0xFE to 0xFF, and the byte after it — already packed as a full
+    * 8-bit byte — is then read by every T.81 decoder as a 7-bit stuffed
+    * byte, shearing the stream by one bit (caught by a QM-core fuzz;
+    * QmCoderSpec pins the minimal case). Deferring the byte split until
+    * all carries are known resolves every such interaction, and emits
+    * bit-identical output on streams the eager scheme handled. */
   final class Encoder {
-    private var lastWasFF = false
     private var c: Long = 0L
     private var a: Int = 0x8000
     private var ct: Int = 12
-    private val bytes = new scala.collection.mutable.ArrayBuffer[Int](256)
+    private val bits = new scala.collection.mutable.ArrayBuffer[Int](1024)
 
     private def byteout(): Unit = {
-      if (lastWasFF) {
-        // bit-stuffed byte: 7 data bits, spare msb absorbs any carry
-        val b = ((c >>> 19) & 0xff).toInt
-        require(b <= 0x8f, s"QM encoder: stuffed byte 0x${b.toHexString} in marker range")
-        bytes += b
-        c &= 0x7ffff
-      } else {
-        val t = ((c >>> 19) & 0x1ff).toInt
-        if (t > 0xff) {
-          // carry: increments the previous byte; that byte is < 0xFF on
-          // this path (an 0xFF would have put us in the stuffed branch),
-          // so the increment can never ripple further
-          require(bytes.nonEmpty, "QM encoder: carry before first byte")
-          bytes(bytes.length - 1) += 1
-          require(bytes(bytes.length - 1) <= 0xff, "QM encoder: carry ripple")
-        }
-        bytes += (t & 0xff)
-        c &= 0x7ffff
+      val t = ((c >>> 19) & 0x1ff).toInt
+      if (t > 0xff) {
+        // carry: +1 on the emitted bit string, rippling through 1s
+        var i = bits.length - 1
+        while (i >= 0 && bits(i) == 1) { bits(i) = 0; i -= 1 }
+        require(i >= 0, "QM encoder: carry before first bit")
+        bits(i) = 1
       }
-      lastWasFF = bytes.last == 0xff
-      ct = if (lastWasFF) 7 else 8
+      var k = 7
+      while (k >= 0) { bits += (t >> k) & 1; k -= 1 }
+      c &= 0x7ffff
+      ct = 8
     }
 
     private def renorme(): Unit = {
@@ -252,21 +256,50 @@ object QmCoder {
     }
 
     /** D.1.8 flush: choose the interval value with the most trailing
-      * zeros, then push the remaining register bits out. */
+      * zeros, push the remaining register bits out, then pack the
+      * resolved bit string into stuffed bytes. */
     def finish(): Array[Byte] = {
       // CLEARBITS
       val t = (c + a - 1) & 0xffff0000L
       c = if (t < c) t + 0x8000 else t
-      // final byteouts: simulate the remaining CT shifts, three times
+      // final byteouts: simulate the remaining CT shifts. FOUR rounds,
+      // not three: round k flushes down to bit (27-ct-8k) of the
+      // cleared register, so with a small ct three rounds can leave the
+      // lowest cleared zero bits unemitted — a decoder 1-fills them,
+      // and when the interval top is within 2 of the chosen value that
+      // pushes the reconstruction out of the final interval and the
+      // LAST decision decodes wrong (QM-core fuzz, ~2e-5 of streams;
+      // QmCoderSpec pins the minimal case). k=3 reaches bit -5-ct < 0
+      // for every ct, so all sixteen cleared bits are always in the
+      // stream and the 1-fill tail stays strictly below one c-unit.
       var k = 0
-      while (k < 3) {
+      while (k < 4) {
         c = (c << ct) & 0xfffffffL
         byteout()
         k += 1
       }
-      val arr = new Array[Byte](bytes.length)
+      // pack: 8 bits per byte, 7 after any 0xFF (stuff bit 0 in the msb
+      // slot — carries are fully resolved, so it is always clear)
+      val out = new scala.collection.mutable.ArrayBuffer[Int](bits.length / 8 + 2)
       var i = 0
-      while (i < bytes.length) { arr(i) = bytes(i).toByte; i += 1 }
+      var stuffed = false
+      while (i < bits.length) {
+        val width = if (stuffed) 7 else 8
+        var v = 0
+        var j = 0
+        while (j < width) {
+          v = (v << 1) | (if (i < bits.length) bits(i) else 0)
+          i += 1; j += 1
+        }
+        out += v
+        stuffed = v == 0xff
+      }
+      // a trailing data 0xFF directly before the caller's marker would
+      // read as a marker start: terminate it with a stuffed zero byte
+      if (out.nonEmpty && out.last == 0xff) out += 0x00
+      val arr = new Array[Byte](out.length)
+      var p = 0
+      while (p < out.length) { arr(p) = out(p).toByte; p += 1 }
       arr
     }
   }
@@ -355,15 +388,26 @@ object QmCoder {
   /** Decode the 63 AC coefficients of one block into `coefZig`
     * (zigzag-indexed positions 1..63). Returns false on malformed
     * streams. */
-  def decodeAc(dec: Decoder, st: AcState, coefZig: Array[Int]): Boolean = {
+  def decodeAc(dec: Decoder, st: AcState, coefZig: Array[Int]): Boolean =
+    decodeAcBand(dec, st, coefZig, 1, 63, 0)
+
+  /** Band-limited, point-transformed AC decode — the sequential
+    * F.1.4.4.2 model applied to a progressive first scan (T.81 G.2):
+    * positions run `ss..se`, contexts stay indexed by ABSOLUTE k (the
+    * triplet for position k is `3*(k-1)`, Kx comparison on k), and each
+    * decoded value lands in `coefZig(k)` shifted up by the scan's
+    * successive-approximation low bit `al`. (ss=1, se=63, al=0) IS the
+    * sequential decode. */
+  def decodeAcBand(dec: Decoder, st: AcState, coefZig: Array[Int],
+      ss: Int, se: Int, al: Int): Boolean = {
     val b = st.bins
-    var k = 1
-    while (k <= 63) {
+    var k = ss
+    while (k <= se) {
       var s = 3 * (k - 1)
       if (dec.decode(b(s)) == 1) return true // EOB
       while (dec.decode(b(s + 1)) == 0) {
         s += 3; k += 1
-        if (k > 63) return false
+        if (k > se) return false
       }
       val sign = dec.decode(st.sign)
       var m = dec.decode(b(s + 2))
@@ -383,30 +427,37 @@ object QmCoder {
       val mant = if (stIdx < 0) s + 2 + 14 else stIdx + 14
       while ({ m >>= 1; m != 0 }) if (dec.decode(b(mant)) != 0) v |= m
       v += 1
-      coefZig(k) = if (sign == 1) -v else v
+      coefZig(k) = (if (sign == 1) -v else v) << al
       k += 1
     }
     true
   }
 
   /** Encode the 63 AC coefficients (dual of [[decodeAc]]). */
-  def encodeAc(enc: Encoder, st: AcState, coefZig: Array[Int]): Unit = {
+  def encodeAc(enc: Encoder, st: AcState, coefZig: Array[Int]): Unit =
+    encodeAcBand(enc, st, coefZig, 1, 63, 0)
+
+  /** Dual of [[decodeAcBand]]: the coefficient coded at position k is
+    * the point-transformed `sign * (|coefZig(k)| >> al)` — a magnitude
+    * that shifts to zero is a zero of this scan. */
+  def encodeAcBand(enc: Encoder, st: AcState, coefZig: Array[Int],
+      ss: Int, se: Int, al: Int): Unit = {
     val b = st.bins
-    var last = 63
-    while (last >= 1 && coefZig(last) == 0) last -= 1
-    var k = 1
+    def mag(k: Int): Int = math.abs(coefZig(k)) >> al
+    var last = se
+    while (last >= ss && mag(last) == 0) last -= 1
+    var k = ss
     while (k <= last) {
       var s = 3 * (k - 1)
       enc.encode(b(s), 0) // not EOB
-      while (coefZig(k) == 0) {
+      while (mag(k) == 0) {
         enc.encode(b(s + 1), 0)
         s += 3; k += 1
       }
       enc.encode(b(s + 1), 1)
-      val c = coefZig(k)
-      val sign = if (c < 0) 1 else 0
+      val sign = if (coefZig(k) < 0) 1 else 0
       enc.encode(st.sign, sign)
-      val v = math.abs(c) - 1
+      val v = mag(k) - 1
       var m = Integer.highestOneBit(v)
       enc.encode(b(s + 2), if (m != 0) 1 else 0)
       var stIdx = -1
@@ -424,8 +475,96 @@ object QmCoder {
       while (mm != 0) { enc.encode(b(mant), if ((v & mm) != 0) 1 else 0); mm >>= 1 }
       k += 1
     }
-    // EOB decision for k = last+1 sits at state 3*((last+1)-1); when the
-    // block is full (last == 63) no EOB is coded, mirroring the decoder
-    if (last < 63) enc.encode(b(3 * last), 1)
+    // EOB decision for the position after the last coded coefficient
+    // sits at state 3*max(last, ss-1); when the band is full (last ==
+    // se) no EOB is coded, mirroring the decoder
+    if (last < se) enc.encode(b(3 * math.max(last, ss - 1)), 1)
+  }
+
+  /** AC successive-approximation refinement, decode side (T.81 G.2.3).
+    * `coefZig` holds the block's history from prior scans (zigzag
+    * positions ss..se) and is refined in place at low bit `al`. The
+    * context triplet for position k is `3*(k-1)`: +0 the end-of-block
+    * decision (consulted only once the walk has passed kex, the last
+    * position with NONZERO history), +1 the newly-nonzero decision for
+    * zero-history positions, +2 the correction bit for nonzero-history
+    * positions; signs of newly-nonzero coefficients use the fixed
+    * (non-adapting) state. */
+  def decodeAcRefine(dec: Decoder, st: AcState, coefZig: Array[Int],
+      ss: Int, se: Int, al: Int): Boolean = {
+    val b = st.bins
+    val p1 = 1 << al
+    var kex = se
+    while (kex >= ss && coefZig(kex) == 0) kex -= 1
+    var k = ss
+    while (k <= se) {
+      var s = 3 * (k - 1)
+      if (k > kex && dec.decode(b(s)) == 1) return true // EOB: rest unchanged
+      var placed = false
+      while (!placed) {
+        val cv = coefZig(k)
+        if (cv != 0) {
+          if (dec.decode(b(s + 2)) == 1)
+            coefZig(k) = if (cv < 0) cv - p1 else cv + p1
+          placed = true
+        } else if (dec.decode(b(s + 1)) == 1) {
+          coefZig(k) = if (dec.decode(st.sign) == 1) -p1 else p1
+          placed = true
+        } else {
+          k += 1
+          if (k > se) return false
+          s += 3
+        }
+      }
+      k += 1
+    }
+    true
+  }
+
+  /** Dual of [[decodeAcRefine]] — a decoder simulation over the FULL
+    * coefficient values `curZig`: the history the decoder holds is
+    * derived as the magnitude truncated to the previous precision
+    * (`(|v| >> (al+1)) << (al+1)`), the correction bit for a
+    * nonzero-history position is bit al of |v|, and a zero-history
+    * position turns newly nonzero exactly when `|v| >> al == 1`. The
+    * end-of-block flag is emitted at the first consultation point past
+    * both kex and the last position with anything to transmit. */
+  def encodeAcRefine(enc: Encoder, st: AcState, curZig: Array[Int],
+      ss: Int, se: Int, al: Int): Unit = {
+    val b = st.bins
+    def histMag(k: Int): Int = (math.abs(curZig(k)) >> (al + 1)) << (al + 1)
+    def curMag(k: Int): Int = math.abs(curZig(k)) >> al
+    var kex = se
+    while (kex >= ss && histMag(kex) == 0) kex -= 1
+    var kem = ss - 1 // last position with a 1-bit or a new coefficient
+    var j = ss
+    while (j <= se) {
+      if (if (histMag(j) != 0) (curMag(j) & 1) == 1 else curMag(j) == 1) kem = j
+      j += 1
+    }
+    var k = ss
+    while (k <= se) {
+      var s = 3 * (k - 1)
+      if (k > kex) {
+        if (k > kem) { enc.encode(b(s), 1); return } // EOB
+        enc.encode(b(s), 0)
+      }
+      var placed = false
+      while (!placed) {
+        if (histMag(k) != 0) {
+          enc.encode(b(s + 2), curMag(k) & 1)
+          placed = true
+        } else if (curMag(k) == 1) {
+          enc.encode(b(s + 1), 1)
+          enc.encode(st.sign, if (curZig(k) < 0) 1 else 0)
+          placed = true
+        } else {
+          enc.encode(b(s + 1), 0)
+          k += 1
+          s += 3
+        }
+      }
+      k += 1
+    }
   }
 }
