@@ -17,8 +17,11 @@ package graft.multimodal
   * decodes through the extended-sequential (SOF1) grayscale path
   * (level shift 2048, DC categories to 15, top-8-bit emission);
   * hierarchical (DHP) streams dispatch to the Annex J multi-frame
-  * driver ([[HierJpeg]]). Progressive-arithmetic,
-  * arithmetic-with-restarts, 12-bit-color, and
+  * driver ([[HierJpeg]]); arithmetic-coded progressive (SOF10) runs the
+  * T.81 G.2 statistical models — per-scan QM entropy segments over the
+  * same progressive coefficient store (DC first on point-transformed
+  * values, fixed-state DC refinement, band-limited AC first, G.2.3 AC
+  * refinement). Arithmetic-with-restarts, 12-bit-color, and
   * out-of-[[HierJpeg]]-remit hierarchical modes return None (stub
   * fallback) — as does truncation or corruption anywhere.
   *
@@ -428,6 +431,7 @@ object JpegCodec {
         else if (ah == 0) acFirstUnit(c, off)
         else acRefineUnit(c, off)
 
+
       scanComps.foreach(_.dcPred = 0) // predictors reset per scan (F.2.1.3.1)
       if (scanComps.length == 1) {
         // non-interleaved: one data unit per MCU, row-major over the
@@ -473,6 +477,94 @@ object JpegCodec {
         }
       }
       true
+    }
+
+    /** One SOF10 (arithmetic progressive, T.81 G.2) scan: the Annex F
+      * QM statistical models over the same coefficient store and walk
+      * as the Huffman scans — DC first via F.1.4.4.1 on the
+      * point-transformed values, DC refinement as one fixed-state
+      * decision per block, AC first via the band-limited sequential
+      * model, AC refinement via the G.2.3 correction model. Statistics
+      * and the entropy coder reset per scan (each scan is its own
+      * segment). Returns the byte position of the scan-terminating
+      * marker's 0xFF, or -1 on corruption. */
+    def progressiveArithScan(entry: Int, scanComps: Array[Component],
+        ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val dec = new QmCoder.Decoder(b, entry)
+      val p1 = 1 << al
+      val czig = new Array[Int](64)
+      val dcSt =
+        if (ss == 0 && ah == 0)
+          scanComps.map(c => new QmCoder.DcState(dcCondL(c.td), dcCondU(c.td)))
+        else null
+      val fixed = if (ss == 0 && ah > 0) QmCoder.fixedBin() else null
+      val acSt =
+        if (ss > 0) new QmCoder.AcState(acCondK(scanComps(0).ta)) else null
+
+      def unit(ci: Int, c: Component, off: Int): Boolean = {
+        if (ss == 0) {
+          if (ah == 0) {
+            if (!QmCoder.decodeDc(dec, dcSt(ci))) return false
+            c.coefs(off) = dcSt(ci).pred << al
+            c.sawDc = true
+          } else if (dec.decode(fixed) == 1) c.coefs(off) |= p1
+          true
+        } else {
+          // zigzag view of the block's band, refined/filled in place
+          var k = ss
+          while (k <= se) { czig(k) = c.coefs(off + Zigzag(k)); k += 1 }
+          val ok =
+            if (ah == 0) QmCoder.decodeAcBand(dec, acSt, czig, ss, se, al)
+            else QmCoder.decodeAcRefine(dec, acSt, czig, ss, se, al)
+          if (!ok) return false
+          k = ss
+          while (k <= se) { c.coefs(off + Zigzag(k)) = czig(k); k += 1 }
+          true
+        }
+      }
+
+      if (scanComps.length == 1) {
+        // non-interleaved: row-major over the REAL block grid (A.2.2)
+        val c = scanComps(0)
+        val total = c.realBw * c.realBh
+        var blk = 0
+        while (blk < total) {
+          val off = ((blk / c.realBw) * c.blocksW + blk % c.realBw) * 64
+          if (!unit(0, c, off)) return -1
+          blk += 1
+        }
+      } else {
+        val total = mcusX * mcusY
+        var mcu = 0
+        while (mcu < total) {
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var ci = 0
+          while (ci < scanComps.length) {
+            val c = scanComps(ci)
+            var byy = 0
+            while (byy < c.v) {
+              var bxx = 0
+              while (bxx < c.h) {
+                val off = ((my * c.v + byy) * c.blocksW + (mx * c.h + bxx)) * 64
+                if (!unit(ci, c, off)) return -1
+                bxx += 1
+              }
+              byy += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      }
+      // walk any unread flush bytes to the terminating marker: 0xFF
+      // followed by <= 0x8F is bit-stuffed entropy data, not a marker
+      var p = dec.bytePos
+      while (true) {
+        if (p + 1 >= b.length) return -1
+        if (u8(b, p) == 0xff && u8(b, p + 1) > 0x8f) return p
+        p += 1
+      }
+      -1 // unreachable
     }
 
     while (true) {
@@ -528,13 +620,15 @@ object JpegCodec {
             p += 17 + total
           }
           i = end
-        case m if m == 0xc0 || m == 0xc1 || m == 0xc2 || m == 0xc3 || m == 0xc9 =>
+        case m if m == 0xc0 || m == 0xc1 || m == 0xc2 || m == 0xc3 ||
+            m == 0xc9 || m == 0xca =>
           // SOF0 baseline / SOF1 extended sequential (8- or 12-bit) /
-          // SOF2 progressive / SOF3 lossless / SOF9 arithmetic sequential
+          // SOF2 progressive / SOF3 lossless / SOF9 arithmetic
+          // sequential / SOF10 arithmetic progressive
           if (comps != null) return None // second frame header
-          progressive = m == 0xc2
+          progressive = m == 0xc2 || m == 0xca
           lossless = m == 0xc3
-          arith = m == 0xc9
+          arith = m == 0xc9 || m == 0xca
           val len = be16(b, segStart)
           if (segStart + len > b.length || len < 8) return None
           val precision = u8(b, segStart + 2)
@@ -746,7 +840,7 @@ object JpegCodec {
             }
             return Some(HeaderCodec.Pixels(width, height, rgb))
           }
-          if (arith) {
+          if (arith && !progressive) {
             // SOF9: extended sequential with arithmetic entropy coding
             // (T.81 F.1.4.4 statistics over the Annex D/E QM coder). One
             // interleaved scan, full spectral band, no successive
@@ -919,18 +1013,26 @@ object JpegCodec {
             if (ss == 0) { if (se != 0) return None }
             else if (ns != 1 || se < ss || se > 63) return None
             if (al > 13 || (ah != 0 && ah != al + 1)) return None
-            if (ss == 0 && ah == 0 &&
+            if (!arith && ss == 0 && ah == 0 &&
                 scanComps.exists(sc => dcTabs(sc.td) == null)) return None
             if (ss == 0 && ah > 0 && scanComps.exists(!_.sawDc)) return None
-            if (ss > 0 &&
-                (acTabs(scanComps(0).ta) == null || !scanComps(0).sawDc)) return None
+            if (ss > 0 && !scanComps(0).sawDc) return None
+            if (!arith && ss > 0 && acTabs(scanComps(0).ta) == null) return None
             scanComps.foreach { sc =>
               if (sc.coefs == null) sc.coefs = new Array[Int](sc.planeW * sc.planeH)
             }
-            val br = new BitReader(b, entry)
-            if (!progressiveScan(br, scanComps, ss, se, ah, al)) return None
-            if (br.alignMarker() < 0) return None
-            i = br.bytePos // resume the marker loop at the pending marker
+            if (arith) {
+              // SOF10: restart markers are out of remit, as in SOF9
+              if (restartInterval != 0) return None
+              val next = progressiveArithScan(entry, scanComps, ss, se, ah, al)
+              if (next < 0) return None
+              i = next
+            } else {
+              val br = new BitReader(b, entry)
+              if (!progressiveScan(br, scanComps, ss, se, ah, al)) return None
+              if (br.alignMarker() < 0) return None
+              i = br.bytePos // resume the marker loop at the pending marker
+            }
           }
         case 0xd9 => // EOI: for progressive, coefficients are complete now
           if (!progressive || comps == null || !sawScan) return None

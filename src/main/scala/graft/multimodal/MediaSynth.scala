@@ -905,6 +905,151 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** One progressive ARITHMETIC-coded JPEG (SOF10, T.81 G.2: the Annex
+    * D/E QM coder over the Annex F statistics, per-scan entropy
+    * segments): same dims, variants (grayscale / 4:4:4 / 4:2:0), q(0)=8
+    * quant and constant-block gray formula as [[progressiveJpeg]], so
+    * the q58d pixel oracle carries over verbatim. Scan script: DC first
+    * Al=1 (F.1.4.4.1 on the point-transformed values) → AC-first band
+    * scans at Al=1 (Y split 1–5 / 6–63; chroma 1–63 — all-zero bands,
+    * so pure per-block EOB decision streams) → DC refinement Al=0 (one
+    * FIXED-state decision per block, nonzero for odd grays) → AC
+    * refinement Al=0 over the same bands (G.2.3 EOB decisions).
+    * Variant 1 ships a DAC segment (DC U=2, AC Kx=4) and the encoder
+    * conditions on those bounds. The nonzero-AC legs of G.2.3
+    * (correction bits, newly-nonzero, sign) are pinned at the model
+    * level in QmCoderSpec roundtrips — constant blocks keep the file
+    * corpus closed-form. No restart markers (decoder remit, as SOF9). */
+  def progArithJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val subsampled = variant == 2
+    val nc = if (variant == 0) 1 else 3
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0 / JFIF
+    be16w(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16w(1); be16w(1)
+    out.write(0); out.write(0)
+    out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
+    be16w(67); out.write(0x00)
+    out.write(8); (1 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xca) // SOF10: progressive, arithmetic
+    be16w(8 + 3 * nc); out.write(8); be16w(h); be16w(w); out.write(nc)
+    if (nc == 1) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      out.write(1); out.write(if (subsampled) 0x22 else 0x11); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    val dcU = if (variant == 1) 2 else 1
+    val acKx = if (variant == 1) 4 else 5
+    if (variant == 1) {
+      out.write(0xff); out.write(0xcc) // DAC: DC table 0 (U=2,L=0), AC Kx=4
+      be16w(2 + 4)
+      out.write(0x00); out.write(dcU << 4)
+      out.write(0x10); out.write(acKx)
+    }
+
+    val mcusX = w / (8 * (if (subsampled) 2 else 1))
+    val mcusY = h / (8 * (if (subsampled) 2 else 1))
+    // quantized DC of the Y block at (bx, by): v - 128 with q(0)=8
+    def dcOf(bx: Int, by: Int): Int = jpegBlockGray(id, bx, by) - 128
+    // Y blocks in interleaved order (the DC scans' walk); grayscale is
+    // non-interleaved but its walk coincides (1x1 factors, exact dims)
+    def yBlocksInterleaved: Seq[(Int, Int)] =
+      if (!subsampled) for (my <- 0 until mcusY; mx <- 0 until mcusX) yield (mx, my)
+      else for (my <- 0 until mcusY; mx <- 0 until mcusX;
+                by <- 0 until 2; bx <- 0 until 2) yield (mx * 2 + bx, my * 2 + by)
+
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // ---- scan 1: DC first, Ah=0 Al=1, all components interleaved; the
+    // coded diffs live in the point-transformed (>> Al) domain
+    locally {
+      sos(1 to nc, 0, 0, 0, 1)
+      val enc = new QmCoder.Encoder
+      val dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+      val yPerMcu = if (subsampled) 4 else 1
+      val blocks = yBlocksInterleaved
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        var k = 0
+        while (k < yPerMcu) {
+          val (bx, by) = blocks(mcu * yPerMcu + k)
+          val sv = dcOf(bx, by) >> 1 // point transform: arithmetic >> Al
+          QmCoder.encodeDc(enc, dcSt(0), sv - dcSt(0).pred)
+          k += 1
+        }
+        if (nc == 3) {
+          QmCoder.encodeDc(enc, dcSt(1), 0 - dcSt(1).pred)
+          QmCoder.encodeDc(enc, dcSt(2), 0 - dcSt(2).pred)
+        }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+
+    // ---- AC band scans: all-zero bands; the first pass and the G.2.3
+    // refinement pass each reduce to one adaptive EOB decision per block
+    val zeroBand = new Array[Int](64)
+    def acScan(comp: Int, blocks: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(Seq(comp), ss, se, ah, al)
+      val enc = new QmCoder.Encoder
+      val st = new QmCoder.AcState(acKx)
+      var blk = 0
+      while (blk < blocks) {
+        if (ah == 0) QmCoder.encodeAcBand(enc, st, zeroBand, ss, se, al)
+        else QmCoder.encodeAcRefine(enc, st, zeroBand, ss, se, al)
+        blk += 1
+      }
+      out.write(enc.finish())
+    }
+    val yBlocks = (w / 8) * (h / 8)
+    val cBlocks = if (subsampled) (w / 16) * (h / 16) else yBlocks
+
+    // scans 2..: AC first pass at Al=1 (Y split into two bands)
+    acScan(1, yBlocks, 1, 5, 0, 1)
+    acScan(1, yBlocks, 6, 63, 0, 1)
+    if (nc == 3) { acScan(2, cBlocks, 1, 63, 0, 1); acScan(3, cBlocks, 1, 63, 0, 1) }
+
+    // ---- DC refinement, Ah=1 Al=0: one fixed-state decision per block
+    // — bit 0 of the two's-complement quantized DC (odd gray values)
+    locally {
+      sos(1 to nc, 0, 0, 1, 0)
+      val enc = new QmCoder.Encoder
+      val fixed = QmCoder.fixedBin()
+      val yPerMcu = if (subsampled) 4 else 1
+      val blocks = yBlocksInterleaved
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        var k = 0
+        while (k < yPerMcu) {
+          val (bx, by) = blocks(mcu * yPerMcu + k)
+          enc.encode(fixed, dcOf(bx, by) & 1)
+          k += 1
+        }
+        if (nc == 3) { enc.encode(fixed, 0); enc.encode(fixed, 0) }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+
+    // scans ..n: AC refinement at Al=0 over the same bands
+    acScan(1, yBlocks, 1, 5, 1, 0)
+    acScan(1, yBlocks, 6, 63, 1, 0)
+    if (nc == 3) { acScan(2, cBlocks, 1, 63, 1, 0); acScan(3, cBlocks, 1, 63, 1, 0) }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- hierarchical JPEG corpus (q58h): REAL ITU T.81 Annex J pyramids.
   // Three variants by id % 3, all exact by construction so the oracle is
   // a closed-form pixel formula:

@@ -293,6 +293,54 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Progressive ARITHMETIC-coded (SOF10) JPEG payload decode end to
+    * end, pure JVM: real T.81 G.2 files — per-scan QM entropy segments
+    * over the Annex F statistics (DC first on point-transformed values,
+    * fixed-state DC refinement decisions, band-limited AC first, G.2.3
+    * AC refinement), a DAC conditioning segment on variant-1 files —
+    * decoded by the [[graft.multimodal.QmCoder]] scan models wired into
+    * [[graft.multimodal.JpegCodec]]'s progressive coefficient store,
+    * and checked against the same closed-form constant-block oracle as
+    * q58d/q58e/q58g (the encoder is the in-repo G.2 implementation;
+    * QmCoderSpec pins the nonzero-AC refinement legs and JpegCodecSpec
+    * pins SOF2/SOF10 raster identity). */
+  val q58kProgArithJpegDecode = QueryDef(
+    "q58k_prog_arith_jpeg_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.progArithJpeg)).toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               ((d.media_id*37 + 11*gx.x + 23*gy.y + 3*gx.x*gy.y) % 256) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   /** Lossless (SOF3, process 14) JPEG payload decode end to end, pure
     * JVM: real Huffman-coded prediction-difference files — all seven
     * T.81 H.1 predictors across the corpus (predictor = 1 + id % 7),
@@ -888,7 +936,7 @@ object MultimodalQueries {
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
-    q58iColorLosslessDecode, q58jExtended12Decode,
+    q58iColorLosslessDecode, q58jExtended12Decode, q58kProgArithJpegDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

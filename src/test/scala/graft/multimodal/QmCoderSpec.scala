@@ -197,4 +197,91 @@ class QmCoderSpec extends AnyFunSuite {
     }
     assert(diverged, "wrong AC conditioning decoded identically")
   }
+
+  test("carry onto an emitted 0xFE byte keeps the stuffing alignment") {
+    // Minimal case from the QM-core fuzz: this decision sequence makes a
+    // later carry increment an already-emitted 0xFE to 0xFF. The eager
+    // byte-packing encoder then had the following byte packed as 8 bits
+    // while every T.81 decoder reads the byte after an 0xFF as a 7-bit
+    // stuffed byte — a one-bit shear. The bit-buffer back end defers
+    // packing until carries are resolved.
+    val decisions = "0101000001001000111".map(_ - '0').toArray
+    roundTrip(decisions, 1)
+  }
+
+  test("flush emits all cleared zero bits (last-decision edge)") {
+    // Second fuzz find: with a small CT at flush time, three final
+    // BYTEOUTs leave the lowest cleared zero bits unemitted; a decoder
+    // 1-fills them and, when the final interval is within 2 units of
+    // the chosen value, the LAST decision decodes wrong. Four rounds
+    // flush through bit 0 for every CT.
+    val decisions = ("0111100010101010110000010101000000000010100101101000000111" +
+      "0000101100000010111000001011011000000000111001000000010010001100000" +
+      "00000001010011000110100100000010010000011").map(_ - '0').toArray
+    roundTrip(decisions, 1)
+  }
+
+  test("broad deterministic fuzz: many seeds, one adaptive context") {
+    // Statistical net over the whole back end (carry ripple, stuffing,
+    // flush depth): 400 pinned pseudorandom streams of varying bias.
+    var seed = 0x9e3779b97f4a7c15L
+    (0 until 400).foreach { i =>
+      val n = 20 + (i * 37) % 300
+      roundTrip(bits(seed + i, n, 1 + i % 9, 10), 1)
+    }
+  }
+
+  test("progressive AC band scans round-trip nonzero coefficients (G.2)") {
+    // A successive-approximation chain over a band with real values:
+    // first scan at Al=2, then G.2.3 refinement scans at Al=1 and Al=0.
+    // Exercises the correction-bit, newly-nonzero, and fixed-state sign
+    // legs that the all-zero q58k corpus cannot reach.
+    val cur = new Array[Int](64)
+    cur(1) = 13; cur(3) = -6; cur(4) = 1; cur(10) = -29; cur(17) = 2
+    cur(33) = -1; cur(50) = 7
+    val ss = 1; val se = 63
+    def encodeScan(al: Int, first: Boolean): Array[Byte] = {
+      val enc = new QmCoder.Encoder
+      val st = new QmCoder.AcState(5)
+      (0 until 25).foreach { _ =>
+        if (first) QmCoder.encodeAcBand(enc, st, cur, ss, se, al)
+        else QmCoder.encodeAcRefine(enc, st, cur, ss, se, al)
+      }
+      enc.finish()
+    }
+    val hist = new Array[Int](64)
+    Seq((2, true), (1, false), (0, false)).foreach { case (al, first) =>
+      val data = encodeScan(al, first)
+      val dec = new QmCoder.Decoder(data, 0)
+      val st = new QmCoder.AcState(5)
+      (0 until 25).foreach { _ =>
+        val blk = hist.clone()
+        val ok =
+          if (first) QmCoder.decodeAcBand(dec, st, blk, ss, se, al)
+          else QmCoder.decodeAcRefine(dec, st, blk, ss, se, al)
+        assert(ok, s"scan al=$al failed")
+        // after this scan the decoder must hold cur truncated to al bits
+        (ss to se).foreach { k =>
+          val want = math.signum(cur(k)) * ((math.abs(cur(k)) >> al) << al)
+          assert(blk(k) == want, s"al=$al k=$k got=${blk(k)} want=$want")
+        }
+        if (al == 0) assert(blk.drop(1).sameElements(cur.drop(1)))
+      }
+      // advance the decoder-visible history to this precision
+      (ss to se).foreach { k =>
+        hist(k) = math.signum(cur(k)) * ((math.abs(cur(k)) >> al) << al)
+      }
+    }
+  }
+
+  test("SOF2 and SOF10 codings of the same image decode identically") {
+    (0L until 30L).foreach { id =>
+      val huff = JpegCodec.decodeJpegPixels(MediaSynth.progressiveJpeg(id))
+      val arith = JpegCodec.decodeJpegPixels(MediaSynth.progArithJpeg(id))
+      assert(huff.isDefined && arith.isDefined, s"id=$id failed to decode")
+      val (h, a) = (huff.get, arith.get)
+      assert(h.width == a.width && h.height == a.height, s"id=$id dims differ")
+      assert(h.rgb.sameElements(a.rgb), s"id=$id rasters differ")
+    }
+  }
 }
