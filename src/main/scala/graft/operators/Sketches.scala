@@ -94,6 +94,56 @@ object Sketches {
           .cast("long").as("est_nd"))
   }
 
+  /** Deterministic mergeable QUANTILE sketch per group — the 100 TB
+    * replacement for q121-style exact `percentile` aggregates (which
+    * hold the full value multiset per group). The sketch is a
+    * hash-uniform row sample: the k rows with the smallest 60-bit md5
+    * hashes of a caller-supplied STABLE row key (the KMV convention of
+    * [[kmvSketch]]/q56c), so it is deterministic, exactly replayable by
+    * a DuckDB oracle, and mergeable — "k smallest of the union" is
+    * associative and order-independent ([[quantileMerge]];
+    * SketchesSpec pins merge ≡ sketch-of-concatenation). Estimates are
+    * nearest-rank (the sample value at 1-based index ceil(q·n)): actual
+    * data values, no interpolation arithmetic to drift cross-engine.
+    * Rank error of a k-uniform sample is O(1/√k) (pinned in spec).
+    *
+    * Plan shape: [[Sampling.quotaPerGroup]]'s WindowGroupLimit keeps
+    * ≤ k rows per group map-side, so the exchange carries O(groups·k)
+    * rows; the sort_array/collect_list then run on ≤ k values per
+    * group. Groups with ≤ k rows are sampled whole — their quantiles
+    * are exact. Output: (group, n_kept, q<pct> per requested quantile). */
+  def quantileSketch(df: DataFrame, groupCol: String, key: Column,
+                     value: Column, k: Int, seed: String,
+                     quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1))
+    val hashed = df.select(col(groupCol), kmvHash(key, seed).as("h"),
+      value.cast("double").as("v"))
+    val kept = Sampling.quotaPerGroup(hashed, groupCol, k, col("h").asc, col("v").asc)
+    val grouped = kept.groupBy(groupCol)
+      .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n_kept"))
+    val qCols = quantiles.map { q =>
+      element_at(col("vs"),
+        greatest(lit(1), ceil(lit(q) * col("n_kept")).cast("int")))
+        .as(s"q${math.round(q * 100)}")
+    }
+    grouped.select(col(groupCol) +: col("n_kept") +: qCols: _*)
+  }
+
+  /** Merge two quantile-sketch samples ((hash, value) pairs) — k
+    * smallest hashes of the union, the driver-side mergeability
+    * primitive. Associative, commutative, idempotent on overlap. */
+  def quantileMerge(a: Seq[(Long, Double)], b: Seq[(Long, Double)],
+                    k: Int): Seq[(Long, Double)] =
+    (a ++ b).distinct.sortBy(identity).take(k)
+
+  /** Nearest-rank estimate from a merged sample (dual of the in-plan
+    * `element_at(vs, ceil(q·n))`). */
+  def quantileEstimate(sample: Seq[(Long, Double)], q: Double): Double = {
+    require(sample.nonEmpty && q > 0 && q <= 1)
+    val vs = sample.map(_._2).sorted
+    vs(math.max(1, math.ceil(q * vs.size).toInt) - 1)
+  }
+
   /** Merge two KMV k-sets (arrays of hashes) and estimate the union's
     * distinct count — the driver-side mergeability primitive the spec
     * pins against a sketch built on the concatenated input. */

@@ -598,6 +598,73 @@ object Relational {
       ORDER BY l_returnflag
     """))
 
+  /** Mergeable quantile sketch ([[graft.operators.Sketches.quantileSketch]])
+    * per l_returnflag over l_extendedprice — the scale path for q121's
+    * exact percentiles: a deterministic hash-uniform k-row sample (KMV
+    * convention, stable row key l_orderkey·10 + l_linenumber) with
+    * nearest-rank estimates, replayed EXACTLY by the DuckDB oracle (same
+    * md5 hashes, same window, same ceil(q·n) selection). `p50_in_bound`
+    * pins the estimator against ground truth cross-engine with integer
+    * arithmetic: the est's true rank (rows ≤ est) must sit within 12% of
+    * the true median rank — k=200 gives σ ≈ 3.5%, so the bound is ~3.5σ
+    * yet still fails on a broken sampler or selector. Merge
+    * associativity and the rank-error curve are pinned in SketchesSpec. */
+  val q121bQuantileSketch = QueryDef(
+    "q121b_quantile_sketch",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sk = graft.operators.Sketches.quantileSketch(
+        li, "l_returnflag",
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        col("l_extendedprice"), 200, "qsk", Seq(0.25, 0.5, 0.9, 0.99))
+      val truth = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+      val ranked = li.join(sk.select(col("l_returnflag"), col("q50")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("l_extendedprice") <= col("q50"), 1L).otherwise(0L))
+          .as("n_le_est"))
+      sk.join(truth, "l_returnflag").join(ranked, "l_returnflag")
+        .select(col("l_returnflag"), col("n_kept"),
+          round(col("q25"), 2).as("q25"), round(col("q50"), 2).as("q50"),
+          round(col("q90"), 2).as("q90"), round(col("q99"), 2).as("q99"),
+          (abs(col("n_le_est").cast("double") / col("n_rows") - 0.5) <= 0.12)
+            .as("p50_in_bound"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      WITH hashed AS (
+        SELECT l_returnflag,
+               ('0x' || substr(md5('qsk' ||
+                 (l_orderkey * 10 + l_linenumber)::VARCHAR), 1, 15))::BIGINT AS h,
+               l_extendedprice::DOUBLE AS v
+        FROM lineitem),
+      kept AS (
+        SELECT l_returnflag, h, v FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) <= 200),
+      sk AS (
+        SELECT l_returnflag, count(*) AS n_kept, list_sort(list(v)) AS vs
+        FROM kept GROUP BY l_returnflag),
+      est AS (
+        SELECT l_returnflag, n_kept,
+               vs[greatest(1, ceil(0.25 * n_kept)::INT)] AS q25,
+               vs[greatest(1, ceil(0.50 * n_kept)::INT)] AS q50,
+               vs[greatest(1, ceil(0.90 * n_kept)::INT)] AS q90,
+               vs[greatest(1, ceil(0.99 * n_kept)::INT)] AS q99
+        FROM sk),
+      truth AS (
+        SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag),
+      ranked AS (
+        SELECT l.l_returnflag,
+               sum(CASE WHEN l.l_extendedprice <= e.q50 THEN 1 ELSE 0 END) AS n_le_est
+        FROM lineitem l JOIN est e USING (l_returnflag)
+        GROUP BY l.l_returnflag)
+      SELECT e.l_returnflag, n_kept,
+             round(q25, 2) AS q25, round(q50, 2) AS q50,
+             round(q90, 2) AS q90, round(q99, 2) AS q99,
+             abs(n_le_est::DOUBLE / n_rows - 0.5) <= 0.12 AS p50_in_bound
+      FROM est e JOIN truth USING (l_returnflag) JOIN ranked USING (l_returnflag)
+      ORDER BY l_returnflag
+    """))
+
   /** One-pass table profiler (the ANALYZE/data-quality shape): null
     * count, exact ndv, and min/max for six orders columns computed in a
     * SINGLE aggregate over one scan, then melted to one row per column
@@ -885,7 +952,8 @@ object Relational {
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
-    q56bApproxDistinctSketch, q56cKmvDistinct, q103TableProfile,
+    q56bApproxDistinctSketch, q56cKmvDistinct, q121bQuantileSketch,
+    q103TableProfile,
     q106GroupRegression, q109ZorderLayout, q114Cube, q115Pivot,
     q119RankFamily, q120TableChecksum)
 }

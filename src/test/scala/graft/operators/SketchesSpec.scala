@@ -124,4 +124,50 @@ class SketchesSpec extends SparkSpec {
     assert(m3 == Seq(1L, 2L, 3L) &&
       e3 == math.round(2.0 * Sketches.KmvSpace / 3.0))
   }
+
+  test("quantileSketch: small groups are exact, rank error bounded at k") {
+    import spark.implicits._
+    // group "s": 40 rows < k → sampled whole → nearest-rank EXACT
+    // group "b": 5000 rows of value = id → known true quantiles
+    val df = spark.range(5040).select(
+      when(col("id") < 40, lit("s")).otherwise(lit("b")).as("g"),
+      col("id").as("k"),
+      when(col("id") < 40, col("id")).otherwise(col("id") - 40).as("v"))
+    val sk = Sketches.quantileSketch(df, "g", col("k"), col("v"), 256, "t",
+      Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = sk("s")
+    assert(s.getLong(1) == 40)
+    // nearest-rank over 0..39: ceil(q*40) gives indices 10, 20, 36
+    assert(s.getDouble(2) == 9.0 && s.getDouble(3) == 19.0 && s.getDouble(4) == 35.0)
+    val b = sk("b")
+    assert(b.getLong(1) == 256)
+    // rank error of a 256-row uniform sample: |est/5000 - q| well under
+    // 3σ ≈ 0.094; the hash is fixed so this is a deterministic pin
+    Seq(0.25 -> b.getDouble(2), 0.5 -> b.getDouble(3), 0.9 -> b.getDouble(4))
+      .foreach { case (q, est) =>
+        assert(math.abs(est / 5000.0 - q) < 0.094, s"q=$q est=$est")
+      }
+  }
+
+  test("quantileSketch merge: k smallest of union ≡ sketch of concatenation") {
+    import spark.implicits._
+    // derive hashes once via the engine, then merge driver-side
+    val hs = spark.range(200).select(col("id"),
+      Sketches.kmvHash(col("id"), "m").as("h")).as[(Long, Long)]
+      .collect().map { case (i, h) => (h, i.toDouble) }.toSeq
+    val (a, b) = hs.splitAt(120)
+    val k = 32
+    val merged = Sketches.quantileMerge(a, b, k)
+    val whole = hs.sortBy(identity).take(k)
+    assert(merged == whole, "merge != sketch of concatenation")
+    // associativity: (a ⊕ b) ⊕ a == a ⊕ (b ⊕ a), overlap idempotent
+    val ab_a = Sketches.quantileMerge(Sketches.quantileMerge(a, b, k), a, k)
+    val a_ba = Sketches.quantileMerge(a, Sketches.quantileMerge(b, a, k), k)
+    assert(ab_a == a_ba && ab_a == whole)
+    // estimator agrees with the in-plan nearest-rank selection
+    val est = Sketches.quantileEstimate(merged, 0.5)
+    val vs = merged.map(_._2).sorted
+    assert(est == vs(math.ceil(0.5 * k).toInt - 1))
+  }
 }
