@@ -219,18 +219,32 @@ object Bpe {
       s"${gpt2EncodeSymbol(parts(0))} ${gpt2EncodeSymbol(parts(1))}"
     }
 
-  /** The merge-application chain over a wrapped-state column. */
+  /** The merge-application chain over a wrapped-state column. One plan
+    * NODE per merge — fine to a few hundred merges, but the analyzer
+    * recurses per node and overflows its stack near ~1000; tables past
+    * [[ChainLimit]] go through the depth-1 kernel expression instead
+    * ([[graft.expressions.BpeSegmentExpr]]). */
   def applyMerges(state: Column, merges: Seq[String]): Column =
     merges.foldLeft(state)((c, m) => replace(c, lit(m), lit(fused(m))))
 
+  /** Largest merge table applied as a replace chain; beyond this the
+    * kernel-expression path is used (Gpt2MergesSpec pins parity). */
+  val ChainLimit = 256
+
   /** Segment arbitrary text with a learned table: array of subword
-    * symbols per document (unwrapped, in order). Map-only. */
-  def segment(text: Column, merges: Seq[String]): Column = {
-    val joined = concat_ws("",
-      transform(TextFunctions.gpt2PreTokens(text),
-        t => applyMerges(regexp_replace(t, "(?s)(.)", "{$1}"), merges)))
-    regexp_extract_all(joined, lit("\\{([^}]*)\\}"), lit(1))
-  }
+    * symbols per document (unwrapped, in order). Map-only. Small tables
+    * run the pure-functions replace chain; large ones the depth-1
+    * kernel expression (a 50k-merge published table is depth-1 too). */
+  def segment(text: Column, merges: Seq[String]): Column =
+    if (merges.length <= ChainLimit) {
+      val joined = concat_ws("",
+        transform(TextFunctions.gpt2PreTokens(text),
+          t => applyMerges(regexp_replace(t, "(?s)(.)", "{$1}"), merges)))
+      regexp_extract_all(joined, lit("\\{([^}]*)\\}"), lit(1))
+    } else {
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      column(graft.expressions.BpeSegmentExpr(expression(text), merges))
+    }
 
   /** Per-document token budget under a learned merge table:
     * (id, n_pre, n_bpe). The vocabulary's final segmentation is joined
@@ -238,13 +252,21 @@ object Bpe {
     * counting happens once per DISTINCT word, not per occurrence. */
   def tokenCounts(docs: DataFrame, text: Column, id: Column,
                   merges: Seq[String]): DataFrame = {
-    // external/loaded merge table: derive the vocabulary segmentation by
-    // applying the chain once per DISTINCT word
-    val v = vocab(docs, text)
-      .withColumn("s", applyMerges(col("s"), merges))
-      // symbol count = number of '{' wrappers left after all merges
-      .withColumn("n_sym", (length(col("s")) - length(replace(col("s"), lit("{"), lit("")))).cast("long"))
-      .select(col("w").as("vw"), col("n_sym"))
+    // external/loaded merge table: derive the vocabulary segmentation
+    // once per DISTINCT word — replace chain below ChainLimit, kernel
+    // expression above it (same split as [[segment]])
+    val v =
+      if (merges.length <= ChainLimit)
+        vocab(docs, text)
+          .withColumn("s", applyMerges(col("s"), merges))
+          // symbol count = number of '{' wrappers left after all merges
+          .withColumn("n_sym",
+            (length(col("s")) - length(replace(col("s"), lit("{"), lit("")))).cast("long"))
+          .select(col("w").as("vw"), col("n_sym"))
+      else
+        vocab(docs, text)
+          .withColumn("n_sym", size(segment(col("w"), merges)).cast("long"))
+          .select(col("w").as("vw"), col("n_sym"))
     tokenCounts(docs, text, id, v)
   }
 

@@ -248,4 +248,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"reservoir lost partial top-k:\n$p")
     assert(!p.contains("CartesianProduct"), s"reservoir went cartesian:\n$p")
   }
+
+  test("q121b: quantile sketch keeps the map-side sample limit") {
+    val p = plan("q121b_quantile_sketch")
+    // the k-smallest-by-hash sample must be taken partially BEFORE the
+    // exchange (WindowGroupLimit) — otherwise the shuffle carries every
+    // row of the table instead of O(groups·k)
+    assert(p.contains("WindowGroupLimit"), s"sketch lost partial top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"sketch went cartesian:\n$p")
+  }
+
+  test("large BPE tables segment through the depth-1 kernel expression") {
+    import org.apache.spark.sql.functions._
+    // a 300-merge table (> ChainLimit) must plan as ONE bpe_segment node,
+    // not a replace chain (which overflows the analyzer near ~1000)
+    val merges = (0 until 300).map(i => s"{x$i}{y$i}")
+    val df = spark.range(4).select(col("id").cast("string").as("text"))
+      .select(graft.operators.Bpe.segment(col("text"), merges).as("s"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("bpe_segment"), s"kernel expression not in plan:\n$p")
+    assert(!p.contains("replace(replace("), s"replace chain leaked into plan:\n$p")
+  }
 }

@@ -134,7 +134,132 @@ class Gpt2MergesSpec extends SparkSpec {
       Bpe.loadGpt2Merges(Seq("a b c"))
     }
     intercept[IllegalArgumentException] {
-      Bpe.gpt2DecodeSymbol("a b") // raw space is not a byte-level char
+      Bpe.gpt2DecodeSymbol("a b") // raw space is not a raw byte-level char
+    }
+  }
+
+  // ---- 1000-merge scale: the published file cannot be vendored offline
+  // and reconstructing it from memory would pin unverifiable data, so
+  // the 1k-scale pins run on a TRAINED table over a corpus built to
+  // force deep merge chains (syllabic prefix+root+suffix words), checked
+  // against an INDEPENDENT reference BPE applier (the classic
+  // lowest-rank-pair loop, the published algorithm 's definition — the
+  // production path is a rank-ordered replace chain, a different
+  // mechanism that must agree everywhere).
+
+  /** Classic reference BPE: repeatedly merge the lowest-rank adjacent
+    * pair present (all occurrences, left-to-right fuse-and-skip). */
+  private def refSegment(word: String, rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var go = true
+    while (go && syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach(r => if (r < best) best = r)
+        i += 1
+      }
+      if (best == Int.MaxValue) go = false
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && rank.get((syms(j), syms(j + 1))).contains(best)) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  private def syllableCorpus: Seq[(Long, String)] = {
+    // 24 prefixes x 20 roots x 8 suffixes of 2-3 chars: ~2k distinct
+    // words whose subword structure supports >1000 merges with chains
+    // that build syllables letter by letter, then syllable pairs
+    val pre = Seq("ba", "be", "bi", "bo", "da", "de", "di", "do",
+      "fa", "fe", "fi", "fo", "ga", "ge", "gi", "go",
+      "ka", "ke", "ki", "ko", "la", "le", "li", "lo")
+    val root = Seq("mun", "mon", "nar", "ner", "pil", "pol", "rat", "ret",
+      "sam", "sem", "tuv", "tov", "wex", "wix", "yuz", "yoz",
+      "hab", "heb", "cid", "cud")
+    val suf = Seq("ta", "te", "ti", "to", "ran", "ren", "rin", "ron")
+    val words = for {
+      (p, i) <- pre.zipWithIndex; (r, j) <- root.zipWithIndex
+      (s, k) <- suf.zipWithIndex
+      // zipf-ish repetition keeps pair counts distinct enough to rank
+      if (i + j + k) % 3 != 0
+    } yield (p + r + s, 1 + (i * 7 + j * 3 + k) % 5)
+    words.zipWithIndex.map { case ((w, n), id) =>
+      (id.toLong, Seq.fill(n)(w).mkString(" "))
+    }
+  }
+
+  test("a 1000-merge trained table: deep chains, interchange, reference parity") {
+    val docs = syllableCorpus.toDF("doc_id", "text")
+    val (merges, segmented) = Bpe.trainModel(docs, col("text"), 1000)
+    assert(merges.length == 1000, s"corpus supports only ${merges.length} merges")
+
+    // vocab.bpe interchange survives the full 1k table byte-exactly
+    val serialized = Bpe.writeGpt2Merges(merges)
+    assert(serialized.length == 1001)
+    assert(Bpe.loadGpt2Merges(serialized) == merges)
+
+    // deep chains exist: some fused symbol spans >= 6 characters, i.e.
+    // at least ~3 chained merge generations
+    val fusedLens = merges.map(m => Bpe.fused(m).count(_ != '{') - 1)
+    assert(fusedLens.max >= 6, s"max fused span ${fusedLens.max} — no deep chains")
+
+    // reference parity on EVERY distinct vocabulary word: the trainer's
+    // final per-word symbol count must equal the independent
+    // lowest-rank-pair applier's segmentation length under the same table
+    val rank = merges.zipWithIndex.map { case (m, i) =>
+      val inner = m.stripPrefix("{").stripSuffix("}").split("\\}\\{")
+      ((inner(0), inner(1)), i)
+    }.toMap
+    val got = segmented.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, nSym) =>
+      val ref = refSegment(w, rank)
+      assert(ref.length.toLong == nSym,
+        s"word '$w': trainer says $nSym symbols, reference says ${ref.length} (${ref.mkString("|")})")
+    }
+
+    // held-out words (unseen combinations and OOV roots) segment the
+    // same through the table-driven column path — at 1000 merges this
+    // exercises the depth-1 kernel expression, not the replace chain —
+    // and the reference
+    val held = Seq("bamunta", "lomonron", "zamunta", "boxer")
+    val hdf = held.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val segs = hdf.orderBy("doc_id")
+      .select(Bpe.segment(col("text"), merges).as("s"))
+      .collect().map(_.getSeq[String](0))
+    held.zip(segs).foreach { case (w, got) =>
+      assert(got == refSegment(w, rank), s"held-out '$w': $got")
+    }
+
+    // loaded-table token budget goes through the kernel path too
+    val tc = Bpe.tokenCounts(hdf, col("text"), col("doc_id"), merges)
+      .orderBy("id").collect()
+    held.zip(tc).foreach { case (w, r) =>
+      assert(r.getAs[Long]("n_bpe") == refSegment(w, rank).length.toLong, s"'$w'")
+    }
+  }
+
+  test("replace-chain and kernel-expression paths segment identically") {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val merges = Bpe.loadGpt2Merges(publishedHead16)
+    val texts = Seq("in the era", " where is it", "sitting low,  and then",
+      "it's 42nd!", "  ") // punctuation runs, contraction, digits, blanks
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.orderBy("doc_id").select(
+      Bpe.segment(col("text"), merges).as("chain"), // 16 <= ChainLimit
+      column(graft.expressions.BpeSegmentExpr(expression(col("text")), merges)).as("kernel"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"path divergence on '${texts(i)}': ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
     }
   }
 }
