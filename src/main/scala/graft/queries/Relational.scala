@@ -613,16 +613,26 @@ object Relational {
     "q121b_quantile_sketch",
     (s, d) => {
       val li = Tables.lineitem(s, d)
-      val sk = graft.operators.Sketches.quantileSketch(
+      val sk0 = graft.operators.Sketches.quantileSketch(
         li, "l_returnflag",
         col("l_orderkey") * 10 + col("l_linenumber"),
         col("l_extendedprice"), 200, "qsk", Seq(0.25, 0.5, 0.9, 0.99))
-      val truth = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
-      val ranked = li.join(sk.select(col("l_returnflag"), col("q50")), "l_returnflag")
+      // the sketch result is O(groups) rows by construction (3 here) —
+      // materialize it ONCE so the rank-check join below doesn't
+      // recompute the whole sketch pass as an unshared subplan
+      val sk = s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(sk0.collect(): _*)),
+        sk0.schema)
+      // ground-truth rank check in ONE extra lineitem pass: the tiny
+      // sketch broadcasts onto the fact scan, and the total row count
+      // rides the same aggregation as the <=-est counter
+      val ranked = li
+        .join(broadcast(sk.select(col("l_returnflag"), col("q50"))), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(sum(when(col("l_extendedprice") <= col("q50"), 1L).otherwise(0L))
-          .as("n_le_est"))
-      sk.join(truth, "l_returnflag").join(ranked, "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_extendedprice") <= col("q50"), 1L).otherwise(0L))
+            .as("n_le_est"))
+      sk.join(broadcast(ranked), "l_returnflag")
         .select(col("l_returnflag"), col("n_kept"),
           round(col("q25"), 2).as("q25"), round(col("q50"), 2).as("q50"),
           round(col("q90"), 2).as("q90"), round(col("q99"), 2).as("q99"),
@@ -650,10 +660,8 @@ object Relational {
                vs[greatest(1, ceil(0.90 * n_kept)::INT)] AS q90,
                vs[greatest(1, ceil(0.99 * n_kept)::INT)] AS q99
         FROM sk),
-      truth AS (
-        SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag),
       ranked AS (
-        SELECT l.l_returnflag,
+        SELECT l.l_returnflag, count(*) AS n_rows,
                sum(CASE WHEN l.l_extendedprice <= e.q50 THEN 1 ELSE 0 END) AS n_le_est
         FROM lineitem l JOIN est e USING (l_returnflag)
         GROUP BY l.l_returnflag)
@@ -661,7 +669,7 @@ object Relational {
              round(q25, 2) AS q25, round(q50, 2) AS q50,
              round(q90, 2) AS q90, round(q99, 2) AS q99,
              abs(n_le_est::DOUBLE / n_rows - 0.5) <= 0.12 AS p50_in_bound
-      FROM est e JOIN truth USING (l_returnflag) JOIN ranked USING (l_returnflag)
+      FROM est e JOIN ranked USING (l_returnflag)
       ORDER BY l_returnflag
     """))
 

@@ -249,11 +249,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"reservoir went cartesian:\n$p")
   }
 
-  test("q121b: quantile sketch keeps the map-side sample limit") {
-    val p = plan("q121b_quantile_sketch")
-    // the k-smallest-by-hash sample must be taken partially BEFORE the
-    // exchange (WindowGroupLimit) — otherwise the shuffle carries every
-    // row of the table instead of O(groups·k)
+  test("quantileSketch keeps the map-side sample limit (q121b's engine)") {
+    // the q121b query materializes the tiny sketch eagerly, so the
+    // WindowGroupLimit pin goes on the operator's own plan: the
+    // k-smallest-by-hash sample must be taken partially BEFORE the
+    // exchange — otherwise the shuffle carries every row of the table
+    // instead of O(groups·k)
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf001)
+    val sk = graft.operators.Sketches.quantileSketch(li, "l_returnflag",
+      col("l_orderkey") * 10 + col("l_linenumber"),
+      col("l_extendedprice"), 200, "qsk", Seq(0.5))
+    val p = sk.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("WindowGroupLimit"), s"sketch lost partial top-k:\n$p")
     assert(!p.contains("CartesianProduct"), s"sketch went cartesian:\n$p")
   }
