@@ -21,9 +21,11 @@ package graft.multimodal
   * T.81 G.2 statistical models — per-scan QM entropy segments over the
   * same progressive coefficient store (DC first on point-transformed
   * values, fixed-state DC refinement, band-limited AC first, G.2.3 AC
-  * refinement). Arithmetic-with-restarts, 12-bit-color, and
-  * out-of-[[HierJpeg]]-remit hierarchical modes return None (stub
-  * fallback) — as does truncation or corruption anywhere.
+  * refinement); arithmetic sequential also honors restart intervals
+  * (per-interval entropy segments, RSTn numbering, statistics resets,
+  * E.2.4). 12-bit-color and out-of-[[HierJpeg]]-remit hierarchical
+  * modes return None (stub fallback) — as does truncation or
+  * corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -844,17 +846,20 @@ object JpegCodec {
             // SOF9: extended sequential with arithmetic entropy coding
             // (T.81 F.1.4.4 statistics over the Annex D/E QM coder). One
             // interleaved scan, full spectral band, no successive
-            // approximation; restart markers are out of remit (the stub
-            // keeps those files defined). No Huffman tables involved.
-            if (ns != comps.length || restartInterval != 0) return None
+            // approximation. Restart markers (DRI/RSTn) per E.2.4: each
+            // interval is its own entropy segment — the QM decoder
+            // re-initializes after the marker and ALL statistics bins,
+            // conditioning contexts, and DC predictions reset. No
+            // Huffman tables involved.
+            if (ns != comps.length) return None
             if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
             comps.foreach { cc =>
               if (qt(cc.tq) == null) return None
               cc.plane = new Array[Byte](cc.planeW * cc.planeH)
             }
-            val dec = new QmCoder.Decoder(b, entry)
-            val dcSt = comps.map(cc => new QmCoder.DcState(dcCondL(cc.td), dcCondU(cc.td)))
-            val acSt = comps.map(cc => new QmCoder.AcState(acCondK(cc.ta)))
+            var dec = new QmCoder.Decoder(b, entry)
+            var dcSt = comps.map(cc => new QmCoder.DcState(dcCondL(cc.td), dcCondU(cc.td)))
+            var acSt = comps.map(cc => new QmCoder.AcState(acCondK(cc.ta)))
             val czig = new Array[Int](64)
             val coef = new Array[Int](64)
             val tmp = new Array[Double](64)
@@ -873,8 +878,26 @@ object JpegCodec {
             }
 
             var mcu = 0
+            var nextRst = 0
             val totalMcus = mcusX * mcusY
             while (mcu < totalMcus) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                // interval boundary: walk the segment's unread flush
+                // bytes to the expected RSTn (numbered mod 8), then
+                // restart the entropy decoder and reset all statistics
+                var p = dec.bytePos
+                var found = false
+                while (!found) {
+                  if (p + 1 >= b.length) return None
+                  if (u8(b, p) == 0xff && u8(b, p + 1) > 0x8f) found = true
+                  else p += 1
+                }
+                if (u8(b, p + 1) != 0xd0 + nextRst) return None
+                nextRst = (nextRst + 1) % 8
+                dec = new QmCoder.Decoder(b, p + 2)
+                dcSt = comps.map(cc => new QmCoder.DcState(dcCondL(cc.td), dcCondU(cc.td)))
+                acSt = comps.map(cc => new QmCoder.AcState(acCondK(cc.ta)))
+              }
               val mx = mcu % mcusX; val my = mcu / mcusX
               var ci = 0
               while (ci < comps.length) {

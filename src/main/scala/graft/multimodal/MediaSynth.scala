@@ -905,6 +905,96 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** One arithmetic-coded sequential JPEG WITH restart markers (SOF9 +
+    * DRI/RSTn, T.81 E.2.4): same dims, variants, quant, and
+    * constant-block gray formula as [[arithJpeg]] (the q58d oracle
+    * carries over), but the entropy data is split into DRI=2 MCU
+    * intervals — each a separate QM segment with its own FLUSH, RSTn
+    * marker (numbered mod 8), fresh statistics bins, and reset DC
+    * predictions. Exercises the per-interval re-INITDEC path and the
+    * marker-number check in the decoder. */
+  def arithRstJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val subsampled = variant == 2
+    val nc = if (variant == 0) 1 else 3
+    val dri = 2
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe0) // APP0 / JFIF
+    be16w(16); out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16w(1); be16w(1)
+    out.write(0); out.write(0)
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc9) // SOF9: sequential, arithmetic coding
+    be16w(8 + 3 * nc); out.write(8); be16w(h); be16w(w); out.write(nc)
+    if (nc == 1) { out.write(1); out.write(0x11); out.write(0) }
+    else {
+      out.write(1); out.write(if (subsampled) 0x22 else 0x11); out.write(0)
+      out.write(2); out.write(0x11); out.write(0)
+      out.write(3); out.write(0x11); out.write(0)
+    }
+    val dcU = if (variant == 1) 2 else 1
+    val acKx = if (variant == 1) 4 else 5
+    if (variant == 1) {
+      out.write(0xff); out.write(0xcc) // DAC: DC table 0 (U=2,L=0), AC Kx=4
+      be16w(2 + 4)
+      out.write(0x00); out.write(dcU << 4)
+      out.write(0x10); out.write(acKx)
+    }
+    out.write(0xff); out.write(0xdd); be16w(4); be16w(dri) // DRI
+    out.write(0xff); out.write(0xda) // SOS
+    be16w(6 + 2 * nc); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+
+    var enc = new QmCoder.Encoder
+    var dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+    var acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+    val zeroAc = new Array[Int](64)
+    def block(ci: Int, dc: Int): Unit = {
+      QmCoder.encodeDc(enc, dcSt(ci), dc - dcSt(ci).pred)
+      QmCoder.encodeAc(enc, acSt(ci), zeroAc)
+    }
+    val hMax = if (subsampled) 2 else 1
+    val mcusX = w / (8 * hMax); val mcusY = h / (8 * hMax)
+    var rst = 0
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      if (mcu > 0 && mcu % dri == 0) {
+        // close the interval's segment, emit RSTn, restart everything
+        out.write(enc.finish())
+        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+        enc = new QmCoder.Encoder
+        dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+        acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      if (!subsampled) {
+        block(0, 8 * (jpegBlockGray(id, mx, my) - 128))
+        if (nc == 3) { block(1, 0); block(2, 0) }
+      } else {
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            block(0, 8 * (jpegBlockGray(id, mx * 2 + bx, my * 2 + by) - 128))
+            bx += 1
+          }
+          by += 1
+        }
+        block(1, 0); block(2, 0)
+      }
+      mcu += 1
+    }
+    out.write(enc.finish())
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** One progressive ARITHMETIC-coded JPEG (SOF10, T.81 G.2: the Annex
     * D/E QM coder over the Annex F statistics, per-scan entropy
     * segments): same dims, variants (grayscale / 4:4:4 / 4:2:0), q(0)=8

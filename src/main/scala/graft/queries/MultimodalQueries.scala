@@ -293,6 +293,51 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** Arithmetic-coded sequential JPEG WITH restart markers (SOF9 +
+    * DRI/RSTn, T.81 E.2.4) decode end to end: each DRI=2-MCU interval
+    * is its own QM entropy segment — per-interval FLUSH, RSTn numbering
+    * mod 8, statistics-bin and DC-prediction resets — decoded by the
+    * per-interval re-INITDEC path in [[graft.multimodal.JpegCodec]] and
+    * checked against the same closed-form constant-block oracle as
+    * q58d/q58g (the pixel formula is framing-independent; a decoder
+    * that misses a reset or mis-numbers a marker fails closed). */
+  val q58lArithRstJpegDecode = QueryDef(
+    "q58l_arith_rst_jpeg_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.arithRstJpeg)).toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               ((d.media_id*37 + 11*gx.x + 23*gy.y + 3*gx.x*gy.y) % 256) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   /** Progressive ARITHMETIC-coded (SOF10) JPEG payload decode end to
     * end, pure JVM: real T.81 G.2 files — per-scan QM entropy segments
     * over the Annex F statistics (DC first on point-transformed values,
@@ -937,6 +982,7 @@ object MultimodalQueries {
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
     q58iColorLosslessDecode, q58jExtended12Decode, q58kProgArithJpegDecode,
+    q58lArithRstJpegDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

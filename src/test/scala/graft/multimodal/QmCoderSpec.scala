@@ -274,6 +274,28 @@ class QmCoderSpec extends AnyFunSuite {
     }
   }
 
+  test("restart-interval files decode exactly; resets are load-bearing") {
+    (0L until 30L).foreach { id =>
+      val plain = JpegCodec.decodeJpegPixels(MediaSynth.arithJpeg(id))
+      val rst = JpegCodec.decodeJpegPixels(MediaSynth.arithRstJpeg(id))
+      assert(rst.isDefined, s"id=$id restart file failed to decode")
+      assert(plain.get.rgb.sameElements(rst.get.rgb), s"id=$id rasters differ")
+    }
+    // a wrong restart NUMBER fails closed (T.81 numbering is mod 8)
+    val f = MediaSynth.arithRstJpeg(0)
+    var i = 2
+    var patched: Array[Byte] = null
+    while (patched == null && i < f.length - 1) {
+      if ((f(i) & 0xff) == 0xff && (f(i + 1) & 0xff) == 0xd0) {
+        patched = f.clone(); patched(i + 1) = 0xd3.toByte
+      }
+      i += 1
+    }
+    assert(patched != null, "no RST0 marker found in fixture")
+    assert(JpegCodec.decodeJpegPixels(patched).isEmpty,
+      "mis-numbered RSTn decoded instead of failing closed")
+  }
+
   test("SOF2 and SOF10 codings of the same image decode identically") {
     (0L until 30L).foreach { id =>
       val huff = JpegCodec.decodeJpegPixels(MediaSynth.progressiveJpeg(id))
