@@ -484,7 +484,53 @@ object WebIngest {
       ORDER BY o_year
     """))
 
+  /** CLUSTERED compaction ([[graft.operators.Compaction.compactClustered]])
+    * — the `OPTIMIZE ... ZORDER BY` maintenance shape: the fragmented
+    * per-year orders table is rewritten into ~target-size files RANGE-
+    * split on the q109 z-order key of (custkey, order day), so each
+    * output file covers a tight, disjoint Morton range and parquet
+    * footer min/max statistics prune scans on either dimension. The
+    * oracle is the same framing-independent per-year count + bit_xor
+    * digest as q124 (any dropped/duplicated/misfiled row flips a
+    * digest); the range-disjointness of the actual files is pinned in
+    * CompactionSpec (file layout isn't SQL-expressible). */
+  val q124bCompactZorder = QueryDef(
+    "q124b_compact_zorder",
+    (s, d) => {
+      val in = scratchDir("compactz_in")
+      val out = scratchDir("compactz_out")
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(16)
+        .write.partitionBy("o_year").mode("overwrite").parquet(in)
+      val zkey = graft.operators.Bucketing.zOrderKey(
+        pmod(col("o_custkey"), lit(1024L)),
+        pmod(datediff(col("o_orderdate"), lit("1992-01-01")), lit(1024)), 10)
+      graft.operators.Compaction.compactClustered(s, in, out,
+        partitionCols = Seq("o_year"), clusterKey = zkey,
+        targetBytes = 128L * 1024 * 1024)
+      def rowHash(cols: org.apache.spark.sql.Column*) =
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long")
+      s.read.parquet(out)
+        .withColumn("h", rowHash(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100, 0).cast("long")))
+        .groupBy(col("o_year").cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+        .orderBy("o_year")
+    },
+    Some("""
+      SELECT year(o_orderdate)::INT AS o_year, count(*) AS n_rows,
+             bit_xor(('0x' || substr(md5(
+               o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+               round(o_totalprice * 100)::BIGINT::VARCHAR), 1, 15))::BIGINT)
+               AS digest
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_year
+    """))
+
   val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
     q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff, q123PartitionPrune,
-    q124CompactFiles)
+    q124CompactFiles, q124bCompactZorder)
 }

@@ -64,6 +64,53 @@ class CompactionSpec extends SparkSpec {
     assert(scan.count() == 7500)
   }
 
+  test("clustered compaction: disjoint per-file key ranges, rows preserved") {
+    val base = Files.createTempDirectory("compaction-z")
+    val in = base.resolve("in"); val out = base.resolve("out")
+    // unsorted fixture: cluster key is a scrambled function of id
+    val df = spark.range(30000).select(
+      (col("id") % 4).as("p"),
+      ((col("id") * 2654435761L) % 100000).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    df.repartition(24).write.partitionBy("p").parquet(in.toString)
+    val before = partFiles(in)
+
+    Compaction.compactClustered(spark, in.toString, out.toString,
+      partitionCols = Seq("p"), clusterKey = col("k"),
+      targetBytes = 48L * 1024)
+
+    // fewer files than the fragmented input
+    val after = partFiles(out)
+    assert(after.keySet == before.keySet)
+    after.foreach { case (p, n) =>
+      assert(n > 1 && n < before(p) / 2, s"$p: $n files after vs ${before(p)}")
+    }
+
+    // row multiset preserved
+    def digest(dir: String) = spark.read.parquet(dir)
+      .withColumn("h",
+        conv(substring(md5(concat_ws("|", col("p"), col("k"),
+          col("payload"))), 1, 15), 16, 10).cast("long"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).as[(Long, Long)].head()
+    assert(digest(out.toString) == digest(in.toString), "row multiset changed")
+
+    // the clustering contract: within each partition, per-FILE key
+    // ranges are pairwise disjoint (what parquet footer min/max stats
+    // reflect — the data-skipping property)
+    val ranges = spark.read.parquet(out.toString)
+      .groupBy(col("p"), col("_metadata.file_path").as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("p", "lo")
+      .as[(Long, String, Long, Long)].collect()
+    ranges.groupBy(_._1).foreach { case (p, rs) =>
+      rs.sliding(2).foreach {
+        case Array((_, _, _, hi1), (_, f2, lo2, _)) =>
+          assert(hi1 < lo2, s"partition $p: overlapping file ranges at $f2")
+        case _ =>
+      }
+    }
+  }
+
   test("compact: single-file partitions are not exploded") {
     val base = Files.createTempDirectory("compaction-noop")
     val in = base.resolve("in"); val out = base.resolve("out")
