@@ -14,8 +14,9 @@ package graft.multimodal
   * the F.1.4.4 DC/AC statistics models and DAC conditioning tables
   * ([[QmCoder]]); lossless also covers 3-component 1x1 INTERLEAVED
   * scans (per-channel predictor chains + JFIF YCbCr); 12-bit precision
-  * decodes through the extended-sequential (SOF1) grayscale path
-  * (level shift 2048, DC categories to 15, top-8-bit emission);
+  * decodes through the extended-sequential (SOF1) path — grayscale or
+  * 4:4:4 color, level shift 2048, DC categories to 15, YCbCr in the
+  * 12-bit domain, top-8-bit emission;
   * hierarchical (DHP) streams dispatch to the Annex J multi-frame
   * driver ([[HierJpeg]]); arithmetic-coded progressive (SOF10) runs the
   * T.81 G.2 statistical models — per-scan QM entropy segments over the
@@ -23,9 +24,9 @@ package graft.multimodal
   * values, fixed-state DC refinement, band-limited AC first, G.2.3 AC
   * refinement); arithmetic sequential also honors restart intervals
   * (per-interval entropy segments, RSTn numbering, statistics resets,
-  * E.2.4). 12-bit-color and out-of-[[HierJpeg]]-remit hierarchical
-  * modes return None (stub fallback) — as does truncation or
-  * corruption anywhere.
+  * E.2.4). Out-of-[[HierJpeg]]-remit hierarchical residues and 12-bit
+  * progressive/arithmetic combinations return None (stub fallback) —
+  * as does truncation or corruption anywhere.
   *
   * Forged-header allocation safety mirrors decodePng/decodeGif: the
   * SOF-claimed pixel count is attacker-controlled, so it is capped by a
@@ -636,10 +637,11 @@ object JpegCodec {
           val precision = u8(b, segStart + 2)
           height = be16(b, segStart + 3); width = be16(b, segStart + 5)
           val nc = u8(b, segStart + 7)
-          // 12-bit is extended-sequential only (T.81 table 1), and our
-          // remit keeps it single-component (grayscale)
+          // 12-bit is extended-sequential only (T.81 table 1): grayscale
+          // or 4:4:4 color (sampling factors checked below); the YCbCr
+          // transform then runs in the 12-bit domain and emits top-8 bits
           if (precision == 12) {
-            if (m != 0xc1 || nc != 1) return None
+            if (m != 0xc1 || (nc != 1 && nc != 3)) return None
             p12 = true
           } else if (precision != 8) return None
           if (width <= 0 || height <= 0) return None
@@ -661,6 +663,9 @@ object JpegCodec {
           // it as interleaved would silently emit blocks in the wrong
           // spatial order whenever w,h are multiples of 16.
           if (nc == 1) comps = Array(comps(0).copy(h = 1, v = 1))
+          // 12-bit color remit is 4:4:4 — the 12-bit assembly reads
+          // full-resolution planes per component
+          if (p12 && comps.exists(c => c.h != 1 || c.v != 1)) return None
           hMax = comps.map(_.h).max
           vMax = comps.map(_.v).max
           mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -1007,20 +1012,37 @@ object JpegCodec {
             // decodable-by-luck
             if (!br.atEoi()) return None
             if (p12) {
-              // grayscale by remit: level shift 2048, clamp to 12 bits,
-              // emit the top 8 bits
-              val plane12 = comps(0).plane12
-              val planeW = comps(0).planeW
+              // 12-bit emission: level shift 2048, clamp to 12 bits; for
+              // color, the JFIF YCbCr→RGB transform runs in the 12-bit
+              // domain (neutral chroma 2048) BEFORE the top-8-bit cut —
+              // transforming after the cut would quantize the chroma
+              // contribution 16× coarser than the samples carry
               val rgb = new Array[Byte](3 * width * height)
+              def sample12(ci: Int, x: Int, y: Int): Int = {
+                val raw = 2048 + comps(ci).plane12(y * comps(ci).planeW + x)
+                if (raw < 0) 0 else if (raw > 4095) 4095 else raw
+              }
               var yy = 0
               while (yy < height) {
                 var xx = 0
                 while (xx < width) {
-                  val raw = 2048 + plane12(yy * planeW + xx)
-                  val v12 = if (raw < 0) 0 else if (raw > 4095) 4095 else raw
-                  val v = (v12 >> 4).toByte
                   val o = 3 * (yy * width + xx)
-                  rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+                  if (comps.length == 1) {
+                    val v = (sample12(0, xx, yy) >> 4).toByte
+                    rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+                  } else {
+                    val lum = sample12(0, xx, yy)
+                    val cbv = sample12(1, xx, yy) - 2048
+                    val crv = sample12(2, xx, yy) - 2048
+                    def emit(v: Double): Byte = {
+                      val r = math.round(v).toInt
+                      val c = if (r < 0) 0 else if (r > 4095) 4095 else r
+                      (c >> 4).toByte
+                    }
+                    rgb(o) = emit(lum + 1.402 * crv)
+                    rgb(o + 1) = emit(lum - 0.344136 * cbv - 0.714136 * crv)
+                    rgb(o + 2) = emit(lum + 1.772 * cbv)
+                  }
                   xx += 1
                 }
                 yy += 1

@@ -749,6 +749,72 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** One 12-bit COLOR extended-sequential JPEG (SOF1, 3 components,
+    * 4:4:4): Y = constant [[jpeg12Block]] blocks at precision 12,
+    * chroma constant neutral (sample 2048 → shifted DC 0), all-ones
+    * quant, interleaved scan with per-component DC predictors. The
+    * decoder runs YCbCr→RGB in the 12-bit domain then emits top-8
+    * bits; with neutral chroma r=g=b = jpeg12Block >> 4, so the q58j
+    * oracle formula carries over. JpegCodecSpec additionally pins
+    * NON-neutral chroma via [[jpeg12ColorOf]] (the corpus keeps the
+    * closed-form gray oracle; the spec pins the color arithmetic). */
+  def jpeg12Color(id: Long): Array[Byte] = jpeg12ColorOf(id, 2048, 2048)
+
+  /** [[jpeg12Color]] with explicit constant chroma samples. */
+  private[multimodal] def jpeg12ColorOf(id: Long, cbSample: Int,
+      crSample: Int): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc1) // SOF1 extended sequential, 12-bit
+    be16w(8 + 9); out.write(12); be16w(h); be16w(w); out.write(3)
+    (1 to 3).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — BITS[4]=16, vals 0..15
+    be16w(2 + 17 + 16); out.write(0x00)
+    Array(0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 16).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — one 2-bit EOB code
+    be16w(2 + 17 + 1); out.write(0x10)
+    Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    out.write(0x00)
+    out.write(0xff); out.write(0xda) // SOS: 3 components interleaved
+    be16w(12); out.write(3)
+    (1 to 3).foreach { c => out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+
+    val bits = new JpegBits(out)
+    def putDc(diff: Int): Unit = {
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bits.put(s, 4)
+      if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+    }
+    val bw = w / 8; val bh = h / 8
+    val pred = Array(0, 0, 0)
+    var mcu = 0
+    while (mcu < bw * bh) {
+      val bx = mcu % bw; val by = mcu / bw
+      var ci = 0
+      while (ci < 3) {
+        val dc = ci match {
+          case 0 => 8 * (jpeg12Block(id, bx, by) - 2048)
+          case 1 => 8 * (cbSample - 2048)
+          case _ => 8 * (crSample - 2048)
+        }
+        putDc(dc - pred(ci)); pred(ci) = dc
+        bits.put(0, 2) // EOB
+        ci += 1
+      }
+      mcu += 1
+    }
+    bits.align()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Chroma-red plane for the color-lossless corpus: a gentle ±4 ripple
     * around neutral so every channel exercises its own predictor chain
     * while the YCbCr→RGB outputs stay clamped-free and closed-form. */

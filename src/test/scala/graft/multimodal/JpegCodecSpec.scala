@@ -368,6 +368,37 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("12-bit color: YCbCr transform runs in the 12-bit domain") {
+    // neutral chroma: r=g=b = the grayscale formula
+    (0L until 12L).foreach { id =>
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.jpeg12Color(id))
+        .getOrElse(fail(s"12-bit color decode failed for id=$id"))
+      val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = MediaSynth.jpeg12Block(id, x / 8, y / 8) >> 4
+        assert(px.r(x, y) == e && px.g(x, y) == e && px.b(x, y) == e,
+          s"id=$id ($x,$y): got ${px.r(x, y)}, want $e")
+      }
+    }
+    // NON-neutral chroma: the transform must use the full 12-bit chroma
+    // samples (a decoder transforming after the >>4 cut quantizes the
+    // chroma contribution 16x coarser and diverges on these values)
+    val id = 1L
+    val (cb, cr) = (2048 + 200, 2048 - 300)
+    val px = JpegCodec.decodeJpegPixels(MediaSynth.jpeg12ColorOf(id, cb, cr))
+      .getOrElse(fail("non-neutral 12-bit color decode failed"))
+    def clamp12(v: Long): Long = if (v < 0) 0 else if (v > 4095) 4095 else v
+    val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+    for (y <- 0 until h; x <- 0 until w) {
+      val lum = MediaSynth.jpeg12Block(id, x / 8, y / 8)
+      val er = clamp12(math.round(lum + 1.402 * (cr - 2048))) >> 4
+      val eg = clamp12(math.round(lum - 0.344136 * (cb - 2048) - 0.714136 * (cr - 2048))) >> 4
+      val eb = clamp12(math.round(lum + 1.772 * (cb - 2048))) >> 4
+      assert(px.r(x, y) == er && px.g(x, y) == eg && px.b(x, y) == eb,
+        s"($x,$y): got (${px.r(x, y)},${px.g(x, y)},${px.b(x, y)}), want ($er,$eg,$eb)")
+    }
+  }
+
   test("12-bit precision is rejected outside the SOF1 grayscale remit") {
     // flip the fixture's SOF marker to SOF0: 12-bit baseline is illegal
     val f = MediaSynth.jpeg12(3L).clone()
