@@ -530,7 +530,100 @@ object WebIngest {
       ORDER BY o_year
     """))
 
+  /** Population-stability-index drift detection between corpus versions
+    * — the data-quality monitor a training pipeline runs before every
+    * retrain: bucket a feature (document length) by the REFERENCE
+    * version's deciles, compare the current version's bucket shares,
+    * PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref). Decile boundaries come
+    * from [[graft.operators.Sketches.quantileSketch]] (deterministic,
+    * mergeable, O(k) state — the 100 TB path; boundaries collect as ONE
+    * 9-value row), bucketing is a map-side boundary count, and each
+    * version aggregates once. Laplace smoothing ((n+0.5)/(N+5)) keeps
+    * empty buckets finite deterministically in both engines. The
+    * current version mirrors q122's drift (dropped, edited, and
+    * duplicated docs), so the shift is real, not synthetic noise. */
+  val q126PsiDrift = QueryDef(
+    "q126_psi_drift",
+    (s, d) => {
+      val ref = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("double").as("x"))
+      val cur = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, length(col("text")) + 3)
+            .otherwise(length(col("text"))).cast("double").as("x"))
+        .unionByName(Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            length(col("text")).cast("double").as("x")))
+      val qs = (1 to 9).map(_ / 10.0)
+      val bounds = graft.operators.Sketches.quantileSketch(
+        ref.withColumn("g", lit(1)), "g", col("doc_id"), col("x"),
+        200, "psi", qs)
+        .head() // one row by construction
+      val bs = (1 to 9).map(i => bounds.getDouble(1 + i)) // after g, n_kept
+      def bucket(x: org.apache.spark.sql.Column) =
+        bs.map(b => when(x >= lit(b), 1).otherwise(0)).reduce(_ + _)
+      def dist(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.groupBy(bucket(col("x")).as("bucket"))
+          .agg(count(lit(1)).as(n))
+      val joined = dist(ref, "n_ref").join(dist(cur, "n_cur"), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val w = org.apache.spark.sql.expressions.Window
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val pRef = (col("n_ref") + 0.5) / (sum("n_ref").over(w) + 5.0)
+      val pCur = (col("n_cur") + 0.5) / (sum("n_cur").over(w) + 5.0)
+      joined
+        .withColumn("psi_total",
+          round(sum((pCur - pRef) * log(pCur / pRef)).over(w), 4))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH ref AS (
+        SELECT doc_id, length(text)::DOUBLE AS x FROM documents),
+      cur AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 5 = 0 THEN length(text) + 3
+                     ELSE length(text) END)::DOUBLE AS x
+        FROM documents WHERE doc_id % 5 <> 1
+        UNION ALL
+        SELECT doc_id + 900000, length(text)::DOUBLE FROM documents
+        WHERE doc_id % 7 = 3),
+      kept AS (
+        SELECT x FROM (
+          SELECT x, ('0x' || substr(md5('psi' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM ref) QUALIFY row_number() OVER (ORDER BY h, x) <= 200),
+      sk AS (SELECT count(*) AS n, list_sort(list(x)) AS vs FROM kept),
+      bounds AS (
+        SELECT [vs[greatest(1, ceil(0.1 * n)::INT)], vs[greatest(1, ceil(0.2 * n)::INT)],
+                vs[greatest(1, ceil(0.3 * n)::INT)], vs[greatest(1, ceil(0.4 * n)::INT)],
+                vs[greatest(1, ceil(0.5 * n)::INT)], vs[greatest(1, ceil(0.6 * n)::INT)],
+                vs[greatest(1, ceil(0.7 * n)::INT)], vs[greatest(1, ceil(0.8 * n)::INT)],
+                vs[greatest(1, ceil(0.9 * n)::INT)]] AS bl
+        FROM sk),
+      dr AS (
+        SELECT len(list_filter((SELECT bl FROM bounds), b -> ref.x >= b)) AS bucket,
+               count(*) AS n_ref
+        FROM ref GROUP BY 1),
+      dc AS (
+        SELECT len(list_filter((SELECT bl FROM bounds), b -> cur.x >= b)) AS bucket,
+               count(*) AS n_cur
+        FROM cur GROUP BY 1),
+      j AS (
+        SELECT coalesce(dr.bucket, dc.bucket) AS bucket,
+               coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        FROM dr FULL OUTER JOIN dc ON dr.bucket = dc.bucket),
+      p AS (
+        SELECT bucket, n_ref, n_cur,
+               (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS pr,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS pc
+        FROM j)
+      SELECT bucket, n_ref, n_cur,
+             round(sum((pc - pr) * ln(pc / pr)) OVER (), 4) AS psi_total
+      FROM p ORDER BY bucket
+    """))
+
   val all: Seq[QueryDef] = Seq(q91WarcExtract, q92HtmlExtract, q93CcChain,
     q94RobotsFilter, q99JsonlRoundtrip, q122DatasetDiff, q123PartitionPrune,
-    q124CompactFiles, q124bCompactZorder)
+    q124CompactFiles, q124bCompactZorder, q126PsiDrift)
 }
