@@ -295,4 +295,131 @@ object Similarity {
     (0 until outDims).map { k =>
       dot(vec, array(jlSigns(k, dim, seed).map(lit): _*)).as(s"p$k")
     }
+
+  // ------------------------------------------------------- product quant
+
+  /** L2 assignment score `x·c − ½·c·c`: argmax over centroids ≡ argmin
+    * ‖x−c‖² (the ‖x‖² term is constant per x) — two dot kernels and one
+    * subtract, replicated term-for-term by the SQL oracle so assignment
+    * doubles are bit-identical across engines. Comparing squared vs
+    * square-rooted distances instead could TIE differently in the last
+    * ulp and flip a pick. */
+  private def l2Score(x: Column, c: Column): Column =
+    dot(x, c) - lit(0.5) * dot(c, c)
+
+  /** Lloyd k-means under squared-Euclidean assignment on RAW vectors —
+    * the PQ subquantizer training rule — with [[kmeansTrain]]'s
+    * determinism conventions: ties to the smaller c_id, per-dimension
+    * means summed in decimal(28,12) (order-independent, so identical
+    * across partitionings and engines), centroids held on the driver
+    * between rounds (bounded metadata, constant-size per-round plans).
+    * `corpus`: (id, e); `seeds`: (c_id, c). Returns (c_id, c). */
+  def kmeansTrainL2(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val spark = corpus.sparkSession
+    var cent = seeds
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("id").orderBy(col("__sc").desc, col("c_id"))
+      val means = corpus.join(broadcast(cent))
+        .withColumn("__sc", l2Score(col("e"), col("c")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("c_id"), posexplode(col("e")).as(Seq("j", "x")))
+        .groupBy("c_id", "j")
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("c_id")
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+          s => s.getField("m")).as("c"))
+      cent = spark.createDataFrame(
+        java.util.Arrays.asList(means.collect(): _*), means.schema)
+    }
+    cent
+  }
+
+  /** One trained PQ codebook set held as driver metadata: for each of
+    * the m subspaces, the kSub centroids in c_id order (bounded:
+    * m·kSub·(dim/m) doubles — the same centers-on-the-driver shape as
+    * [[kmeansTrain]]). */
+  final case class PqBooks(m: Int, dim: Int, books: Seq[Seq[Seq[Double]]]) {
+    val w: Int = dim / m
+  }
+
+  /** Train the m subquantizers: slice the corpus into m subspaces and
+    * run [[kmeansTrainL2]] in each, seeded by the subvectors of
+    * `seedIds` (c_id = position in the sorted seed list). Empty
+    * clusters drop out of a codebook, as in Lloyd generally. */
+  def pqTrain(corpus: DataFrame, m: Int, dim: Int, seedIds: Seq[Long],
+              iters: Int): PqBooks = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val w = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedIdx = seedIds.sorted.zipWithIndex
+      .map { case (id, i) => (id, i) }.toDF("id", "c_id")
+    val books = (0 until m).map { s =>
+      val sub = corpus.select(col("id"), slice(col("e"), s * w + 1, w).as("e"))
+      val seeds = sub.join(broadcast(seedIdx), "id")
+        .select(col("c_id"), col("e").as("c"))
+      kmeansTrainL2(sub, seeds, iters)
+        .collect()
+        .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).map(_._2).toSeq
+    }
+    PqBooks(m, dim, books)
+  }
+
+  private def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Per-subspace code of each corpus vector: the argmax of [[l2Score]]
+    * over that subspace's codebook (ties to the smaller code). Pure
+    * column algebra over literal centroids — `array_max` of
+    * (score, −code) structs, fully codegen, map-only. Adds `codes`
+    * (array<int>, length m). */
+  def pqEncode(corpus: DataFrame, bk: PqBooks): DataFrame = {
+    val codeCols = (0 until bk.m).map { s =>
+      val xs = slice(col("e"), s * bk.w + 1, bk.w)
+      val entries = bk.books(s).zipWithIndex.map { case (c, cid) =>
+        struct((dot(xs, typedLit(c)) - lit(0.5 * dotLocal(c, c))).as("sc"),
+          lit(-cid).as("n"))
+      }
+      (-array_max(array(entries: _*)).getField("n")).as(s"__c$s")
+    }
+    corpus.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each probe precomputes its m
+    * lookup tables (dot of its subvector against every centroid — m·kSub
+    * doubles, probe-side column algebra), and a candidate's approximate
+    * dot product is the FIXED-ORDER sum of one table entry per subspace
+    * (left-associated, so the oracle replays the exact float). The
+    * encoded corpus streams once against broadcast probes; a per-probe
+    * window ranks by (adc desc, id) — the same shape as
+    * [[bruteForceTopK]] with the O(pairs·d) dot replaced by O(pairs·m)
+    * table lookups, the PQ speed/memory win (codes are m bytes/vector
+    * against d doubles). `probes`: (probe_id, p). Returns (probe_id,
+    * rank, id, adc). */
+  def pqTopK(encoded: DataFrame, probes: DataFrame, bk: PqBooks,
+             k: Int): DataFrame = {
+    val tblCols = (0 until bk.m).map { s =>
+      val qs = slice(col("p"), s * bk.w + 1, bk.w)
+      array(bk.books(s).map(c => dot(qs, typedLit(c))): _*).as(s"__t$s")
+    }
+    val pr = probes.select(col("probe_id") +: col("p") +: tblCols: _*)
+    val score = (0 until bk.m)
+      .map(s => element_at(col(s"__t$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("id"))
+    encoded.join(broadcast(pr))
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("adc"))
+  }
 }

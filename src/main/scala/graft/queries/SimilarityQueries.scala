@@ -368,7 +368,95 @@ object SimilarityQueries {
       ORDER BY vec_id
     """))
 
+  /** Product quantization ([[Similarity.pqTrain]]/[[Similarity.pqEncode]]/
+    * [[Similarity.pqTopK]]) — the fourth rung of the ANN ladder (exact /
+    * IVF / LSH / PQ) and the memory-scale one: m=16 L2 subquantizers of
+    * kSub=16 centroids each (seeded on vec_id 0–15, 2 Lloyd rounds),
+    * corpus encoded to 16 4-bit codes/vector, probes answered by
+    * asymmetric-distance (ADC) lookup tables — O(m) per pair instead of
+    * O(d), and 8 bytes/vector of index state instead of 64 doubles. The
+    * oracle replays EVERYTHING: both unrolled training rounds per
+    * subspace (decimal means, x·c−½c·c assignment with smaller-code
+    * ties), the encoding argmax, and the left-associated 16-term ADC sum
+    * — one flipped assignment or reordered float addition anywhere
+    * breaks the hash. Recall vs the exact baseline is pinned in
+    * SimilaritySpec (quality), not here (determinism). */
+  val q127AnnPq = QueryDef(
+    "q127_ann_pq",
+    (s, d) => {
+      val e = emb(s, d)
+      val corpus = e.select(col("vec_id").as("id"), col("e"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"))
+      val bk = Similarity.pqTrain(corpus, m = 16, dim = 64,
+        seedIds = 0L until 16L, iters = 2)
+      val encoded = Similarity.pqEncode(corpus, bk)
+      Similarity.pqTopK(encoded, probes, bk, k = 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      subv AS (
+        SELECT vec_id, s, e[(s*4+1):(s*4+4)] AS x
+        FROM emb, range(0, 16) t(s)),
+      c0 AS (
+        SELECT s, vec_id::INT AS c_id, x AS c FROM subv WHERE vec_id < 16),
+      a1 AS (
+        SELECT vec_id, s, x, c_id FROM (
+          SELECT subv.vec_id, subv.s, subv.x, c0.c_id,
+                 row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                   ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            c0.c_id) AS rn
+          FROM subv JOIN c0 ON c0.s = subv.s) WHERE rn = 1),
+      m1 AS (
+        SELECT s, c_id, j, (sum((x[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
+        FROM a1, range(1, 5) t(j) GROUP BY s, c_id, j),
+      c1 AS (
+        SELECT s, c_id, list(mv ORDER BY j) AS c FROM m1 GROUP BY s, c_id),
+      a2 AS (
+        SELECT vec_id, s, x, c_id FROM (
+          SELECT a1.vec_id, a1.s, a1.x, c1.c_id,
+                 row_number() OVER (PARTITION BY a1.vec_id, a1.s
+                   ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            c1.c_id) AS rn
+          FROM a1 JOIN c1 ON c1.s = a1.s) WHERE rn = 1),
+      m2 AS (
+        SELECT s, c_id, j, (sum((x[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
+        FROM a2, range(1, 5) t(j) GROUP BY s, c_id, j),
+      c2 AS (
+        SELECT s, c_id, list(mv ORDER BY j) AS c FROM m2 GROUP BY s, c_id),
+      codes AS (
+        SELECT vec_id, s, c_id AS code FROM (
+          SELECT subv.vec_id, subv.s, c2.c_id,
+                 row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                   ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            c2.c_id) AS rn
+          FROM subv JOIN c2 ON c2.s = subv.s) WHERE rn = 1),
+      pairs AS (
+        SELECT p.vec_id AS probe_id, codes.vec_id AS id, codes.s,
+               list_dot_product(p.x, c2.c) AS ds
+        FROM subv p
+        JOIN codes ON codes.s = p.s AND codes.vec_id <> p.vec_id
+        JOIN c2 ON c2.s = codes.s AND c2.c_id = codes.code
+        WHERE p.vec_id < 20),
+      adc AS (
+        SELECT probe_id, id,
+               max(CASE WHEN s = 0 THEN ds END) + max(CASE WHEN s = 1 THEN ds END) + max(CASE WHEN s = 2 THEN ds END) + max(CASE WHEN s = 3 THEN ds END) + max(CASE WHEN s = 4 THEN ds END) + max(CASE WHEN s = 5 THEN ds END) + max(CASE WHEN s = 6 THEN ds END) + max(CASE WHEN s = 7 THEN ds END) + max(CASE WHEN s = 8 THEN ds END) + max(CASE WHEN s = 9 THEN ds END) + max(CASE WHEN s = 10 THEN ds END) + max(CASE WHEN s = 11 THEN ds END) + max(CASE WHEN s = 12 THEN ds END) + max(CASE WHEN s = 13 THEN ds END) + max(CASE WHEN s = 14 THEN ds END) + max(CASE WHEN s = 15 THEN ds END)
+                 AS adc
+        FROM pairs GROUP BY probe_id, id),
+      ranked AS (
+        SELECT probe_id, id, adc,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY adc DESC, id) AS rank
+        FROM adc)
+      SELECT probe_id, rank, id, round(adc, 9) AS adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """))
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection,
-    q108EmbeddingQuantize)
+    q108EmbeddingQuantize, q127AnnPq)
 }

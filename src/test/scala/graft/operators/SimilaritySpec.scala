@@ -120,4 +120,46 @@ class SimilaritySpec extends SparkSpec {
     assert(to > so + 1e-4, f"training left the objective unchanged: $to%.4f vs $so%.4f")
     assert(tr >= sr, f"training regressed recall: $tr%.3f < $sr%.3f")
   }
+
+  test("PQ: codes in range, ADC approximates dot, recall vs exact is useful") {
+    val sfDir = sf001
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = e.select(col("vec_id").as("id"), col("e"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val bk = Similarity.pqTrain(corpus, m = 16, dim = 64,
+      seedIds = 0L until 16L, iters = 2)
+    assert(bk.books.length == 16 && bk.books.forall(_.nonEmpty))
+    assert(bk.books.flatten.forall(_.length == 4))
+
+    val enc = Similarity.pqEncode(corpus, bk)
+    val codeStats = enc.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).as[(Int, Int)].head()
+    assert(codeStats._1 >= 0 && codeStats._2 < 16, s"codes out of range: $codeStats")
+
+    // ADC approximates the exact dot product: average absolute error is
+    // small relative to the score scale (the quantization residual)
+    val exactDots = corpus.join(broadcast(probes))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        graft.functions.VectorFunctions.dot(col("e"), col("p")).as("ex"))
+    val adc = Similarity.pqTopK(enc, probes, bk, k = Int.MaxValue >> 1)
+      .join(exactDots, Seq("probe_id", "id"))
+      .agg(avg(abs(col("adc") - col("ex"))).as("mae"),
+        avg(abs(col("ex"))).as("scale")).as[(Double, Double)].head()
+    assert(adc._1 < adc._2,
+      s"ADC error ${adc._1} not below the mean |dot| scale ${adc._2}")
+
+    // recall@3 vs the exact baseline: PQ with 8x16 codebooks on this
+    // corpus must recover a useful share of true neighbors
+    // (deterministic: fixed seeds, fixed data)
+    val truth = Similarity.bruteForceTopK(corpus, probes, 3)
+      .select("probe_id", "id").as[(Long, Long)].collect().toSet
+    val got = Similarity.pqTopK(enc, probes, bk, k = 3)
+      .select("probe_id", "id").as[(Long, Long)].collect().toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    info(f"PQ recall@3: $recall%.3f (ADC mae ${adc._1}%.4f / scale ${adc._2}%.4f)")
+    assert(recall >= 0.3, f"PQ recall@3 $recall%.3f below floor")
+  }
 }
