@@ -422,4 +422,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("adc"))
   }
+
+  /** IVF-PQ — the composed index every billion-vector system ships
+    * (coarse quantizer + residual product codes): corpus vectors are
+    * assigned to their nearest-in-L2 coarse centroid (argmax of
+    * [[l2Score]], ties to the smaller c_id), the RESIDUAL x − c is
+    * product-quantized by [[pqTrain]]/[[pqEncode]], and a probe scans
+    * only its `nprobe` nearest coarse buckets, scoring candidates as
+    * `q·c + Σ dot(q_sub, residual-centroid)` ≈ q·x — the coarse term
+    * computed once per (probe, bucket), the residual term by ADC table
+    * lookup. The candidate join shuffles on the coarse id only (the IVF
+    * pruning); at 100 TB the encoded corpus is written bucketed by c_id
+    * ([[writeIvfIndex]]-style) so the probe join is shuffle-free and
+    * reads 8 code bytes per candidate instead of d doubles.
+    *
+    * Determinism: every float the ranking touches is replicated
+    * term-for-term by the SQL oracle — the l2Score assignments, the
+    * per-element residual subtraction (exact), the Lloyd rounds
+    * (decimal means), and the final sum, left-associated as
+    * `pc + (t0 + t1 + …)`. Returns (probe_id, rank, id, adc). */
+  def ivfPqTopK(corpus: DataFrame, coarse: DataFrame, probes: DataFrame,
+                m: Int, dim: Int, seedIds: Seq[Long], iters: Int,
+                k: Int, nprobe: Int): DataFrame = {
+    val wAssign = Window.partitionBy("id").orderBy(col("__sc").desc, col("c_id"))
+    val assigned = corpus.join(broadcast(coarse))
+      .withColumn("__sc", l2Score(col("e"), col("c")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("c_id"),
+        zip_with(col("e"), col("c"), (a, b) => a - b).as("r"))
+    val resid = assigned.select(col("id"), col("r").as("e"))
+    val bk = pqTrain(resid, m, dim, seedIds, iters)
+    val enc = pqEncode(resid, bk)
+      .select(col("id"), col("codes"))
+      .join(assigned.select(col("id"), col("c_id")), "id")
+
+    // probe side: nprobe nearest coarse buckets by the same L2 score,
+    // coarse dot term and ADC tables as probe-side column algebra
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("__sc").desc, col("c_id"))
+    val tblCols = (0 until bk.m).map { s =>
+      val qs = slice(col("p"), s * bk.w + 1, bk.w)
+      array(bk.books(s).map(c => dot(qs, typedLit(c))): _*).as(s"__t$s")
+    }
+    val pb = probes.join(broadcast(coarse))
+      .withColumn("__sc", l2Score(col("p"), col("c")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .withColumn("pc", dot(col("p"), col("c")))
+      .select(Seq(col("probe_id"), col("c_id"), col("pc"), col("p")) ++ tblCols: _*)
+
+    val residScore = (0 until bk.m)
+      .map(s => element_at(col(s"__t$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val wRank = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("id"))
+    enc.join(broadcast(pb), "c_id")
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("adc", col("pc") + residScore)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("adc"))
+  }
 }

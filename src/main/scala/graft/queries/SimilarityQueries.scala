@@ -456,7 +456,138 @@ object SimilarityQueries {
       ORDER BY probe_id, rank
     """))
 
+  /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the composed index every
+    * billion-vector system ships: a TRAINED L2 coarse quantizer (2
+    * Lloyd rounds from the label-medoid seeds — means, not medoids:
+    * medoid residuals are member-to-member differences and DOUBLED the
+    * ADC error), RESIDUAL product codes (m=16 × 16 centroids trained on
+    * x − c by the q127 machinery), probes scanning nprobe=2 buckets and
+    * scoring `q·c + ADC(residual)` ≈ q·x. The candidate join shuffles
+    * on the coarse id only. The oracle replays the coarse TRAINING and
+    * assignment, the exact per-element residual subtraction, both Lloyd
+    * rounds per subspace, the encoding, and the `pc + (t0 + … + t15)`
+    * association of the final sum. */
+  val q127bAnnIvfPq = QueryDef(
+    "q127b_ann_ivfpq",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.ivfPqTopK(corpus, coarse, probes, m = 16, dim = 64,
+        seedIds = 0L until 16L, iters = 2, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some {
+      val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
+        .mkString(" + ")
+      s"""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      seeds AS (SELECT label, min(vec_id) AS sid FROM emb GROUP BY label),
+      cc0 AS (
+        SELECT emb.label AS cc_id, emb.e AS c
+        FROM emb JOIN seeds ON emb.vec_id = seeds.sid),
+      ca1 AS (
+        SELECT vec_id, e, cc_id FROM (
+          SELECT emb.vec_id, emb.e, cc0.cc_id,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY (list_dot_product(e, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            cc0.cc_id) AS rn
+          FROM emb CROSS JOIN cc0) WHERE rn = 1),
+      cm1 AS (
+        SELECT cc_id, j, (sum((e[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
+        FROM ca1, range(1, 65) t(j) GROUP BY cc_id, j),
+      cc1 AS (
+        SELECT cc_id, list(mv ORDER BY j) AS c FROM cm1 GROUP BY cc_id),
+      ca2 AS (
+        SELECT vec_id, e, cc_id FROM (
+          SELECT ca1.vec_id, ca1.e, cc1.cc_id,
+                 row_number() OVER (PARTITION BY ca1.vec_id
+                   ORDER BY (list_dot_product(e, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            cc1.cc_id) AS rn
+          FROM ca1 CROSS JOIN cc1) WHERE rn = 1),
+      cm2 AS (
+        SELECT cc_id, j, (sum((e[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
+        FROM ca2, range(1, 65) t(j) GROUP BY cc_id, j),
+      coarse AS (
+        SELECT cc_id, list(mv ORDER BY j) AS c FROM cm2 GROUP BY cc_id),
+      ca AS (
+        SELECT vec_id, cc_id,
+               list_transform(range(64), j -> e[j+1] - c[j+1]) AS r
+        FROM (
+          SELECT emb.vec_id, emb.e, coarse.cc_id, coarse.c,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY (list_dot_product(e, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            coarse.cc_id) AS rn
+          FROM emb CROSS JOIN coarse) WHERE rn = 1),
+      subv AS (
+        SELECT vec_id, cc_id, s, r[(s*4+1):(s*4+4)] AS x
+        FROM ca, range(0, 16) t(s)),
+      c0 AS (
+        SELECT s, vec_id::INT AS c_id, x AS c FROM subv WHERE vec_id < 16),
+      a1 AS (
+        SELECT vec_id, s, x, c_id FROM (
+          SELECT subv.vec_id, subv.s, subv.x, c0.c_id,
+                 row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                   ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            c0.c_id) AS rn
+          FROM subv JOIN c0 ON c0.s = subv.s) WHERE rn = 1),
+      m1 AS (
+        SELECT s, c_id, j, (sum((x[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
+        FROM a1, range(1, 5) t(j) GROUP BY s, c_id, j),
+      c1 AS (
+        SELECT s, c_id, list(mv ORDER BY j) AS c FROM m1 GROUP BY s, c_id),
+      a2 AS (
+        SELECT vec_id, s, x, c_id FROM (
+          SELECT a1.vec_id, a1.s, a1.x, c1.c_id,
+                 row_number() OVER (PARTITION BY a1.vec_id, a1.s
+                   ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            c1.c_id) AS rn
+          FROM a1 JOIN c1 ON c1.s = a1.s) WHERE rn = 1),
+      m2 AS (
+        SELECT s, c_id, j, (sum((x[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
+        FROM a2, range(1, 5) t(j) GROUP BY s, c_id, j),
+      c2 AS (
+        SELECT s, c_id, list(mv ORDER BY j) AS c FROM m2 GROUP BY s, c_id),
+      codes AS (
+        SELECT vec_id, s, c_id AS code FROM (
+          SELECT subv.vec_id, subv.s, c2.c_id,
+                 row_number() OVER (PARTITION BY subv.vec_id, subv.s
+                   ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            c2.c_id) AS rn
+          FROM subv JOIN c2 ON c2.s = subv.s) WHERE rn = 1),
+      cand AS (SELECT vec_id, cc_id FROM ca),
+      pb AS (
+        SELECT probe_id, cc_id, pc, pe FROM (
+          SELECT emb.vec_id AS probe_id, coarse.cc_id,
+                 list_dot_product(emb.e, coarse.c) AS pc, emb.e AS pe,
+                 row_number() OVER (PARTITION BY emb.vec_id
+                   ORDER BY (list_dot_product(e, c) - 0.5 * list_dot_product(c, c)) DESC,
+                            coarse.cc_id) AS rn
+          FROM emb CROSS JOIN coarse
+          WHERE emb.vec_id < 20) WHERE rn <= 2),
+      pairs AS (
+        SELECT pb.probe_id, cand.vec_id AS id, pb.pc, codes.s,
+               list_dot_product(pb.pe[(codes.s*4+1):(codes.s*4+4)], c2.c) AS ds
+        FROM pb
+        JOIN cand ON cand.cc_id = pb.cc_id AND cand.vec_id <> pb.probe_id
+        JOIN codes ON codes.vec_id = cand.vec_id
+        JOIN c2 ON c2.s = codes.s AND c2.c_id = codes.code),
+      adc AS (
+        SELECT probe_id, id, any_value(pc) + ($tChain) AS adc
+        FROM pairs GROUP BY probe_id, id),
+      ranked AS (
+        SELECT probe_id, id, adc,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY adc DESC, id) AS rank
+        FROM adc)
+      SELECT probe_id, rank, id, round(adc, 9) AS adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """
+    })
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection,
-    q108EmbeddingQuantize, q127AnnPq)
+    q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq)
 }
