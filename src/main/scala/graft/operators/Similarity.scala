@@ -319,12 +319,18 @@ object Similarity {
     val spark = corpus.sparkSession
     var cent = seeds
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("id").orderBy(col("__sc").desc, col("c_id"))
+      // argmax as a partial-aggregable max(struct(score, -c_id, e)):
+      // the struct compares lexicographically, so higher score wins and
+      // exact ties go to the SMALLER c_id — identical picks to a
+      // row_number window, without its full sort-shuffle (the hash agg
+      // combines map-side; at 100 TB the exchange carries one row per
+      // corpus vector, not one per (vector, centroid) pair)
       val means = corpus.join(broadcast(cent))
         .withColumn("__sc", l2Score(col("e"), col("c")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("c_id"), posexplode(col("e")).as(Seq("j", "x")))
+        .groupBy("id")
+        .agg(max(struct(col("__sc"), (-col("c_id")).as("n"), col("e").as("v")))
+          .as("w"))
+        .select((-col("w.n")).as("c_id"), posexplode(col("w.v")).as(Seq("j", "x")))
         .groupBy("c_id", "j")
         .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("m"))
@@ -345,26 +351,58 @@ object Similarity {
     val w: Int = dim / m
   }
 
-  /** Train the m subquantizers: slice the corpus into m subspaces and
-    * run [[kmeansTrainL2]] in each, seeded by the subvectors of
-    * `seedIds` (c_id = position in the sorted seed list). Empty
-    * clusters drop out of a codebook, as in Lloyd generally. */
+  /** Train the m subquantizers, seeded by the subvectors of `seedIds`
+    * (c_id = position in the sorted seed list). Empty clusters drop out
+    * of a codebook, as in Lloyd generally.
+    *
+    * ALL m subspaces train in the SAME jobs: the corpus explodes once
+    * into (id, sub, x) rows and each Lloyd round is one
+    * assignment+means pass over that frame with `sub` as an extra
+    * grouping column — 2 jobs for 2 rounds, not 2·m (the per-subspace
+    * loop this replaced launched ~4·m tiny jobs and was pure
+    * job-overhead at test scale; at 100 TB it is the difference between
+    * 2 and 2·m passes over the corpus). Assignment ties, decimal means,
+    * and the driver-held centroids are identical per subspace, so the
+    * learned books — and the SQL oracle — are unchanged. */
   def pqTrain(corpus: DataFrame, m: Int, dim: Int, seedIds: Seq[Long],
               iters: Int): PqBooks = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(iters >= 1)
     val w = dim / m
     val spark = corpus.sparkSession
     import spark.implicits._
+    val subs = corpus.select(col("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("e"), s * w + 1, w)): _*)).as(Seq("sub", "x")))
     val seedIdx = seedIds.sorted.zipWithIndex
       .map { case (id, i) => (id, i) }.toDF("id", "c_id")
+    val seeds0 = subs.join(broadcast(seedIdx), "id")
+      .select(col("sub"), col("c_id"), col("x").as("c"))
+    var cent = spark.createDataFrame(
+      java.util.Arrays.asList(seeds0.collect(): _*), seeds0.schema)
+    for (_ <- 1 to iters) {
+      // same partial-aggregable argmax as kmeansTrainL2 (see there)
+      val means = subs.join(broadcast(cent), "sub")
+        .withColumn("__sc", l2Score(col("x"), col("c")))
+        .groupBy("id", "sub")
+        .agg(max(struct(col("__sc"), (-col("c_id")).as("n"), col("x").as("v")))
+          .as("w"))
+        .select(col("sub"), (-col("w.n")).as("c_id"),
+          posexplode(col("w.v")).as(Seq("j", "v")))
+        .groupBy("sub", "c_id", "j")
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mv"))
+        .groupBy("sub", "c_id")
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
+          s => s.getField("mv")).as("c"))
+      cent = spark.createDataFrame(
+        java.util.Arrays.asList(means.collect(): _*), means.schema)
+    }
+    val bySub = cent.collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("c_id"), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1)
     val books = (0 until m).map { s =>
-      val sub = corpus.select(col("id"), slice(col("e"), s * w + 1, w).as("e"))
-      val seeds = sub.join(broadcast(seedIdx), "id")
-        .select(col("c_id"), col("e").as("c"))
-      kmeansTrainL2(sub, seeds, iters)
-        .collect()
-        .map(r => (r.getAs[Int]("c_id"), r.getSeq[Double](1).toSeq))
-        .sortBy(_._1).map(_._2).toSeq
+      bySub.getOrElse(s, Array.empty).sortBy(_._2).map(_._3).toSeq
     }
     PqBooks(m, dim, books)
   }
@@ -444,13 +482,14 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, coarse: DataFrame, probes: DataFrame,
                 m: Int, dim: Int, seedIds: Seq[Long], iters: Int,
                 k: Int, nprobe: Int): DataFrame = {
-    val wAssign = Window.partitionBy("id").orderBy(col("__sc").desc, col("c_id"))
+    // partial-aggregable argmax (see kmeansTrainL2): one row per vector
+    // crosses the exchange, not one per (vector, centroid)
     val assigned = corpus.join(broadcast(coarse))
       .withColumn("__sc", l2Score(col("e"), col("c")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("c_id"),
-        zip_with(col("e"), col("c"), (a, b) => a - b).as("r"))
+      .groupBy("id")
+      .agg(max(struct(col("__sc"), (-col("c_id")).as("n"),
+        zip_with(col("e"), col("c"), (a, b) => a - b).as("v"))).as("w"))
+      .select(col("id"), (-col("w.n")).as("c_id"), col("w.v").as("r"))
     val resid = assigned.select(col("id"), col("r").as("e"))
     val bk = pqTrain(resid, m, dim, seedIds, iters)
     val enc = pqEncode(resid, bk)
