@@ -265,6 +265,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"sketch went cartesian:\n$p")
   }
 
+  test("q127b: IVF-PQ candidate join is keyed on the coarse id, no cartesian") {
+    val p = plan("q127b_ann_ivfpq")
+    // the final candidate join must shuffle/broadcast on c_id — a
+    // cartesian would scan every (probe, vector) pair and void the IVF
+    // pruning; centroid-assignment BNLJs against broadcast frames are
+    // the intended shape (same as q65/q28)
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe/bucket side not broadcast:\n$p")
+  }
+
+  test("q124b: clustered compaction plan stays keyed and broadcast-sided") {
+    val p = plan("q124b_compact_zorder")
+    // the returned frame is the per-partition plan; the WRITE already
+    // ran during construction — what must hold in the visible plan is
+    // no cartesian anywhere and the metadata aggregates staying tiny
+    assert(!p.contains("CartesianProduct"), s"compaction went cartesian:\n$p")
+  }
+
   test("large BPE tables segment through the depth-1 kernel expression") {
     import org.apache.spark.sql.functions._
     // a 300-merge table (> ChainLimit) must plan as ONE bpe_segment node,

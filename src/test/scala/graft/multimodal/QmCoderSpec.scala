@@ -274,6 +274,26 @@ class QmCoderSpec extends AnyFunSuite {
     }
   }
 
+  test("SOF10/restart files: truncation and corruption fail closed") {
+    for (base <- Seq(MediaSynth.progArithJpeg(7L), MediaSynth.arithRstJpeg(7L))) {
+      // truncations inside the entropy data must not return pixels
+      for (cut <- Seq(base.length - 3, base.length - 10, base.length / 2)) {
+        assert(JpegCodec.decodeJpegPixels(base.take(cut)).isEmpty,
+          s"cut=$cut decoded from a truncated stream")
+      }
+      // random single-byte corruptions: decode either fails or returns a
+      // well-formed raster (never throws, never hangs)
+      for (seed <- 1 to 60) {
+        val mut = base.clone()
+        val pos = math.floorMod(seed * 2654435761L, (base.length - 30).toLong).toInt + 20
+        mut(pos) = (mut(pos) ^ (1 << (seed % 8))).toByte
+        JpegCodec.decodeJpegPixels(mut).foreach { p =>
+          assert(p.rgb.length == 3 * p.width * p.height)
+        }
+      }
+    }
+  }
+
   test("restart-interval files decode exactly; resets are load-bearing") {
     (0L until 30L).foreach { id =>
       val plain = JpegCodec.decodeJpegPixels(MediaSynth.arithJpeg(id))
