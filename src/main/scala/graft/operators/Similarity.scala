@@ -483,7 +483,15 @@ object Similarity {
                 m: Int, dim: Int, seedIds: Seq[Long], iters: Int,
                 k: Int, nprobe: Int): DataFrame = {
     // partial-aggregable argmax (see kmeansTrainL2): one row per vector
-    // crosses the exchange, not one per (vector, centroid)
+    // crosses the exchange, not one per (vector, centroid). The frame is
+    // consumed by residual training, encoding, and the code/bucket join,
+    // so its linear assignment pass re-runs per action here; a
+    // production deployment materializes the ENCODED corpus to a
+    // bucketed table instead ([[writeIvfIndex]]-style — train+encode is
+    // a one-off index build, probing is the recurring query), which
+    // removes every recompute at once. (An eager localCheckpoint was
+    // measured SLOWER at bench scale: the extra materialization job
+    // costs more than the pipelined 500-row recomputes it saves.)
     val assigned = corpus.join(broadcast(coarse))
       .withColumn("__sc", l2Score(col("e"), col("c")))
       .groupBy("id")
