@@ -64,7 +64,21 @@ object Bench {
     // shrank without parsing the per-query nulls.
     val nFailed = byQuery.count(!_._4)
     val total = fmt(byQuery.collect { case (_, med, _, true) => med }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":$nFailed,"queries":$qs,"queries_min":$qmins,"failed":$failedArr,"sf":"$sfDir"}""")
+    // FULL per-query medians/mins go to a file: with 150+ queries the
+    // all-queries JSON line is ~4 kB, which exceeded the driver's stdout
+    // capture two rounds running (BENCH_r07/r08 "parsed": null). The
+    // final stdout line stays compact (<1.5 kB): totals plus only the 10
+    // slowest queries, so it parses AND still names the hot spots.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":$nFailed,"n_queries":${byQuery.size},"queries":$qs,"queries_min":$qmins,"failed":$failedArr,"sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get("target/bench_queries.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-query timings: $outPath")
+    val top = byQuery.filter(_._4).sortBy(-_._2).take(10)
+      .map { case (k, med, _, _) => "\"" + k + "\":" + fmt(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":$nFailed,"n_queries":${byQuery.size},"queries":$top,"failed":$failedArr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

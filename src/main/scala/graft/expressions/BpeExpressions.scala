@@ -45,8 +45,16 @@ object BpeKernels {
   private def segmentWord(t: Table, word: String,
       out: java.util.ArrayList[UTF8String]): Unit = {
     var syms = new java.util.ArrayList[String](word.length)
+    // seed symbols per CODE POINT, not UTF-16 char: the chain path's
+    // regexp_replace("(?s)(.)") splits per code point, and per-char
+    // seeding would shear supplementary chars (emoji, astral CJK) into
+    // lone-surrogate symbols — invalid UTF8Strings and a path divergence
     var ci = 0
-    while (ci < word.length) { syms.add(String.valueOf(word.charAt(ci))); ci += 1 }
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      syms.add(new String(Character.toChars(cp)))
+      ci += Character.charCount(cp)
+    }
     var go = syms.size > 1
     while (go) {
       var best = Int.MaxValue
@@ -75,6 +83,12 @@ object BpeKernels {
     while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
   }
 
+  private def isAllSpaces(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) != ' ') return false; i += 1 }
+    true
+  }
+
   /** Pre-tokenize `text` (same pattern + drop-blank rule as
     * `TextFunctions.gpt2PreTokens`) and BPE-segment each pre-token. */
   def segmentText(t: Table, text: UTF8String): ArrayData = {
@@ -83,7 +97,12 @@ object BpeKernels {
     val m = t.prePattern.matcher(s)
     while (m.find()) {
       val tok = m.group()
-      if (!tok.trim.isEmpty) segmentWord(t, tok, out)
+      // drop rule must replicate the chain path's Spark trim EXACTLY:
+      // Spark trim strips only ASCII spaces, so a token is dropped iff
+      // it is all-spaces. Java String.trim (the old form) also strips
+      // \n/\t/etc — text with newlines segmented differently once the
+      // table crossed ChainLimit (a silent behavior switch).
+      if (!isAllSpaces(tok)) segmentWord(t, tok, out)
     }
     new GenericArrayData(out.toArray)
   }

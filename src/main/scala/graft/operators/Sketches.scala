@@ -116,8 +116,12 @@ object Sketches {
                      value: Column, k: Int, seed: String,
                      quantiles: Seq[Double]): DataFrame = {
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1))
+    // null values drop BEFORE sampling: collect_list silently skips
+    // nulls, so an unfiltered null would inflate n_kept past len(vs)
+    // and push the nearest-rank index off the end of the sample
     val hashed = df.select(col(groupCol), kmvHash(key, seed).as("h"),
       value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
     val kept = Sampling.quotaPerGroup(hashed, groupCol, k, col("h").asc, col("v").asc)
     val grouped = kept.groupBy(groupCol)
       .agg(sort_array(collect_list(col("v"))).as("vs"), count(lit(1)).as("n_kept"))
@@ -130,11 +134,16 @@ object Sketches {
   }
 
   /** Merge two quantile-sketch samples ((hash, value) pairs) — k
-    * smallest hashes of the union, the driver-side mergeability
-    * primitive. Associative, commutative, idempotent on overlap. */
+    * smallest of the union MULTISET, the driver-side mergeability
+    * primitive. Associative and commutative over sketches of DISJOINT
+    * row shards (the only shape partial aggregation and micro-batch
+    * state merging ever produce); duplicates are kept because the batch
+    * sketch ([[quantileSketch]]'s quotaPerGroup row_number) counts every
+    * row — a `.distinct` here made merged samples diverge from the
+    * batch sketch whenever two rows shared a (hash, value) pair. */
   def quantileMerge(a: Seq[(Long, Double)], b: Seq[(Long, Double)],
                     k: Int): Seq[(Long, Double)] =
-    (a ++ b).distinct.sortBy(identity).take(k)
+    (a ++ b).sortBy(identity).take(k)
 
   /** Nearest-rank estimate from a merged sample (dual of the in-plan
     * `element_at(vs, ceil(q·n))`). */

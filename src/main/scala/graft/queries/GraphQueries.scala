@@ -96,11 +96,16 @@ object GraphQueries {
         .select(col("node"), round(col("rank"), 9).as("rank"))
         .orderBy("node"),
     Some {
+      // MATERIALIZED on every iteration CTE: each r(i-1) is referenced
+      // TWICE (the dangling-mass aggregate d(i) and the contribution join
+      // in r(i)); inlined, DuckDB expands ~2^10 copies of the base
+      // subtree and effectively hangs (>2 min at sf0.01; materialized it
+      // runs in ~0.1 s). This is what zeroed CORRECTNESS_r08.
       val iters = (1 to 10).map { i =>
-        s"""d$i AS (
+        s"""d$i AS MATERIALIZED (
         SELECT coalesce(sum(rank), 0) AS dm FROM r${i - 1}
         WHERE node NOT IN (SELECT src FROM sedges)),
-      r$i AS (
+      r$i AS MATERIALIZED (
         SELECT n.node, 0.15 / (SELECT n FROM nd)
                + 0.85 * (coalesce(c.c, 0) + (SELECT dm FROM d$i) / (SELECT n FROM nd)) AS rank
         FROM nodes n LEFT JOIN (
@@ -120,7 +125,8 @@ object GraphQueries {
       nd AS (SELECT count(*)::DOUBLE AS n FROM nodes),
       deg AS MATERIALIZED (
         SELECT src, count(*)::DOUBLE AS outdeg FROM sedges GROUP BY src),
-      r0 AS (SELECT node, 1.0 / (SELECT n FROM nd) AS rank FROM nodes),
+      r0 AS MATERIALIZED (
+        SELECT node, 1.0 / (SELECT n FROM nd) AS rank FROM nodes),
       $iters
       SELECT node, round(rank, 9) AS rank FROM r10
       ORDER BY node

@@ -77,13 +77,21 @@ object CorpusStreams {
     val sc = docs.sparkSession.sparkContext
     val bw = sc.broadcast(weights)
     val bt = sc.broadcast(thresholds)
+    // null-safe: a null doc text tokenizes to a null array, which the
+    // earlier typedLit/aggregate column form propagated as null score —
+    // score it 0 rather than NPE-ing the task
     val scoreOf = udf { ts: Seq[String] =>
-      val w = bw.value
-      var s = 0L
-      ts.foreach { t => s += w.getOrElse(t, 0L) }
-      s
+      if (ts == null) 0L
+      else {
+        val w = bw.value
+        var s = 0L
+        ts.foreach { t => s += w.getOrElse(t, 0L) }
+        s
+      }
     }
-    val thresholdOf = udf { src: String => bt.value.getOrElse(src, 0L) }
+    val thresholdOf = udf { src: String =>
+      if (src == null) 0L else bt.value.getOrElse(src, 0L)
+    }
     val scored = scrubbed.withColumn("score", scoreOf(tokens(col("scrubbed"))))
     val gated = scored
       .filter(col("score") >= 0)

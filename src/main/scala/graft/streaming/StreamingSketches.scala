@@ -27,8 +27,11 @@ class QuantileSketchAgg(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
   require(k > 0)
 
+  // multiset take-k (NO distinct): Spark only ever merges buffers over
+  // DISJOINT row subsets, and the batch sketch counts every row — a
+  // distinct here diverged from batch whenever rows shared (hash, value)
   private def trim(b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    if (b.length <= k) b else b.distinct.sorted.take(k)
+    if (b.length <= k) b else b.sorted.take(k)
 
   override def zero: Seq[(Long, Double)] = Vector.empty
 

@@ -111,6 +111,30 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("sizing subplan is O(files): binaryFile listing, no data scan, no window") {
+    val base = Files.createTempDirectory("compaction-sizing")
+    val in = base.resolve("in")
+    spark.range(5000).select((col("id") % 3).as("p"), col("id").as("k"))
+      .repartition(8).write.partitionBy("p").parquet(in.toString)
+    val sizes = Compaction.partitionSizes(spark, in.toString, Seq("p"), 64L * 1024)
+    val plan = sizes.queryExecution.executedPlan.toString
+    // the sizing scan is the binaryFile LISTING (one row per file —
+    // path/length + inferred partition values), not a parquet data scan:
+    // at 100 TB this is O(files), zero data bytes
+    assert(plan.contains("binaryFile"), s"sizing not listing-based:\n$plan")
+    assert(!plan.contains("Format: Parquet") && !plan.contains("FileScan parquet"),
+      s"sizing scans the data files:\n$plan")
+    // content column pruned — the listing must never read file bytes
+    assert(!plan.contains("content"), s"sizing reads file content:\n$plan")
+    // offsets are computed driver-side from the O(#partitions) frame:
+    // no Window anywhere in the compaction plans (the unpartitioned
+    // WindowExec warning of r8 is gone by construction)
+    val out = base.resolve("out")
+    Compaction.compact(spark, in.toString, out.toString,
+      partitionCols = Seq("p"), binKey = "k", targetBytes = 64L * 1024)
+    assert(!sizes.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("compact: single-file partitions are not exploded") {
     val base = Files.createTempDirectory("compaction-noop")
     val in = base.resolve("in"); val out = base.resolve("out")

@@ -251,7 +251,12 @@ class Gpt2MergesSpec extends SparkSpec {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val merges = Bpe.loadGpt2Merges(publishedHead16)
     val texts = Seq("in the era", " where is it", "sitting low,  and then",
-      "it's 42nd!", "  ") // punctuation runs, contraction, digits, blanks
+      "it's 42nd!", "  ", // punctuation runs, contraction, digits, blanks
+      "a\nb\tc \n d",     // non-space whitespace: Spark trim keeps \n/\t
+                          // pre-tokens, so the kernel must too (the Java
+                          // String.trim drop rule silently diverged here)
+      "lo🦙w 🦙") // supplementary char (🦙): both paths
+                          // must seed symbols per CODE POINT, not UTF-16 char
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val both = df.orderBy("doc_id").select(
       Bpe.segment(col("text"), merges).as("chain"), // 16 <= ChainLimit

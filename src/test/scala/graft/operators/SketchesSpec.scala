@@ -161,10 +161,19 @@ class SketchesSpec extends SparkSpec {
     val merged = Sketches.quantileMerge(a, b, k)
     val whole = hs.sortBy(identity).take(k)
     assert(merged == whole, "merge != sketch of concatenation")
-    // associativity: (a ⊕ b) ⊕ a == a ⊕ (b ⊕ a), overlap idempotent
-    val ab_a = Sketches.quantileMerge(Sketches.quantileMerge(a, b, k), a, k)
-    val a_ba = Sketches.quantileMerge(a, Sketches.quantileMerge(b, a, k), k)
-    assert(ab_a == a_ba && ab_a == whole)
+    // associativity over DISJOINT shards (the only shape partial
+    // aggregation / micro-batch state merging produce): any merge tree
+    // over a 3-way split equals the whole-input sketch
+    val (b1, c1) = b.splitAt(40)
+    val leftFold = Sketches.quantileMerge(Sketches.quantileMerge(a, b1, k), c1, k)
+    val rightFold = Sketches.quantileMerge(a, Sketches.quantileMerge(b1, c1, k), k)
+    assert(leftFold == rightFold && leftFold == whole)
+    // MULTISET semantics: duplicate (hash, value) pairs are separate
+    // rows — the batch sketch's row_number counts both, so merge must
+    // keep both (a .distinct here once silently dropped them)
+    val dup = hs.take(1)
+    val withDup = Sketches.quantileMerge(dup, dup, k)
+    assert(withDup == (dup ++ dup), "duplicate rows must survive the merge")
     // estimator agrees with the in-plan nearest-rank selection
     val est = Sketches.quantileEstimate(merged, 0.5)
     val vs = merged.map(_._2).sorted

@@ -6,14 +6,24 @@ for each query parquet in <outDir>, runs the matching oracle SQL in DuckDB
 over the same sf tables and compares (schema-ish, row count, exact values
 after sorting rows). Exits nonzero on any mismatch.
 
-Usage: tools/verify_local.py <sfDir> <outDir>
+Every oracle runs under a TIME BUDGET (default 30 s): an oracle that
+exceeds the budget is reported as a failure even if its rows match, and a
+watchdog interrupts DuckDB at 2x the budget so one pathological oracle can
+never hang the whole gate (the q112b_r8 incident: one exponentially
+inlined CTE chain zeroed CORRECTNESS_r08.json to `{}`).
+
+Usage: tools/verify_local.py <sfDir> <outDir> [budget_sec]
 """
 import json
 import math
 import sys
+import threading
+import time
 from pathlib import Path
 
 import duckdb
+
+BUDGET_SEC = 30.0
 
 
 def norm(v):
@@ -24,7 +34,23 @@ def norm(v):
     return v
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def run_with_watchdog(con, sql, hard_timeout):
+    """fetchall() with a watchdog that interrupts DuckDB past hard_timeout."""
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(hard_timeout):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return con.sql(sql).fetchall()
+    finally:
+        done.set()
+
+
+def main(sf_dir: str, out_dir: str, budget: float = BUDGET_SEC) -> int:
     out = Path(out_dir)
     oracles = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
@@ -34,6 +60,7 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     n_pass = n_fail = 0
     results = {}
+    slowest = []
     for qdir in sorted(p for p in out.iterdir() if p.is_dir()):
         name = qdir.name
         got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
@@ -45,16 +72,27 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = f"NO-ORACLE rows={len(got_rows)}"
             print(f"  ~ {name}: no oracle, rows={len(got_rows)}")
             continue
+        t0 = time.time()
         try:
             want = con.sql(oracles[name])
             want_cols = sorted(want.columns)
-            want_rows = con.sql(
-                f"SELECT {', '.join(want_cols)} FROM ({oracles[name]}) ORDER BY ALL"
-            ).fetchall()
+            want_rows = run_with_watchdog(
+                con,
+                f"SELECT {', '.join(want_cols)} FROM ({oracles[name]}) ORDER BY ALL",
+                hard_timeout=2 * budget)
         except Exception as e:
+            elapsed = time.time() - t0
             results[name] = f"ORACLE-ERROR {e}"
             n_fail += 1
-            print(f"  ✗ {name}: oracle error: {str(e)[:200]}")
+            print(f"  ✗ {name}: oracle error after {elapsed:.1f}s: {str(e)[:200]}")
+            continue
+        elapsed = time.time() - t0
+        slowest.append((elapsed, name))
+        if elapsed > budget:
+            results[name] = f"ORACLE-OVER-BUDGET {elapsed:.1f}s > {budget:.0f}s"
+            n_fail += 1
+            print(f"  ✗ {name}: oracle took {elapsed:.1f}s (budget {budget:.0f}s)"
+                  f" — fix the oracle SQL (MATERIALIZE reused CTEs?)")
             continue
         if got_cols != want_cols:
             results[name] = f"COLS got={got_cols} want={want_cols}"
@@ -79,11 +117,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             results[name] = "OK"
             n_pass += 1
-            print(f"  ✓ {name}: {len(got_rows)} rows match exactly")
-    print(f"\n{n_pass} pass, {n_fail} fail, "
+            print(f"  ✓ {name}: {len(got_rows)} rows match exactly ({elapsed:.2f}s oracle)")
+    slowest.sort(reverse=True)
+    if slowest:
+        top = ", ".join(f"{n}={t:.1f}s" for t, n in slowest[:5])
+        print(f"\nslowest oracles: {top}")
+    print(f"{n_pass} pass, {n_fail} fail, "
           f"{sum(1 for v in results.values() if v.startswith('NO-ORACLE'))} no-oracle")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    b = float(sys.argv[3]) if len(sys.argv) > 3 else BUDGET_SEC
+    sys.exit(main(sys.argv[1], sys.argv[2], b))
