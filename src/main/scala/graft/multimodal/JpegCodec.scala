@@ -188,6 +188,47 @@ object JpegCodec {
     }
   }
 
+  /** 12-bit emission (shared by the SOF1 and SOF10-12-bit exits): level
+    * shift 2048, clamp to 12 bits; for color, the JFIF YCbCr→RGB
+    * transform runs in the 12-BIT domain (neutral chroma 2048) BEFORE
+    * the top-8-bit cut — transforming after the cut would quantize the
+    * chroma contribution 16× coarser than the samples carry. Expects
+    * each component's `plane12` filled with UNSHIFTED samples. */
+  private def emit12Rgb(comps: Array[Component], width: Int,
+      height: Int): HeaderCodec.Pixels = {
+    val rgb = new Array[Byte](3 * width * height)
+    def sample12(ci: Int, x: Int, y: Int): Int = {
+      val raw = 2048 + comps(ci).plane12(y * comps(ci).planeW + x)
+      if (raw < 0) 0 else if (raw > 4095) 4095 else raw
+    }
+    var yy = 0
+    while (yy < height) {
+      var xx = 0
+      while (xx < width) {
+        val o = 3 * (yy * width + xx)
+        if (comps.length == 1) {
+          val v = (sample12(0, xx, yy) >> 4).toByte
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        } else {
+          val lum = sample12(0, xx, yy)
+          val cbv = sample12(1, xx, yy) - 2048
+          val crv = sample12(2, xx, yy) - 2048
+          def emit(v: Double): Byte = {
+            val r = math.round(v).toInt
+            val c = if (r < 0) 0 else if (r > 4095) 4095 else r
+            (c >> 4).toByte
+          }
+          rgb(o) = emit(lum + 1.402 * crv)
+          rgb(o + 1) = emit(lum - 0.344136 * cbv - 0.714136 * crv)
+          rgb(o + 2) = emit(lum + 1.772 * cbv)
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    HeaderCodec.Pixels(width, height, rgb)
+  }
+
   /** IDCT of one dequantized block into an Int plane WITHOUT the +128
     * level shift or clamping — the form hierarchical differential frames
     * need (T.81 J: differential samples are signed; shift/clamp happen at
@@ -637,11 +678,12 @@ object JpegCodec {
           val precision = u8(b, segStart + 2)
           height = be16(b, segStart + 3); width = be16(b, segStart + 5)
           val nc = u8(b, segStart + 7)
-          // 12-bit is extended-sequential only (T.81 table 1): grayscale
-          // or 4:4:4 color (sampling factors checked below); the YCbCr
-          // transform then runs in the 12-bit domain and emits top-8 bits
+          // 12-bit remit (T.81 table 1): extended sequential (SOF1) and
+          // progressive arithmetic (SOF10), grayscale or 4:4:4 color
+          // (sampling factors checked below); the YCbCr transform then
+          // runs in the 12-bit domain and emits top-8 bits
           if (precision == 12) {
-            if (m != 0xc1 || (nc != 1 && nc != 3)) return None
+            if ((m != 0xc1 && m != 0xca) || (nc != 1 && nc != 3)) return None
             p12 = true
           } else if (precision != 8) return None
           if (width <= 0 || height <= 0) return None
@@ -1011,44 +1053,7 @@ object JpegCodec {
             // last complete MCU but before EOI is damaged, not
             // decodable-by-luck
             if (!br.atEoi()) return None
-            if (p12) {
-              // 12-bit emission: level shift 2048, clamp to 12 bits; for
-              // color, the JFIF YCbCr→RGB transform runs in the 12-bit
-              // domain (neutral chroma 2048) BEFORE the top-8-bit cut —
-              // transforming after the cut would quantize the chroma
-              // contribution 16× coarser than the samples carry
-              val rgb = new Array[Byte](3 * width * height)
-              def sample12(ci: Int, x: Int, y: Int): Int = {
-                val raw = 2048 + comps(ci).plane12(y * comps(ci).planeW + x)
-                if (raw < 0) 0 else if (raw > 4095) 4095 else raw
-              }
-              var yy = 0
-              while (yy < height) {
-                var xx = 0
-                while (xx < width) {
-                  val o = 3 * (yy * width + xx)
-                  if (comps.length == 1) {
-                    val v = (sample12(0, xx, yy) >> 4).toByte
-                    rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-                  } else {
-                    val lum = sample12(0, xx, yy)
-                    val cbv = sample12(1, xx, yy) - 2048
-                    val crv = sample12(2, xx, yy) - 2048
-                    def emit(v: Double): Byte = {
-                      val r = math.round(v).toInt
-                      val c = if (r < 0) 0 else if (r > 4095) 4095 else r
-                      (c >> 4).toByte
-                    }
-                    rgb(o) = emit(lum + 1.402 * crv)
-                    rgb(o + 1) = emit(lum - 0.344136 * cbv - 0.714136 * crv)
-                    rgb(o + 2) = emit(lum + 1.772 * cbv)
-                  }
-                  xx += 1
-                }
-                yy += 1
-              }
-              return Some(HeaderCodec.Pixels(width, height, rgb))
-            }
+            if (p12) return Some(emit12Rgb(comps, width, height))
             return Some(assembleRgb(comps, width, height, hMax, vMax))
           } else {
             // scan-header validity (T.81 G.1): the DC band is exactly
@@ -1087,7 +1092,11 @@ object JpegCodec {
             if (cc.coefs == null || !cc.sawDc) return None
             val q = qt(cc.tq)
             if (q == null) return None
-            cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+            // 12-bit progressive (SOF10 precision 12) reconstructs into
+            // unshifted Int planes and exits through the shared 12-bit
+            // emission; 8-bit shifts/clamps in the IDCT as usual
+            if (p12) cc.plane12 = new Array[Int](cc.planeW * cc.planeH)
+            else cc.plane = new Array[Byte](cc.planeW * cc.planeH)
             var by = 0
             while (by < cc.blocksH) {
               var bx = 0
@@ -1099,12 +1108,14 @@ object JpegCodec {
                   coef(z) = cc.coefs(off + z) * q(k) // q is zigzag-ordered
                   k += 1
                 }
-                idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
+                if (p12) idctBlockRaw(coef, tmp, cc.plane12, cc.planeW, bx, by)
+                else idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
                 bx += 1
               }
               by += 1
             }
           }
+          if (p12) return Some(emit12Rgb(comps, width, height))
           return Some(assembleRgb(comps, width, height, hMax, vMax))
         case _ => // APPn / COM / anything with a length field
           val len = be16(b, segStart)

@@ -1206,6 +1206,116 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** 12-bit PROGRESSIVE ARITHMETIC JPEG (SOF10 at precision 12) — the
+    * composition of the q58j 12-bit sample path and the q58k T.81 G.2
+    * progressive-arithmetic scan loop: DC first on point-transformed
+    * 12-bit quantized values (magnitude trees run past the 8-bit
+    * depth), band-split all-zero AC first scans, fixed-state DC
+    * refinement carrying bit 0, G.2.3 AC refinement. Even ids are
+    * grayscale; odd ids 3-component 4:4:4 with constant NEUTRAL chroma
+    * (sample 2048 → quantized DC 0), so the decoder's 12-bit-domain
+    * YCbCr leaves r=g=b and the q58j `>> 4` oracle carries over
+    * unchanged. Odd ids also ship a DAC segment (DC U=2, AC Kx=4) to
+    * exercise non-default conditioning at this precision. Quant is
+    * q(0)=8, rest ones, so the quantized DC of a constant block equals
+    * sample − 2048 (range ±2047). */
+  def prog12ArithJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val nc = if (id % 2 == 0) 1 else 3
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
+    be16w(67); out.write(0x00)
+    out.write(8); (1 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xca) // SOF10: progressive arithmetic, 12-bit
+    be16w(8 + 3 * nc); out.write(12); be16w(h); be16w(w); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    val dcU = if (nc == 3) 2 else 1
+    val acKx = if (nc == 3) 4 else 5
+    if (nc == 3) {
+      out.write(0xff); out.write(0xcc) // DAC: DC table 0 (U=2,L=0), AC Kx=4
+      be16w(2 + 4)
+      out.write(0x00); out.write(dcU << 4)
+      out.write(0x10); out.write(acKx)
+    }
+    val bw = w / 8; val bh = h / 8
+    // quantized DC of block (bx, by): 8·(sample − 2048) DCT over q(0)=8
+    def dcOf(bx: Int, by: Int): Int = jpeg12Block(id, bx, by) - 2048
+
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // scan 1: DC first, Ah=0 Al=1, all components interleaved (1x1
+    // factors → one block per component per MCU, row-major)
+    locally {
+      sos(1 to nc, 0, 0, 0, 1)
+      val enc = new QmCoder.Encoder
+      val dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+      var mcu = 0
+      while (mcu < bw * bh) {
+        val bx = mcu % bw; val by = mcu / bw
+        val sv = dcOf(bx, by) >> 1 // point transform: arithmetic >> Al
+        QmCoder.encodeDc(enc, dcSt(0), sv - dcSt(0).pred)
+        var ci = 1
+        while (ci < nc) { // neutral chroma: quantized DC 0
+          QmCoder.encodeDc(enc, dcSt(ci), 0 - dcSt(ci).pred)
+          ci += 1
+        }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+
+    // AC band scans: all-zero bands (one adaptive EOB decision per
+    // block in the first pass; the G.2.3 refinement likewise)
+    val zeroBand = new Array[Int](64)
+    def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(Seq(comp), ss, se, ah, al)
+      val enc = new QmCoder.Encoder
+      val st = new QmCoder.AcState(acKx)
+      var blk = 0
+      while (blk < bw * bh) {
+        if (ah == 0) QmCoder.encodeAcBand(enc, st, zeroBand, ss, se, al)
+        else QmCoder.encodeAcRefine(enc, st, zeroBand, ss, se, al)
+        blk += 1
+      }
+      out.write(enc.finish())
+    }
+    acScan(1, 1, 5, 0, 1)
+    acScan(1, 6, 63, 0, 1)
+    if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
+
+    // DC refinement, Ah=1 Al=0: bit 0 of the two's-complement quantized
+    // DC, one fixed-state decision per block
+    locally {
+      sos(1 to nc, 0, 0, 1, 0)
+      val enc = new QmCoder.Encoder
+      val fixed = QmCoder.fixedBin()
+      var mcu = 0
+      while (mcu < bw * bh) {
+        val bx = mcu % bw; val by = mcu / bw
+        enc.encode(fixed, dcOf(bx, by) & 1)
+        var ci = 1
+        while (ci < nc) { enc.encode(fixed, 0); ci += 1 }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+
+    // AC refinement at Al=0 over the same bands
+    acScan(1, 1, 5, 1, 0)
+    acScan(1, 6, 63, 1, 0)
+    if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- hierarchical JPEG corpus (q58h): REAL ITU T.81 Annex J pyramids.
   // Three variants by id % 3, all exact by construction so the oracle is
   // a closed-form pixel formula:

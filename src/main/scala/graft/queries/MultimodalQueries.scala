@@ -1024,11 +1024,61 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** 12-bit PROGRESSIVE ARITHMETIC (SOF10 at precision 12) decode — the
+    * composition of the q58j 12-bit sample path and the q58k G.2
+    * progressive-arithmetic scan loop
+    * ([[graft.multimodal.MediaSynth.prog12ArithJpeg]]): DC first on
+    * point-transformed 12-bit values, all-zero AC bands, fixed-state DC
+    * refinement, G.2.3 AC refinement; even ids grayscale, odd ids 4:4:4
+    * color with neutral chroma and a DAC segment, reconstructed through
+    * unshifted Int planes and the 12-bit-domain YCbCr→top-8 emission.
+    * The oracle is q58j's `jpeg12Block >> 4` formula (neutral chroma
+    * makes color and gray stats identical); a decoder that level-shifts
+    * by 128, reconstructs before the refinement scans land, or cuts to
+    * 8 bits before the transform cannot match. */
+  val q58nProg12ArithDecode = QueryDef(
+    "q58n_prog12_arith_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.prog12ArithJpeg))
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               (((d.media_id*151 + 29*gx.x + 17*gy.y + 5*gx.x*gy.y) % 4096) // 16) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
     q58iColorLosslessDecode, q58jExtended12Decode, q58kProgArithJpegDecode,
-    q58lArithRstJpegDecode, q58mColor12Decode,
+    q58lArithRstJpegDecode, q58mColor12Decode, q58nProg12ArithDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

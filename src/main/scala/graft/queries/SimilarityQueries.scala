@@ -478,7 +478,39 @@ object SimilarityQueries {
           round(col("adc"), 9).as("adc"))
         .orderBy("probe_id", "rank")
     },
-    Some {
+    Some(ivfPqOracleSql))
+
+  /** The PRODUCTION IVF-PQ flow ([[Similarity.writeIvfPqIndex]] /
+    * [[Similarity.readPqBooks]] / [[Similarity.ivfPqTopKIndexed]]) —
+    * the recurring-query shape at 100 TB: train+encode happen ONCE into
+    * a c_id-bucketed table of (id, c_id, codes) with the codebooks
+    * persisted alongside, then probes prune the index scan to their
+    * nprobe buckets (SelectedBucketsCount, no index-side Exchange, no
+    * corpus re-encode — IvfIndexSpec pins the physical plan) and
+    * ADC-score only the surviving code rows. Result-identical to q127b
+    * by construction, so it runs under the SAME oracle. benchSkip: the
+    * timed body would be the one-off index WRITE, not the probe path
+    * being demonstrated (the q28b convention). */
+  val q127cAnnIvfPqIndexed = QueryDef(
+    "q127c_ann_ivfpq_indexed",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      // probe through the PERSISTED books — proving the index is
+      // self-contained (a later session needs no retraining)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_index", dim = 64)
+      Similarity.ivfPqTopKIndexed("graft_ivfpq_index", coarse, probes,
+        bk, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfPqOracleSql),
+    benchSkip = true)
+
+  private lazy val ivfPqOracleSql: String = {
       val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
         .mkString(" + ")
       s"""
@@ -585,9 +617,9 @@ object SimilarityQueries {
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank
     """
-    })
+  }
 
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection,
-    q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq)
+    q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq, q127cAnnIvfPqIndexed)
 }

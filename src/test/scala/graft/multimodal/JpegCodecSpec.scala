@@ -399,7 +399,29 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("12-bit precision is rejected outside the SOF1 grayscale remit") {
+  test("12-bit progressive arithmetic (SOF10) decodes raster-identically to SOF1") {
+    // the q58n composition: same jpeg12Block samples through the G.2
+    // multi-scan path (DC first at Al=1, zero AC bands, DC refinement
+    // bit, AC refinement) must land on the SAME pixels the one-scan
+    // SOF1 file produces — both grayscale (even ids) and neutral-chroma
+    // color with a DAC segment (odd ids)
+    (0L until 24L).foreach { id =>
+      val prog = JpegCodec.decodeJpegPixels(MediaSynth.prog12ArithJpeg(id))
+        .getOrElse(fail(s"12-bit SOF10 decode failed for id=$id"))
+      val seq = JpegCodec.decodeJpegPixels(MediaSynth.jpeg12(id))
+        .getOrElse(fail(s"12-bit SOF1 decode failed for id=$id"))
+      assert((prog.width, prog.height) == (seq.width, seq.height))
+      assert(java.util.Arrays.equals(prog.rgb, seq.rgb),
+        s"id=$id: SOF10-12bit raster differs from SOF1-12bit")
+    }
+    // truncation anywhere fails closed, never throws
+    val full = MediaSynth.prog12ArithJpeg(5L)
+    (1 until full.length by 7).foreach { n =>
+      JpegCodec.decodeJpegPixels(full.take(n)) // Some only if valid prefix; must not throw
+    }
+  }
+
+  test("12-bit precision is rejected outside the SOF1/SOF10 remit") {
     // flip the fixture's SOF marker to SOF0: 12-bit baseline is illegal
     val f = MediaSynth.jpeg12(3L).clone()
     val sof = f.indices.find(i => (f(i) & 0xff) == 0xff &&

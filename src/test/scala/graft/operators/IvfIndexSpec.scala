@@ -51,6 +51,51 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index: identical to in-plan IVF-PQ, pruned buckets, no re-encode") {
+    val (corpus, seeds, probes) = inputs()
+    val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+    try {
+      val built = Similarity.writeIvfPqIndex(corpus, coarse, "ivfpq_spec_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      // the persisted codebooks round-trip exactly
+      val loaded = Similarity.readPqBooks(spark, "ivfpq_spec_index", dim = 64)
+      assert(loaded == built, "persisted codebooks differ from the trained ones")
+
+      val direct = Similarity.ivfPqTopK(corpus, coarse, probes, m = 16, dim = 64,
+        seedIds = 0L until 16L, iters = 2, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val indexed = Similarity.ivfPqTopKIndexed("ivfpq_spec_index", coarse, probes,
+        loaded, k = 3, nprobe = 2)
+      val got = indexed.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == direct, "indexed IVF-PQ must reproduce the in-plan results exactly")
+
+      val plan = indexed.queryExecution.executedPlan.toString
+      // probe scan prunes to the probed buckets
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in IVF-PQ probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"IVF-PQ probe reads every bucket:\n$plan")
+      // no index-side shuffle
+      assert(!plan.contains("Exchange hashpartitioning(c_id"),
+        s"index side re-shuffled on c_id:\n$plan")
+      // NO RE-ENCODE at probe time: the probe plan must not touch the
+      // corpus embeddings at all — its only relations are the code table
+      // and the probe vectors. Count in the FINAL plan only (the AQE
+      // toString repeats every scan in its "Initial Plan" section).
+      val finalPlan = plan.split("== Initial Plan ==")(0)
+      val parquetScans = "FileScan parquet".r.findAllIn(finalPlan).size
+      assert(parquetScans <= 2, // the bucketed code table + the probe side
+        s"probe plan scans $parquetScans parquet relations (re-encode?):\n$plan")
+      assert(!finalPlan.toLowerCase.contains("posexplode"),
+        s"probe plan re-runs PQ training/encoding machinery:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_spec_index")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_spec_index_books")
+    }
+  }
+
   test("the production flow: train → build index on trained centroids → probe") {
     val (corpus, seeds, probes) = inputs()
     val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)
