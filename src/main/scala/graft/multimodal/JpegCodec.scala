@@ -337,7 +337,7 @@ object JpegCodec {
     var progressive = false
     var lossless = false
     var arith = false
-    var p12 = false // 12-bit extended sequential (SOF1)
+    var p12 = false // 12-bit precision (SOF1/SOF2/SOF9/SOF10)
     // DAC conditioning (T.81 B.2.4.3), spec defaults when absent
     val dcCondL = Array(0, 0, 0, 0)
     val dcCondU = Array(1, 1, 1, 1)
@@ -368,7 +368,7 @@ object JpegCodec {
       def dcUnit(c: Component, off: Int): Boolean = {
         if (ah == 0) {
           val t = dcTabs(c.td).decode(br)
-          if (t < 0 || t > 11) return false
+          if (t < 0 || t > (if (p12) 15 else 11)) return false
           val d = br.receive(t)
           if (d == Int.MinValue) return false
           c.dcPred += extend(d, t)
@@ -682,8 +682,14 @@ object JpegCodec {
           // progressive arithmetic (SOF10), grayscale or 4:4:4 color
           // (sampling factors checked below); the YCbCr transform then
           // runs in the 12-bit domain and emits top-8 bits
+          // 12-bit remit (T.81 table 1): every DCT-based frame type —
+          // extended sequential (SOF1), progressive (SOF2), sequential
+          // arithmetic (SOF9), progressive arithmetic (SOF10) —
+          // grayscale or 4:4:4 color; lossless (SOF3) and baseline
+          // (SOF0) stay 8-bit (baseline is 8-bit BY DEFINITION)
           if (precision == 12) {
-            if ((m != 0xc1 && m != 0xca) || (nc != 1 && nc != 3)) return None
+            if ((m != 0xc1 && m != 0xc2 && m != 0xc9 && m != 0xca) ||
+                (nc != 1 && nc != 3)) return None
             p12 = true
           } else if (precision != 8) return None
           if (width <= 0 || height <= 0) return None
@@ -902,7 +908,11 @@ object JpegCodec {
             if (ss != 0 || se != 63 || ah != 0 || al != 0) return None
             comps.foreach { cc =>
               if (qt(cc.tq) == null) return None
-              cc.plane = new Array[Byte](cc.planeW * cc.planeH)
+              // 12-bit (SOF9 precision 12): unshifted Int planes, the
+              // shared 12-bit emission at the exit; DC magnitudes just
+              // run deeper in the same F.1.4.4 trees
+              if (p12) cc.plane12 = new Array[Int](cc.planeW * cc.planeH)
+              else cc.plane = new Array[Byte](cc.planeW * cc.planeH)
             }
             var dec = new QmCoder.Decoder(b, entry)
             var dcSt = comps.map(cc => new QmCoder.DcState(dcCondL(cc.td), dcCondU(cc.td)))
@@ -920,7 +930,8 @@ object JpegCodec {
               coef(0) = dcSt(cIdx).pred * q(0)
               var k = 1
               while (k < 64) { coef(Zigzag(k)) = czig(k) * q(k); k += 1 }
-              idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
+              if (p12) idctBlockRaw(coef, tmp, cc.plane12, cc.planeW, bx, by)
+              else idctBlock(coef, tmp, cc.plane, cc.planeW, bx, by)
               true
             }
 
@@ -974,6 +985,7 @@ object JpegCodec {
                 eoi = true
               } else p += 1
             }
+            if (p12) return Some(emit12Rgb(comps, width, height))
             return Some(assembleRgb(comps, width, height, hMax, vMax))
           }
           if (!progressive) {

@@ -1061,6 +1061,208 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** 12-bit PROGRESSIVE HUFFMAN JPEG (SOF2 at precision 12) — the last
+    * composable 12-bit leg: the q58e scan script (DC first at Al=1,
+    * EOB-run AC bands, raw-bit DC refinement, AC refinement) over
+    * 12-bit samples, with a SIXTEEN-category DC table (T.81 F.1.2.1.2:
+    * 12-bit DC differences reach category 15 — an 8-bit decoder's
+    * t<=11 cap fails these files). Variant matrix by id % 4 trades the
+    * two 12-bit-specific stress axes: even variants use ALL-ONES quant
+    * so point-transformed DC diffs reach category 14 (deep-category
+    * path; refinement bits all zero — the nonzero-bit path is q58e's,
+    * precision-independent); odd variants use q(0)=8 so odd samples
+    * carry nonzero DC-refinement bits. Variants 2/3 add DRI=2 restart
+    * intervals inside every scan. Grayscale on 0/2, neutral-chroma
+    * 4:4:4 color on 1/3 (same closed-form q58j oracle). */
+  def prog12Jpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 4).toInt
+    val nc = if (variant % 2 == 0) 1 else 3
+    val q0 = if (variant == 0 || variant == 3) 1 else 8
+    val dri = if (variant >= 2) 2 else 0
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0) per variant
+    be16w(67); out.write(0x00)
+    out.write(q0); (1 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc2) // SOF2 progressive, 12-bit
+    be16w(8 + 3 * nc); out.write(12); be16w(h); be16w(w); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — SIXTEEN 4-bit codes
+    be16w(2 + 17 + 16); out.write(0x00)
+    Array(0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 16).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — EOBn symbols
+    be16w(2 + 17 + 15); out.write(0x10)
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 15).foreach(r => out.write(r << 4))
+    if (dri > 0) { out.write(0xff); out.write(0xdd); be16w(4); be16w(dri) }
+
+    val bw = w / 8; val bh = h / 8
+    // quantized DC of block (bx, by): 8·(sample − 2048) / q(0)
+    def dcOf(bx: Int, by: Int): Int = 8 * (jpeg12Block(id, bx, by) - 2048) / q0
+
+    var rst = 0
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): JpegBits = {
+      rst = 0 // RSTn numbering restarts at RST0 in every scan (T.81 E.1.2)
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      new JpegBits(out)
+    }
+    def restartMark(bits: JpegBits): Unit = {
+      bits.align()
+      out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+    }
+
+    // scan 1: DC first, Ah=0 Al=1, interleaved; categories reach 14 on
+    // the all-ones-quant variants
+    locally {
+      val bits = sos(1 to nc, 0, 0, 0, 1)
+      def putDc(diff: Int): Unit = {
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bits.put(s, 4)
+        if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+      }
+      val pred = Array.fill(nc)(0)
+      var mcu = 0
+      while (mcu < bw * bh) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          restartMark(bits); java.util.Arrays.fill(pred, 0)
+        }
+        val bx = mcu % bw; val by = mcu / bw
+        val sv = dcOf(bx, by) >> 1 // point transform: arithmetic >> Al
+        putDc(sv - pred(0)); pred(0) = sv
+        var ci = 1
+        while (ci < nc) { putDc(0 - pred(ci)); pred(ci) = 0; ci += 1 }
+        mcu += 1
+      }
+      bits.align()
+    }
+
+    // AC band scans: all-zero bands as EOB-run chunks (EOBn r=0..3 +
+    // extension bits), restart-interval aware
+    def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val bits = sos(Seq(comp), ss, se, ah, al)
+      val chunks = Array(1, 2, 3, 6, 11, 32767)
+      var chunkAt = 0
+      def emitRun(n: Int): Unit = {
+        val r = 31 - Integer.numberOfLeadingZeros(n)
+        bits.put(r, 4)
+        if (r > 0) bits.put(n - (1 << r), r)
+      }
+      val blocks = bw * bh
+      var blk = 0
+      while (blk < blocks) {
+        if (dri > 0 && blk > 0 && blk % dri == 0) restartMark(bits)
+        val limit = if (dri > 0) math.min(blocks, blk + dri) else blocks
+        var run = limit - blk
+        while (run > 0) {
+          val n = math.min(run, chunks(chunkAt % chunks.length))
+          emitRun(n); chunkAt += 1
+          run -= n; blk += n
+        }
+      }
+      bits.align()
+    }
+    acScan(1, 1, 5, 0, 1)
+    acScan(1, 6, 63, 0, 1)
+    if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
+
+    // DC refinement, Ah=1 Al=0: bit 0 of the quantized DC — nonzero on
+    // the q(0)=8 variants for odd samples
+    locally {
+      val bits = sos(1 to nc, 0, 0, 1, 0)
+      var mcu = 0
+      while (mcu < bw * bh) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) restartMark(bits)
+        val bx = mcu % bw; val by = mcu / bw
+        bits.put(dcOf(bx, by) & 1, 1)
+        var ci = 1
+        while (ci < nc) { bits.put(0, 1); ci += 1 }
+        mcu += 1
+      }
+      bits.align()
+    }
+
+    // AC refinement at Al=0 over the same bands
+    acScan(1, 1, 5, 1, 0)
+    acScan(1, 6, 63, 1, 0)
+    if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 12-bit SEQUENTIAL ARITHMETIC JPEG (SOF9 at precision 12) — the
+    * q58j sample path through the F.1.4.4 sequential QM models: DC
+    * magnitudes run to 15 doublings (8·(sample−2048) over all-ones
+    * quant, same coded values as [[jpeg12]], so SOF1↔SOF9 raster
+    * identity is spec-pinnable), full-band scan, per-component DC/AC
+    * statistics. Variant matrix by id % 4: 0 grayscale; 1 4:4:4
+    * neutral-chroma color + DAC (DC U=2, AC Kx=4); 2 grayscale +
+    * DRI=2 restart intervals (per-interval QM segments + statistics
+    * resets compose with 12-bit precision); 3 color + DAC + DRI=2. */
+  def seq12ArithJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 4).toInt
+    val nc = if (variant % 2 == 0) 1 else 3
+    val dri = if (variant >= 2) 2 else 0
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc9) // SOF9: sequential arithmetic, 12-bit
+    be16w(8 + 3 * nc); out.write(12); be16w(h); be16w(w); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    val dcU = if (nc == 3) 2 else 1
+    val acKx = if (nc == 3) 4 else 5
+    if (nc == 3) {
+      out.write(0xff); out.write(0xcc) // DAC: DC table 0 (U=2,L=0), AC Kx=4
+      be16w(2 + 4)
+      out.write(0x00); out.write(dcU << 4)
+      out.write(0x10); out.write(acKx)
+    }
+    if (dri > 0) { out.write(0xff); out.write(0xdd); be16w(4); be16w(dri) }
+    out.write(0xff); out.write(0xda) // SOS
+    be16w(6 + 2 * nc); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+
+    var enc = new QmCoder.Encoder
+    var dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+    var acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+    val zeroAc = new Array[Int](64)
+    def block(ci: Int, dc: Int): Unit = {
+      QmCoder.encodeDc(enc, dcSt(ci), dc - dcSt(ci).pred)
+      QmCoder.encodeAc(enc, acSt(ci), zeroAc)
+    }
+    val bw = w / 8; val bh = h / 8
+    var rst = 0
+    var mcu = 0
+    while (mcu < bw * bh) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        out.write(enc.finish())
+        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+        enc = new QmCoder.Encoder
+        dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+        acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+      }
+      val bx = mcu % bw; val by = mcu / bw
+      block(0, 8 * (jpeg12Block(id, bx, by) - 2048))
+      var ci = 1
+      while (ci < nc) { block(ci, 0); ci += 1 } // neutral chroma
+      mcu += 1
+    }
+    out.write(enc.finish())
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** One progressive ARITHMETIC-coded JPEG (SOF10, T.81 G.2: the Annex
     * D/E QM coder over the Annex F statistics, per-scan entropy
     * segments): same dims, variants (grayscale / 4:4:4 / 4:2:0), q(0)=8

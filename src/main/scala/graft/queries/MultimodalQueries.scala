@@ -1074,11 +1074,107 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** 12-bit SEQUENTIAL ARITHMETIC (SOF9 at precision 12) decode — the
+    * remaining sequential leg of the 12-bit matrix
+    * ([[graft.multimodal.MediaSynth.seq12ArithJpeg]]): F.1.4.4 QM
+    * models with DC magnitudes running to 15 doublings, and a variant
+    * matrix composing grayscale/color, DAC conditioning, and DRI=2
+    * restart intervals (per-interval QM segments + statistics resets)
+    * with the 12-bit sample path. Same closed-form q58j oracle
+    * (neutral chroma); SOF1↔SOF9 raster identity pinned in
+    * JpegCodecSpec. */
+  val q58oSeq12ArithDecode = QueryDef(
+    "q58o_seq12_arith_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.seq12ArithJpeg))
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               (((d.media_id*151 + 29*gx.x + 17*gy.y + 5*gx.x*gy.y) % 4096) // 16) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
+  /** 12-bit PROGRESSIVE HUFFMAN (SOF2 at precision 12) decode — the
+    * last composable 12-bit leg
+    * ([[graft.multimodal.MediaSynth.prog12Jpeg]]): sixteen-category DC
+    * tables (12-bit DC differences reach category 15 per T.81
+    * F.1.2.1.2 — an 8-bit decoder's t≤11 cap fails these files), with
+    * variants trading deep categories (all-ones quant → category 14)
+    * against nonzero DC-refinement bits (q(0)=8, odd samples), and
+    * DRI=2 restart intervals inside every scan on half the corpus.
+    * Same closed-form q58j oracle; SOF1↔SOF2-12bit raster identity
+    * pinned in JpegCodecSpec. */
+  val q58pProg12HuffDecode = QueryDef(
+    "q58p_prog12_huff_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.prog12Jpeg))
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      blocks AS (
+        SELECT d.media_id, d.w, d.h,
+               (((d.media_id*151 + 29*gx.x + 17*gy.y + 5*gx.x*gy.y) % 4096) // 16) AS g
+        FROM d,
+             (SELECT unnest(range(0, 8)) AS x) gx,
+             (SELECT unnest(range(0, 8)) AS y) gy
+        WHERE gx.x < d.w // 8 AND gy.y < d.h // 8)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * 64 * sum(g))::BIGINT AS sum_values,
+             min(g)::INT AS min_value, max(g)::INT AS max_value,
+             (64 * sum(g))::BIGINT AS sum_r, (64 * sum(g))::BIGINT AS sum_g,
+             (64 * sum(g))::BIGINT AS sum_b
+      FROM blocks GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
     q58iColorLosslessDecode, q58jExtended12Decode, q58kProgArithJpegDecode,
     q58lArithRstJpegDecode, q58mColor12Decode, q58nProg12ArithDecode,
+    q58oSeq12ArithDecode, q58pProg12HuffDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

@@ -421,7 +421,52 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("12-bit precision is rejected outside the SOF1/SOF10 remit") {
+  test("12-bit sequential arithmetic (SOF9) decodes raster-identically to SOF1") {
+    // all four q58o variants: grayscale, color+DAC, grayscale+DRI=2,
+    // color+DAC+DRI=2 — the coded values equal jpeg12's, so the SOF9
+    // file must land on the SOF1 raster exactly
+    (0L until 24L).foreach { id =>
+      val arith = JpegCodec.decodeJpegPixels(MediaSynth.seq12ArithJpeg(id))
+        .getOrElse(fail(s"12-bit SOF9 decode failed for id=$id"))
+      val seq = JpegCodec.decodeJpegPixels(MediaSynth.jpeg12(id))
+        .getOrElse(fail(s"12-bit SOF1 decode failed for id=$id"))
+      assert((arith.width, arith.height) == (seq.width, seq.height))
+      assert(java.util.Arrays.equals(arith.rgb, seq.rgb),
+        s"id=$id: SOF9-12bit raster differs from SOF1-12bit")
+    }
+    // truncation fails closed on the restart-interval variant too
+    val full = MediaSynth.seq12ArithJpeg(6L) // variant 2: gray + DRI
+    (1 until full.length by 5).foreach { n =>
+      JpegCodec.decodeJpegPixels(full.take(n)) // must not throw
+    }
+  }
+
+  test("12-bit progressive Huffman (SOF2) decodes raster-identically to SOF1") {
+    // all four q58p variants: deep-category gray, q(0)=8 color (odd
+    // DC-refinement bits), gray+DRI, all-ones color+DRI
+    (0L until 24L).foreach { id =>
+      val prog = JpegCodec.decodeJpegPixels(MediaSynth.prog12Jpeg(id))
+        .getOrElse(fail(s"12-bit SOF2 decode failed for id=$id"))
+      val seq = JpegCodec.decodeJpegPixels(MediaSynth.jpeg12(id))
+        .getOrElse(fail(s"12-bit SOF1 decode failed for id=$id"))
+      assert((prog.width, prog.height) == (seq.width, seq.height))
+      assert(java.util.Arrays.equals(prog.rgb, seq.rgb),
+        s"id=$id: SOF2-12bit raster differs from SOF1-12bit")
+    }
+    // deep DC categories actually occur: the all-ones-quant variant must
+    // code at least one category > 11 (the 8-bit cap) — otherwise this
+    // test wouldn't distinguish a 12-bit-aware decoder from an 8-bit one
+    val deepId = 4L // variant 0: all-ones quant, grayscale
+    val w = MediaSynth.jpegWidth(deepId); val hh = MediaSynth.jpegHeight(deepId)
+    val maxCat = (0 until (w / 8) * (hh / 8)).scanLeft((0, 0)) { case ((pred, _), mcu) =>
+      val sv = 8 * (MediaSynth.jpeg12Block(deepId, mcu % (w / 8), mcu / (w / 8)) - 2048) >> 1
+      val diff = math.abs(sv - pred)
+      (sv, if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(diff))
+    }.map(_._2).max
+    assert(maxCat > 11, s"deep-category fixture only reaches category $maxCat")
+  }
+
+  test("12-bit precision is rejected outside the DCT-frame remit") {
     // flip the fixture's SOF marker to SOF0: 12-bit baseline is illegal
     val f = MediaSynth.jpeg12(3L).clone()
     val sof = f.indices.find(i => (f(i) & 0xff) == 0xff &&
