@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -89,6 +89,24 @@ object Similarity {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  /** APPEND new vectors into an existing [[writeIvfIndex]] index — the
+    * incremental-maintenance shape of a growing corpus (daily ingest
+    * into a billion-vector index): the new batch assigns to the FROZEN
+    * centroids (map-only, broadcast) and inserts into the bucketed
+    * table. `insertInto` applies the catalog table's bucket spec, so
+    * appended rows hash into the same bucket files' numbering and every
+    * probe-side guarantee ([[ivfTopKIndexed]]'s bucket pruning, no
+    * index-side Exchange) holds over the union unchanged — IvfIndexSpec
+    * pins build-half+append-half ≡ build-whole. Centroids must be the
+    * index's own (drifted centroids silently mis-bucket: re-train →
+    * rebuild, the standard IVF re-index discipline); periodic
+    * [[Compaction]] of accumulated small per-append files is the
+    * companion maintenance task. */
+  def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
+                     table: String): Unit =
+    ivfAssign(newVectors, centroids)
+      .write.mode(SaveMode.Append).insertInto(table)
 
   /** Probe a materialized IVF index ([[writeIvfIndex]]) — result-identical
     * to [[ivfTopK]] on the same corpus/centroids/probes.

@@ -92,6 +92,31 @@ object SimilarityQueries {
     Some(ivfOracleSql),
     benchSkip = true)
 
+  /** INCREMENTAL index maintenance ([[Similarity.appendIvfIndex]]) —
+    * the growing-corpus shape: the index is built from HALF the corpus
+    * (even vec_ids), the other half appends later against the frozen
+    * centroids (map-only assign + bucketed insertInto — appended rows
+    * hash into the same bucket numbering), and the probe path is
+    * byte-identical to q28b's. Result-identical to q28 on the full
+    * corpus (same oracle); IvfIndexSpec pins append ≡ rebuild and that
+    * probe-side bucket pruning survives the append. benchSkip: the
+    * timed body would be two index writes (q28b convention). */
+  val q28dAnnIvfAppend = QueryDef(
+    "q28d_ann_ivf_append",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      Similarity.writeIvfIndex(corpus.filter(col("id") % 2 === 0),
+        centroids, "graft_ivf_inc_index", numBuckets = 8)
+      Similarity.appendIvfIndex(corpus.filter(col("id") % 2 === 1),
+        centroids, "graft_ivf_inc_index")
+      Similarity.ivfTopKIndexed("graft_ivf_inc_index", centroids, probes,
+        k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracleSql),
+    benchSkip = true)
+
   private lazy val ivfOracleSql: String = ("""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
@@ -620,6 +645,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
-    q28cAnnIvfTrained, q65KmeansTrain, q72AnnLsh, q105RandomProjection,
-    q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq, q127cAnnIvfPqIndexed)
+    q28cAnnIvfTrained, q28dAnnIvfAppend, q65KmeansTrain, q72AnnLsh,
+    q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
+    q127cAnnIvfPqIndexed)
 }

@@ -96,6 +96,40 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: build-half + append-half ≡ build-whole") {
+    val (corpus, centroids, probes) = inputs()
+    try {
+      // build on even ids, append odd ids against the frozen centroids
+      Similarity.writeIvfIndex(corpus.filter(col("id") % 2 === 0),
+        centroids, "ivf_inc_index", numBuckets = 8)
+      Similarity.appendIvfIndex(corpus.filter(col("id") % 2 === 1),
+        centroids, "ivf_inc_index")
+      // the whole-corpus index, for row-level comparison
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_whole_index", numBuckets = 8)
+      val whole = spark.table("ivf_whole_index")
+        .select("id", "c_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val inc = spark.table("ivf_inc_index")
+        .select("id", "c_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(inc == whole, "appended index rows differ from a fresh build")
+
+      // probe results identical to the direct path, and bucket pruning
+      // still engages over the appended files
+      val direct = Similarity.ivfTopK(corpus, centroids, probes, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val probed = Similarity.ivfTopKIndexed("ivf_inc_index", centroids, probes,
+        k = 3, nprobe = 2)
+      val got = probed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == direct, "post-append probe differs from the in-plan IVF")
+      val plan = probed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"bucket pruning lost after append:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_inc_index")
+      spark.sql("DROP TABLE IF EXISTS ivf_whole_index")
+    }
+  }
+
   test("the production flow: train → build index on trained centroids → probe") {
     val (corpus, seeds, probes) = inputs()
     val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)
