@@ -124,6 +124,49 @@ object GraphAlgos {
     ranks
   }
 
+  /** Multi-source BFS hop distances over directed edges — the
+    * FRONTIER-EXPANSION workload (crawl-depth analysis, link-distance
+    * quality features over a host graph). Returns (node, dist) for every
+    * node reachable from `sources` (a (node) frame) within `maxIters`
+    * hops; unreachable nodes are absent.
+    *
+    * Scale shape: each step joins only the NEWLY-DISCOVERED frontier
+    * against the edges (not the whole visited set — after the frontier
+    * peak that is the difference between O(frontier) and O(reached) work
+    * per step), anti-joins the visited set to keep first-discovery
+    * distances, and eagerly materializes the skinny frontier
+    * (`localCheckpoint`, the [[pageRank]] sinks-loop discipline — each
+    * frontier is consumed twice: expansion and the emptiness probe). The
+    * visited set stays a LAZY union of the ≤ maxIters checkpointed
+    * frontiers (RDD-backed leaves — constant recompute, linear plan
+    * width). The wide edge frame materializes once up front
+    * (MEMORY_AND_DISK; at 100 TB hand it an already-bucketed-by-src
+    * table instead). Early-exits when a frontier is empty. */
+  def bfsDistances(edges0: DataFrame, sources: DataFrame,
+                   maxIters: Int): DataFrame = {
+    require(maxIters >= 0)
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    var frontier = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var dist = frontier
+    var i = 0
+    var done = frontier.isEmpty
+    while (!done && i < maxIters) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(i + 1L))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next)
+        frontier = next
+        i += 1
+      }
+    }
+    dist
+  }
+
   /** Per-node triangle counts of the UNDIRECTED graph given as a
     * symmetric-free edge list (each undirected edge once, src < dst not
     * required; self-loops and duplicates are cleaned here). Returns

@@ -134,6 +134,48 @@ object GraphQueries {
     },
     bench = true)
 
+  /** Multi-source BFS hop distances ([[GraphAlgos.bfsDistances]]) — the
+    * frontier-expansion workload: sources are the nodes ≡ 0 (mod 97),
+    * six expansion rounds. The oracle computes the same capped min-hop
+    * distances by SIX MATERIALIZED relaxation steps (d_{i+1} =
+    * min(d_i, 1 + d_i of in-neighbors) — relaxation and frontier BFS
+    * agree exactly on "distance of every node within k hops", and
+    * distances are integers, so the match is exact, no float
+    * conventions). The engine side joins only the newly-discovered
+    * frontier per step; the oracle's whole-set relaxation is the
+    * SQL-expressible equivalent, not the scale shape. */
+  val q112cBfsHops = QueryDef(
+    "q112c_bfs_hops",
+    (s, d) =>
+      GraphAlgos.bfsDistances(
+        edgesDf(s, d),
+        Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("node")),
+        maxIters = 6)
+        .select(col("node"), col("dist"))
+        .orderBy("node"),
+    Some {
+      val steps = (1 to 6).map { i =>
+        s"""d$i AS MATERIALIZED (
+        SELECT node, min(dist)::BIGINT AS dist FROM (
+          SELECT node, dist FROM d${i - 1}
+          UNION ALL
+          SELECT e.dst AS node, r.dist + 1 AS dist
+          FROM d${i - 1} r JOIN edges e ON r.node = e.src)
+        GROUP BY node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $EdgesSql,
+      d0 AS MATERIALIZED (
+        SELECT doc_id AS node, 0::BIGINT AS dist FROM documents
+        WHERE doc_id % 97 = 0),
+      $steps
+      SELECT node, dist FROM d6
+      ORDER BY node
+      """
+    },
+    bench = true)
+
   /** Per-node triangle counts with the degree-orientation bound
     * (Σ orientedDeg² ≤ m^{3/2}, not Σ deg²) — the oracle replays the
     * same canonicalization, orientation, wedge join, and closure. */
@@ -172,5 +214,5 @@ object GraphQueries {
     """))
 
   val all: Seq[QueryDef] =
-    Seq(q112PageRank, q112bPageRankDangling, q113Triangles)
+    Seq(q112PageRank, q112bPageRankDangling, q112cBfsHops, q113Triangles)
 }

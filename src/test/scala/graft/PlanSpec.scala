@@ -225,6 +225,25 @@ class PlanSpec extends SparkSpec {
       s"count frame not broadcast:\n$p")
   }
 
+  test("bfs expansion step (q112c's engine) stays keyed — no cartesian") {
+    // the q112c query runs its frontier loop eagerly (per-step
+    // localCheckpoint), so the pin goes on the step shape itself: the
+    // expansion join is an equi-join on src and the visited anti-join
+    // stays keyed — a cartesian here would scan |frontier|·|edges|
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf001)
+    val edges = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 3) % 500).as("dst"))
+    val frontier = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("node"))
+    val step = frontier.join(edges, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(frontier.select("node"), Seq("node"), "left_anti")
+    val p = step.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"BFS step went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BFS anti-join unkeyed:\n$p")
+  }
+
   test("q117: fuzzy verify joins stay keyed; the DP kernel is in the plan") {
     val p = plan("q117_fuzzy_verify")
     assert(!p.contains("CartesianProduct"), s"verify went cartesian:\n$p")

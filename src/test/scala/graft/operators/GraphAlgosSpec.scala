@@ -68,6 +68,29 @@ class GraphAlgosSpec extends SparkSpec {
     assert(cycAsserted == cycProbe)
   }
 
+  test("bfsDistances: multi-source min-hop, unreachable absent, cap and early-exit") {
+    // directed graph: 1→2→3→4→5 chain, 10→3 shortcut, 6→7 an island,
+    // 8 isolated (unreachable from any source)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 3L),
+      (6L, 7L)).toDF("src", "dst")
+    val sources = Seq(1L, 10L).toDF("node")
+    val got = GraphAlgos.bfsDistances(edges, sources, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    // 3 is reachable in 2 hops from 1 but ONE hop from 10 — min wins
+    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 3L), got.toString)
+    // cap: maxIters=1 keeps only the first ring
+    val capped = GraphAlgos.bfsDistances(edges, sources, maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 1L))
+    // early-exit: the frontier dies at distance 3; a large maxIters
+    // must not loop further (and an empty source set returns empty)
+    assert(GraphAlgos.bfsDistances(edges, sources, maxIters = 50)
+      .as[(Long, Long)].collect().toMap == got)
+    assert(GraphAlgos.bfsDistances(edges,
+      Seq.empty[Long].toDF("node"), maxIters = 5).isEmpty)
+  }
+
   test("triangles counts K4 and ignores pendant paths") {
     // K4 (every vertex in 3 triangles) plus a pendant path 4-5-6
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
