@@ -14,7 +14,9 @@ import JpegCodec.{BitReader, Huff, be16, extend, idctBlockRaw, u8}
   * Remit (the rest falls to the deterministic stub via None):
   *  - frames: SOF0 (sequential DCT) and SOF3 (lossless) non-differential;
   *    SOF5 (differential sequential DCT) and SOF7 (differential lossless);
-  *    Huffman entropy coding; 8-bit precision;
+  *    SOF9 (sequential DCT, arithmetic) and SOF13 (differential
+  *    sequential DCT, arithmetic — F.1.4.4 QM models, DAC conditioning
+  *    honored); 8-bit precision;
   *  - all components 1x1 sampling inside hierarchical frames, one SOS per
   *    frame covering all of its components, no restart markers, no point
   *    transform;
@@ -74,6 +76,10 @@ object HierJpeg {
     val qt = new Array[Array[Int]](4)
     val dcTabs = new Array[Huff](4)
     val acTabs = new Array[Huff](4)
+    // DAC conditioning (B.2.4.3) for arithmetic frames, spec defaults
+    val dcCondL = Array(0, 0, 0, 0)
+    val dcCondU = Array(1, 1, 1, 1)
+    val acCondK = Array(5, 5, 5, 5)
     var fullW = 0; var fullH = 0
     var dhpIds: Array[Int] = null
     // insertion-ordered: assembly order is the DHP component order
@@ -82,7 +88,7 @@ object HierJpeg {
     var fW = 0; var fH = 0
     var fIds: Array[Int] = null
     var fTq: Array[Int] = null
-    var fDiff = false; var fLossless = false
+    var fDiff = false; var fLossless = false; var fArith = false
     var frameOpen = false
     var i = 2
 
@@ -140,6 +146,10 @@ object HierJpeg {
       i += 2
       if (marker == 0xd8) return None // second SOI
       val segStart = i
+      // every marker below except EOI carries a 2-byte length field — a
+      // file truncated right after the marker pair must fail closed, not
+      // read past the end
+      if (marker != 0xd9 && segStart + 2 > b.length) return None
       marker match {
         case 0xde => // DHP: same syntax as SOF (B.3.2)
           if (dhpIds != null || frameOpen) return None
@@ -202,11 +212,35 @@ object HierJpeg {
             }
           }
           i = segStart + len
-        case m if m == 0xc0 || m == 0xc3 || m == 0xc5 || m == 0xc7 =>
-          // frame header: SOF0/SOF3 non-differential, SOF5/SOF7 differential
+        case 0xcc => // DAC: conditioning for arithmetic frames (B.2.4.3)
+          val len = be16(b, segStart)
+          if (segStart + len > b.length) return None
+          var p = segStart + 2
+          val end = segStart + len
+          while (p + 1 < end) {
+            val tc = u8(b, p) >> 4; val tb = u8(b, p) & 15
+            val cs = u8(b, p + 1)
+            if (tb > 3) return None
+            if (tc == 0) {
+              val l = cs & 15; val u = cs >> 4
+              if (u > 15 || l > u) return None
+              dcCondL(tb) = l; dcCondU(tb) = u
+            } else if (tc == 1) {
+              if (cs < 1 || cs > 63) return None
+              acCondK(tb) = cs
+            } else return None
+            p += 2
+          }
+          i = end
+        case m if m == 0xc0 || m == 0xc3 || m == 0xc5 || m == 0xc7 ||
+            m == 0xc9 || m == 0xcd =>
+          // frame header: SOF0/SOF3 non-differential, SOF5/SOF7
+          // differential (Huffman); SOF9 non-differential / SOF13
+          // differential sequential DCT with ARITHMETIC coding
           if (dhpIds == null || frameOpen) return None
-          fDiff = m == 0xc5 || m == 0xc7
+          fDiff = m == 0xc5 || m == 0xc7 || m == 0xcd
           fLossless = m == 0xc3 || m == 0xc7
+          fArith = m == 0xc9 || m == 0xcd
           val len = be16(b, segStart)
           if (segStart + len > b.length || len < 8) return None
           if (u8(b, segStart + 2) != 8) return None
@@ -252,6 +286,64 @@ object HierJpeg {
           val ah = u8(b, segStart + 5 + 2 * ns) >> 4
           val al = u8(b, segStart + 5 + 2 * ns) & 15
           if (ah != 0 || al != 0) return None
+          if (fArith) {
+            // sequential DCT scan with ARITHMETIC coding (SOF9/SOF13):
+            // the F.1.4.4 QM models, interleaved 1x1 MCUs, full band.
+            // Differential frames keep the same DC prediction chain as
+            // the in-repo SOF5 Huffman path (encoder/decoder/oracle all
+            // agree); the correction merges without level shift.
+            if (ss != 0 || se != 63) return None
+            c = 0
+            while (c < ns) { if (qt(fTq(c)) == null) return None; c += 1 }
+            val bw = (fW + 7) / 8; val bh = (fH + 7) / 8
+            val planeW = bw * 8
+            val planes = Array.fill(ns)(new Array[Int](planeW * bh * 8))
+            val dec = new QmCoder.Decoder(b, segStart + len)
+            val dcSt = Array.tabulate(ns)(ci =>
+              new QmCoder.DcState(dcCondL(td(ci)), dcCondU(td(ci))))
+            val acSt = Array.tabulate(ns)(ci =>
+              new QmCoder.AcState(acCondK(ta(ci))))
+            val czig = new Array[Int](64)
+            val coef = new Array[Int](64)
+            val tmp = new Array[Double](64)
+            var mcu = 0
+            while (mcu < bw * bh) {
+              val bx = mcu % bw; val by = mcu / bw
+              c = 0
+              while (c < ns) {
+                java.util.Arrays.fill(czig, 0)
+                val q = qt(fTq(c))
+                if (!QmCoder.decodeDc(dec, dcSt(c))) return None
+                if (!QmCoder.decodeAc(dec, acSt(c), czig)) return None
+                java.util.Arrays.fill(coef, 0)
+                coef(0) = dcSt(c).pred * q(0)
+                var k = 1
+                while (k < 64) {
+                  coef(JpegCodec.Zigzag(k)) = czig(k) * q(k); k += 1
+                }
+                idctBlockRaw(coef, tmp, planes(c), planeW, bx, by)
+                c += 1
+              }
+              mcu += 1
+            }
+            // walk unread flush bytes to the NEXT marker — unlike the
+            // single-frame SOF9 exit this need not be EOI (the hierarchy
+            // continues with EXP / the next SOF / EOI)
+            var p = dec.bytePos
+            var found = -1
+            while (found < 0) {
+              if (p + 1 >= b.length) return None
+              if (u8(b, p) == 0xff && u8(b, p + 1) > 0x8f) found = p
+              else p += 1
+            }
+            c = 0
+            while (c < ns) {
+              if (!mergeDct(fIds(c), planes(c), planeW)) return None
+              c += 1
+            }
+            frameOpen = false
+            i = found
+          } else {
           val br = new BitReader(b, segStart + len)
           if (fLossless) {
             // lossless scan: raster-interleaved samples (1x1 MCUs). A
@@ -378,6 +470,7 @@ object HierJpeg {
           // resume the marker loop at the marker the entropy segment
           // stopped on
           i = br.bytePos
+          }
         case 0xd9 => // EOI: every DHP component present at full size
           if (dhpIds == null || frameOpen || refs.size != dhpIds.length)
             return None

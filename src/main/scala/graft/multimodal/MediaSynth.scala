@@ -1651,6 +1651,81 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** One ARITHMETIC-coded hierarchical JPEG (T.81 Annex J pyramid with
+    * SOF9/SOF13 frames — the QM coder inside a DHP hierarchy, the last
+    * named residue of the JPEG matrix). Variants by id % 3:
+    *  0: grayscale quality refinement — SOF9 base at FULL resolution
+    *     (jpegBlockGray), then a SOF13 differential frame adding the
+    *     per-block hierDelta; final pixel = clamp(gray + delta) — the
+    *     q58h variant-1 formula.
+    *  1: the color twin of 0 — 3 components 4:4:4, neutral chroma in
+    *     the base and zero delta, so r=g=b and the formula carries over.
+    *  2: grayscale PYRAMID — SOF9 base at half resolution (hierBase),
+    *     EXP(1,1) doubling, then a SOF13 full-resolution correction of
+    *     per-block hierDelta; final pixel = J.1.1.2-upsample(base) +
+    *     delta (in [2, 253] by construction, clamp never engaged).
+    * All frames share the default QM conditioning; the DC prediction
+    * chain is maintained in differential frames exactly as the in-repo
+    * SOF5 Huffman path does (encoder, decoder, and oracle agree). */
+  def hierArithJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val nc = if (variant == 1) 3 else 1
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def frameHeader(marker: Int, fw: Int, fh: Int): Unit = {
+      out.write(0xff); out.write(marker)
+      be16w(8 + 3 * nc); out.write(8); be16w(fh); be16w(fw); out.write(nc)
+      (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    }
+    def arithScan(fw: Int, fh: Int, blockVal: (Int, Int) => Int,
+        levelShift: Int): Unit = {
+      out.write(0xff); out.write(0xda) // SOS
+      be16w(6 + 2 * nc); out.write(nc)
+      (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+      out.write(0); out.write(63); out.write(0)
+      val enc = new QmCoder.Encoder
+      val dcSt = Array.fill(nc)(new QmCoder.DcState(0, 1))
+      val acSt = Array.fill(nc)(new QmCoder.AcState(5))
+      val zeroAc = new Array[Int](64)
+      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
+      var mcu = 0
+      while (mcu < bw * bh) {
+        val bx = mcu % bw; val by = mcu / bw
+        var c = 0
+        while (c < nc) {
+          val dc = if (c == 0) 8 * (blockVal(bx, by) - levelShift) else 0
+          QmCoder.encodeDc(enc, dcSt(c), dc - dcSt(c).pred)
+          QmCoder.encodeAc(enc, acSt(c), zeroAc)
+          c += 1
+        }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
+    be16w(67); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    frameHeader(0xde, w, h) // DHP: the hierarchy's full dimensions
+    if (variant == 2) {
+      val w2 = w / 2; val h2 = h / 2
+      frameHeader(0xc9, w2, h2)
+      arithScan(w2, h2, (bx, by) => hierBase(id, bx, by), levelShift = 128)
+      out.write(0xff); out.write(0xdf) // EXP: double both dimensions
+      be16w(3); out.write(0x11)
+      frameHeader(0xcd, w, h)
+      arithScan(w, h, (bx, by) => hierDelta(id, bx, by), levelShift = 0)
+    } else {
+      frameHeader(0xc9, w, h)
+      arithScan(w, h, (bx, by) => jpegBlockGray(id, bx, by), levelShift = 128)
+      frameHeader(0xcd, w, h)
+      arithScan(w, h, (bx, by) => hierDelta(id, bx, by), levelShift = 0)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

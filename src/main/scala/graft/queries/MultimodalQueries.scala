@@ -1169,12 +1169,84 @@ object MultimodalQueries {
       ORDER BY media_id
     """))
 
+  /** ARITHMETIC hierarchical (SOF9/SOF13 inside a DHP pyramid) decode —
+    * the QM coder composed with the Annex J multi-frame driver
+    * ([[graft.multimodal.MediaSynth.hierArithJpeg]]): full-res base +
+    * differential quality refinement (gray and color twins), and a
+    * half-res pyramid with EXP doubling + a differential correction.
+    * The oracle recomputes every pixel in closed form including the
+    * J.1.1.2 interpolation; a decoder that level-shifts a differential
+    * frame, resets the DC chain mid-scan, or mis-walks the QM flush
+    * bytes to the next marker cannot match. */
+  val q58qHierArithDecode = QueryDef(
+    "q58q_hier_arith_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.hierArithJpeg))
+        .toDF().orderBy("media_id"),
+    Some("""
+      WITH ids AS (
+        SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
+      d AS (
+        SELECT media_id,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 5)
+             WHEN 1 THEN 8 * (2 + media_id % 4)
+             ELSE 16 * (1 + media_id % 3) END)::INT AS w,
+          (CASE media_id % 3
+             WHEN 0 THEN 8 * (2 + media_id % 4)
+             WHEN 1 THEN 8 * (2 + media_id % 3)
+             ELSE 16 * (1 + media_id % 2) END)::INT AS h
+        FROM ids),
+      g AS (
+        SELECT d.media_id, d.w, d.h, d.w // 2 AS w2, d.h // 2 AS h2,
+               gx.x, gy.y
+        FROM d, (SELECT unnest(range(0, 48)) AS x) gx,
+                (SELECT unnest(range(0, 40)) AS y) gy
+        WHERE gx.x < d.w AND gy.y < d.h),
+      uv AS (
+        SELECT *, x // 2 AS u0, LEAST(x // 2 + x % 2, w2 - 1) AS u1,
+                  y // 2 AS v0, LEAST(y // 2 + y % 2, h2 - 1) AS v1
+        FROM g),
+      bb AS (
+        SELECT media_id, w, h, x, y,
+          32 + ((media_id*37 + 11*(u0//8) + 23*(v0//8) + 3*(u0//8)*(v0//8)) % 256) % 192 AS b00,
+          32 + ((media_id*37 + 11*(u1//8) + 23*(v0//8) + 3*(u1//8)*(v0//8)) % 256) % 192 AS b10,
+          32 + ((media_id*37 + 11*(u0//8) + 23*(v1//8) + 3*(u0//8)*(v1//8)) % 256) % 192 AS b01,
+          32 + ((media_id*37 + 11*(u1//8) + 23*(v1//8) + 3*(u1//8)*(v1//8)) % 256) % 192 AS b11
+        FROM uv),
+      px AS (
+        SELECT media_id, w, h, x, y,
+          CASE WHEN media_id % 3 = 2 THEN
+            -- pyramid: J.1.1.2 upsample of the half-res base, plus the
+            -- per-block differential correction (no clamp engaged by
+            -- construction)
+            (((b00 + b10 + 1) // 2) + ((b01 + b11 + 1) // 2) + 1) // 2
+            + ((media_id*5 + 7*(x//8) + 3*(y//8)) % 61) - 30
+          ELSE
+            -- full-res base + differential refinement, clamped
+            LEAST(255, GREATEST(0,
+              ((media_id*37 + 11*(x//8) + 23*(y//8) + 3*(x//8)*(y//8)) % 256)
+              + ((media_id*5 + 7*(x//8) + 3*(y//8)) % 61) - 30))
+          END AS p
+        FROM bb)
+      SELECT media_id, 'jpeg' AS format, any_value(w) AS width,
+             any_value(h) AS height, 3 AS channels, 0 AS sample_rate,
+             (3 * any_value(w) * any_value(h))::BIGINT AS n_values,
+             (3 * sum(p))::BIGINT AS sum_values,
+             min(p)::INT AS min_value, max(p)::INT AS max_value,
+             sum(p)::BIGINT AS sum_r, sum(p)::BIGINT AS sum_g,
+             sum(p)::BIGINT AS sum_b
+      FROM px GROUP BY media_id
+      ORDER BY media_id
+    """))
+
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
     q58fLosslessJpegDecode, q58gArithJpegDecode, q58hHierJpegDecode,
     q58iColorLosslessDecode, q58jExtended12Decode, q58kProgArithJpegDecode,
     q58lArithRstJpegDecode, q58mColor12Decode, q58nProg12ArithDecode,
-    q58oSeq12ArithDecode, q58pProg12HuffDecode,
+    q58oSeq12ArithDecode, q58pProg12HuffDecode, q58qHierArithDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

@@ -49,6 +49,33 @@ class HierJpegSpec extends AnyFunSuite {
     }
   }
 
+  test("arithmetic pyramids (SOF9/SOF13) decode pixel-exactly in all variants") {
+    (0L until 30L).foreach { id =>
+      val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.hierArithJpeg(id))
+        .getOrElse(fail(s"arith-hier decode failed for id=$id"))
+      assert((px.width, px.height) == (w, h), s"dims for id=$id")
+      val up =
+        if (id % 3 == 2) expand(Array.tabulate(h / 2, w / 2)((v, u) =>
+          MediaSynth.hierBase(id, u / 8, v / 8)))
+        else null
+      for (y <- 0 until h; x <- 0 until w) {
+        val e =
+          if (id % 3 == 2) up(y)(x) + MediaSynth.hierDelta(id, x / 8, y / 8)
+          else math.max(0, math.min(255,
+            MediaSynth.jpegBlockGray(id, x / 8, y / 8) +
+              MediaSynth.hierDelta(id, x / 8, y / 8)))
+        assert(px.r(x, y) == e && px.g(x, y) == e && px.b(x, y) == e,
+          s"pixel ($x,$y) id=$id: got (${px.r(x, y)},${px.g(x, y)},${px.b(x, y)}), want $e")
+      }
+    }
+    // truncation fails closed, never throws
+    val full = MediaSynth.hierArithJpeg(2L) // pyramid variant with EXP
+    (1 until full.length by 7).foreach { n =>
+      JpegCodec.decodeJpegPixels(full.take(n)) // must not throw
+    }
+  }
+
   test("variant 1 actually exercises the [0,255] clamp") {
     val clamped = (0L until 60L).exists { id =>
       id % 3 == 1 && {
