@@ -99,7 +99,36 @@ object GraftExtensions {
     ("nfc_normalize", "nfc_normalize(s) - UAX #15 canonical composition",
       1, a => NfcNormalizeExpr(a.head)),
     ("nfkc_normalize", "nfkc_normalize(s) - UAX #15 compatibility composition",
-      1, a => NfkcNormalizeExpr(a.head)))
+      1, a => NfkcNormalizeExpr(a.head)),
+    ("bounded_levenshtein", "bounded_levenshtein(a, b, k) - banded edit distance, -1 past k",
+      3, a => BoundedLevenshteinExpr(a(0), a(1), intArg(a(2), "k"))),
+    ("char_hist27", "char_hist27(s) - 27-bin a..z/other char histogram",
+      1, a => CharHist27Expr(a.head)),
+    ("ordered_shingles", "ordered_shingles(s, n) - word n-grams in document order",
+      2, a => OrderedShinglesExpr(a.head, intArg(a(1), "n"))),
+    ("cut_spans", "cut_spans(text, spans, spanTokens) - remove flagged token spans",
+      3, a => CutSpansExpr(a(0), a(1), intArg(a(2), "spanTokens"))),
+    ("bpe_segment", "bpe_segment(text, merges) - BPE subwords under a literal merge table",
+      2, a => BpeSegmentExpr(a(0), stringArrayArg(a(1), "merges"))))
+
+  /** Extract a foldable array<string> argument (the BPE merge table —
+    * bounded driver metadata, same contract as the Scala API). */
+  private[graft] def stringArrayArg(e: Expression, name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType => SqlString}
+    if (!e.foldable || !e.dataType.isInstanceOf[ArrayType] ||
+        e.dataType.asInstanceOf[ArrayType].elementType != SqlString)
+      throw new IllegalArgumentException(
+        s"$name expects a literal array<string> argument, got $e")
+    e.eval() match {
+      case a: ArrayData =>
+        a.toObjectArray(SqlString)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal array<string>, evaluated to $other")
+    }
+  }
 
   /** Wrap a builder with an arity check: a wrong argument count raises a
     * clear error carrying the usage string instead of surfacing an

@@ -21,6 +21,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("nr") == Seq(5L, 3L, 3L))
   }
 
+  test("round-9 registrations: edit distance, histogram, shingles, spans, BPE") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT bounded_levenshtein('kitten', 'sitting', 3) AS lev,
+        |       bounded_levenshtein('abc', 'xyz12345', 2) AS levnull,
+        |       char_hist27('ab ba') AS hist,
+        |       ordered_shingles('a b a b', 2) AS os,
+        |       cut_spans('a b c d e f', array(1), 2) AS cut,
+        |       bpe_segment('low lower', array('{l}{o}', '{lo}{w}')) AS bpe
+        |""".stripMargin).collect().head
+    assert(r.getAs[Int]("lev") == 3)
+    assert(r.getAs[Int]("levnull") == -1) // length gap 5 > k=2 -> sentinel
+    val hist = r.getAs[scala.collection.Seq[Long]]("hist")
+    assert(hist.length == 27 && hist(0) == 2L && hist(1) == 2L && hist(26) == 1L)
+    // ordered (not distinct): both 'a b' occurrences survive in order
+    assert(r.getAs[scala.collection.Seq[String]]("os") == Seq("a b", "b a", "a b"))
+    // cut start 1, span 2 tokens: 'b c' removed
+    assert(r.getAs[String]("cut") == "a d e f")
+    assert(r.getAs[scala.collection.Seq[String]]("bpe") == Seq("low", " ", "low", "e", "r"))
+    // the merge table must be a literal array — a column is rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_segment('x', array(cast(rand() as string)))").collect()
+    }
+    def walk(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: walk(t.getCause)
+    assert(walk(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("literal array<string>"))))
+  }
+
   test("hash_bucket SQL function matches the Sampling column form") {
     GraftExtensions.register(spark)
     import spark.implicits._
