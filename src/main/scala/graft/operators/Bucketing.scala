@@ -57,4 +57,32 @@ object Bucketing {
     (0 until bits).map { i =>
       s"((($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString(" + ")
+
+  /** N-dimensional Morton key — the general `OPTIMIZE ... ZORDER BY
+    * (c1, …, cN)` form (production ZORDER is routinely 3–4 columns:
+    * e.g. date × customer × region): bit i of dimension d lands at
+    * output bit `i·N + d`, so a range sort interleaves ALL dimensions
+    * and min/max file stats prune on any of them. `bits · N ≤ 62`
+    * keeps the key in a non-negative long ([[zOrderKey]] is the N=2
+    * special case, identical bit layout). Same pmod/codegen/oracle
+    * conventions; selectivity per dimension decays with N (each gets
+    * bits·(1/N) of the leading key), which is the standard ZORDER
+    * trade-off, not an implementation artifact. */
+  def zOrderKeyN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"need >= 2 dimensions, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits*dims must be 1..62, got $bits*${cols.size}")
+    import org.apache.spark.sql.functions.{lit, pmod, shiftright}
+    val n = cols.size
+    (for { i <- 0 until bits; (c, d) <- cols.zipWithIndex } yield
+      pmod(shiftright(c.cast("long"), i), lit(2L)) * lit(1L << (i * n + d))
+    ).reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[zOrderKeyN]]. */
+  def zOrderKeyNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (for { i <- 0 until bits; (c, d) <- cols.zipWithIndex } yield
+      s"((($c >> $i) & 1) * ${1L << (i * n + d)})").mkString(" + ")
+  }
 }

@@ -813,6 +813,37 @@ object Relational {
     """),
     bench = true)
 
+  /** N-DIMENSIONAL Morton layout keys over (customer, order-day,
+    * ship-priority-ish) — the general `ZORDER BY (c1, c2, c3)` shape
+    * production tables actually use ([[graft.operators.Bucketing
+    * .zOrderKeyN]]): bit i of dimension d lands at output bit i·3+d,
+    * 20 bits per dimension in one 60-bit key. The oracle reproduces
+    * the 60-term interleave exactly. */
+  val q109bZorderN = QueryDef(
+    "q109b_zorder_nd",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % (1L << 20)).as("zx"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("zy"),
+          pmod(col("o_orderkey") * 31, lit(1L << 20)).as("zz"))
+        .select(col("o_orderkey"),
+          graft.operators.Bucketing.zOrderKeyN(
+            Seq(col("zx"), col("zy"), col("zz")), 20).as("zkey"))
+        .orderBy("zkey", "o_orderkey"),
+    Some(s"""
+      WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey % ${1L << 20} AS zx,
+               date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS zy,
+               (o_orderkey * 31) % ${1L << 20} AS zz
+        FROM orders)
+      SELECT o_orderkey,
+             (${graft.operators.Bucketing.zOrderKeyNSql(Seq("zx", "zy", "zz"), 20)}) AS zkey
+      FROM dims
+      ORDER BY zkey, o_orderkey
+    """))
+
   /** CUBE with GROUPING ids — all four aggregation lattices of
     * (returnflag, linestatus) in ONE pass (Catalyst expands to grouping
     * sets; partial aggs still collapse map-side), distinguished by the
@@ -962,6 +993,6 @@ object Relational {
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
     q56bApproxDistinctSketch, q56cKmvDistinct, q121bQuantileSketch,
     q103TableProfile,
-    q106GroupRegression, q109ZorderLayout, q114Cube, q115Pivot,
+    q106GroupRegression, q109ZorderLayout, q109bZorderN, q114Cube, q115Pivot,
     q119RankFamily, q120TableChecksum)
 }

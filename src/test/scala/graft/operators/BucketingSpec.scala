@@ -65,4 +65,37 @@ class BucketingSpec extends SparkSpec {
       Bucketing.zOrderKey(Seq(1L).toDF("a")("a"), Seq(1L).toDF("b")("b"), 32)
     }
   }
+
+  test("zOrderKeyN: reference replay, N=2 == zOrderKey, octant locality") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // N=2 must produce the identical bit layout to the 2-D special case
+    val pts2 = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val both = pts2.toDF("x", "y")
+      .select(Bucketing.zOrderKey($"x", $"y", 8).as("z2"),
+        Bucketing.zOrderKeyN(Seq($"x", $"y"), 8).as("zn"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (z2, zn) => assert(z2 == zn) }
+    // 3-D reference replay: bit i of dim d lands at bit i*3+d
+    val pts3 = for (x <- 0 until 8; y <- 0 until 8; z <- 0 until 8)
+      yield (x.toLong, y.toLong, z.toLong)
+    val got = pts3.toDF("x", "y", "z")
+      .select($"x", $"y", $"z",
+        Bucketing.zOrderKeyN(Seq($"x", $"y", $"z"), 3).as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t._4).toMap
+    def ref(x: Long, y: Long, z: Long): Long =
+      (0 until 3).map(i => (((x >> i) & 1) << (3 * i)) |
+        (((y >> i) & 1) << (3 * i + 1)) | (((z >> i) & 1) << (3 * i + 2))).sum
+    pts3.foreach { case (x, y, z) => assert(got((x, y, z)) == ref(x, y, z)) }
+    // locality: sorting by the key visits each 4x4x4 octant contiguously
+    val order = pts3.sortBy(p => got(p))
+    val octant = order.map { case (x, y, z) => (x / 4, y / 4, z / 4) }
+    val transitions = octant.zip(octant.tail).count { case (a, b) => a != b }
+    assert(transitions == 7, s"expected 8 contiguous octants, got $transitions transitions")
+    // bit-budget guard: 21 bits x 3 dims = 63 > 62 rejected
+    assertThrows[IllegalArgumentException] {
+      Bucketing.zOrderKeyN(Seq($"x", $"y", $"z").map(identity), 21)
+    }
+  }
 }
