@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming data-quality drift monitoring — the continuous form of the
+  * q126 PSI gate: in production the REFERENCE profile is computed once
+  * from the blessed corpus version (decile boundaries + bucket counts,
+  * bounded driver metadata — the [[graft.operators.Sketches
+  * .quantileSketch]] output), frozen, and shipped to a monitor that
+  * watches the INGEST STREAM and alerts when the population shifts.
+  *
+  * Scale shape: bucketing is a map-side boundary count (9 codegen'd
+  * comparisons per row, no join — boundaries are literals), and the
+  * running state is one `groupBy(bucket).count()` streaming aggregation
+  * in update/complete mode: at most `bounds.length + 1` state rows
+  * TOTAL, regardless of stream volume. PSI itself is derived from any
+  * emitted snapshot by [[DriftStreams.psiFromCounts]] — a driver-side
+  * fold over ≤ 10 rows, exactly replicating the batch q126 Laplace
+  * smoothing, so stream-derived PSI ≡ batch PSI on the same rows
+  * (DriftStreamsSpec pins it against the q126 query's own output). */
+object DriftStreams {
+
+  /** Running bucket counts of `value` under the frozen reference decile
+    * `bounds` — bucket = #boundaries ≤ x, the q126 convention. Works
+    * identically on a batch frame (the parity spec's oracle side). */
+  def psiDriftStream(docs: DataFrame, value: Column,
+                     bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty, "need at least one bucket boundary")
+    val bucket = bounds.map(b => when(value >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cur"))
+  }
+
+  /** PSI of a current bucket-count snapshot against the frozen reference
+    * counts — the q126 formula exactly: Laplace-smoothed shares
+    * (n + 0.5) / (N + 5), summed over buckets PRESENT on either side
+    * (q126's full-outer join omits both-empty buckets, so this must
+    * too for parity). */
+  def psiFromCounts(cur: Map[Int, Long], ref: Map[Int, Long]): Double = {
+    val nCur = cur.values.sum.toDouble
+    val nRef = ref.values.sum.toDouble
+    (cur.keySet ++ ref.keySet).toSeq.map { b =>
+      val pc = (cur.getOrElse(b, 0L) + 0.5) / (nCur + 5.0)
+      val pr = (ref.getOrElse(b, 0L) + 0.5) / (nRef + 5.0)
+      (pc - pr) * math.log(pc / pr)
+    }.sum
+  }
+}
