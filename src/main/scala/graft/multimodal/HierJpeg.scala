@@ -89,6 +89,12 @@ object HierJpeg {
     var fIds: Array[Int] = null
     var fTq: Array[Int] = null
     var fDiff = false; var fLossless = false; var fArith = false
+    // progressive frames (SOF10/SOF14) stay open across their scans:
+    // per-component coefficient stores (natural order per block) and
+    // the DC-first-arrived flags; reconstruction runs at frame close
+    var fProg = false
+    var fCoefs: Array[Array[Int]] = null
+    var fSawDc: Array[Boolean] = null
     var frameOpen = false
     var i = 2
 
@@ -137,6 +143,40 @@ object HierJpeg {
         if (refs.contains(id)) return false
         refs(id) = new Ref(fW, fH, plane)
       }
+      true
+    }
+
+    /** Close an open progressive frame: every component must have its
+      * DC-first scan, then dequant + IDCT + merge — the single-frame
+      * path's deferred EOI step, relocated to "next frame-level marker"
+      * (a hierarchy continues after the frame with EXP/SOF/EOI). */
+    def finishProgFrame(): Boolean = {
+      if (fSawDc.exists(d => !d)) return false
+      val bw = (fW + 7) / 8; val bh = (fH + 7) / 8
+      val planeW = bw * 8
+      val coef = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var c = 0
+      while (c < fIds.length) {
+        val q = qt(fTq(c))
+        if (q == null) return false
+        val plane = new Array[Int](planeW * bh * 8)
+        var blk = 0
+        while (blk < bw * bh) {
+          val off = blk * 64
+          var k = 0
+          while (k < 64) {
+            val z = JpegCodec.Zigzag(k)
+            coef(z) = fCoefs(c)(off + z) * q(k) // q is zigzag-ordered
+            k += 1
+          }
+          idctBlockRaw(coef, tmp, plane, planeW, blk % bw, blk / bw)
+          blk += 1
+        }
+        if (!mergeDct(fIds(c), plane, planeW)) return false
+        c += 1
+      }
+      frameOpen = false; fProg = false; fCoefs = null; fSawDc = null
       true
     }
 
@@ -196,6 +236,7 @@ object HierJpeg {
           }
           i = end
         case 0xdf => // EXP (B.3.3): expand all references for the next frame
+          if (frameOpen && (!fProg || !finishProgFrame())) return None
           if (dhpIds == null || frameOpen || refs.isEmpty) return None
           val len = be16(b, segStart)
           if (len != 3 || segStart + len > b.length) return None
@@ -232,15 +273,21 @@ object HierJpeg {
             p += 2
           }
           i = end
-        case m if m == 0xc0 || m == 0xc3 || m == 0xc5 || m == 0xc7 ||
-            m == 0xc9 || m == 0xcd =>
+        case m if m == 0xc0 || m == 0xc2 || m == 0xc3 || m == 0xc5 ||
+            m == 0xc6 || m == 0xc7 || m == 0xc9 || m == 0xca ||
+            m == 0xcd || m == 0xce =>
           // frame header: SOF0/SOF3 non-differential, SOF5/SOF7
           // differential (Huffman); SOF9 non-differential / SOF13
-          // differential sequential DCT with ARITHMETIC coding
-          if (dhpIds == null || frameOpen) return None
-          fDiff = m == 0xc5 || m == 0xc7 || m == 0xcd
+          // differential sequential DCT with ARITHMETIC coding;
+          // PROGRESSIVE multi-scan frames — SOF2 non-differential /
+          // SOF6 differential (Huffman) and SOF10 / SOF14 (arithmetic)
+          // — stay open until the next frame-level marker
+          if (dhpIds == null) return None
+          if (frameOpen && (!fProg || !finishProgFrame())) return None
+          fDiff = m == 0xc5 || m == 0xc6 || m == 0xc7 || m == 0xcd || m == 0xce
           fLossless = m == 0xc3 || m == 0xc7
-          fArith = m == 0xc9 || m == 0xcd
+          fArith = m == 0xc9 || m == 0xca || m == 0xcd || m == 0xce
+          fProg = m == 0xc2 || m == 0xc6 || m == 0xca || m == 0xce
           val len = be16(b, segStart)
           if (segStart + len > b.length || len < 8) return None
           if (u8(b, segStart + 2) != 8) return None
@@ -260,22 +307,39 @@ object HierJpeg {
             c += 1
           }
           if (fIds.distinct.length != nc) return None
+          if (fProg) {
+            // coefficient stores for the frame's scans (bounded: the
+            // DHP byte-length cap bounds fW*fH)
+            val bw = (fW + 7) / 8; val bh = (fH + 7) / 8
+            fCoefs = Array.fill(nc)(new Array[Int](bw * bh * 64))
+            fSawDc = new Array[Boolean](nc)
+          }
           frameOpen = true
           i = segStart + len
         case 0xdd => // DRI: parsed, but restarts are out of remit
           if (segStart + 4 > b.length) return None
           if (be16(b, segStart + 2) != 0) return None
           i = segStart + be16(b, segStart)
-        case 0xda => // SOS: the frame's single scan, all components
+        case 0xda => // SOS: one scan (single-scan frames list all
+          // components; progressive AC band scans are single-component)
           if (!frameOpen) return None
           val len = be16(b, segStart)
           if (segStart + len > b.length) return None
           val ns = u8(b, segStart + 2)
-          if (ns != fIds.length || len < 6 + 2 * ns) return None
+          if (ns < 1 || ns > fIds.length || len < 6 + 2 * ns) return None
+          if (!fProg && ns != fIds.length) return None
           val td = new Array[Int](ns); val ta = new Array[Int](ns)
+          // frame-component index of each scan component: full-width
+          // scans must list all components in frame order; progressive
+          // single-component AC scans may name any frame component
+          val scanIdx = new Array[Int](ns)
           var c = 0
           while (c < ns) {
-            if (u8(b, segStart + 3 + 2 * c) != fIds(c)) return None
+            val cid = u8(b, segStart + 3 + 2 * c)
+            val fi = fIds.indexOf(cid)
+            if (fi < 0) return None
+            if (ns == fIds.length && fi != c) return None
+            scanIdx(c) = fi
             td(c) = u8(b, segStart + 4 + 2 * c) >> 4
             ta(c) = u8(b, segStart + 4 + 2 * c) & 15
             if (td(c) > 3 || ta(c) > 3) return None
@@ -285,6 +349,213 @@ object HierJpeg {
           val se = u8(b, segStart + 4 + 2 * ns)
           val ah = u8(b, segStart + 5 + 2 * ns) >> 4
           val al = u8(b, segStart + 5 + 2 * ns) & 15
+          if (fProg) {
+            // progressive-arithmetic scan (T.81 G.2, the 1x1
+            // hierarchical remit): DC band interleaves all frame
+            // components; AC bands are single-component; a refinement
+            // pass lowers Al by exactly 1; DC-first precedes everything
+            // per component. Statistics and the QM decoder reset per
+            // scan; the coefficient store persists until frame close.
+            if (ss == 0) { if (se != 0 || ns != fIds.length) return None }
+            else if (ns != 1 || se < ss || se > 63) return None
+            if (al > 13 || (ah != 0 && ah != al + 1)) return None
+            if (ss == 0 && ah > 0 && fSawDc.exists(d => !d)) return None
+            if (ss > 0 && !fSawDc(scanIdx(0))) return None
+            val bw = (fW + 7) / 8; val bh = (fH + 7) / 8
+            if (!fArith) {
+              // HUFFMAN progressive scan (SOF2/SOF6 in a hierarchy): the
+              // single-frame G.1 scan logic over the 1x1 block walk —
+              // EOB runs, ZRL, refinement correction bits; predictors
+              // and EOB-run state reset per scan
+              if (ss == 0 && ah == 0 &&
+                  (0 until ns).exists(ci => dcTabs(td(ci)) == null)) return None
+              if (ss > 0 && acTabs(ta(0)) == null) return None
+              val br = new BitReader(b, segStart + len)
+              val p1 = 1 << al
+              var eobrun = 0
+              val pred = new Array[Int](ns)
+              def refineOne(store: Array[Int], idx: Int): Boolean = {
+                val cv = store(idx)
+                val bit = br.nextBit()
+                if (bit < 0) return false
+                if (bit != 0 && (cv & p1) == 0)
+                  store(idx) = if (cv >= 0) cv + p1 else cv - p1
+                true
+              }
+              def acFirstUnit(store: Array[Int], off: Int): Boolean = {
+                if (eobrun > 0) { eobrun -= 1; return true }
+                var k = ss
+                while (k <= se) {
+                  val rs = acTabs(ta(0)).decode(br)
+                  if (rs < 0) return false
+                  val r = rs >> 4; val sv = rs & 15
+                  if (sv == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) {
+                        val eb = br.receive(r)
+                        if (eb == Int.MinValue) return false
+                        eobrun += eb
+                      }
+                      return true
+                    }
+                  } else {
+                    k += r
+                    if (k > se) return false
+                    val v = br.receive(sv)
+                    if (v == Int.MinValue) return false
+                    store(off + JpegCodec.Zigzag(k)) = extend(v, sv) << al
+                    k += 1
+                  }
+                }
+                true
+              }
+              def acRefineUnit(store: Array[Int], off: Int): Boolean = {
+                var k = ss
+                if (eobrun == 0) {
+                  var atEob = false
+                  while (!atEob && k <= se) {
+                    val rs = acTabs(ta(0)).decode(br)
+                    if (rs < 0) return false
+                    var r = rs >> 4; val sv = rs & 15
+                    var newVal = 0
+                    if (sv == 0) {
+                      if (r < 15) {
+                        eobrun = 1 << r
+                        if (r > 0) {
+                          val eb = br.receive(r)
+                          if (eb == Int.MinValue) return false
+                          eobrun += eb
+                        }
+                        atEob = true
+                      }
+                    } else {
+                      if (sv != 1) return false
+                      val bit = br.nextBit()
+                      if (bit < 0) return false
+                      newVal = if (bit != 0) p1 else -p1
+                    }
+                    if (!atEob) {
+                      var placed = false
+                      while (!placed && k <= se) {
+                        val z = JpegCodec.Zigzag(k)
+                        if (store(off + z) != 0) {
+                          if (!refineOne(store, off + z)) return false
+                        } else if (r == 0) {
+                          if (newVal != 0) store(off + z) = newVal
+                          placed = true
+                        } else r -= 1
+                        k += 1
+                      }
+                      if (!placed && newVal != 0) return false
+                    }
+                  }
+                }
+                if (eobrun > 0) {
+                  while (k <= se) {
+                    val z = JpegCodec.Zigzag(k)
+                    if (store(off + z) != 0 && !refineOne(store, off + z))
+                      return false
+                    k += 1
+                  }
+                  eobrun -= 1
+                }
+                true
+              }
+              var blk = 0
+              while (blk < bw * bh) {
+                var ci = 0
+                while (ci < ns) {
+                  val store = fCoefs(scanIdx(ci))
+                  val off = blk * 64
+                  val ok =
+                    if (ss == 0) {
+                      if (ah == 0) {
+                        val t = dcTabs(td(ci)).decode(br)
+                        if (t < 0 || t > 11) false
+                        else {
+                          val dv = br.receive(t)
+                          if (dv == Int.MinValue) false
+                          else {
+                            pred(ci) += extend(dv, t)
+                            store(off) = pred(ci) << al
+                            fSawDc(scanIdx(ci)) = true
+                            true
+                          }
+                        }
+                      } else {
+                        val bit = br.nextBit()
+                        if (bit < 0) false
+                        else { if (bit != 0) store(off) |= p1; true }
+                      }
+                    } else if (ah == 0) acFirstUnit(store, off)
+                    else acRefineUnit(store, off)
+                  if (!ok) return None
+                  ci += 1
+                }
+                blk += 1
+              }
+              if (br.alignMarker() < 0) return None
+              i = br.bytePos
+            } else {
+            val dec = new QmCoder.Decoder(b, segStart + len)
+            val p1 = 1 << al
+            val czig = new Array[Int](64)
+            val dcSt =
+              if (ss == 0 && ah == 0)
+                Array.tabulate(ns)(ci =>
+                  new QmCoder.DcState(dcCondL(td(ci)), dcCondU(td(ci))))
+              else null
+            val fixed = if (ss == 0 && ah > 0) QmCoder.fixedBin() else null
+            val acSt = if (ss > 0) new QmCoder.AcState(acCondK(ta(0))) else null
+            var blk = 0
+            var bad = false
+            while (!bad && blk < bw * bh) {
+              var ci = 0
+              while (!bad && ci < ns) {
+                val store = fCoefs(scanIdx(ci))
+                val off = blk * 64
+                if (ss == 0) {
+                  if (ah == 0) {
+                    if (!QmCoder.decodeDc(dec, dcSt(ci))) bad = true
+                    else {
+                      store(off) = dcSt(ci).pred << al
+                      fSawDc(scanIdx(ci)) = true
+                    }
+                  } else if (dec.decode(fixed) == 1) store(off) |= p1
+                } else {
+                  var k = ss
+                  while (k <= se) {
+                    czig(k) = store(off + JpegCodec.Zigzag(k)); k += 1
+                  }
+                  val ok =
+                    if (ah == 0) QmCoder.decodeAcBand(dec, acSt, czig, ss, se, al)
+                    else QmCoder.decodeAcRefine(dec, acSt, czig, ss, se, al)
+                  if (!ok) bad = true
+                  else {
+                    k = ss
+                    while (k <= se) {
+                      store(off + JpegCodec.Zigzag(k)) = czig(k); k += 1
+                    }
+                  }
+                }
+                ci += 1
+              }
+              blk += 1
+            }
+            if (bad) return None
+            // walk flush bytes to the next marker; the frame stays OPEN
+            var p = dec.bytePos
+            var found = -1
+            while (found < 0) {
+              if (p + 1 >= b.length) return None
+              if (u8(b, p) == 0xff && u8(b, p + 1) > 0x8f) found = p
+              else p += 1
+            }
+            i = found
+            }
+          } else {
           if (ah != 0 || al != 0) return None
           if (fArith) {
             // sequential DCT scan with ARITHMETIC coding (SOF9/SOF13):
@@ -471,7 +742,9 @@ object HierJpeg {
           // stopped on
           i = br.bytePos
           }
+          }
         case 0xd9 => // EOI: every DHP component present at full size
+          if (frameOpen && fProg && !finishProgFrame()) return None
           if (dhpIds == null || frameOpen || refs.size != dhpIds.length)
             return None
           dhpIds.foreach { id =>

@@ -1726,6 +1726,213 @@ object MediaSynth {
     out.toByteArray
   }
 
+  /** PROGRESSIVE-arithmetic hierarchical JPEG (SOF10/SOF14 inside a DHP
+    * pyramid — multi-scan frames in a hierarchy, T.81's deepest
+    * composition of Annex G.2 and Annex J). Same variant matrix and
+    * closed-form pixel oracle as [[hierArithJpeg]] (q58q): 0 = full-res
+    * SOF10 base + SOF14 differential refinement (gray), 1 = the color
+    * twin, 2 = half-res SOF10 base + EXP + SOF14 correction. Every
+    * frame runs the full G.2 scan script — DC first at Al=1
+    * (point-transformed), band-split all-zero AC first scans, raw-bit
+    * DC refinement (nonzero for odd values), G.2.3 AC refinement —
+    * so the decoder must keep the frame's coefficient store open
+    * across scans and reconstruct at the NEXT frame-level marker. */
+  def hierProgArithJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val nc = if (variant == 1) 3 else 1
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def frameHeader(marker: Int, fw: Int, fh: Int): Unit = {
+      out.write(0xff); out.write(marker)
+      be16w(8 + 3 * nc); out.write(8); be16w(fh); be16w(fw); out.write(nc)
+      (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    }
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // one full progressive frame: q(0)=8 quant so the quantized DC of a
+    // constant block is blockVal − levelShift
+    def progFrame(marker: Int, fw: Int, fh: Int, blockVal: (Int, Int) => Int,
+        levelShift: Int): Unit = {
+      frameHeader(marker, fw, fh)
+      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
+      def dcOf(bx: Int, by: Int): Int = blockVal(bx, by) - levelShift
+      locally { // DC first, Ah=0 Al=1, interleaved
+        sos(1 to nc, 0, 0, 0, 1)
+        val enc = new QmCoder.Encoder
+        val dcSt = Array.fill(nc)(new QmCoder.DcState(0, 1))
+        var mcu = 0
+        while (mcu < bw * bh) {
+          val sv = dcOf(mcu % bw, mcu / bw) >> 1 // arithmetic >> Al
+          QmCoder.encodeDc(enc, dcSt(0), sv - dcSt(0).pred)
+          var ci = 1
+          while (ci < nc) { QmCoder.encodeDc(enc, dcSt(ci), 0 - dcSt(ci).pred); ci += 1 }
+          mcu += 1
+        }
+        out.write(enc.finish())
+      }
+      val zeroBand = new Array[Int](64)
+      def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        sos(Seq(comp), ss, se, ah, al)
+        val enc = new QmCoder.Encoder
+        val st = new QmCoder.AcState(5)
+        var blk = 0
+        while (blk < bw * bh) {
+          if (ah == 0) QmCoder.encodeAcBand(enc, st, zeroBand, ss, se, al)
+          else QmCoder.encodeAcRefine(enc, st, zeroBand, ss, se, al)
+          blk += 1
+        }
+        out.write(enc.finish())
+      }
+      acScan(1, 1, 5, 0, 1)
+      acScan(1, 6, 63, 0, 1)
+      if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
+      locally { // DC refinement, Ah=1 Al=0: bit 0
+        sos(1 to nc, 0, 0, 1, 0)
+        val enc = new QmCoder.Encoder
+        val fixed = QmCoder.fixedBin()
+        var mcu = 0
+        while (mcu < bw * bh) {
+          enc.encode(fixed, dcOf(mcu % bw, mcu / bw) & 1)
+          var ci = 1
+          while (ci < nc) { enc.encode(fixed, 0); ci += 1 }
+          mcu += 1
+        }
+        out.write(enc.finish())
+      }
+      acScan(1, 1, 5, 1, 0)
+      acScan(1, 6, 63, 1, 0)
+      if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
+    be16w(67); out.write(0x00)
+    out.write(8); (1 until 64).foreach(_ => out.write(1))
+    frameHeader(0xde, w, h) // DHP
+    if (variant == 2) {
+      progFrame(0xca, w / 2, h / 2, (bx, by) => hierBase(id, bx, by), 128)
+      out.write(0xff); out.write(0xdf); be16w(3); out.write(0x11) // EXP
+      progFrame(0xce, w, h, (bx, by) => hierDelta(id, bx, by), 0)
+    } else {
+      progFrame(0xca, w, h, (bx, by) => jpegBlockGray(id, bx, by), 128)
+      progFrame(0xce, w, h, (bx, by) => hierDelta(id, bx, by), 0)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE-Huffman hierarchical JPEG (SOF2/SOF6 inside a DHP
+    * pyramid) — the Huffman twin of [[hierProgArithJpeg]], same variant
+    * matrix and pixel oracle: multi-scan SOF2 base + SOF6 differential
+    * refinement (or the EXP pyramid on variant 2), each frame running
+    * the q58e scan script (DC first at Al=1, EOB-run AC bands chunked
+    * over EOBn r=0..3, raw-bit DC refinement, AC refinement). */
+  def hierProgJpeg(id: Long): Array[Byte] = {
+    val w = jpegWidth(id); val h = jpegHeight(id)
+    val variant = (id % 3).toInt
+    val nc = if (variant == 1) 3 else 1
+    val out = new ByteArrayOutputStream()
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def frameHeader(marker: Int, fw: Int, fh: Int): Unit = {
+      out.write(0xff); out.write(marker)
+      be16w(8 + 3 * nc); out.write(8); be16w(fh); be16w(fw); out.write(nc)
+      (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
+    }
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): JpegBits = {
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      new JpegBits(out)
+    }
+    def progFrame(marker: Int, fw: Int, fh: Int, blockVal: (Int, Int) => Int,
+        levelShift: Int): Unit = {
+      frameHeader(marker, fw, fh)
+      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
+      def dcOf(bx: Int, by: Int): Int = blockVal(bx, by) - levelShift
+      locally { // DC first, Ah=0 Al=1, interleaved
+        val bits = sos(1 to nc, 0, 0, 0, 1)
+        def putDc(diff: Int): Unit = {
+          val s = if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          bits.put(s, 4)
+          if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
+        }
+        val pred = Array.fill(nc)(0)
+        var mcu = 0
+        while (mcu < bw * bh) {
+          val sv = dcOf(mcu % bw, mcu / bw) >> 1
+          putDc(sv - pred(0)); pred(0) = sv
+          var ci = 1
+          while (ci < nc) { putDc(0 - pred(ci)); pred(ci) = 0; ci += 1 }
+          mcu += 1
+        }
+        bits.align()
+      }
+      def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+        val bits = sos(Seq(comp), ss, se, ah, al)
+        val chunks = Array(1, 2, 3, 6, 11, 32767)
+        var chunkAt = 0
+        def emitRun(n: Int): Unit = {
+          val r = 31 - Integer.numberOfLeadingZeros(n)
+          bits.put(r, 4)
+          if (r > 0) bits.put(n - (1 << r), r)
+        }
+        var run = bw * bh
+        while (run > 0) {
+          val n = math.min(run, chunks(chunkAt % chunks.length))
+          emitRun(n); chunkAt += 1
+          run -= n
+        }
+        bits.align()
+      }
+      acScan(1, 1, 5, 0, 1)
+      acScan(1, 6, 63, 0, 1)
+      if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
+      locally { // DC refinement, Ah=1 Al=0: bit 0
+        val bits = sos(1 to nc, 0, 0, 1, 0)
+        var mcu = 0
+        while (mcu < bw * bh) {
+          bits.put(dcOf(mcu % bw, mcu / bw) & 1, 1)
+          var ci = 1
+          while (ci < nc) { bits.put(0, 1); ci += 1 }
+          mcu += 1
+        }
+        bits.align()
+      }
+      acScan(1, 1, 5, 1, 0)
+      acScan(1, 6, 63, 1, 0)
+      if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
+    be16w(67); out.write(0x00)
+    out.write(8); (1 until 64).foreach(_ => out.write(1))
+    out.write(0xff); out.write(0xc4) // DHT: DC table 0 — twelve 4-bit codes
+    be16w(2 + 17 + 12); out.write(0x00)
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 12).foreach(out.write)
+    out.write(0xff); out.write(0xc4) // DHT: AC table 0 — EOBn symbols
+    be16w(2 + 17 + 15); out.write(0x10)
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(out.write)
+    (0 until 15).foreach(r => out.write(r << 4))
+    frameHeader(0xde, w, h) // DHP
+    if (variant == 2) {
+      progFrame(0xc2, w / 2, h / 2, (bx, by) => hierBase(id, bx, by), 128)
+      out.write(0xff); out.write(0xdf); be16w(3); out.write(0x11) // EXP
+      progFrame(0xc6, w, h, (bx, by) => hierDelta(id, bx, by), 0)
+    } else {
+      progFrame(0xc2, w, h, (bx, by) => jpegBlockGray(id, bx, by), 128)
+      progFrame(0xc6, w, h, (bx, by) => hierDelta(id, bx, by), 0)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- near-duplicate image corpus (q75): groups of 5 perturbed variants
   // of a shared grayscale base image, emitted through three REAL container
   // encodings (PNG / GIF / top-down BMP) so the dedup fingerprint is

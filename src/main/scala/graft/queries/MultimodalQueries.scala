@@ -1184,7 +1184,42 @@ object MultimodalQueries {
       Multimodal.extractContentStats(
         synthMedia(s, d, 300, graft.multimodal.MediaSynth.hierArithJpeg))
         .toDF().orderBy("media_id"),
-    Some("""
+    Some(hierArithOracleSql))
+
+  /** PROGRESSIVE-arithmetic hierarchical (SOF10/SOF14 in a DHP pyramid)
+    * decode — multi-scan frames inside a hierarchy, the deepest
+    * composition of T.81 G.2 and Annex J
+    * ([[graft.multimodal.MediaSynth.hierProgArithJpeg]]): every frame
+    * runs the full progressive scan script (DC first at Al=1, band
+    * AC scans, raw-bit DC refinement, G.2.3 AC refinement), so the
+    * decoder must hold the frame's coefficient store open across scans
+    * and reconstruct only at the NEXT frame-level marker. Same variant
+    * matrix and closed-form oracle as q58q (identical final pixels by
+    * construction); HierJpegSpec pins the raster pixel-exactly. */
+  val q58rHierProgArithDecode = QueryDef(
+    "q58r_hier_prog_arith_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.hierProgArithJpeg))
+        .toDF().orderBy("media_id"),
+    Some(hierArithOracleSql))
+
+  /** PROGRESSIVE-Huffman hierarchical (SOF2/SOF6 in a DHP pyramid)
+    * decode — the Huffman twin of q58r
+    * ([[graft.multimodal.MediaSynth.hierProgJpeg]]): EOB-run band
+    * scans, raw-bit refinements, per-scan predictor resets, the frame's
+    * coefficient store held open across scans. Same variant matrix and
+    * oracle; HierJpegSpec additionally pins the raster identical to the
+    * arithmetic twin's. */
+  val q58sHierProgHuffDecode = QueryDef(
+    "q58s_hier_prog_huff_decode",
+    (s, d) =>
+      Multimodal.extractContentStats(
+        synthMedia(s, d, 300, graft.multimodal.MediaSynth.hierProgJpeg))
+        .toDF().orderBy("media_id"),
+    Some(hierArithOracleSql))
+
+  private lazy val hierArithOracleSql: String = ("""
       WITH ids AS (
         SELECT DISTINCT (o_orderkey % 300)::BIGINT AS media_id FROM orders),
       d AS (
@@ -1239,7 +1274,7 @@ object MultimodalQueries {
              sum(p)::BIGINT AS sum_b
       FROM px GROUP BY media_id
       ORDER BY media_id
-    """))
+    """)
 
   val all: Seq[QueryDef] = Seq(q37MultimodalMeta, q58MultimodalDecode,
     q58bPngDecode, q58cGifDecode, q58dJpegDecode, q58eProgressiveJpegDecode,
@@ -1247,6 +1282,7 @@ object MultimodalQueries {
     q58iColorLosslessDecode, q58jExtended12Decode, q58kProgArithJpegDecode,
     q58lArithRstJpegDecode, q58mColor12Decode, q58nProg12ArithDecode,
     q58oSeq12ArithDecode, q58pProg12HuffDecode, q58qHierArithDecode,
+    q58rHierProgArithDecode, q58sHierProgHuffDecode,
     q75ImageNearDup, q89ImageResize,
     q79AudioNearDup, q82VideoNearDup, q102AudioResample)
 }

@@ -76,6 +76,53 @@ class HierJpegSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive-arithmetic pyramids (SOF10/SOF14) decode pixel-exactly") {
+    (0L until 30L).foreach { id =>
+      val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.hierProgArithJpeg(id))
+        .getOrElse(fail(s"prog-hier decode failed for id=$id"))
+      assert((px.width, px.height) == (w, h), s"dims for id=$id")
+      val up =
+        if (id % 3 == 2) expand(Array.tabulate(h / 2, w / 2)((v, u) =>
+          MediaSynth.hierBase(id, u / 8, v / 8)))
+        else null
+      for (y <- 0 until h; x <- 0 until w) {
+        val e =
+          if (id % 3 == 2) up(y)(x) + MediaSynth.hierDelta(id, x / 8, y / 8)
+          else math.max(0, math.min(255,
+            MediaSynth.jpegBlockGray(id, x / 8, y / 8) +
+              MediaSynth.hierDelta(id, x / 8, y / 8)))
+        assert(px.r(x, y) == e && px.g(x, y) == e && px.b(x, y) == e,
+          s"pixel ($x,$y) id=$id: got (${px.r(x, y)},${px.g(x, y)},${px.b(x, y)}), want $e")
+      }
+    }
+    // the multi-scan frame must NOT reconstruct early: truncating after
+    // the first frame's DC scan (an incomplete frame at EOI position)
+    // fails closed, and arbitrary truncation never throws
+    val full = MediaSynth.hierProgArithJpeg(2L)
+    (1 until full.length by 7).foreach { n =>
+      JpegCodec.decodeJpegPixels(full.take(n)) // must not throw
+    }
+  }
+
+  test("progressive-Huffman pyramids (SOF2/SOF6) decode pixel-exactly") {
+    (0L until 30L).foreach { id =>
+      val w = MediaSynth.jpegWidth(id); val h = MediaSynth.jpegHeight(id)
+      val px = JpegCodec.decodeJpegPixels(MediaSynth.hierProgJpeg(id))
+        .getOrElse(fail(s"prog-huff-hier decode failed for id=$id"))
+      assert((px.width, px.height) == (w, h), s"dims for id=$id")
+      // SOF2/SOF6 carries the same values as the SOF10/SOF14 twin —
+      // pixel-identical rasters through a different entropy layer
+      val arith = JpegCodec.decodeJpegPixels(MediaSynth.hierProgArithJpeg(id)).get
+      assert(java.util.Arrays.equals(px.rgb, arith.rgb),
+        s"id=$id: Huffman-progressive raster differs from the arithmetic twin")
+    }
+    val full = MediaSynth.hierProgJpeg(5L)
+    (1 until full.length by 7).foreach { n =>
+      JpegCodec.decodeJpegPixels(full.take(n)) // must not throw
+    }
+  }
+
   test("variant 1 actually exercises the [0,255] clamp") {
     val clamped = (0L until 60L).exists { id =>
       id % 3 == 1 && {
