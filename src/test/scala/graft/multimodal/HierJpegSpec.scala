@@ -123,6 +123,22 @@ class HierJpegSpec extends AnyFunSuite {
     }
   }
 
+  test("bit-flip fuzz over the arithmetic/progressive pyramids never throws") {
+    val rnd = new scala.util.Random(97)
+    Seq(MediaSynth.hierArithJpeg(4L), MediaSynth.hierProgArithJpeg(4L),
+        MediaSynth.hierProgJpeg(4L), MediaSynth.hierProgArithJpeg(2L)).foreach { base =>
+      (0 until 250).foreach { _ =>
+        val mutated = base.clone()
+        val flips = 1 + rnd.nextInt(4)
+        (0 until flips).foreach { _ =>
+          val p = rnd.nextInt(mutated.length)
+          mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        JpegCodec.decodeJpegPixels(mutated) // Some or None, must not throw
+      }
+    }
+  }
+
   test("variant 1 actually exercises the [0,255] clamp") {
     val clamped = (0L until 60L).exists { id =>
       id % 3 == 1 && {
