@@ -133,6 +133,34 @@ object Sketches {
     grouped.select(col(groupCol) +: col("n_kept") +: qCols: _*)
   }
 
+  /** WHOLE-TABLE [[quantileSketch]] (one logical group). The groups
+    * form with a CONSTANT group column is a scale trap: the optimizer
+    * folds the literal out of the window partition spec AND then skips
+    * the WindowGroupLimit insertion, so every row funnels through ONE
+    * window task (WindowGuardSpec pins the hazard). The global form
+    * plans as `orderBy(h, v).limit(k)` → TakeOrderedAndProject:
+    * per-partition top-k map-side, O(partitions·k) over the exchange —
+    * the bounded shape at any table size. Sample, estimates, and the
+    * oracle replay are IDENTICAL to the groups form restricted to one
+    * group (same k-smallest-by-(hash, value) multiset). Returns one row
+    * (n_kept, q<pct>…). */
+  def quantileSketchAll(df: DataFrame, key: Column, value: Column, k: Int,
+                        seed: String, quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1))
+    val hashed = df.select(kmvHash(key, seed).as("h"),
+      value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val kept = hashed.orderBy(col("h").asc, col("v").asc).limit(k)
+    val grouped = kept.agg(sort_array(collect_list(col("v"))).as("vs"),
+      count(lit(1)).as("n_kept"))
+    val qCols = quantiles.map { q =>
+      element_at(col("vs"),
+        greatest(lit(1), ceil(lit(q) * col("n_kept")).cast("int")))
+        .as(s"q${math.round(q * 100)}")
+    }
+    grouped.select(col("n_kept") +: qCols: _*)
+  }
+
   /** Merge two quantile-sketch samples ((hash, value) pairs) — k
     * smallest of the union MULTISET, the driver-side mergeability
     * primitive. Associative and commutative over sketches of DISJOINT

@@ -555,11 +555,13 @@ object WebIngest {
           .select((col("doc_id") + 900000).as("doc_id"),
             length(col("text")).cast("double").as("x")))
       val qs = (1 to 9).map(_ / 10.0)
-      val bounds = graft.operators.Sketches.quantileSketch(
-        ref.withColumn("g", lit(1)), "g", col("doc_id"), col("x"),
-        200, "psi", qs)
+      // whole-table sketch: the GLOBAL form (TakeOrdered top-k, bounded
+      // at any scale — a constant-group quantileSketch would funnel the
+      // table through one window task, see Sketches.quantileSketchAll)
+      val bounds = graft.operators.Sketches.quantileSketchAll(
+        ref, col("doc_id"), col("x"), 200, "psi", qs)
         .head() // one row by construction
-      val bs = (1 to 9).map(i => bounds.getDouble(1 + i)) // after g, n_kept
+      val bs = (1 to 9).map(i => bounds.getDouble(i)) // after n_kept
       def bucket(x: org.apache.spark.sql.Column) =
         bs.map(b => when(x >= lit(b), 1).otherwise(0)).reduce(_ + _)
       def dist(df: org.apache.spark.sql.DataFrame, n: String) =
@@ -569,13 +571,20 @@ object WebIngest {
         .select(col("bucket"),
           coalesce(col("n_ref"), lit(0L)).as("n_ref"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      val w = org.apache.spark.sql.expressions.Window
-        .rowsBetween(Long.MinValue, Long.MaxValue)
-      val pRef = (col("n_ref") + 0.5) / (sum("n_ref").over(w) + 5.0)
-      val pCur = (col("n_cur") + 0.5) / (sum("n_cur").over(w) + 5.0)
-      joined
-        .withColumn("psi_total",
-          round(sum((pCur - pRef) * log(pCur / pRef)).over(w), 4))
+      // whole-frame totals and the PSI sum attach via broadcast 1-row
+      // aggregates, not unpartitioned windows: same values, but no
+      // single-partition window sort anywhere in the plan (the frame is
+      // ≤ 10 rows here, yet the window shape would be the wrong habit
+      // to model — and WindowExec warned on every verify run)
+      val totals = broadcast(joined.agg(
+        sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur")))
+      val withP = joined.crossJoin(totals)
+        .withColumn("pr", (col("n_ref") + 0.5) / (col("t_ref") + 5.0))
+        .withColumn("pc", (col("n_cur") + 0.5) / (col("t_cur") + 5.0))
+        .withColumn("term", (col("pc") - col("pr")) * log(col("pc") / col("pr")))
+      val psi = broadcast(withP.agg(round(sum(col("term")), 4).as("psi_total")))
+      withP.crossJoin(psi)
+        .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_total"))
         .orderBy("bucket")
     },
     Some("""

@@ -31,11 +31,12 @@ class DriftStreamsSpec extends SparkSpec {
   test("stream-derived PSI == the batch q126 psi_total") {
     val (ref, cur) = inputs()
     // the frozen reference profile: sketch deciles + reference counts
+    // (the GLOBAL sketch form, as q126 uses)
     val qs = (1 to 9).map(_ / 10.0)
-    val boundsRow = Sketches.quantileSketch(
-      ref.withColumn("g", lit(1)), "g", col("doc_id"), col("x"), 200, "psi", qs)
+    val boundsRow = Sketches.quantileSketchAll(
+      ref, col("doc_id"), col("x"), 200, "psi", qs)
       .head()
-    val bounds = (1 to 9).map(i => boundsRow.getDouble(1 + i))
+    val bounds = (1 to 9).map(i => boundsRow.getDouble(i))
     val refCounts = DriftStreams.psiDriftStream(ref, col("x"), bounds)
       .as[(Int, Long)].collect().toMap
 
