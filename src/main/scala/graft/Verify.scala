@@ -16,6 +16,9 @@ object Verify {
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
     queries.flatMap { case (name, fn) =>
+      // stderr progress marker: lets log warnings (e.g. WindowExec) be
+      // attributed to the query that emitted them
+      System.err.println(s"[verify] dumping $name")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
