@@ -32,6 +32,20 @@ object Sketches {
       .groupBy(col("hb.h").as("h"), col("hb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Merge two count-min sketches by CELL-WISE ADDITION — the mergeable
+    * contract the scaladoc above promises, as a plan (full-outer on the
+    * ≤ d·w cells, absent cells count 0). merge(build(A), build(B)) ≡
+    * build(A ⧺ B) exactly (addition is associative per cell;
+    * SketchesSpec pins it), so per-partition/per-day sketches roll up
+    * without touching the raw items. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.withColumnRenamed("cnt", "cnt_b")
+    a.join(bb, Seq("h", "bucket"), "full_outer")
+      .select(col("h"), col("bucket"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_b"), lit(0L)))
+          .as("cnt"))
+  }
+
   /** Estimate each candidate's frequency from a built sketch: adds `est`
     * (min over the depth rows). One exploded probe row per (candidate,
     * hash row) against ONE broadcast of the sketch — a per-row filtered
@@ -131,6 +145,27 @@ object Sketches {
         .as(s"q${math.round(q * 100)}")
     }
     grouped.select(col(groupCol) +: col("n_kept") +: qCols: _*)
+  }
+
+  /** KMV set-INTERSECTION estimate from two k-sets — the capability KMV
+    * has and HLL doesn't ([[kmvSketch]]'s scaladoc): over the union's
+    * k-sketch (the k smallest of a ∪ b), the fraction ρ of elements
+    * present in BOTH input sketches is an unbiased estimate of the
+    * Jaccard similarity, and |A∩B| ≈ ρ · |A∪B|̂ with the union estimate
+    * from [[kmvMergeEstimate]]. Below capacity the union sketch holds
+    * every distinct hash, so ρ and the intersection are EXACT. The
+    * intersection estimate uses INTEGER floor division
+    * (inBoth·unionEst / |union|) so an oracle replays it bit-exactly —
+    * a float product would land on .5 rounding boundaries whenever the
+    * sketch size divides the product. Returns (jaccard,
+    * est_intersection). */
+  def kmvIntersectEstimate(a: Seq[Long], b: Seq[Long],
+                           k: Int): (Double, Long) = {
+    val (union, unionEst) = kmvMergeEstimate(a, b, k)
+    if (union.isEmpty) return (0.0, 0L)
+    val as = a.toSet; val bs = b.toSet
+    val inBoth = union.count(h => as.contains(h) && bs.contains(h))
+    (inBoth.toDouble / union.size, inBoth.toLong * unionEst / union.size)
   }
 
   /** WHOLE-TABLE [[quantileSketch]] (one logical group). The groups

@@ -598,6 +598,80 @@ object Relational {
       ORDER BY l_returnflag
     """))
 
+  /** KMV set-INTERSECTION estimate
+    * ([[graft.operators.Sketches.kmvIntersectEstimate]]) — the set
+    * algebra HLL cannot do, applied to the customer sets of two order
+    * classes: each side's k=128 smallest customer hashes (the q56c
+    * convention), jaccard = the share of the UNION k-sketch present in
+    * both, intersection ≈ jaccard · union-estimate with INTEGER floor
+    * arithmetic so the oracle replays every value bit-exactly (a float
+    * product lands on .5 boundaries whenever the sketch size divides
+    * it). Driver-side folds touch ≤ 2k hashes — bounded metadata; the
+    * k-sets themselves come from orderBy(h).limit(k) =
+    * TakeOrderedAndProject (the quantileSketchAll discipline). The
+    * exact intersection rides along as the accuracy anchor (boolean
+    * bound — exact compare). */
+  val q56dKmvIntersect = QueryDef(
+    "q56d_kmv_intersect",
+    (s, d) => {
+      import s.implicits._
+      val k = 128
+      val orders = Tables.orders(s, d)
+      def kset(p: String): Seq[Long] =
+        orders.filter(col("o_orderpriority") === p)
+          .select(graft.operators.Sketches.kmvHash(col("o_custkey"), "kx").as("h"))
+          .distinct().orderBy(col("h").asc).limit(k)
+          .as[Long].collect().toSeq
+      val a = kset("1-URGENT"); val b = kset("2-HIGH")
+      val (union, unionEst) =
+        graft.operators.Sketches.kmvMergeEstimate(a, b, k)
+      val (_, estInter) =
+        graft.operators.Sketches.kmvIntersectEstimate(a, b, k)
+      val nBoth = union.count(h => a.contains(h) && b.contains(h))
+      val exact = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+        .intersect(orders.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey")).distinct())
+        .count()
+      Seq((nBoth.toLong, union.size.toLong, unionEst, estInter, exact,
+        math.abs(estInter.toDouble / exact - 1.0) <= 0.5))
+        .toDF("n_both", "n_union", "union_est", "est_inter", "exact_inter",
+          "in_bound")
+    },
+    Some("""
+      WITH ha AS (
+        SELECT DISTINCT ('0x' || substr(md5('kx' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+      hb AS (
+        SELECT DISTINCT ('0x' || substr(md5('kx' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+        FROM orders WHERE o_orderpriority = '2-HIGH'),
+      kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+      un AS (
+        SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        ORDER BY h LIMIT 128),
+      stats AS (
+        SELECT count(*)::BIGINT AS m, max(h) AS kth,
+               sum(CASE WHEN h IN (SELECT h FROM ka)
+                         AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM un),
+      est AS (
+        SELECT c AS n_both, m AS n_union,
+               CASE WHEN m < 128 THEN m
+                    ELSE round(127.0 * 1152921504606846976.0 / kth::DOUBLE)::BIGINT
+               END AS union_est
+        FROM stats),
+      exact AS (
+        SELECT count(*)::BIGINT AS exact_inter FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
+      SELECT n_both, n_union, union_est,
+             (n_both * union_est) // n_union AS est_inter, exact_inter,
+             abs(((n_both * union_est) // n_union)::DOUBLE / exact_inter - 1.0) <= 0.5 AS in_bound
+      FROM est, exact
+    """))
+
   /** Mergeable quantile sketch ([[graft.operators.Sketches.quantileSketch]])
     * per l_returnflag over l_extendedprice — the scale path for q121's
     * exact percentiles: a deterministic hash-uniform k-row sample (KMV
@@ -991,7 +1065,7 @@ object Relational {
     q09CaseRouting, q10RegexExtract, q11Md5Id, q12ExplodeTokens,
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
-    q56bApproxDistinctSketch, q56cKmvDistinct, q121bQuantileSketch,
+    q56bApproxDistinctSketch, q56cKmvDistinct, q56dKmvIntersect, q121bQuantileSketch,
     q103TableProfile,
     q106GroupRegression, q109ZorderLayout, q109bZorderN, q114Cube, q115Pivot,
     q119RankFamily, q120TableChecksum)

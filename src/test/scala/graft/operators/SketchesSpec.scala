@@ -150,6 +150,53 @@ class SketchesSpec extends SparkSpec {
       }
   }
 
+  test("cmMerge: merged sketches ≡ the sketch of the concatenated input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = (1L to 800L).map(i => s"t${i % 37}").toDF("tok")
+    val b = (1L to 600L).map(i => s"t${i % 53}").toDF("tok")
+    val skA = Sketches.countMin(a, col("tok"), depth = 3, width = 256, "cm")
+    val skB = Sketches.countMin(b, col("tok"), depth = 3, width = 256, "cm")
+    val merged = Sketches.cmMerge(skA, skB)
+    val mergedSet = merged.as[(Int, Long, Long)].collect().toSet
+    val direct = Sketches.countMin(a.unionByName(b), col("tok"), 3, 256, "cm")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(mergedSet == direct, "cell-wise merge must equal the direct build")
+    // and estimates from the merged sketch never underestimate the truth
+    val cands = (0 until 53).map(i => s"t$i").toDF("tok")
+    val est = Sketches.cmEstimate(cands, col("tok"), merged, 3, 256, "cm")
+      .as[(String, Long)].collect().toMap
+    val truth = a.unionByName(b).groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"merged sketch underestimated '$t'")
+    }
+  }
+
+  test("kmvIntersectEstimate: exact below capacity, near-truth above") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def hashes(keys: Seq[Long], seed: String): Seq[Long] =
+      keys.map(i => (i, 0)).toDF("k", "z")
+        .select(Sketches.kmvHash(col("k"), seed).as("h")).as[Long].collect().toSeq
+    // below capacity: sketches hold every hash → exact jaccard and count
+    val aSmall = hashes(1L to 30L, "ix").sorted
+    val bSmall = hashes(16L to 45L, "ix").sorted // overlap 16..30 = 15
+    val (jS, nS) = Sketches.kmvIntersectEstimate(aSmall, bSmall, 64)
+    assert(nS == 15L, s"exact intersection expected, got $nS")
+    assert(math.abs(jS - 15.0 / 45.0) < 1e-12)
+    // disjoint sets → 0
+    assert(Sketches.kmvIntersectEstimate(
+      hashes(1L to 20L, "ix"), hashes(100L to 120L, "ix"), 64) == (0.0, 0L))
+    // above capacity: |A|=3000, |B|=3000, overlap 1500 (true J = 1/3,
+    // union 4500); a k=256 sketch lands within 35% relative error
+    val aBig = hashes(1L to 3000L, "ix").sorted.take(256)
+    val bBig = hashes(1501L to 4500L, "ix").sorted.take(256)
+    val (jB, nB) = Sketches.kmvIntersectEstimate(aBig, bBig, 256)
+    assert(math.abs(jB - 1.0 / 3.0) / (1.0 / 3.0) < 0.35, s"jaccard $jB")
+    assert(math.abs(nB - 1500.0) / 1500.0 < 0.35, s"intersection $nB")
+  }
+
   test("quantileSketch merge: k smallest of union ≡ sketch of concatenation") {
     import spark.implicits._
     // derive hashes once via the engine, then merge driver-side
