@@ -292,6 +292,40 @@ object Similarity {
       .select(col("probe_id"), col("id"), col("cos"))
   }
 
+  /** [[ivfRangeSearch]] against a MATERIALIZED [[writeIvfIndex]] table —
+    * the at-rest form the range-search scaladoc names: probes assign to
+    * their nprobe clusters (broadcast centroids), the index scan prunes
+    * to those buckets (IN-literal → SelectedBucketsCount), and the
+    * range filter runs over the bucket-pruned candidates with no
+    * index-side Exchange. Result-identical to [[ivfRangeSearch]] on the
+    * same corpus/centroids/probes (IvfIndexSpec pins it).
+    *
+    * The closing per-(probe_id, id) aggregate is a semantic no-op (a
+    * corpus vector lives in exactly one bucket, so no pair repeats) but
+    * load-bearing for the PLAN: Spark's DisableUnnecessaryBucketedScan
+    * turns OFF bucketed reading — and with it bucket pruning — for
+    * plans with no downstream distribution requirement, which is
+    * exactly the shape of a scan→broadcast-join→project range query.
+    * The aggregate's ClusteredDistribution keeps the bucketed scan (and
+    * SelectedBucketsCount) alive; it shuffles only the EMITTED pairs,
+    * which is noise next to scanning (B−nprobe)/B more buckets. */
+  def ivfRangeSearchIndexed(table: String, centroids: DataFrame,
+                            probes: DataFrame, minCos: Double,
+                            nprobe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val ucent = unitized(centroids, "c", "uc")
+    val probeClusters =
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
+    val clusterIds = probeClusters.select("c_id").distinct()
+      .collect().map(_.get(0))
+    val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
+    broadcast(probeClusters).join(index, "c_id")
+      .withColumn("cos", dot(col("up"), col("ue")))
+      .filter(col("cos") >= minCos)
+      .groupBy("probe_id", "id")
+      .agg(first(col("cos")).as("cos"))
+  }
+
   /** Deterministic ±1 sign row `k` of the Johnson–Lindenstrauss
     * projection matrix: sign(i) = +1 iff the first md5 byte of
     * "<seed>|k|i" is odd. A public, engine-independent derivation — the

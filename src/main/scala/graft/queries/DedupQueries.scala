@@ -256,20 +256,26 @@ object DedupQueries {
     * keeps it flat as the corpus grows. Approximate by design (IVF
     * recall trade); DedupSpec pins recall vs the exact q26 anchor, and
     * the oracle recomputes the identical bucketed semantics. */
+  private def ivfRangeInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    // 40 deterministic seed centroids: min vec_id per (label, vec_id%4)
+    val seedIds = emb.groupBy(col("label"), pmod(col("vec_id"), lit(4)))
+      .agg(min("vec_id").as("c_id"))
+    val cent = seedIds.join(emb, col("c_id") === col("vec_id"))
+      .select(col("c_id"), col("e").as("c"))
+    val corpus = emb.select(col("vec_id").as("id"), col("e"))
+    val probes = emb
+      .select((col("vec_id") + 100000).as("probe_id"),
+        concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
+    (corpus, cent, probes)
+  }
+
   val q26bEmbedNearDupIvf = QueryDef(
     "q26b_embed_neardup_ivf",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      // 40 deterministic seed centroids: min vec_id per (label, vec_id%4)
-      val seedIds = emb.groupBy(col("label"), pmod(col("vec_id"), lit(4)))
-        .agg(min("vec_id").as("c_id"))
-      val cent = seedIds.join(emb, col("c_id") === col("vec_id"))
-        .select(col("c_id"), col("e").as("c"))
-      val corpus = emb.select(col("vec_id").as("id"), col("e"))
-      val probes = emb
-        .select((col("vec_id") + 100000).as("probe_id"),
-          concat(array(element_at(col("e"), 1) * 2.0), slice(col("e"), 2, 63)).as("p"))
+      val (corpus, cent, probes) = ivfRangeInputs(s, d)
       graft.operators.Similarity.ivfRangeSearch(corpus, cent, probes, minCos = 0.8, nprobe = 2)
         .select(col("probe_id"), col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "vec_id")
@@ -306,6 +312,28 @@ object DedupQueries {
       ORDER BY probe_id, vec_id
     """),
     bench = true)
+
+  /** q26b against the MATERIALIZED index
+    * ([[graft.operators.Similarity.ivfRangeSearchIndexed]]) — the
+    * at-rest form the range-search scaladoc names: the corpus is the
+    * c_id-bucketed [[graft.operators.Similarity.writeIvfIndex]] table,
+    * the probe scan prunes to the probed buckets, and the range filter
+    * runs bucket-local with no index-side Exchange. Result-identical to
+    * q26b (same oracle); IvfIndexSpec pins parity + pruning. benchSkip:
+    * the timed body would be the index WRITE (q28b convention). */
+  val q26cEmbedNearDupIvfIndexed = QueryDef(
+    "q26c_embed_neardup_ivf_indexed",
+    (s, d) => {
+      val (corpus, cent, probes) = ivfRangeInputs(s, d)
+      graft.operators.Similarity.writeIvfIndex(corpus, cent,
+        "graft_ivf_range_index", numBuckets = 8)
+      graft.operators.Similarity.ivfRangeSearchIndexed(
+          "graft_ivf_range_index", cent, probes, minCos = 0.8, nprobe = 2)
+        .select(col("probe_id"), col("id").as("vec_id"), round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "vec_id")
+    },
+    q26bEmbedNearDupIvf.oracle,
+    benchSkip = true)
 
   /** SimHash banded near-dup join: 128-bit portable fingerprints in 4
     * 32-bit bands; a pair is a candidate iff a band matches exactly
@@ -852,7 +880,7 @@ object DedupQueries {
   val all: Seq[QueryDef] = Seq(
     q100IncrementalDedup, q117FuzzyVerify,
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
-    q26EmbedNearDup, q26bEmbedNearDupIvf, q64SimhashNearDup,
+    q26EmbedNearDup, q26bEmbedNearDupIvf, q26cEmbedNearDupIvfIndexed, q64SimhashNearDup,
     q88NearDupClusters, q66Decontaminate,
     q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }

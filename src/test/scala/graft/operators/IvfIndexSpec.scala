@@ -96,6 +96,29 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("indexed range search: identical to in-plan range search, pruned buckets") {
+    val (corpus, centroids, probes) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_range_index", numBuckets = 8)
+      val direct = Similarity.ivfRangeSearch(corpus, centroids, probes,
+        minCos = 0.5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val indexed = Similarity.ivfRangeSearchIndexed("ivf_range_index",
+        centroids, probes, minCos = 0.5, nprobe = 2)
+      val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == direct, "indexed range search must reproduce the in-plan results")
+      assert(got.nonEmpty, "fixture produced no in-range pairs — weaken nothing silently")
+      val plan = indexed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"range probe reads every bucket:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(c_id"),
+        s"index side re-shuffled on c_id:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_range_index")
+    }
+  }
+
   test("incremental append: build-half + append-half ≡ build-whole") {
     val (corpus, centroids, probes) = inputs()
     try {
