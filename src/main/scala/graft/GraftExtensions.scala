@@ -122,9 +122,11 @@ object GraftExtensions {
         s"$name expects a literal array<string> argument, got $e")
     e.eval() match {
       case a: ArrayData =>
-        a.toObjectArray(SqlString)
-          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-          .toSeq
+        a.toObjectArray(SqlString).toSeq.map {
+          case null => throw new IllegalArgumentException(
+            s"$name expects a literal array<string> with no null elements")
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        }
       case other => throw new IllegalArgumentException(
         s"$name expects a literal array<string>, evaluated to $other")
     }

@@ -121,10 +121,12 @@ object Similarity {
                      k: Int, nprobe: Int): DataFrame = {
     val spark = probes.sparkSession
     val ucent = unitized(centroids, "c", "uc")
-    val probeClusters =
-      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
-    val clusterIds = probeClusters.select("c_id").distinct()
-      .collect().map(_.get(0))
+    // ONE execution of the probe-assignment subplan: the collected rows
+    // feed both the bucket-pruning IN-literal and (as a local frame) the
+    // scoring join — probeClusters referenced lazily twice would run its
+    // window+assignment job twice (broadcast-sized by convention)
+    val (probeClusters, clusterIds) = materializeProbeSide(
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
     val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     broadcast(probeClusters).join(index, "c_id")
@@ -133,6 +135,20 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Execute a (broadcast-sized by convention) probe-side frame ONCE:
+    * returns it re-wrapped as a local DataFrame plus its distinct
+    * c_id values for bucket pruning. Shared by every indexed probe
+    * path, where the frame is otherwise consumed twice (the pruning
+    * collect and the scoring join). */
+  private def materializeProbeSide(pb: DataFrame): (DataFrame, Array[Any]) = {
+    val rows = pb.collect()
+    val cIdAt = pb.schema.fieldIndex("c_id")
+    val clusterIds = rows.map(_.get(cIdAt)).distinct
+    val local = pb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), pb.schema)
+    (local, clusterIds)
   }
 
   /** IVF ANN: scan only the `nprobe` clusters nearest each probe. Returned
@@ -314,10 +330,8 @@ object Similarity {
                             nprobe: Int): DataFrame = {
     val spark = probes.sparkSession
     val ucent = unitized(centroids, "c", "uc")
-    val probeClusters =
-      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
-    val clusterIds = probeClusters.select("c_id").distinct()
-      .collect().map(_.get(0))
+    val (probeClusters, clusterIds) = materializeProbeSide(
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
     val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     broadcast(probeClusters).join(index, "c_id")
       .withColumn("cos", dot(col("up"), col("ue")))
@@ -635,15 +649,35 @@ object Similarity {
     bk
   }
 
-  /** Load the persisted codebooks of a [[writeIvfPqIndex]] index. */
+  /** Load the persisted codebooks of a [[writeIvfPqIndex]] index. This
+    * is the "later session, self-contained index" entry point — exactly
+    * the path that meets corrupt or partially-written on-disk state, so
+    * it fails LOUDLY on an empty books table, a missing subspace, or a
+    * codeword width that contradicts `dim` (a silent mismatch would
+    * produce garbage ADC tables downstream). */
   def readPqBooks(spark: org.apache.spark.sql.SparkSession, table: String,
                   dim: Int): PqBooks = {
     val rows = spark.table(s"${table}_books").collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("c_id"), r.getSeq[Double](2).toSeq))
       .groupBy(_._1)
+    require(rows.nonEmpty, s"${table}_books is empty — index not built or " +
+      "partially written; rebuild with writeIvfPqIndex")
     val m = rows.keys.max + 1
+    require(dim % m == 0,
+      s"dim=$dim not divisible by the stored subspace count m=$m")
+    val w = dim / m
     PqBooks(m, dim,
-      (0 until m).map(s => rows(s).sortBy(_._2).map(_._3).toSeq))
+      (0 until m).map { s =>
+        val book = rows.getOrElse(s, throw new IllegalArgumentException(
+          s"${table}_books is missing subspace $s of $m — partial write; " +
+            "rebuild with writeIvfPqIndex"))
+        book.foreach { case (_, cid, c) =>
+          require(c.length == w,
+            s"${table}_books sub=$s c_id=$cid has ${c.length}-wide codeword, " +
+              s"expected $w (dim=$dim / m=$m) — wrong dim or corrupt table")
+        }
+        book.sortBy(_._2).map(_._3).toSeq
+      })
   }
 
   /** Probe a materialized IVF-PQ index — result-identical to
@@ -656,9 +690,9 @@ object Similarity {
   def ivfPqTopKIndexed(table: String, coarse: DataFrame, probes: DataFrame,
                        bk: PqBooks, k: Int, nprobe: Int): DataFrame = {
     val spark = probes.sparkSession
-    val pb = pqProbeSide(probes, coarse, bk, nprobe)
-    // bounded driver metadata: at most |coarse| ids
-    val clusterIds = pb.select("c_id").distinct().collect().map(_.get(0))
+    // one execution of the probe side (assignment window + m ADC tables)
+    val (pb, clusterIds) =
+      materializeProbeSide(pqProbeSide(probes, coarse, bk, nprobe))
     val enc = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     adcRank(enc, pb, bk, k)
   }

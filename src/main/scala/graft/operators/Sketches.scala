@@ -114,9 +114,14 @@ object Sketches {
     * hash-uniform row sample: the k rows with the smallest 60-bit md5
     * hashes of a caller-supplied STABLE row key (the KMV convention of
     * [[kmvSketch]]/q56c), so it is deterministic, exactly replayable by
-    * a DuckDB oracle, and mergeable — "k smallest of the union" is
-    * associative and order-independent ([[quantileMerge]];
-    * SketchesSpec pins merge ≡ sketch-of-concatenation). Estimates are
+    * a DuckDB oracle, and mergeable over DISJOINT row shards — "k
+    * smallest of the union multiset" is associative and
+    * order-independent for a partition of the data, which is the only
+    * shape partial aggregation and micro-batch state merging produce
+    * ([[quantileMerge]]; SketchesSpec pins merge ≡
+    * sketch-of-concatenation). Merging OVERLAPPING sketches
+    * double-counts the shared rows — re-sketch, don't re-merge, after
+    * a re-ingest. Estimates are
     * nearest-rank (the sample value at 1-based index ceil(q·n)): actual
     * data values, no interpolation arithmetic to drift cross-engine.
     * Rank error of a k-uniform sample is O(1/√k) (pinned in spec).

@@ -870,7 +870,7 @@ object Relational {
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           (col("o_custkey") % (1L << 21)).as("zx"),
-          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("zy"))
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("zy"))
         .select(col("o_orderkey"),
           graft.operators.Bucketing.zOrderKey(col("zx"), col("zy"), 21).as("zkey"))
         .orderBy("zkey", "o_orderkey"),
@@ -878,7 +878,7 @@ object Relational {
       WITH dims AS (
         SELECT o_orderkey,
                o_custkey % ${1L << 21} AS zx,
-               date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS zy
+               date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS zy
         FROM orders)
       SELECT o_orderkey,
              (${graft.operators.Bucketing.zOrderKeySql("zx", "zy", 21)}) AS zkey
@@ -899,7 +899,7 @@ object Relational {
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           (col("o_custkey") % (1L << 20)).as("zx"),
-          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("zy"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("zy"),
           pmod(col("o_orderkey") * 31, lit(1L << 20)).as("zz"))
         .select(col("o_orderkey"),
           graft.operators.Bucketing.zOrderKeyN(
@@ -909,7 +909,7 @@ object Relational {
       WITH dims AS (
         SELECT o_orderkey,
                o_custkey % ${1L << 20} AS zx,
-               date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS zy,
+               date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS zy,
                (o_orderkey * 31) % ${1L << 20} AS zz
         FROM orders)
       SELECT o_orderkey,

@@ -42,10 +42,17 @@ object DriftStreams {
   def psiFromCounts(cur: Map[Int, Long], ref: Map[Int, Long]): Double = {
     val nCur = cur.values.sum.toDouble
     val nRef = ref.values.sum.toDouble
-    (cur.keySet ++ ref.keySet).toSeq.map { b =>
-      val pc = (cur.getOrElse(b, 0L) + 0.5) / (nCur + 5.0)
-      val pr = (ref.getOrElse(b, 0L) + 0.5) / (nRef + 5.0)
-      (pc - pr) * math.log(pc / pr)
-    }.sum
+    // q126's full-outer join never materializes a bucket with zero rows
+    // on BOTH sides, so an explicitly-present zero-zero key must not
+    // contribute a term either (its Laplace-floor term is nonzero
+    // whenever the two totals differ — including it would diverge from
+    // the batch gate)
+    (cur.keySet ++ ref.keySet).toSeq
+      .filter(b => cur.getOrElse(b, 0L) > 0 || ref.getOrElse(b, 0L) > 0)
+      .map { b =>
+        val pc = (cur.getOrElse(b, 0L) + 0.5) / (nCur + 5.0)
+        val pr = (ref.getOrElse(b, 0L) + 0.5) / (nRef + 5.0)
+        (pc - pr) * math.log(pc / pr)
+      }.sum
   }
 }

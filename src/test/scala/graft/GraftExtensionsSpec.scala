@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends SparkSpec {
       if (t == null) Nil else t +: walk(t.getCause)
     assert(walk(e).exists(t =>
       Option(t.getMessage).exists(_.contains("literal array<string>"))))
+    // ... and so is a null ELEMENT (would NPE mid-extraction otherwise)
+    val en = intercept[Exception] {
+      spark.sql("SELECT bpe_segment('x', array('{l}{o}', cast(NULL as string)))")
+        .collect()
+    }
+    assert(walk(en).exists(t =>
+      Option(t.getMessage).exists(_.contains("no null elements"))))
   }
 
   test("hash_bucket SQL function matches the Sampling column form") {

@@ -74,11 +74,14 @@ class DriftStreamsSpec extends SparkSpec {
     assert(DriftStreams.psiFromCounts(same, same) == 0.0)
     // buckets missing on one side still contribute (Laplace floor), but
     // both-empty buckets are OMITTED (q126's full-outer-join semantics):
-    // adding an untouched bucket id changes nothing
+    // adding an explicit zero-count key changes nothing — crucially the
+    // fixture totals DIFFER (150 vs 180), so a zero-zero key's Laplace
+    // term would be nonzero if it were wrongly included
     val a = Map(0 -> 100L, 1 -> 50L)
-    val b = Map(0 -> 50L, 2 -> 100L)
+    val b = Map(0 -> 50L, 2 -> 130L)
     val psi = DriftStreams.psiFromCounts(a, b)
     assert(psi > 0.0)
     assert(DriftStreams.psiFromCounts(a + (9 -> 0L), b) == psi)
+    assert(DriftStreams.psiFromCounts(a, b + (8 -> 0L)) == psi)
   }
 }

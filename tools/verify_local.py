@@ -34,29 +34,55 @@ def norm(v):
     return v
 
 
-def run_with_watchdog(con, sql, hard_timeout):
-    """fetchall() with a watchdog that interrupts DuckDB past hard_timeout."""
+class OracleTimeout(Exception):
+    pass
+
+
+def run_oracle(sf_dir, tables, sql, hard_timeout):
+    """Run one oracle on a FRESH connection with a hard-timeout watchdog.
+
+    A fresh connection per oracle is deliberate: con.interrupt() from the
+    watchdog can race query completion, and a pending interrupt on a
+    SHARED connection would abort the NEXT query (a spurious red row for
+    an innocent query). Here the interrupted/poisoned connection is
+    simply discarded. A watchdog-interrupted run raises OracleTimeout so
+    it lands in the ORACLE-OVER-BUDGET category, not generic error."""
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     done = threading.Event()
+    fired = threading.Event()
 
     def watchdog():
         if not done.wait(hard_timeout):
+            fired.set()
             con.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
-        return con.sql(sql).fetchall()
+        cols = con.sql(sql).columns
+        rows = con.sql(
+            f"SELECT {', '.join(sorted(cols))} FROM ({sql}) ORDER BY ALL"
+        ).fetchall()
+        return sorted(cols), rows
+    except Exception:
+        if fired.is_set():
+            raise OracleTimeout(f"interrupted by watchdog after {hard_timeout:.0f}s")
+        raise
     finally:
         done.set()
+        con.close()
+
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def main(sf_dir: str, out_dir: str, budget: float = BUDGET_SEC) -> int:
     out = Path(out_dir)
     oracles = json.loads((out / "oracle_sql.json").read_text())
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb.connect()  # got-side reads only; oracles get fresh cons
 
     n_pass = n_fail = 0
     results = {}
@@ -74,12 +100,14 @@ def main(sf_dir: str, out_dir: str, budget: float = BUDGET_SEC) -> int:
             continue
         t0 = time.time()
         try:
-            want = con.sql(oracles[name])
-            want_cols = sorted(want.columns)
-            want_rows = run_with_watchdog(
-                con,
-                f"SELECT {', '.join(want_cols)} FROM ({oracles[name]}) ORDER BY ALL",
-                hard_timeout=2 * budget)
+            want_cols, want_rows = run_oracle(
+                sf_dir, TABLES, oracles[name], hard_timeout=2 * budget)
+        except OracleTimeout as e:
+            results[name] = f"ORACLE-OVER-BUDGET {e}"
+            n_fail += 1
+            print(f"  ✗ {name}: {e} — fix the oracle SQL "
+                  f"(MATERIALIZE reused CTEs?)")
+            continue
         except Exception as e:
             elapsed = time.time() - t0
             results[name] = f"ORACLE-ERROR {e}"
