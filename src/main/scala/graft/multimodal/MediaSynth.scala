@@ -1101,8 +1101,31 @@ object MediaSynth {
 
     val bw = w / 8; val bh = h / 8
     // quantized DC of block (bx, by): 8·(sample − 2048) / q(0)
-    def dcOf(bx: Int, by: Int): Int = 8 * (jpeg12Block(id, bx, by) - 2048) / q0
+    emitHuffProgScans(out, nc, bw, bh,
+      (bx, by) => 8 * (jpeg12Block(id, bx, by) - 2048) / q0, dri)
 
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- shared 1x1 scan-script emitters: the progressive scan script
+  // (DC first at Al=1 on point-transformed values → band-split all-zero
+  // AC first scans → raw-bit DC refinement carrying bit 0 → AC
+  // refinement) and the sequential-arithmetic full-band scan appear in
+  // multiple generators (12-bit single-frame, hierarchical frames in
+  // both entropy flavors); one emitter per entropy backend keeps the
+  // script change-once. Component 1 carries dcOf; components 2..nc are
+  // constant-zero (neutral chroma / zero delta). Callers write
+  // SOI/DQT/tables/SOF(+DRI/DAC); emitters write the SOS headers and
+  // entropy segments.
+
+  /** HUFFMAN progressive scan script (canonical 4-bit DC category codes
+    * + EOBn AC codes — the tables prog12Jpeg/hierProgJpeg declare).
+    * `dri` > 0 splits every scan into restart intervals (RSTn from RST0
+    * per scan per T.81 E.1.2; predictors and EOB-runs reset). */
+  private def emitHuffProgScans(out: ByteArrayOutputStream, nc: Int,
+      bw: Int, bh: Int, dcOf: (Int, Int) => Int, dri: Int): Unit = {
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     var rst = 0
     def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): JpegBits = {
       rst = 0 // RSTn numbering restarts at RST0 in every scan (T.81 E.1.2)
@@ -1117,8 +1140,7 @@ object MediaSynth {
       out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
     }
 
-    // scan 1: DC first, Ah=0 Al=1, interleaved; categories reach 14 on
-    // the all-ones-quant variants
+    // scan 1: DC first, Ah=0 Al=1, interleaved
     locally {
       val bits = sos(1 to nc, 0, 0, 0, 1)
       def putDc(diff: Int): Unit = {
@@ -1171,8 +1193,7 @@ object MediaSynth {
     acScan(1, 6, 63, 0, 1)
     if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
 
-    // DC refinement, Ah=1 Al=0: bit 0 of the quantized DC — nonzero on
-    // the q(0)=8 variants for odd samples
+    // DC refinement, Ah=1 Al=0: bit 0 of the two's-complement quantized DC
     locally {
       val bits = sos(1 to nc, 0, 0, 1, 0)
       var mcu = 0
@@ -1191,9 +1212,115 @@ object MediaSynth {
     acScan(1, 1, 5, 1, 0)
     acScan(1, 6, 63, 1, 0)
     if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+  }
 
-    out.write(0xff); out.write(0xd9) // EOI
-    out.toByteArray
+  /** ARITHMETIC (QM, T.81 G.2) progressive scan script — the same scan
+    * sequence as [[emitHuffProgScans]] through the Annex F statistical
+    * models. Statistics and the entropy coder reset per scan (each scan
+    * is its own segment). */
+  private def emitArithProgScans(out: ByteArrayOutputStream, nc: Int,
+      bw: Int, bh: Int, dcOf: (Int, Int) => Int, dcU: Int, acKx: Int): Unit = {
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      out.write(0xff); out.write(0xda)
+      be16w(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { c => out.write(c); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // scan 1: DC first, Ah=0 Al=1, interleaved
+    locally {
+      sos(1 to nc, 0, 0, 0, 1)
+      val enc = new QmCoder.Encoder
+      val dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+      var mcu = 0
+      while (mcu < bw * bh) {
+        val sv = dcOf(mcu % bw, mcu / bw) >> 1 // point transform: arithmetic >> Al
+        QmCoder.encodeDc(enc, dcSt(0), sv - dcSt(0).pred)
+        var ci = 1
+        while (ci < nc) { QmCoder.encodeDc(enc, dcSt(ci), 0 - dcSt(ci).pred); ci += 1 }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+
+    // AC band scans: all-zero bands — one adaptive EOB decision per
+    // block in the first pass; the G.2.3 refinement likewise
+    val zeroBand = new Array[Int](64)
+    def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(Seq(comp), ss, se, ah, al)
+      val enc = new QmCoder.Encoder
+      val st = new QmCoder.AcState(acKx)
+      var blk = 0
+      while (blk < bw * bh) {
+        if (ah == 0) QmCoder.encodeAcBand(enc, st, zeroBand, ss, se, al)
+        else QmCoder.encodeAcRefine(enc, st, zeroBand, ss, se, al)
+        blk += 1
+      }
+      out.write(enc.finish())
+    }
+    acScan(1, 1, 5, 0, 1)
+    acScan(1, 6, 63, 0, 1)
+    if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
+
+    // DC refinement, Ah=1 Al=0: one fixed-state decision per block
+    locally {
+      sos(1 to nc, 0, 0, 1, 0)
+      val enc = new QmCoder.Encoder
+      val fixed = QmCoder.fixedBin()
+      var mcu = 0
+      while (mcu < bw * bh) {
+        enc.encode(fixed, dcOf(mcu % bw, mcu / bw) & 1)
+        var ci = 1
+        while (ci < nc) { enc.encode(fixed, 0); ci += 1 }
+        mcu += 1
+      }
+      out.write(enc.finish())
+    }
+
+    // AC refinement at Al=0 over the same bands
+    acScan(1, 1, 5, 1, 0)
+    acScan(1, 6, 63, 1, 0)
+    if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+  }
+
+  /** SEQUENTIAL arithmetic full-band scan (SOS + F.1.4.4 QM segments):
+    * `dri` > 0 closes the segment every `dri` MCUs, emits RSTn (mod 8)
+    * and resets ALL statistics and predictions (T.81 E.2.4). */
+  private def emitArithSeqScan(out: ByteArrayOutputStream, nc: Int,
+      bw: Int, bh: Int, dcOf: (Int, Int) => Int, dcU: Int, acKx: Int,
+      dri: Int): Unit = {
+    def be16w(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xda) // SOS
+    be16w(6 + 2 * nc); out.write(nc)
+    (1 to nc).foreach { c => out.write(c); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+
+    var enc = new QmCoder.Encoder
+    var dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+    var acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+    val zeroAc = new Array[Int](64)
+    def block(ci: Int, dc: Int): Unit = {
+      QmCoder.encodeDc(enc, dcSt(ci), dc - dcSt(ci).pred)
+      QmCoder.encodeAc(enc, acSt(ci), zeroAc)
+    }
+    var rst = 0
+    var mcu = 0
+    while (mcu < bw * bh) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        out.write(enc.finish())
+        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
+        enc = new QmCoder.Encoder
+        dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
+        acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
+      }
+      val bx = mcu % bw; val by = mcu / bw
+      block(0, dcOf(bx, by))
+      var ci = 1
+      while (ci < nc) { block(ci, 0); ci += 1 } // neutral chroma
+      mcu += 1
+    }
+    out.write(enc.finish())
   }
 
   /** 12-bit SEQUENTIAL ARITHMETIC JPEG (SOF9 at precision 12) — the
@@ -1228,37 +1355,8 @@ object MediaSynth {
       out.write(0x10); out.write(acKx)
     }
     if (dri > 0) { out.write(0xff); out.write(0xdd); be16w(4); be16w(dri) }
-    out.write(0xff); out.write(0xda) // SOS
-    be16w(6 + 2 * nc); out.write(nc)
-    (1 to nc).foreach { c => out.write(c); out.write(0x00) }
-    out.write(0); out.write(63); out.write(0)
-
-    var enc = new QmCoder.Encoder
-    var dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
-    var acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
-    val zeroAc = new Array[Int](64)
-    def block(ci: Int, dc: Int): Unit = {
-      QmCoder.encodeDc(enc, dcSt(ci), dc - dcSt(ci).pred)
-      QmCoder.encodeAc(enc, acSt(ci), zeroAc)
-    }
-    val bw = w / 8; val bh = h / 8
-    var rst = 0
-    var mcu = 0
-    while (mcu < bw * bh) {
-      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
-        out.write(enc.finish())
-        out.write(0xff); out.write(0xd0 + (rst % 8)); rst += 1
-        enc = new QmCoder.Encoder
-        dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
-        acSt = Array.fill(nc)(new QmCoder.AcState(acKx))
-      }
-      val bx = mcu % bw; val by = mcu / bw
-      block(0, 8 * (jpeg12Block(id, bx, by) - 2048))
-      var ci = 1
-      while (ci < nc) { block(ci, 0); ci += 1 } // neutral chroma
-      mcu += 1
-    }
-    out.write(enc.finish())
+    emitArithSeqScan(out, nc, w / 8, h / 8,
+      (bx, by) => 8 * (jpeg12Block(id, bx, by) - 2048), dcU, acKx, dri)
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -1441,79 +1539,9 @@ object MediaSynth {
       out.write(0x00); out.write(dcU << 4)
       out.write(0x10); out.write(acKx)
     }
-    val bw = w / 8; val bh = h / 8
-    // quantized DC of block (bx, by): 8·(sample − 2048) DCT over q(0)=8
-    def dcOf(bx: Int, by: Int): Int = jpeg12Block(id, bx, by) - 2048
-
-    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
-      out.write(0xff); out.write(0xda)
-      be16w(6 + 2 * comps.length); out.write(comps.length)
-      comps.foreach { c => out.write(c); out.write(0x00) }
-      out.write(ss); out.write(se); out.write((ah << 4) | al)
-    }
-
-    // scan 1: DC first, Ah=0 Al=1, all components interleaved (1x1
-    // factors → one block per component per MCU, row-major)
-    locally {
-      sos(1 to nc, 0, 0, 0, 1)
-      val enc = new QmCoder.Encoder
-      val dcSt = Array.fill(nc)(new QmCoder.DcState(0, dcU))
-      var mcu = 0
-      while (mcu < bw * bh) {
-        val bx = mcu % bw; val by = mcu / bw
-        val sv = dcOf(bx, by) >> 1 // point transform: arithmetic >> Al
-        QmCoder.encodeDc(enc, dcSt(0), sv - dcSt(0).pred)
-        var ci = 1
-        while (ci < nc) { // neutral chroma: quantized DC 0
-          QmCoder.encodeDc(enc, dcSt(ci), 0 - dcSt(ci).pred)
-          ci += 1
-        }
-        mcu += 1
-      }
-      out.write(enc.finish())
-    }
-
-    // AC band scans: all-zero bands (one adaptive EOB decision per
-    // block in the first pass; the G.2.3 refinement likewise)
-    val zeroBand = new Array[Int](64)
-    def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
-      sos(Seq(comp), ss, se, ah, al)
-      val enc = new QmCoder.Encoder
-      val st = new QmCoder.AcState(acKx)
-      var blk = 0
-      while (blk < bw * bh) {
-        if (ah == 0) QmCoder.encodeAcBand(enc, st, zeroBand, ss, se, al)
-        else QmCoder.encodeAcRefine(enc, st, zeroBand, ss, se, al)
-        blk += 1
-      }
-      out.write(enc.finish())
-    }
-    acScan(1, 1, 5, 0, 1)
-    acScan(1, 6, 63, 0, 1)
-    if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
-
-    // DC refinement, Ah=1 Al=0: bit 0 of the two's-complement quantized
-    // DC, one fixed-state decision per block
-    locally {
-      sos(1 to nc, 0, 0, 1, 0)
-      val enc = new QmCoder.Encoder
-      val fixed = QmCoder.fixedBin()
-      var mcu = 0
-      while (mcu < bw * bh) {
-        val bx = mcu % bw; val by = mcu / bw
-        enc.encode(fixed, dcOf(bx, by) & 1)
-        var ci = 1
-        while (ci < nc) { enc.encode(fixed, 0); ci += 1 }
-        mcu += 1
-      }
-      out.write(enc.finish())
-    }
-
-    // AC refinement at Al=0 over the same bands
-    acScan(1, 1, 5, 1, 0)
-    acScan(1, 6, 63, 1, 0)
-    if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
-
+    // quantized DC of a constant block: 8·(sample − 2048) DCT over q(0)=8
+    emitArithProgScans(out, nc, w / 8, h / 8,
+      (bx, by) => jpeg12Block(id, bx, by) - 2048, dcU, acKx)
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -1679,30 +1707,10 @@ object MediaSynth {
       (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
     }
     def arithScan(fw: Int, fh: Int, blockVal: (Int, Int) => Int,
-        levelShift: Int): Unit = {
-      out.write(0xff); out.write(0xda) // SOS
-      be16w(6 + 2 * nc); out.write(nc)
-      (1 to nc).foreach { c => out.write(c); out.write(0x00) }
-      out.write(0); out.write(63); out.write(0)
-      val enc = new QmCoder.Encoder
-      val dcSt = Array.fill(nc)(new QmCoder.DcState(0, 1))
-      val acSt = Array.fill(nc)(new QmCoder.AcState(5))
-      val zeroAc = new Array[Int](64)
-      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
-      var mcu = 0
-      while (mcu < bw * bh) {
-        val bx = mcu % bw; val by = mcu / bw
-        var c = 0
-        while (c < nc) {
-          val dc = if (c == 0) 8 * (blockVal(bx, by) - levelShift) else 0
-          QmCoder.encodeDc(enc, dcSt(c), dc - dcSt(c).pred)
-          QmCoder.encodeAc(enc, acSt(c), zeroAc)
-          c += 1
-        }
-        mcu += 1
-      }
-      out.write(enc.finish())
-    }
+        levelShift: Int): Unit =
+      emitArithSeqScan(out, nc, (fw + 7) / 8, (fh + 7) / 8,
+        (bx, by) => 8 * (blockVal(bx, by) - levelShift),
+        dcU = 1, acKx = 5, dri = 0)
     out.write(0xff); out.write(0xd8) // SOI
     out.write(0xff); out.write(0xdb) // DQT: table 0, all ones
     be16w(67); out.write(0x00)
@@ -1748,65 +1756,13 @@ object MediaSynth {
       be16w(8 + 3 * nc); out.write(8); be16w(fh); be16w(fw); out.write(nc)
       (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
     }
-    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
-      out.write(0xff); out.write(0xda)
-      be16w(6 + 2 * comps.length); out.write(comps.length)
-      comps.foreach { c => out.write(c); out.write(0x00) }
-      out.write(ss); out.write(se); out.write((ah << 4) | al)
-    }
     // one full progressive frame: q(0)=8 quant so the quantized DC of a
     // constant block is blockVal − levelShift
     def progFrame(marker: Int, fw: Int, fh: Int, blockVal: (Int, Int) => Int,
         levelShift: Int): Unit = {
       frameHeader(marker, fw, fh)
-      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
-      def dcOf(bx: Int, by: Int): Int = blockVal(bx, by) - levelShift
-      locally { // DC first, Ah=0 Al=1, interleaved
-        sos(1 to nc, 0, 0, 0, 1)
-        val enc = new QmCoder.Encoder
-        val dcSt = Array.fill(nc)(new QmCoder.DcState(0, 1))
-        var mcu = 0
-        while (mcu < bw * bh) {
-          val sv = dcOf(mcu % bw, mcu / bw) >> 1 // arithmetic >> Al
-          QmCoder.encodeDc(enc, dcSt(0), sv - dcSt(0).pred)
-          var ci = 1
-          while (ci < nc) { QmCoder.encodeDc(enc, dcSt(ci), 0 - dcSt(ci).pred); ci += 1 }
-          mcu += 1
-        }
-        out.write(enc.finish())
-      }
-      val zeroBand = new Array[Int](64)
-      def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
-        sos(Seq(comp), ss, se, ah, al)
-        val enc = new QmCoder.Encoder
-        val st = new QmCoder.AcState(5)
-        var blk = 0
-        while (blk < bw * bh) {
-          if (ah == 0) QmCoder.encodeAcBand(enc, st, zeroBand, ss, se, al)
-          else QmCoder.encodeAcRefine(enc, st, zeroBand, ss, se, al)
-          blk += 1
-        }
-        out.write(enc.finish())
-      }
-      acScan(1, 1, 5, 0, 1)
-      acScan(1, 6, 63, 0, 1)
-      if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
-      locally { // DC refinement, Ah=1 Al=0: bit 0
-        sos(1 to nc, 0, 0, 1, 0)
-        val enc = new QmCoder.Encoder
-        val fixed = QmCoder.fixedBin()
-        var mcu = 0
-        while (mcu < bw * bh) {
-          enc.encode(fixed, dcOf(mcu % bw, mcu / bw) & 1)
-          var ci = 1
-          while (ci < nc) { enc.encode(fixed, 0); ci += 1 }
-          mcu += 1
-        }
-        out.write(enc.finish())
-      }
-      acScan(1, 1, 5, 1, 0)
-      acScan(1, 6, 63, 1, 0)
-      if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+      emitArithProgScans(out, nc, (fw + 7) / 8, (fh + 7) / 8,
+        (bx, by) => blockVal(bx, by) - levelShift, dcU = 1, acKx = 5)
     }
     out.write(0xff); out.write(0xd8) // SOI
     out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
@@ -1842,71 +1798,11 @@ object MediaSynth {
       be16w(8 + 3 * nc); out.write(8); be16w(fh); be16w(fw); out.write(nc)
       (1 to nc).foreach { c => out.write(c); out.write(0x11); out.write(0) }
     }
-    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): JpegBits = {
-      out.write(0xff); out.write(0xda)
-      be16w(6 + 2 * comps.length); out.write(comps.length)
-      comps.foreach { c => out.write(c); out.write(0x00) }
-      out.write(ss); out.write(se); out.write((ah << 4) | al)
-      new JpegBits(out)
-    }
     def progFrame(marker: Int, fw: Int, fh: Int, blockVal: (Int, Int) => Int,
         levelShift: Int): Unit = {
       frameHeader(marker, fw, fh)
-      val bw = (fw + 7) / 8; val bh = (fh + 7) / 8
-      def dcOf(bx: Int, by: Int): Int = blockVal(bx, by) - levelShift
-      locally { // DC first, Ah=0 Al=1, interleaved
-        val bits = sos(1 to nc, 0, 0, 0, 1)
-        def putDc(diff: Int): Unit = {
-          val s = if (diff == 0) 0
-            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
-          bits.put(s, 4)
-          if (s > 0) bits.put(if (diff > 0) diff else diff + (1 << s) - 1, s)
-        }
-        val pred = Array.fill(nc)(0)
-        var mcu = 0
-        while (mcu < bw * bh) {
-          val sv = dcOf(mcu % bw, mcu / bw) >> 1
-          putDc(sv - pred(0)); pred(0) = sv
-          var ci = 1
-          while (ci < nc) { putDc(0 - pred(ci)); pred(ci) = 0; ci += 1 }
-          mcu += 1
-        }
-        bits.align()
-      }
-      def acScan(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
-        val bits = sos(Seq(comp), ss, se, ah, al)
-        val chunks = Array(1, 2, 3, 6, 11, 32767)
-        var chunkAt = 0
-        def emitRun(n: Int): Unit = {
-          val r = 31 - Integer.numberOfLeadingZeros(n)
-          bits.put(r, 4)
-          if (r > 0) bits.put(n - (1 << r), r)
-        }
-        var run = bw * bh
-        while (run > 0) {
-          val n = math.min(run, chunks(chunkAt % chunks.length))
-          emitRun(n); chunkAt += 1
-          run -= n
-        }
-        bits.align()
-      }
-      acScan(1, 1, 5, 0, 1)
-      acScan(1, 6, 63, 0, 1)
-      if (nc == 3) { acScan(2, 1, 63, 0, 1); acScan(3, 1, 63, 0, 1) }
-      locally { // DC refinement, Ah=1 Al=0: bit 0
-        val bits = sos(1 to nc, 0, 0, 1, 0)
-        var mcu = 0
-        while (mcu < bw * bh) {
-          bits.put(dcOf(mcu % bw, mcu / bw) & 1, 1)
-          var ci = 1
-          while (ci < nc) { bits.put(0, 1); ci += 1 }
-          mcu += 1
-        }
-        bits.align()
-      }
-      acScan(1, 1, 5, 1, 0)
-      acScan(1, 6, 63, 1, 0)
-      if (nc == 3) { acScan(2, 1, 63, 1, 0); acScan(3, 1, 63, 1, 0) }
+      emitHuffProgScans(out, nc, (fw + 7) / 8, (fh + 7) / 8,
+        (bx, by) => blockVal(bx, by) - levelShift, dri = 0)
     }
     out.write(0xff); out.write(0xd8) // SOI
     out.write(0xff); out.write(0xdb) // DQT: table 0 — q(0)=8, rest ones
