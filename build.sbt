@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output normally routes through sbt's logger,
+// which prefixes every program line with "[info] " — that decoration is
+// what kept BENCH_r01..r09's final JSON line from ever machine-parsing
+// ("parsed": null nine rounds running, including tiny-line rounds that
+// falsified the line-length theory). Project-level so run, runMain and
+// forked tests all inherit it: program stdout passes through verbatim.
+outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." line so the bench
+// JSON is the literal LAST line of stdout. (Global scope: the command
+// engine reads it there; project scope trips sbt's lintUnused.)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,14 +64,19 @@ object Bench {
     // shrank without parsing the per-query nulls.
     val nFailed = byQuery.count(!_._4)
     val total = fmt(byQuery.collect { case (_, med, _, true) => med }.sum)
-    // FULL per-query medians/mins go to a file: with 150+ queries the
-    // all-queries JSON line is ~4 kB, which exceeded the driver's stdout
-    // capture two rounds running (BENCH_r07/r08 "parsed": null). The
-    // final stdout line stays compact (<1.5 kB): totals plus only the 10
-    // slowest queries, so it parses AND still names the hot spots.
+    // FULL per-query medians/mins go to a file; the stdout line stays
+    // compact (totals + 10 slowest) so it reads at a glance. The real
+    // parsed-null culprit was never line length (rounds 1-6 had tiny
+    // lines and still nulled) but sbt's logger decorating forked-run
+    // stdout — fixed in build.sbt (outputStrategy := StdoutOutput,
+    // showSuccess := false) so the JSON below is the bare last line.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":$nFailed,"n_queries":${byQuery.size},"queries":$qs,"queries_min":$qmins,"failed":$failedArr,"sf":"$sfDir"}"""
-    val outPath = java.nio.file.Paths.get("target/bench_queries.json")
+    // cwd assumption: launched via `sbt "runMain graft.Bench"` from the
+    // repo root, so the relative default lands in the repo's target/;
+    // any other launcher overrides with SPARK_GRAFT_BENCH_OUT.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_queries.json"))
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query timings: $outPath")

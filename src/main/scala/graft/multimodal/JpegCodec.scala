@@ -678,10 +678,6 @@ object JpegCodec {
           val precision = u8(b, segStart + 2)
           height = be16(b, segStart + 3); width = be16(b, segStart + 5)
           val nc = u8(b, segStart + 7)
-          // 12-bit remit (T.81 table 1): extended sequential (SOF1) and
-          // progressive arithmetic (SOF10), grayscale or 4:4:4 color
-          // (sampling factors checked below); the YCbCr transform then
-          // runs in the 12-bit domain and emits top-8 bits
           // 12-bit remit (T.81 table 1): every DCT-based frame type —
           // extended sequential (SOF1), progressive (SOF2), sequential
           // arithmetic (SOF9), progressive arithmetic (SOF10) —

@@ -753,9 +753,11 @@ object Relational {
     * with `stack`. Multi-column exact ndv runs through Catalyst's expand
     * (rows x (1+distinct-aggs)), partial-aggregated map-side per input
     * split — the per-split work is what a 1000-executor ANALYZE
-    * parallelizes; a 100 TB profiler would swap the two high-cardinality
-    * columns to approx_count_distinct and keep this exact plan for the
-    * rest. min/max travel as strings via date-cast for the timestamp
+    * parallelizes; a 100 TB profiler swaps the two high-cardinality
+    * columns to approx_count_distinct and keeps this exact plan for the
+    * rest — that scale form is gated as [[q103bTableProfileApprox]],
+    * with this exact form kept as its accuracy anchor.
+    * min/max travel as strings via date-cast for the timestamp
     * (identical rendering in both engines) and shortest-round-trip
     * doubles elsewhere. */
   val q103TableProfile = QueryDef(
@@ -826,6 +828,101 @@ object Relational {
         SELECT 'o_orderdate', od_nl, od_nd, od_mn, od_mx, n FROM a)
       ORDER BY col_name
     """))
+
+  /** The 100 TB form of the q103 profiler: the same one-scan
+    * stack-melted profile, with the two ~row-count-cardinality columns
+    * (o_orderkey, o_totalprice) swapped from exact `countDistinct` to
+    * `approx_count_distinct` (HLL++, rsd 0.02). That removes those two
+    * branches from Catalyst's distinct-expand — the rows x
+    * (1+distinct-aggs) blowup q103's scaladoc flags — leaving the
+    * expand over only the four cheap exact columns while the sketches
+    * ride the same partial aggregate.
+    *
+    * Oracle per the q56b convention (DuckDB cannot reproduce the sketch
+    * value, so decidable invariants travel as booleans the oracle
+    * expects all-true): `ndv` is NULL for the two approx rows and the
+    * exact count elsewhere; `ndv_in_bound` checks the sketch against an
+    * anchor the plan already has — o_orderkey is the table's unique key
+    * so n itself is its exact ndv, and o_totalprice's exact ndv sits
+    * within 0.3% of n at every SF (verified 0.001/0.01/0.1), so a
+    * 0.07 bound = 3·rsd + that slack. HLL++ is deterministic on fixed
+    * data, so neither boolean can flake. q103 (exact, benched) stays
+    * the accuracy anchor. */
+  val q103bTableProfileApprox = QueryDef(
+    "q103b_table_profile_approx",
+    (s, d) => {
+      val t = Tables.orders(s, d)
+      def exactM(c: String, p: String,
+          repr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
+        countDistinct(col(c)).as(s"${p}_nd"),
+        repr(min(col(c))).cast("string").as(s"${p}_mn"),
+        repr(max(col(c))).cast("string").as(s"${p}_mx"))
+      def approxM(c: String, p: String) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
+        approx_count_distinct(col(c), 0.02).as(s"${p}_nd"),
+        min(col(c)).cast("string").as(s"${p}_mn"),
+        max(col(c)).cast("string").as(s"${p}_mx"))
+      val ident = (x: org.apache.spark.sql.Column) => x
+      val a = t.agg(
+        count(lit(1)).as("n"),
+        (approxM("o_orderkey", "ok") ++
+          exactM("o_custkey", "ck", ident) ++
+          exactM("o_orderstatus", "os", ident) ++
+          approxM("o_totalprice", "tp") ++
+          exactM("o_orderpriority", "op", ident) ++
+          exactM("o_orderdate", "od", _.cast("date"))): _*)
+      a.select(col("*"),
+          (abs(col("ok_nd").cast("double") / col("n") - 1.0) <= 0.06).as("ok_b"),
+          (abs(col("tp_nd").cast("double") / col("n") - 1.0) <= 0.07).as("tp_b"))
+        .selectExpr(
+          """stack(6,
+            'o_orderkey',      ok_nl, CAST(NULL AS BIGINT), ok_b, ok_mn, ok_mx,
+            'o_custkey',       ck_nl, ck_nd, true, ck_mn, ck_mx,
+            'o_orderstatus',   os_nl, os_nd, true, os_mn, os_mx,
+            'o_totalprice',    tp_nl, CAST(NULL AS BIGINT), tp_b, tp_mn, tp_mx,
+            'o_orderpriority', op_nl, op_nd, true, op_mn, op_mx,
+            'o_orderdate',     od_nl, od_nd, true, od_mn, od_mx)
+            AS (col_name, n_null, ndv, ndv_in_bound, min_v, max_v)""",
+          "n")
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH a AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS ok_nl,
+          min(o_orderkey)::VARCHAR AS ok_mn, max(o_orderkey)::VARCHAR AS ok_mx,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS ck_nl,
+          count(DISTINCT o_custkey)::BIGINT AS ck_nd,
+          min(o_custkey)::VARCHAR AS ck_mn, max(o_custkey)::VARCHAR AS ck_mx,
+          sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS os_nl,
+          count(DISTINCT o_orderstatus)::BIGINT AS os_nd,
+          min(o_orderstatus)::VARCHAR AS os_mn, max(o_orderstatus)::VARCHAR AS os_mx,
+          sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS tp_nl,
+          min(o_totalprice)::VARCHAR AS tp_mn, max(o_totalprice)::VARCHAR AS tp_mx,
+          sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS op_nl,
+          count(DISTINCT o_orderpriority)::BIGINT AS op_nd,
+          min(o_orderpriority)::VARCHAR AS op_mn, max(o_orderpriority)::VARCHAR AS op_mx,
+          sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS od_nl,
+          count(DISTINCT o_orderdate)::BIGINT AS od_nd,
+          min(o_orderdate)::DATE::VARCHAR AS od_mn, max(o_orderdate)::DATE::VARCHAR AS od_mx
+        FROM orders)
+      SELECT col_name, n_null, ndv, ndv_in_bound, min_v, max_v, n FROM (
+        SELECT 'o_orderkey' AS col_name, ok_nl AS n_null, NULL::BIGINT AS ndv,
+               true AS ndv_in_bound, ok_mn AS min_v, ok_mx AS max_v, n FROM a
+        UNION ALL
+        SELECT 'o_custkey', ck_nl, ck_nd, true, ck_mn, ck_mx, n FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', os_nl, os_nd, true, os_mn, os_mx, n FROM a
+        UNION ALL
+        SELECT 'o_totalprice', tp_nl, NULL::BIGINT, true, tp_mn, tp_mx, n FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', op_nl, op_nd, true, op_mn, op_mx, n FROM a
+        UNION ALL
+        SELECT 'o_orderdate', od_nl, od_nd, true, od_mn, od_mx, n FROM a)
+      ORDER BY col_name
+    """),
+    bench = true)
 
   /** Per-group OLS regression aggregates (extendedprice ~ quantity per
     * return flag) — Spark-first: the built-in regr_* aggregate family
@@ -1066,7 +1163,7 @@ object Relational {
     q13GroupCollect, q14DateBuckets, q15TripleGen, q16DistinctCount,
     q17Rollup, q43Percentiles, q43bPercentilesApprox, q56ApproxDistinct,
     q56bApproxDistinctSketch, q56cKmvDistinct, q56dKmvIntersect, q121bQuantileSketch,
-    q103TableProfile,
+    q103TableProfile, q103bTableProfileApprox,
     q106GroupRegression, q109ZorderLayout, q109bZorderN, q114Cube, q115Pivot,
     q119RankFamily, q120TableChecksum)
 }
