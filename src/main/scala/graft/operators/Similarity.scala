@@ -99,8 +99,10 @@ object Similarity {
     * probe-side guarantee ([[ivfTopKIndexed]]'s bucket pruning, no
     * index-side Exchange) holds over the union unchanged — IvfIndexSpec
     * pins build-half+append-half ≡ build-whole. Centroids must be the
-    * index's own (drifted centroids silently mis-bucket: re-train →
-    * rebuild, the standard IVF re-index discipline); periodic
+    * index's own (drifted centroids silently mis-bucket): the
+    * drift→retrain→rebuild cycle is [[occupancyPsi]] (detect) +
+    * [[ivfRetrainFromIndex]] (retrain, no corpus re-scan) +
+    * [[writeIvfIndex]] (rebuild) — gated end-to-end as q28e; periodic
     * [[Compaction]] of accumulated small per-append files is the
     * companion maintenance task. */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
@@ -208,19 +210,73 @@ object Similarity {
     try {
       var cent = seeds
       for (_ <- 1 to iters) {
-        val means = assignUnit(ucorpus, unitized(cent, "c", "uc"), "id", "ue", 1)
-          .select(col("c_id"), posexplode(col("ue")).as(Seq("j", "x")))
-          .groupBy("c_id", "j")
-          .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-            count(lit(1))).as("m"))
-          .groupBy("c_id")
-          .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
-            s => s.getField("m")).as("c"))
+        val means = clusterMeans(
+          assignUnit(ucorpus, unitized(cent, "c", "uc"), "id", "ue", 1))
         cent = spark.createDataFrame(
           java.util.Arrays.asList(means.collect(): _*), means.schema)
       }
       cent
     } finally ucorpus.unpersist()
+  }
+
+  /** Lloyd's UPDATE step over an assignment frame (c_id, ue vector):
+    * per-cluster per-dimension mean, decimal(28,12)-summed so the floats
+    * are order-independent and cross-engine identical (see
+    * [[kmeansTrain]]'s scaladoc). Shared by training (assign → means per
+    * round) and index maintenance ([[ivfRetrainFromIndex]], where the
+    * assignment is the persisted index itself). Returns (c_id, c). */
+  private def clusterMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("c_id"), posexplode(col("ue")).as(Seq("j", "x")))
+      .groupBy("c_id", "j")
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("c_id")
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
+        s => s.getField("m")).as("c"))
+
+  /** Retrain IVF centroids FROM the persisted index — the maintenance
+    * half of the drift→retrain→rebuild cycle ([[appendIvfIndex]]'s
+    * scaladoc names it): the index table already holds every vector's
+    * unit form and its frozen-centroid assignment, so one Lloyd update
+    * step needs NO corpus re-scan and no re-assignment job — just
+    * [[clusterMeans]] over the index scan (partial-aggregated; the
+    * shuffle carries ≤ |centroids|·d rows). Equals
+    * `kmeansTrain(corpus, frozenSeeds, iters = 1)` row-for-row
+    * (IvfIndexSpec pins it), because the index rows ARE that
+    * assignment. Returns (c_id, c) collected-and-localized like
+    * [[kmeansTrain]] rounds — bounded metadata, and the consumer
+    * ([[writeIvfIndex]]) broadcasts it anyway. */
+  def ivfRetrainFromIndex(spark: org.apache.spark.sql.SparkSession,
+                          table: String): DataFrame = {
+    val means = clusterMeans(spark.table(table))
+    spark.createDataFrame(
+      java.util.Arrays.asList(means.collect(): _*), means.schema)
+  }
+
+  /** Population-stability index between a FROZEN reference bucket-
+    * occupancy profile and the index's current occupancy — the drift
+    * detector that decides when [[ivfRetrainFromIndex]] runs: appended
+    * batches assign to frozen centroids ([[appendIvfIndex]]), so a
+    * corpus whose distribution moved piles occupancy onto few buckets,
+    * degrading probe selectivity even while every row is correctly
+    * placed. Inputs: (c_id, n_ref) and (c_id, n_cur) count frames
+    * (O(|centroids|) rows — the current side is one metadata-cheap
+    * aggregate over the bucketed index). Same smoothed PSI as the q126
+    * corpus monitor ((n+0.5)/(N+5.0), both engines finite on empty
+    * buckets); 1-row output (psi_occ, rounded 4dp). Totals attach via
+    * broadcast 1-row aggregates — no unpartitioned window. */
+  def occupancyPsi(refOcc: DataFrame, curOcc: DataFrame): DataFrame = {
+    val joined = refOcc.join(curOcc, Seq("c_id"), "full_outer")
+      .select(coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = broadcast(joined.agg(
+      sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur")))
+    joined.crossJoin(totals)
+      .withColumn("pr", (col("n_ref") + 0.5) / (col("t_ref") + 5.0))
+      .withColumn("pc", (col("n_cur") + 0.5) / (col("t_cur") + 5.0))
+      .agg(round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4)
+        .as("psi_occ"))
   }
 
   /** Deterministic hyperplane set for random-projection (cosine) LSH:

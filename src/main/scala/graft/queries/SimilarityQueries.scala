@@ -117,6 +117,129 @@ object SimilarityQueries {
     Some(ivfOracleSql),
     benchSkip = true)
 
+  /** The full index-maintenance CYCLE q28d's scaladoc promises:
+    * detect centroid drift → retrain → rebuild. The index is built from
+    * the even-vec_id half; the frozen per-bucket occupancy profile is
+    * collected (≤|centroids| rows); then a SKEWED batch appends — the
+    * odd vec_ids that assign to clusters 0-4 under the frozen
+    * centroids, so half the buckets roughly double while the rest
+    * starve: exactly the distribution shift that degrades probe
+    * selectivity while every appended row is still correctly bucketed.
+    * [[Similarity.occupancyPsi]] over (frozen, current) occupancy — one
+    * metadata-cheap aggregate on the bucketed table — fires the
+    * retrain: [[Similarity.ivfRetrainFromIndex]] (one Lloyd update read
+    * straight from the index, no corpus re-scan), then a fresh
+    * [[Similarity.writeIvfIndex]] on the current corpus, then the
+    * standard pruned probe. The 0.05 trigger is deliberately below the
+    * classic 0.1 "moderate shift" PSI line — a rebuild costs one batch
+    * job while a skewed index taxes EVERY probe — and the engineered
+    * shift measures ≥ 0.117 at sf 0.001/0.01/0.1 (deterministic
+    * arithmetic, so the ≥ 2.3× margin cannot flake). The retrain branch
+    * is genuinely conditional (driver-side 1-row read of psi); on this
+    * data the drift is real so the oracle replays the rebuilt path.
+    * Output rows carry (psi_occ, drifted) so the detection is gated,
+    * not just the probe. benchSkip: the timed body would be two index
+    * writes. */
+  val q28eAnnIvfDriftRebuild = QueryDef(
+    "q28e_ann_ivf_drift_rebuild",
+    (s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val (_, centroids, probes) = ivfInputs(s, d)
+      val idx = "graft_ivf_drift_index"
+      val idx2 = "graft_ivf_drift_rebuilt"
+      Similarity.writeIvfIndex(
+        e.filter(col("vec_id") % 2 === 0).select(col("vec_id").as("id"), col("e")),
+        centroids, idx, numBuckets = 8)
+      // FROZEN reference profile: collected eagerly BEFORE the append —
+      // the table read is lazy, so an un-materialized frame would see
+      // the appended rows and PSI would measure nothing
+      val refOcc = s.table(idx).groupBy("c_id")
+        .agg(count(lit(1)).as("n_ref"))
+        .as[(Int, Long)].collect().toSeq.toDF("c_id", "n_ref")
+      val odd = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("e"))
+      val newBatch = odd.join(
+        Similarity.ivfAssign(odd, centroids).filter(col("c_id") < 5)
+          .select("id"), "id")
+      Similarity.appendIvfIndex(newBatch, centroids, idx)
+      val curOcc = s.table(idx).groupBy("c_id").agg(count(lit(1)).as("n_cur"))
+      val psiOcc = Similarity.occupancyPsi(refOcc, curOcc).head().getDouble(0)
+      val drifted = psiOcc > 0.05
+      val probeIdx = if (drifted) {
+        val retrained = Similarity.ivfRetrainFromIndex(s, idx)
+        Similarity.writeIvfIndex(
+          e.filter(col("vec_id") % 2 === 0)
+            .select(col("vec_id").as("id"), col("e")).unionByName(newBatch),
+          retrained, idx2, numBuckets = 8)
+        Similarity.ivfTopKIndexed(idx2, retrained, probes, k = 3, nprobe = 2)
+      } else Similarity.ivfTopKIndexed(idx, centroids, probes, k = 3, nprobe = 2)
+      probeIdx
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"),
+          lit(psiOcc).as("psi_occ"), lit(drifted).as("drifted"))
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      u AS (
+        SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
+      c0 AS (
+        SELECT s.label AS c_id, u.ue AS uc
+        FROM seeds s JOIN u ON u.vec_id = s.seed_id),
+      a_all AS (
+        SELECT vec_id AS id, ue, c_id FROM (
+          SELECT u.vec_id, u.ue, c0.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(ue, uc) DESC, c0.c_id) AS rn
+          FROM u CROSS JOIN c0) WHERE rn = 1),
+      a_cur AS (
+        SELECT id, ue, c_id FROM a_all WHERE id % 2 = 0 OR c_id < 5),
+      occ AS (
+        SELECT c_id,
+               count(*) FILTER (WHERE id % 2 = 0) AS n_ref,
+               count(*) AS n_cur
+        FROM a_cur GROUP BY c_id),
+      p AS (
+        SELECT (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS pr,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS pc
+        FROM occ),
+      psi AS (SELECT round(sum((pc - pr) * ln(pc / pr)), 4) AS psi_occ FROM p),
+      m1 AS (
+        SELECT c_id, j, (sum((ue[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS m
+        FROM a_cur, range(1, 65) AS t(j) GROUP BY c_id, j),
+      c1 AS (
+        SELECT c_id, list_transform(c, x -> x / sqrt(list_dot_product(c, c))) AS uc
+        FROM (SELECT c_id, list(m ORDER BY j) AS c FROM m1 GROUP BY c_id)),
+      af AS (
+        SELECT id, ue, c_id FROM (
+          SELECT a_cur.id, a_cur.ue, c1.c_id,
+                 row_number() OVER (PARTITION BY a_cur.id
+                   ORDER BY list_dot_product(ue, uc) DESC, c1.c_id) AS rn
+          FROM a_cur CROSS JOIN c1) WHERE rn = 1),
+      pf AS (
+        SELECT probe_id, up, c_id FROM (
+          SELECT u.vec_id AS probe_id, u.ue AS up, c1.c_id,
+                 row_number() OVER (PARTITION BY u.vec_id
+                   ORDER BY list_dot_product(u.ue, c1.uc) DESC, c1.c_id) AS rn
+          FROM u CROSS JOIN c1
+          WHERE u.vec_id < 20) WHERE rn <= 2),
+      scored AS (
+        SELECT p.probe_id, a.id, list_dot_product(p.up, a.ue) AS cos,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_dot_product(p.up, a.ue) DESC, a.id) AS rank
+        FROM pf p JOIN af a ON a.c_id = p.c_id
+        WHERE a.id <> p.probe_id)
+      SELECT probe_id, rank, id, round(cos, 9) AS cos,
+             (SELECT psi_occ FROM psi) AS psi_occ,
+             (SELECT psi_occ FROM psi) > 0.05 AS drifted
+      FROM scored WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   private lazy val ivfOracleSql: String = ("""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
@@ -645,7 +768,8 @@ object SimilarityQueries {
   }
 
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
-    q28cAnnIvfTrained, q28dAnnIvfAppend, q65KmeansTrain, q72AnnLsh,
+    q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
+    q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
     q127cAnnIvfPqIndexed)
 }

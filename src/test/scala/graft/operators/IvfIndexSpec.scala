@@ -153,6 +153,45 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("drift maintenance: retrain-from-index ≡ one Lloyd step; PSI fires only on real drift") {
+    val (corpus, centroids, _) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_drift_index", numBuckets = 8)
+
+      // retraining FROM the index (no corpus re-scan) must equal one
+      // Lloyd update over the corpus from the same frozen centroids —
+      // the index rows ARE that assignment, so every mean matches
+      // bit-for-bit (decimal-summed, order-independent)
+      val fromIndex = Similarity.ivfRetrainFromIndex(spark, "ivf_drift_index")
+        .as[(Int, Seq[Double])].collect().toMap
+      val oneStep = Similarity.kmeansTrain(corpus, centroids, iters = 1)
+        .as[(Int, Seq[Double])].collect().toMap
+      assert(fromIndex.keySet == oneStep.keySet)
+      fromIndex.keySet.foreach { c =>
+        assert(fromIndex(c) == oneStep(c), s"centroid $c: index retrain != Lloyd step")
+      }
+
+      // detector specificity: identical occupancy → PSI 0; an append
+      // that preserves the distribution stays under the 0.05 trigger,
+      // while a bucket-concentrated append (the q28e shift) crosses it
+      val occ = spark.table("ivf_drift_index").groupBy("c_id")
+        .agg(count(lit(1)).as("n_ref"))
+      assert(Similarity.occupancyPsi(occ,
+        occ.withColumnRenamed("n_ref", "n_cur")).head().getDouble(0) == 0.0)
+      // distribution-preserving growth: every bucket exactly doubles
+      val doubled = occ.select(col("c_id"), (col("n_ref") * 2).as("n_cur"))
+      val psiSame = Similarity.occupancyPsi(occ, doubled).head().getDouble(0)
+      assert(psiSame < 0.05, s"uniform growth must not trigger a rebuild: $psiSame")
+      // concentrated growth: half the buckets double, the rest starve
+      val skewed = occ.select(col("c_id"),
+        when(col("c_id") < 5, col("n_ref") * 2).otherwise(col("n_ref")).as("n_cur"))
+      val psiSkew = Similarity.occupancyPsi(occ, skewed).head().getDouble(0)
+      assert(psiSkew > 0.05, s"bucket-concentrated growth must trigger: $psiSkew")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_drift_index")
+    }
+  }
+
   test("the production flow: train → build index on trained centroids → probe") {
     val (corpus, seeds, probes) = inputs()
     val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)

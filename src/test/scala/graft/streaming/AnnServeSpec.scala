@@ -57,4 +57,64 @@ class AnnServeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ann_serve_index")
     }
   }
+
+  test("streamed probes against the persisted IVF-PQ index == batch, buckets pruned") {
+    // the q127c production index: encoded corpus bucketed by coarse id,
+    // codebooks persisted alongside — here served to a probe STREAM,
+    // with the per-micro-batch plan proving the bucket pruning survives
+    // (SelectedBucketsCount < total inside every foreachBatch plan)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val seeds = emb
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = emb.select(col("vec_id").as("id"), col("e"))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+
+    try {
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "ann_serve_pq_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      // the serve process loads books ONCE at startup from the
+      // persisted table — the self-contained-index entry point
+      val bk = Similarity.readPqBooks(spark, "ann_serve_pq_index", dim = 64)
+      val want = Similarity.ivfPqTopKIndexed("ann_serve_pq_index", coarse, probes,
+          bk, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      val dir = Files.createTempDirectory("ann-serve-pq").toString
+      probes.coalesce(1).write.mode("overwrite").parquet(dir)
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream
+        .schema("probe_id BIGINT, p ARRAY<DOUBLE>").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val res = Similarity.ivfPqTopKIndexed("ann_serve_pq_index", coarse,
+            batch, bk, k = 3, nprobe = 2)
+          plans.add(res.queryExecution.executedPlan.toString)
+          res.write.mode("append").parquet(s"$dir/out")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("id"))).toSet
+      assert(got === want, "streamed IVF-PQ serving diverged from the batch probe path")
+      assert(got.nonEmpty)
+      import scala.jdk.CollectionConverters._
+      assert(plans.asScala.nonEmpty)
+      plans.asScala.foreach { plan =>
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+        assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+          s"micro-batch probe read every bucket:\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_serve_pq_index")
+      spark.sql("DROP TABLE IF EXISTS ann_serve_pq_index_books")
+    }
+  }
 }

@@ -38,6 +38,33 @@ class StreamingSketchesSpec extends SparkSpec {
     }
   }
 
+  test("null values: pre-filtered agg form == batch operator on nullable data") {
+    // the batch operator drops null values BEFORE sampling (so n_kept
+    // == len(sample)); the agg form's contract is the caller applies
+    // the same filter — with it, the two sketches are identical even
+    // when ~a third of the values are null
+    val df = spark.range(3000).select(
+      (col("id") % 3).cast("string").as("g"), col("id").as("k"),
+      when(col("id") % 3 === 0, lit(null))
+        .otherwise((col("id") * 2654435761L) % 10000).cast("double").as("v"))
+    val qs = StreamingSketches.quantileSample(K)
+    val viaAgg = df.filter(col("v").isNotNull)
+      .select(col("g"), Sketches.kmvHash(col("k"), "sq").as("h"), col("v"))
+      .groupBy("g").agg(qs(col("h"), col("v")).as("sample"))
+      .select(col("g"),
+        StreamingSketches.estimate(col("sample"), 0.5).as("p50"),
+        size(col("sample")).as("n"))
+      .as[(String, Double, Int)].collect().map(r => r._1 -> r).toMap
+    val viaOp = Sketches.quantileSketch(df, "g", col("k"), col("v"), K, "sq",
+      Seq(0.5))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(viaAgg.keySet == viaOp.keySet)
+    viaAgg.keySet.foreach { g =>
+      assert(viaAgg(g)._3 == viaOp(g)._2.toInt, s"group $g: sample sizes differ")
+      assert(viaAgg(g)._2 == viaOp(g)._3, s"group $g: p50 differs")
+    }
+  }
+
   test("streaming micro-batches converge to the batch sketch") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(String, Long, Double)]
