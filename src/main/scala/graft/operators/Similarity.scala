@@ -170,6 +170,36 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
   }
 
+  /** BULK probe of a materialized IVF index — the kNN-JOIN shape, where
+    * the probe side is a whole table (corpus self-kNN for semantic
+    * dedup, batch re-embedding joins) rather than a broadcast-sized
+    * query set. [[ivfTopKIndexed]]'s driver-collected IN-literal is the
+    * wrong tool there (millions of probes don't collect, and they touch
+    * every bucket anyway); the scale win flips from bucket PRUNING to
+    * join LOCALITY: probes assign to their nprobe coarse buckets
+    * map-side (broadcast centroids), then shuffle ONCE on c_id into a
+    * sort-merge join against the bucketed index, which is read in place
+    * — the 100 TB side never moves. The `merge` hint keeps AQE from
+    * demoting the join to a broadcast at test scale; the final top-k
+    * window shuffles only candidate rows (probes·nprobe·bucket-share),
+    * never the index. IvfIndexSpec pins result parity with [[ivfTopK]]
+    * and the single-Exchange plan shape. Returns (probe_id, rank, id,
+    * cos). */
+  def ivfTopKBulk(table: String, centroids: DataFrame, probes: DataFrame,
+                  k: Int, nprobe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val ucent = unitized(centroids, "c", "uc")
+    val pAssigned =
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
+    spark.table(table).join(pAssigned.hint("merge"), "c_id")
+      .filter(col("id") =!= col("probe_id"))
+      .withColumn("cos", dot(col("up"), col("ue")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
   /** Spherical k-means (Lloyd) centroid training — the index-BUILD step
     * the IVF family runs on: seed centroids in, trained centroids out,
     * then [[writeIvfIndex]]/[[ivfTopK]]/[[ivfRangeSearch]] consume them

@@ -174,4 +174,44 @@ object TemporalJoins {
           col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
       .drop("__pt", "__pbucket", "__lo", "__hi", "__ibucket")
   }
+
+  /** SCD TYPE-2 history build from a change-data stream — the
+    * dimension-maintenance shape every warehouse runs: per entity key,
+    * order the CDC rows by event time (ties broken by `tieCol`, so the
+    * history is deterministic under same-timestamp updates), DROP no-op
+    * updates (consecutive rows carrying the same tracked value — CDC
+    * feeds re-emit unchanged attributes constantly), and emit validity
+    * intervals: `valid_from` = the change's own timestamp, `valid_to` =
+    * the NEXT change's timestamp (null while current), a 1-based
+    * `version`, and `is_current`.
+    *
+    * Plan shape at 100 TB: ONE shuffle on the entity key and one sort
+    * serve all three window functions — change detection (lag), interval
+    * close (lead), and versioning (row_number) share the identical
+    * (partition, order) spec, and the no-op filter between them
+    * preserves both partitioning and order, so Catalyst plans a single
+    * Exchange + a single Sort (Scd2Spec pins it). No unpartitioned
+    * windows anywhere; skew is bounded by the hottest entity's change
+    * count, the same exposure as any per-entity sessionization.
+    *
+    * Null semantics: the tracked value is compared null-safely (`<=>`),
+    * so null→null is a no-op and null→X / X→null are real changes; the
+    * first row per key always opens a version (even a null one — the
+    * row_number guard, not the lag-null trick, decides "first"). */
+  def scd2History(cdc: DataFrame, keyCols: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    cdc
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(valueCol)))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ Seq(col("version"), col(valueCol),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

@@ -240,7 +240,35 @@ object SimilarityQueries {
     """),
     benchSkip = true)
 
-  private lazy val ivfOracleSql: String = ("""
+  /** The BULK kNN-join shape ([[Similarity.ivfTopKBulk]]): the probe
+    * side is the ENTIRE corpus (self-kNN — what corpus-wide semantic
+    * dedup and batch re-embedding runs look like), so the indexed
+    * path's collect-and-prune convention doesn't apply; instead probes
+    * assign map-side and shuffle ONCE onto the index's bucket layout
+    * for a sort-merge join that reads the index in place (IvfIndexSpec
+    * pins: one c_id Exchange total, index scan `Bucketed: true`). Same
+    * oracle family as q28 with the probe predicate opened to the whole
+    * corpus. benchSkip: the timed body would be the index write. */
+  val q28fAnnIvfBulk = QueryDef(
+    "q28f_ann_ivf_bulk",
+    (s, d) => {
+      val (corpus, centroids, _) = ivfInputs(s, d)
+      val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_bulk_index",
+        numBuckets = 8)
+      Similarity.ivfTopKBulk("graft_ivf_bulk_index", centroids, probes,
+        k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracle("true")),
+    benchSkip = true)
+
+  /** The shared IVF probe oracle, parameterized by the probe-set
+    * predicate: q28/q28b/q28d use the 20-probe query set, q28f probes
+    * the WHOLE corpus (self-kNN; the predicate degenerates to true). */
+  private def ivfOracle(probeWhere: String): String = s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
         SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
@@ -262,7 +290,7 @@ object SimilarityQueries {
                  row_number() OVER (PARTITION BY u.vec_id
                    ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
           FROM u CROSS JOIN cent
-          WHERE u.vec_id < 20)
+          WHERE $probeWhere)
         WHERE rn <= 2),
       scored AS (
         SELECT p.probe_id, a.id, list_dot_product(p.up, a.ue) AS cos,
@@ -273,7 +301,9 @@ object SimilarityQueries {
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM scored WHERE rank <= 3
       ORDER BY probe_id, rank
-    """)
+    """
+
+  private lazy val ivfOracleSql: String = ivfOracle("u.vec_id < 20")
 
   /** The 2-iteration Lloyd training CTE chain, shared by q65/q28c.
     * `seedsSql` must define `c0(c_id, uc)` — the unitized seed centroids.
@@ -769,7 +799,7 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
-    q65KmeansTrain, q72AnnLsh,
+    q28fAnnIvfBulk, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
     q127cAnnIvfPqIndexed)
 }

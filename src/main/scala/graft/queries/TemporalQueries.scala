@@ -420,7 +420,48 @@ object TemporalQueries {
       ORDER BY from_type, to_type
     """))
 
+  /** SCD TYPE-2 dimension history from the events CDC stream
+    * ([[TemporalJoins.scd2History]]): each user's event_type is treated
+    * as the tracked dimension attribute, consecutive no-op updates
+    * collapse, and each surviving change becomes a versioned validity
+    * interval with `is_current` on the open one — the
+    * warehouse-maintenance shape (Delta/Iceberg MERGE-based SCD2 builds
+    * compute exactly this frame before writing). One shuffle on
+    * user_id, one sort, three window functions sharing it (Scd2Spec
+    * pins the single-Exchange plan). */
+  val q128Scd2History = QueryDef(
+    "q128_scd2_history",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      TemporalJoins.scd2History(ev, Seq("user_id"), "ts", "event_id",
+          "event_type")
+        .withColumnRenamed("event_type", "status")
+        .orderBy("user_id", "version")
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+      ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      hist AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER w2 AS version,
+               lead(ts) OVER w2 AS valid_to
+        FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, version, event_type AS status, ts AS valid_from,
+             valid_to, valid_to IS NULL AS is_current
+      FROM hist ORDER BY user_id, version
+    """),
+    bench = true)
+
   def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
     q60cAsofForward, q61RangeJoin, q107Funnel, q110LastTouchAttribution,
-    q111MovingAvg, q116GapFill, q118TransitionMatrix)
+    q111MovingAvg, q116GapFill, q118TransitionMatrix, q128Scd2History)
 }

@@ -153,6 +153,39 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("bulk kNN join: whole-corpus probes, index read in place (one c_id Exchange)") {
+    val (corpus, centroids, _) = inputs()
+    // probe side = the corpus itself: the semantic-dedup self-kNN shape
+    // where the probe set is NOT broadcast-sized by convention
+    val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_bulk_index", numBuckets = 8)
+      val direct = Similarity.ivfTopK(corpus, centroids, probes, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val bulk = Similarity.ivfTopKBulk("ivf_bulk_index", centroids, probes,
+        k = 3, nprobe = 2)
+      val got = bulk.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == direct, "bulk kNN join must reproduce the in-plan IVF results")
+
+      // plan shape: the join stays a sort-merge join (the hint holds
+      // against AQE's broadcast demotion) and the ONLY c_id exchange is
+      // the probe side moving to the index's bucket layout — the index
+      // itself is read in place
+      // AQE's toString appends the pre-adaptive "Initial Plan" — count
+      // exchanges in the FINAL plan section only
+      val plan = bulk.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"join demoted from SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"index scan lost its bucket layout:\n$plan")
+      val nExch = "Exchange hashpartitioning\\(c_id".r.findAllIn(plan).size
+      assert(nExch == 1,
+        s"expected exactly the probe-side c_id exchange, found $nExch:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_bulk_index")
+    }
+  }
+
   test("drift maintenance: retrain-from-index ≡ one Lloyd step; PSI fires only on real drift") {
     val (corpus, centroids, _) = inputs()
     try {

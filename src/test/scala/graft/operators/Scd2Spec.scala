@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SCD2 history semantics (versioning, no-op collapse, null-safe change
+  * detection, same-timestamp ties) and the single-shuffle plan shape:
+  * all three window functions share one (partition, order) spec, so the
+  * whole history build costs ONE Exchange and ONE Sort. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("versions, intervals, no-op collapse, null-safe changes, ties") {
+    val cdc = Seq(
+      // user 1: a, a (no-op), b, b (no-op), a — three versions
+      (1L, 10L, 1L, Some("a")), (1L, 20L, 2L, Some("a")),
+      (1L, 30L, 3L, Some("b")), (1L, 40L, 4L, Some("b")),
+      (1L, 50L, 5L, Some("a")),
+      // user 2: null first (kept), null again (no-op), then x
+      (2L, 10L, 1L, None), (2L, 20L, 2L, None), (2L, 30L, 3L, Some("x")),
+      // user 3: same-timestamp updates — event_id breaks the tie, so
+      // the id-7 row wins the instant and id-6's value never opens an
+      // interval... both are kept as distinct versions in tie order
+      (3L, 10L, 6L, Some("p")), (3L, 10L, 7L, Some("q"))
+    ).toDF("user_id", "ts", "event_id", "v")
+
+    val got = TemporalJoins.scd2History(cdc, Seq("user_id"), "ts", "event_id", "v")
+      .as[(Long, Int, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+
+    assert(got == Set(
+      (1L, 1, Some("a"), 10L, Some(30L), false),
+      (1L, 2, Some("b"), 30L, Some(50L), false),
+      (1L, 3, Some("a"), 50L, None, true),
+      (2L, 1, None, 10L, Some(30L), false),
+      (2L, 2, Some("x"), 30L, None, true),
+      (3L, 1, Some("p"), 10L, Some(10L), false),
+      (3L, 2, Some("q"), 10L, None, true)))
+  }
+
+  test("plan: one Exchange, one Sort for all three windows") {
+    val cdc = spark.range(1000).select(
+      (col("id") % 50).as("user_id"), (col("id") / 50).as("ts"),
+      col("id").as("event_id"),
+      (col("id") % 3).cast("string").as("v"))
+    val hist = TemporalJoins.scd2History(cdc, Seq("user_id"), "ts", "event_id", "v")
+    hist.collect()
+    val plan = hist.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nExch = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(nExch == 1, s"expected one key shuffle, found $nExch:\n$plan")
+    val nSort = "\\bSort \\[".r.findAllIn(plan).size
+    assert(nSort == 1, s"the three windows must share one sort, found $nSort:\n$plan")
+  }
+}
