@@ -182,9 +182,12 @@ object Similarity {
     * — the 100 TB side never moves. The `merge` hint keeps AQE from
     * demoting the join to a broadcast at test scale; the final top-k
     * window shuffles only candidate rows (probes·nprobe·bucket-share),
-    * never the index. IvfIndexSpec pins result parity with [[ivfTopK]]
-    * and the single-Exchange plan shape. Returns (probe_id, rank, id,
-    * cos). */
+    * never the index. The SMJ's index-side per-bucket sort is the one
+    * recurring cost (appends keep buckets multi-file, so Spark cannot
+    * trust a write-time sort order); if executor memory allows, a
+    * `shuffle_hash` hint trades that sort for a per-bucket hash build.
+    * IvfIndexSpec pins result parity with [[ivfTopK]] and the
+    * single-Exchange plan shape. Returns (probe_id, rank, id, cos). */
   def ivfTopKBulk(table: String, centroids: DataFrame, probes: DataFrame,
                   k: Int, nprobe: Int): DataFrame = {
     val spark = probes.sparkSession

@@ -201,6 +201,10 @@ object TemporalJoins {
   def scd2History(cdc: DataFrame, keyCols: Seq[String], tsCol: String,
                   tieCol: String, valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val reserved = Seq("__prev", "__rn", "version", "valid_from", "valid_to",
+      "is_current").filter(cdc.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved column names in use: ${reserved.mkString(",")}")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     cdc

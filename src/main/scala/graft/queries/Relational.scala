@@ -829,14 +829,27 @@ object Relational {
       ORDER BY col_name
     """))
 
-  /** The 100 TB form of the q103 profiler: the same one-scan
-    * stack-melted profile, with the two ~row-count-cardinality columns
-    * (o_orderkey, o_totalprice) swapped from exact `countDistinct` to
-    * `approx_count_distinct` (HLL++, rsd 0.02). That removes those two
-    * branches from Catalyst's distinct-expand — the rows x
-    * (1+distinct-aggs) blowup q103's scaladoc flags — leaving the
-    * expand over only the four cheap exact columns while the sketches
-    * ride the same partial aggregate.
+  /** The 100 TB form of the q103 profiler: the two ~row-count-
+    * cardinality columns (o_orderkey, o_totalprice) swap from exact
+    * `countDistinct` to `approx_count_distinct` (HLL++, rsd 0.02), so
+    * Catalyst's distinct-expand — the rows x (1+distinct-aggs) blowup
+    * q103's scaladoc flags — covers only the four cheap exact columns,
+    * and the shuffle after the partial pass carries low-cardinality
+    * distinct keys plus two fixed-size sketches instead of every
+    * orderkey/totalprice value.
+    *
+    * PLAN SHAPE MATTERS HERE (self-review finding, round 10): the
+    * sketches must live in their OWN global aggregate, not inside the
+    * multi-distinct aggregate. RewriteDistinctAggregates evaluates
+    * non-distinct functions in the pre-shuffle partial pass GROUPED BY
+    * the expand keys — which allocates a ~4 KB HLL register buffer per
+    * (distinct-value, gid) group, one per live custkey — and the first
+    * cut of this query was 3.4x SLOWER than the exact q103 at sf1
+    * (19.8 s vs 5.8 s) while still oracle-green. Split as two 1-row
+    * aggregates (sketches+min/max/nulls global; exact ndvs in the
+    * expand) broadcast-crossJoined, the sketch pass keeps one buffer
+    * per partition. Two column-pruned scans beat one scan that
+    * allocates a sketch per group. PlanSpec pins the split.
     *
     * Oracle per the q56b convention (DuckDB cannot reproduce the sketch
     * value, so decidable invariants travel as booleans the oracle
@@ -852,26 +865,33 @@ object Relational {
     "q103b_table_profile_approx",
     (s, d) => {
       val t = Tables.orders(s, d)
-      def exactM(c: String, p: String,
+      def scalarM(c: String, p: String,
           repr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
-        countDistinct(col(c)).as(s"${p}_nd"),
         repr(min(col(c))).cast("string").as(s"${p}_mn"),
         repr(max(col(c))).cast("string").as(s"${p}_mx"))
-      def approxM(c: String, p: String) = Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
-        approx_count_distinct(col(c), 0.02).as(s"${p}_nd"),
-        min(col(c)).cast("string").as(s"${p}_mn"),
-        max(col(c)).cast("string").as(s"${p}_mx"))
       val ident = (x: org.apache.spark.sql.Column) => x
-      val a = t.agg(
+      // global aggregate: counts, nulls, min/max, and the two HLL
+      // sketches — no distinct anywhere, so the partial pass keeps ONE
+      // sketch buffer per partition
+      val scalars = t.agg(
         count(lit(1)).as("n"),
-        (approxM("o_orderkey", "ok") ++
-          exactM("o_custkey", "ck", ident) ++
-          exactM("o_orderstatus", "os", ident) ++
-          approxM("o_totalprice", "tp") ++
-          exactM("o_orderpriority", "op", ident) ++
-          exactM("o_orderdate", "od", _.cast("date"))): _*)
+        (Seq(approx_count_distinct(col("o_orderkey"), 0.02).as("ok_nd"),
+          approx_count_distinct(col("o_totalprice"), 0.02).as("tp_nd")) ++
+          scalarM("o_orderkey", "ok", ident) ++
+          scalarM("o_custkey", "ck", ident) ++
+          scalarM("o_orderstatus", "os", ident) ++
+          scalarM("o_totalprice", "tp", ident) ++
+          scalarM("o_orderpriority", "op", ident) ++
+          scalarM("o_orderdate", "od", _.cast("date"))): _*)
+      // exact-ndv aggregate: ONLY the four cheap distinct counts ride
+      // the expand (x5 rows, count buffers only)
+      val exact = t.agg(
+        countDistinct(col("o_custkey")).as("ck_nd"),
+        countDistinct(col("o_orderstatus")).as("os_nd"),
+        countDistinct(col("o_orderpriority")).as("op_nd"),
+        countDistinct(col("o_orderdate")).as("od_nd"))
+      val a = scalars.crossJoin(broadcast(exact))
       a.select(col("*"),
           (abs(col("ok_nd").cast("double") / col("n") - 1.0) <= 0.06).as("ok_b"),
           (abs(col("tp_nd").cast("double") / col("n") - 1.0) <= 0.07).as("tp_b"))

@@ -72,6 +72,35 @@ class PlanSpec extends SparkSpec {
       s"1-row anchor not broadcast:\n$p")
   }
 
+  test("q103b: the two high-cardinality columns left the distinct expand") {
+    val p = plan("q103b_table_profile_approx").toLowerCase
+    // the approx profiler's point is shrinking Catalyst's expand: the
+    // two ~rowcount-ndv columns ride HLL++ sketches in the same partial
+    // agg, and only the four cheap columns stay exact
+    // physical rendering: RewriteDistinctAggregates turns each exact
+    // distinct into a gid-FILTERed plain count over the Expand, so the
+    // column's presence/absence inside count(...) is the signal
+    assert(p.contains("approx_count_distinct(o_orderkey") &&
+      p.contains("approx_count_distinct(o_totalprice"),
+      s"sketches missing:\n$p")
+    assert(p.contains("expand"), s"exact-distinct expand vanished entirely:\n$p")
+    assert(!p.contains("count(o_orderkey"),
+      s"o_orderkey still in the exact expand:\n$p")
+    assert(!p.contains("count(o_totalprice"),
+      s"o_totalprice still in the exact expand:\n$p")
+    assert(p.contains("count(o_custkey"),
+      s"the cheap exact columns must stay exact:\n$p")
+    // the SPLIT is the fix: sketches in their own global aggregate (one
+    // HLL buffer per partition), exact ndvs alone in the expand — fused
+    // into one aggregate, RewriteDistinctAggregates evaluates the HLLs
+    // grouped by the expand keys (a 4 KB buffer per live custkey; was
+    // 3.4x slower than exact q103 at sf1). Two pruned scans == split.
+    // formatted mode names each scan twice (tree + detail); count the
+    // numbered detail headers only
+    val nScans = "\\(\\d+\\) scan parquet".r.findAllIn(p).size
+    assert(nScans == 2, s"expected the two-aggregate split (2 scans), got $nScans:\n$p")
+  }
+
   test("q52: corpus-mix source filters reach the parquet scan") {
     val p = plan("q52_corpus_mix")
     assert(p.contains("In(source"), s"source filter not pushed:\n$p")
