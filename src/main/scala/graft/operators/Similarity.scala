@@ -186,6 +186,12 @@ object Similarity {
     * recurring cost (appends keep buckets multi-file, so Spark cannot
     * trust a write-time sort order); if executor memory allows, a
     * `shuffle_hash` hint trades that sort for a per-bucket hash build.
+    * COST MODEL: candidate volume is Σ_bucket |probes→bucket|·|bucket|
+    * ≈ n·nprobe·(n/|centroids|) for self-kNN — quadratic in corpus size
+    * at FIXED centroid count. The dial is |centroids| ∝ √n (the
+    * standard IVF sizing rule): growing cells with the corpus keeps
+    * per-bucket share, and thus pairs-per-probe, bounded (the sf1 soak
+    * row demonstrates the fixed-centroid failure mode deliberately).
     * IvfIndexSpec pins result parity with [[ivfTopK]] and the
     * single-Exchange plan shape. Returns (probe_id, rank, id, cos). */
   def ivfTopKBulk(table: String, centroids: DataFrame, probes: DataFrame,
