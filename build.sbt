@@ -22,6 +22,9 @@ outputStrategy := Some(StdoutOutput)
 // JSON is the literal LAST line of stdout. (Global scope: the command
 // engine reads it there; project scope trips sbt's lintUnused.)
 Global / showSuccess := false
+// the command engine reads showSuccess reflectively — exempt it from
+// the unused-key lint so the warn doesn't precede the bench JSON
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
