@@ -265,18 +265,53 @@ object SimilarityQueries {
     Some(ivfOracle("true")),
     benchSkip = true)
 
+  /** q28f with the COST-MODEL DIAL TURNED: same bulk self-kNN join,
+    * but 40 coarse cells (the q65 medoid seeds — min vec_id per
+    * (label, vec_id%4)) instead of 10, i.e. |centroids| grown with the
+    * corpus as [[Similarity.ivfTopKBulk]]'s scaladoc prescribes.
+    * Candidate volume is n·nprobe·(n/|centroids|), so 4× the cells ≈
+    * 4× fewer scored pairs at equal nprobe — the measured sf1 rows in
+    * SOAK.md pin the ratio. Same plan shape (one probe-side Exchange,
+    * index read in place); the oracle is the shared IVF replay with the
+    * 40-cell seeds. benchSkip: the timed body would be the index
+    * write. */
+  val q28gAnnIvfBulkCells = QueryDef(
+    "q28g_ann_ivf_bulk_cells",
+    (s, d) => {
+      val e = emb(s, d)
+      val seedIds = e.groupBy(col("label"), pmod(col("vec_id"), lit(4)))
+        .agg(min("vec_id").as("c_id"))
+      val centroids = seedIds.join(e, col("c_id") === col("vec_id"))
+        .select(col("c_id"), col("e").as("c"))
+      val corpus = e.select(col("vec_id").as("id"), col("e"))
+      val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_bulk40_index",
+        numBuckets = 16)
+      Similarity.ivfTopKBulk("graft_ivf_bulk40_index", centroids, probes,
+        k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracle("true", """
+      seeds AS (SELECT min(vec_id) AS c_id FROM u GROUP BY label, vec_id % 4),
+      cent AS (SELECT s.c_id, u.ue AS uc FROM seeds s JOIN u ON u.vec_id = s.c_id)""")),
+    benchSkip = true)
+
   /** The shared IVF probe oracle, parameterized by the probe-set
     * predicate: q28/q28b/q28d use the 20-probe query set, q28f probes
     * the WHOLE corpus (self-kNN; the predicate degenerates to true). */
-  private def ivfOracle(probeWhere: String): String = s"""
+  private def ivfOracle(probeWhere: String,
+      centSql: String = """
+      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
+      cent AS (
+        SELECT s.label AS c_id, u.ue AS uc
+        FROM seeds s JOIN u ON u.vec_id = s.seed_id)"""): String = s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
         SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
         FROM (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
-      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
-      cent AS (
-        SELECT s.label AS c_id, u.ue AS uc
-        FROM seeds s JOIN u ON u.vec_id = s.seed_id),
+      $centSql,
       assigned AS (
         SELECT vec_id AS id, ue, c_id FROM (
           SELECT u.vec_id, u.ue, cent.c_id,
@@ -799,7 +834,7 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
-    q28fAnnIvfBulk, q65KmeansTrain, q72AnnLsh,
+    q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
     q127cAnnIvfPqIndexed)
 }
