@@ -225,6 +225,26 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("occupancyPsi ≡ DriftStreams.psiFromCounts on random occupancy frames") {
+    // ONE PSI semantics across the engine: the distributed detector and
+    // the streaming monitor's driver fold must agree to the 4dp the
+    // detector rounds to — including one-sided buckets (coalesce-0 vs
+    // getOrElse-0 paths)
+    val rnd = new scala.util.Random(10)
+    for (_ <- 1 to 5) {
+      val refM = (0 until 10).filter(_ => rnd.nextInt(10) > 0)
+        .map(b => b -> (rnd.nextInt(500) + 1).toLong).toMap
+      val curM = (0 until 10).filter(_ => rnd.nextInt(10) > 0)
+        .map(b => b -> (rnd.nextInt(500) + 1).toLong).toMap
+      val refDf = refM.toSeq.toDF("c_id", "n_ref")
+      val curDf = curM.toSeq.toDF("c_id", "n_cur")
+      val dist = Similarity.occupancyPsi(refDf, curDf).head().getDouble(0)
+      val fold = BigDecimal(graft.streaming.DriftStreams.psiFromCounts(curM, refM))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dist == fold, s"distributed $dist != driver fold $fold (ref=$refM cur=$curM)")
+    }
+  }
+
   test("the production flow: train → build index on trained centroids → probe") {
     val (corpus, seeds, probes) = inputs()
     val trained = Similarity.kmeansTrain(corpus, seeds, iters = 2)
