@@ -908,10 +908,78 @@ object TextAnalytics {
       """
     })
 
+  /** Bigram-LM perplexity scoring — the CCNet/FineWeb quality filter
+    * this suite was missing next to char entropy (q104) and unigram
+    * ratios (q69): train a word-bigram language model on the corpus
+    * (Laplace-smoothed P(w2|w1) = (c12+0.5)/(c1+0.5·V)), then score
+    * every document by mean log-probability and perplexity. Training is
+    * two partial-aggregated groupBys over the exploded bigrams (the
+    * shuffle carries unique grams, not tokens); V is a 1-row broadcast;
+    * scoring joins the doc bigrams with the gram table on (w1,w2) and
+    * folds per doc_id. Training corpus == scoring corpus here, so gram
+    * coverage is total and the join is inner; a production run trains
+    * ONCE on a held-out reference corpus, prunes the LM to its top-K
+    * grams per context ([[graft.operators.Sampling.quotaPerGroup]]),
+    * broadcasts it when it fits, and gives unseen grams the 1/V floor —
+    * the CCNet recipe. Cross-engine floats: per-gram log p is a pure
+    * function of identical counts; the per-doc sum associates
+    * differently per engine but ~200 terms of O(1) magnitude drift at
+    * ~1e-13, far under the 6dp/4dp rounding (the q106 argument). */
+  val q129LmPerplexity = QueryDef(
+    "q129_lm_perplexity",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val pairs = toks
+        .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("g"))
+        .select(col("doc_id"),
+          split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val v = pairs.agg(countDistinct(col("w2")).as("v"))
+      val probs = c12.join(c1, "w1").crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          ((col("c12") + 0.5) / (col("c1") + col("v") * 0.5)).as("p"))
+      pairs.join(probs, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(log(col("p"))).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp") / col("n_bigrams"), 6).as("avg_logp"),
+          round(exp(-col("slp") / col("n_bigrams")), 4).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                   j -> {'w1': ws[j], 'w2': ws[j+1]})) AS p
+          FROM toks)),
+      c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM pairs),
+      probs AS (
+        SELECT w1, w2, (c12 + 0.5) / (c1 + 0.5 * (SELECT v FROM v)) AS p
+        FROM c12 JOIN c1 USING (w1)),
+      scored AS (
+        SELECT pairs.doc_id, count(*)::BIGINT AS n_bigrams, sum(ln(p)) AS slp
+        FROM pairs JOIN probs USING (w1, w2)
+        GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             round(slp / n_bigrams, 6) AS avg_logp,
+             round(exp(-slp / n_bigrams), 4) AS ppl
+      FROM scored ORDER BY doc_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
     q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
     q81UrlDedup, q85QualityClassifier, q95UnicodeNormalize, q96Bm25Rank,
-    q98InvertedIndex, q104CharEntropy)
+    q98InvertedIndex, q104CharEntropy, q129LmPerplexity)
 }
