@@ -976,10 +976,88 @@ object TextAnalytics {
     """),
     bench = true)
 
+  /** q129 with the PRUNED LM — the shape that actually ships: keep only
+    * the top-K grams per context (K=3 here; by count, ties to the
+    * lexicographically smaller w2 — [[graft.operators.Sampling
+    * .quotaPerGroup]], so the cut is deterministic in both engines) and
+    * give every pruned or unseen gram the two-level backoff floor —
+    * 0.5/(c1+0.5·V) when the context is known, 1/V when it isn't. The
+    * LM table shrinks from O(unique grams) to O(contexts·K), the size
+    * class a 100 TB scorer broadcasts; scoring becomes a left join +
+    * two coalesce levels. q129 (full model) stays the accuracy anchor —
+    * same doc set, same arithmetic wherever the gram survived the
+    * prune. */
+  val q129bLmPerplexityPruned = QueryDef(
+    "q129b_lm_perplexity_pruned",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+      val pairs = toks
+        .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("g"))
+        .select(col("doc_id"),
+          split(col("g"), " ").getItem(0).as("w1"),
+          split(col("g"), " ").getItem(1).as("w2"))
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val v = pairs.agg(countDistinct(col("w2")).as("v"))
+      val kept = graft.operators.Sampling.quotaPerGroup(
+        c12, "w1", 3, col("c12").desc, col("w2").asc)
+      val probs = kept.join(c1, "w1").crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          ((col("c12") + 0.5) / (col("c1") + col("v") * 0.5)).as("p"))
+      pairs
+        .join(probs, Seq("w1", "w2"), "left")
+        .join(c1.withColumnRenamed("c1", "c1_ctx"), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("p_eff", coalesce(col("p"),
+          lit(0.5) / (col("c1_ctx") + col("v") * 0.5),
+          lit(1.0) / col("v")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(log(col("p_eff"))).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp") / col("n_bigrams"), 6).as("avg_logp"),
+          round(exp(-col("slp") / col("n_bigrams")), 4).as("ppl"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                   j -> {'w1': ws[j], 'w2': ws[j+1]})) AS p
+          FROM toks)),
+      c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w2)::BIGINT AS v FROM pairs),
+      kept AS (
+        SELECT w1, w2, c12 FROM c12
+        QUALIFY row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) <= 3),
+      probs AS (
+        SELECT w1, w2, (c12 + 0.5) / (c1 + 0.5 * (SELECT v FROM v)) AS p
+        FROM kept JOIN c1 USING (w1)),
+      scored AS (
+        SELECT pairs.doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(ln(coalesce(probs.p,
+                 0.5 / (c1.c1 + 0.5 * (SELECT v FROM v)),
+                 1.0 / (SELECT v FROM v)))) AS slp
+        FROM pairs
+        LEFT JOIN probs USING (w1, w2)
+        LEFT JOIN c1 USING (w1)
+        GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             round(slp / n_bigrams, 6) AS avg_logp,
+             round(exp(-slp / n_bigrams), 4) AS ppl
+      FROM scored ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q19QualityScore, q20TokenStats, q21Fingerprint, q41Winnowing,
     q42TfidfTopTerms, q62CountMinHeavyHitters, q69UnigramQuality,
     q70NgramRepetition, q74BpeTokenCount, q76BpeTrainApply, q78PiiScrub,
     q81UrlDedup, q85QualityClassifier, q95UnicodeNormalize, q96Bm25Rank,
-    q98InvertedIndex, q104CharEntropy, q129LmPerplexity)
+    q98InvertedIndex, q104CharEntropy, q129LmPerplexity,
+    q129bLmPerplexityPruned)
 }
