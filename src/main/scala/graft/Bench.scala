@@ -77,7 +77,9 @@ object Bench {
     // any other launcher overrides with SPARK_GRAFT_BENCH_OUT.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_queries.json"))
-    java.nio.file.Files.createDirectories(outPath.getParent)
+    // a bare-filename override has a null parent — nothing to create
+    Option(outPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query timings: $outPath")
     val top = byQuery.filter(_._4).sortBy(-_._2).take(10)

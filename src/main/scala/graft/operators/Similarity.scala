@@ -193,16 +193,44 @@ object Similarity {
     * per-bucket share, and thus pairs-per-probe, bounded (the sf1 soak
     * row demonstrates the fixed-centroid failure mode deliberately).
     * IvfIndexSpec pins result parity with [[ivfTopK]] and the
-    * single-Exchange plan shape. Returns (probe_id, rank, id, cos). */
+    * single-Exchange plan shape. Returns (probe_id, rank, id, cos).
+    *
+    * RUNTIME GUARD against the silent quadratic trap (a stale or
+    * undersized centroid set on a grown corpus): the call `require`s
+    * |centroids| ≥ √n / `maxShareFactor`, i.e. the average per-bucket
+    * candidate share n/|centroids| may exceed the √n-rule share by at
+    * most `maxShareFactor`×. Both counts are metadata-cheap (the index
+    * count comes from parquet stats; centroids are broadcast-sized);
+    * no job runs over the probe side. A deliberate probe of the
+    * mis-sized regime passes `maxShareFactor = Double.PositiveInfinity`
+    * — loudly, at the call site (q28f does exactly this).
+    *
+    * `excludeSelf` (default true — the ivfTopK family convention, and
+    * what self-kNN dedup wants): drop candidates whose index id equals
+    * the probe id. For batch re-embedding joins where probe ids
+    * deliberately coincide with index ids and the identity match IS the
+    * desired top-1, pass false. */
   def ivfTopKBulk(table: String, centroids: DataFrame, probes: DataFrame,
-                  k: Int, nprobe: Int): DataFrame = {
+                  k: Int, nprobe: Int, excludeSelf: Boolean = true,
+                  maxShareFactor: Double = 8.0): DataFrame = {
     val spark = probes.sparkSession
+    val nIndex = spark.table(table).count()
+    val nCells = centroids.count()
+    require(nCells >= math.sqrt(nIndex.toDouble) / maxShareFactor,
+      s"ivfTopKBulk: $nCells centroids over a $nIndex-row index — average " +
+        f"per-bucket candidate share ${nIndex.toDouble / nCells}%.0f exceeds " +
+        f"$maxShareFactor× the sqrt(n) sizing rule (${math.sqrt(nIndex.toDouble)}%.0f). " +
+        "Candidate volume grows as n·nprobe·(n/|centroids|): retrain with " +
+        "more cells (|centroids| ∝ sqrt(n)) or pass a larger maxShareFactor " +
+        "to knowingly probe the mis-sized regime")
     val ucent = unitized(centroids, "c", "uc")
     val pAssigned =
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
-    spark.table(table).join(pAssigned.hint("merge"), "c_id")
-      .filter(col("id") =!= col("probe_id"))
+    val cand0 = spark.table(table).join(pAssigned.hint("merge"), "c_id")
+    val cand = if (excludeSelf) cand0.filter(col("id") =!= col("probe_id"))
+               else cand0
+    cand
       .withColumn("cos", dot(col("up"), col("ue")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -302,18 +330,28 @@ object Similarity {
     * placed. Inputs: (c_id, n_ref) and (c_id, n_cur) count frames
     * (O(|centroids|) rows — the current side is one metadata-cheap
     * aggregate over the bucketed index). Same smoothed PSI as the q126
-    * corpus monitor ((n+0.5)/(N+5.0), both engines finite on empty
-    * buckets); 1-row output (psi_occ, rounded 4dp). Totals attach via
+    * corpus monitor and [[graft.streaming.DriftStreams.psiFromCounts]]
+    * — Laplace 0.5 PER CONTRIBUTING BUCKET, (n+0.5)/(N+0.5·B), so the
+    * smoothed shares sum to 1 and the 0.05 trigger means the same thing
+    * at 8, 10, or 40 cells (at 10 buckets it reduces to the classic
+    * (n+0.5)/(N+5) form; IvfIndexSpec pins ≡ psiFromCounts on random
+    * frames of varying bucket count). Both engines finite on empty
+    * buckets; 1-row output (psi_occ, rounded 4dp). Totals attach via
     * broadcast 1-row aggregates — no unpartitioned window. */
   def occupancyPsi(refOcc: DataFrame, curOcc: DataFrame): DataFrame = {
     val joined = refOcc.join(curOcc, Seq("c_id"), "full_outer")
       .select(coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      // an explicitly-present 0-0 row must neither count toward B nor
+      // contribute a term — the psiFromCounts contract (count frames
+      // from group-bys never carry one, but the input is caller-shaped)
+      .filter(col("n_ref") > 0 || col("n_cur") > 0)
     val totals = broadcast(joined.agg(
-      sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur")))
+      sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"),
+      (count(lit(1)) * 0.5).as("smooth")))
     joined.crossJoin(totals)
-      .withColumn("pr", (col("n_ref") + 0.5) / (col("t_ref") + 5.0))
-      .withColumn("pc", (col("n_cur") + 0.5) / (col("t_cur") + 5.0))
+      .withColumn("pr", (col("n_ref") + 0.5) / (col("t_ref") + col("smooth")))
+      .withColumn("pc", (col("n_cur") + 0.5) / (col("t_cur") + col("smooth")))
       .agg(round(sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))), 4)
         .as("psi_occ"))
   }

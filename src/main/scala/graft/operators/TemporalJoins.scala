@@ -197,7 +197,30 @@ object TemporalJoins {
     * Null semantics: the tracked value is compared null-safely (`<=>`),
     * so null→null is a no-op and null→X / X→null are real changes; the
     * first row per key always opens a version (even a null one — the
-    * row_number guard, not the lag-null trick, decides "first"). */
+    * row_number guard, not the lag-null trick, decides "first").
+    *
+    * DETERMINISM PRECONDITION: (`tsCol`, `tieCol`) must be unique per
+    * key — that is what makes the window order, and therefore which
+    * no-op rows collapse, reproducible across runs. CDC feeds satisfy
+    * this by construction (the tie is the log sequence number / commit
+    * id); with duplicate (ts, tie) pairs the surviving history is one
+    * of several valid ones and may vary between runs. The streaming
+    * twin ([[graft.streaming.Scd2Streams]]) sorts by the same pair and
+    * carries the same assumption.
+    *
+    * RE-RUNS / BACKFILL: the operator is a pure function of the full
+    * CDC frame — the intended refresh path is DROP-AND-REBUILD (re-run
+    * over the complete, possibly backfilled, CDC log and overwrite the
+    * history table), not merging new output into old output. The
+    * `require` below rejects input already carrying the output columns
+    * precisely to make the wrong path (feeding a built history back in
+    * as CDC, or appending histories) fail loudly. Rebuilds are
+    * idempotent: the operator is a projection in the algebraic sense —
+    * re-running it over its own flattened output (valid_from as ts,
+    * version as tie) reproduces the history row-for-row, because no-op
+    * collapse already happened (Scd2Spec pins it). Incremental
+    * maintenance at 100 TB is the streaming twin's job, which folds
+    * per-key state instead of re-deriving. */
   def scd2History(cdc: DataFrame, keyCols: Seq[String], tsCol: String,
                   tieCol: String, valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "scd2History needs at least one key column")

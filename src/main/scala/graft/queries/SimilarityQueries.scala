@@ -203,8 +203,8 @@ object SimilarityQueries {
                count(*) AS n_cur
         FROM a_cur GROUP BY c_id),
       p AS (
-        SELECT (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS pr,
-               (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS pc
+        SELECT (n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * count(*) OVER ()) AS pr,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * count(*) OVER ()) AS pc
         FROM occ),
       psi AS (SELECT round(sum((pc - pr) * ln(pc / pr)), 4) AS psi_occ FROM p),
       m1 AS (
@@ -248,7 +248,12 @@ object SimilarityQueries {
     * for a sort-merge join that reads the index in place (IvfIndexSpec
     * pins: one c_id Exchange total, index scan `Bucketed: true`). Same
     * oracle family as q28 with the probe predicate opened to the whole
-    * corpus. benchSkip: the timed body would be the index write. */
+    * corpus. Deliberately UNDER-CELLED (10 coarse cells at every SF) to
+    * demonstrate the fixed-centroid quadratic failure mode the sf1 soak
+    * row measures — so it passes `maxShareFactor = ∞` to the guard that
+    * otherwise rejects exactly this shape ([[Similarity.ivfTopKBulk]]);
+    * q28g is the √n-sized corrected form, which runs under the default
+    * guard. benchSkip: the timed body would be the index write. */
   val q28fAnnIvfBulk = QueryDef(
     "q28f_ann_ivf_bulk",
     (s, d) => {
@@ -256,8 +261,12 @@ object SimilarityQueries {
       val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
       Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_bulk_index",
         numBuckets = 8)
+      // maxShareFactor = ∞: this query EXISTS to demonstrate the
+      // fixed-centroid mis-sizing regime the guard otherwise rejects
+      // (10 cells on the whole corpus — see the cost model in
+      // Similarity.ivfTopKBulk; q28g is the correctly-sized form)
       Similarity.ivfTopKBulk("graft_ivf_bulk_index", centroids, probes,
-        k = 3, nprobe = 2)
+        k = 3, nprobe = 2, maxShareFactor = Double.PositiveInfinity)
         .select(col("probe_id"), col("rank"), col("id"),
           round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "rank")

@@ -461,7 +461,78 @@ object TemporalQueries {
     """),
     bench = true)
 
+  /** The READ side of q128 — the point-in-time lookup a warehouse user
+    * runs daily against an SCD2 dimension: each fact row (purchases)
+    * joined to the dimension version valid AT FACT TIME, i.e. the
+    * version with `ts ∈ [valid_from, valid_to)` for the fact's key.
+    *
+    * Because non-empty SCD2 intervals tile each key's timeline, the
+    * interval-membership join IS a backward as-of join on valid_from —
+    * so this composes [[TemporalJoins.scd2History]] with
+    * [[TemporalJoins.asofJoin]]: ONE keyed shuffle for the history
+    * build and one union+keyed-window pass for the lookup, never an
+    * inequality nested loop and no interval explosion (the q61
+    * bucketized range join is the tool when intervals OVERLAP; SCD2
+    * intervals never do). Same-instant versions make empty intervals
+    * ([t, t)) — superseded in the same commit instant — which are
+    * filtered first, exactly the rows interval semantics says no fact
+    * can land in; that filter also restores the as-of uniqueness
+    * precondition (non-empty starts are strictly increasing per key).
+    * Facts at the exact change instant take the NEW version
+    * (ts == valid_from is in [valid_from, valid_to)) — both the as-of
+    * inclusivity and the oracle's >= agree. The oracle states the same
+    * semantics as the bare interval-membership join. */
+  val q128bScd2PointInTime = QueryDef(
+    "q128b_scd2_point_in_time",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val hist = TemporalJoins.scd2History(ev, Seq("user_id"), "ts",
+          "event_id", "event_type")
+        .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+        .select(col("user_id"), col("valid_from"), col("version"),
+          col("event_type").as("status"))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalJoins.asofJoin(facts, hist, Seq("user_id"), "ts", "valid_from")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("version"), col("status"), col("valid_from"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type FROM events),
+      ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      changes AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      hist AS (
+        SELECT user_id, event_type AS status, ts AS valid_from,
+               row_number() OVER w2 AS version,
+               lead(ts) OVER w2 AS valid_to
+        FROM changes WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      dim AS (
+        SELECT user_id, version, status, valid_from, valid_to FROM hist
+        WHERE valid_to IS NULL OR valid_to > valid_from),
+      facts AS (
+        SELECT event_id, user_id, ts FROM src WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id, f.ts, d.version, d.status, d.valid_from
+      FROM facts f
+      LEFT JOIN dim d
+        ON d.user_id = f.user_id
+       AND f.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      ORDER BY f.event_id
+    """),
+    bench = true)
+
   def all: Seq[QueryDef] = Seq(q60AsofJoin, q60bAsofTolerance,
     q60cAsofForward, q61RangeJoin, q107Funnel, q110LastTouchAttribution,
-    q111MovingAvg, q116GapFill, q118TransitionMatrix, q128Scd2History)
+    q111MovingAvg, q116GapFill, q118TransitionMatrix, q128Scd2History,
+    q128bScd2PointInTime)
 }

@@ -538,8 +538,11 @@ object WebIngest {
     * from [[graft.operators.Sketches.quantileSketch]] (deterministic,
     * mergeable, O(k) state — the 100 TB path; boundaries collect as ONE
     * 9-value row), bucketing is a map-side boundary count, and each
-    * version aggregates once. Laplace smoothing ((n+0.5)/(N+5)) keeps
-    * empty buckets finite deterministically in both engines. The
+    * version aggregates once. Laplace smoothing — 0.5 per contributing
+    * bucket, (n+0.5)/(N+0.5·B), the engine-wide PSI convention
+    * ([[graft.streaming.DriftStreams.psiFromCounts]]) — keeps empty
+    * buckets finite deterministically in both engines; at the 10
+    * decile buckets here it equals the classic (n+0.5)/(N+5). The
     * current version mirrors q122's drift (dropped, edited, and
     * duplicated docs), so the shift is real, not synthetic noise. */
   val q126PsiDrift = QueryDef(
@@ -625,8 +628,8 @@ object WebIngest {
         FROM dr FULL OUTER JOIN dc ON dr.bucket = dc.bucket),
       p AS (
         SELECT bucket, n_ref, n_cur,
-               (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS pr,
-               (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS pc
+               (n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * count(*) OVER ()) AS pr,
+               (n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * count(*) OVER ()) AS pc
         FROM j)
       SELECT bucket, n_ref, n_cur,
              round(sum((pc - pr) * ln(pc / pr)) OVER (), 4) AS psi_total

@@ -35,24 +35,30 @@ object DriftStreams {
   }
 
   /** PSI of a current bucket-count snapshot against the frozen reference
-    * counts — the q126 formula exactly: Laplace-smoothed shares
-    * (n + 0.5) / (N + 5), summed over buckets PRESENT on either side
-    * (q126's full-outer join omits both-empty buckets, so this must
-    * too for parity). */
+    * counts — the ONE PSI formula engine-wide (the q126 batch gate and
+    * [[graft.operators.Similarity.occupancyPsi]] compute the identical
+    * fold): Laplace-smoothed shares (n + 0.5) / (N + 0.5·B), summed over
+    * the B buckets PRESENT on either side (q126's full-outer join omits
+    * both-empty buckets, so this must too for parity). Smoothing 0.5 PER
+    * CONTRIBUTING BUCKET — not a fixed +5 — keeps the smoothed shares
+    * summing to 1 whatever the bucket count, so a PSI trigger threshold
+    * means the same thing for 10 deciles as for 8 or 40 IVF cells; at
+    * q126's 10 deciles it reduces to the classic (n+0.5)/(N+5) form. */
   def psiFromCounts(cur: Map[Int, Long], ref: Map[Int, Long]): Double = {
-    val nCur = cur.values.sum.toDouble
-    val nRef = ref.values.sum.toDouble
     // q126's full-outer join never materializes a bucket with zero rows
     // on BOTH sides, so an explicitly-present zero-zero key must not
     // contribute a term either (its Laplace-floor term is nonzero
     // whenever the two totals differ — including it would diverge from
     // the batch gate)
-    (cur.keySet ++ ref.keySet).toSeq
+    val buckets = (cur.keySet ++ ref.keySet).toSeq
       .filter(b => cur.getOrElse(b, 0L) > 0 || ref.getOrElse(b, 0L) > 0)
-      .map { b =>
-        val pc = (cur.getOrElse(b, 0L) + 0.5) / (nCur + 5.0)
-        val pr = (ref.getOrElse(b, 0L) + 0.5) / (nRef + 5.0)
-        (pc - pr) * math.log(pc / pr)
-      }.sum
+    val smooth = 0.5 * buckets.size
+    val nCur = cur.values.sum.toDouble
+    val nRef = ref.values.sum.toDouble
+    buckets.map { b =>
+      val pc = (cur.getOrElse(b, 0L) + 0.5) / (nCur + smooth)
+      val pr = (ref.getOrElse(b, 0L) + 0.5) / (nRef + smooth)
+      (pc - pr) * math.log(pc / pr)
+    }.sum
   }
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Streaming perplexity scoring with a pruned bigram LM — the production
+  * shape q129b names: train ONCE on a blessed reference corpus, prune to
+  * the top-K grams per context, then score the ingest document STREAM
+  * forever (the CCNet/FineWeb quality gate at the pipeline mouth).
+  *
+  * Scale shape: [[trainPruned]] is the q129b batch training half
+  * (two partial-aggregated groupBys — the shuffle carries unique grams,
+  * not tokens) collected to bounded driver metadata (O(contexts·K)
+  * probabilities + O(contexts) counts — the size class a 100 TB scorer
+  * broadcasts, which is the entire POINT of pruning). [[scoreStream]] is
+  * then completely STATELESS and shuffle-free: the LM rides the plan as
+  * a literal map (a broadcast variable in cluster terms), each document
+  * scores in one codegen'd fold over its own bigrams, and the stream
+  * needs no state store, no watermark, and no output-mode constraint —
+  * any micro-batch split scores identically (LmStreamsSpec pins stream
+  * ≡ batch ≡ q129b arithmetic, and pins the zero-Exchange plan).
+  *
+  * Unseen grams get q129b's two-level backoff exactly: 0.5/(c1+0.5·V)
+  * when the context w1 is known, 1/V when it isn't — so the scorer is
+  * total over any input vocabulary, which is what lets the stream score
+  * documents the reference corpus never saw. */
+object LmStreams {
+
+  /** A pruned bigram LM as bounded driver metadata: `probs` keyed by
+    * "w1 w2" (top-K per context only), `contexts` = c1 counts for the
+    * known-context backoff, `v` = vocabulary size (distinct w2). */
+  final case class PrunedLm(probs: Map[String, Double],
+                            contexts: Map[String, Long], v: Long)
+
+  /** q129b's training half: Laplace-smoothed bigram probabilities
+    * P(w2|w1) = (c12+0.5)/(c1+0.5·V) pruned to the top-`topK` grams per
+    * context (by count, ties to the lexicographically smaller w2 — the
+    * same deterministic cut as [[graft.operators.Sampling
+    * .quotaPerGroup]]), collected to driver metadata. `docs` carries
+    * (doc_id, text). */
+  def trainPruned(docs: DataFrame, topK: Int): PrunedLm = {
+    val pairs = docs
+      .select(explode(shingles(tokens(col("text")), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = pairs.agg(countDistinct(col("w2")).as("v")).head().getLong(0)
+    val kept = graft.operators.Sampling.quotaPerGroup(
+      c12, "w1", topK, col("c12").desc, col("w2").asc)
+    val probs = kept.join(c1, "w1")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("g"),
+        ((col("c12") + 0.5) / (col("c1") + v * 0.5)).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val contexts = c1.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    PrunedLm(probs, contexts, v)
+  }
+
+  /** Score a document frame — streaming or batch, identically — against
+    * a [[trainPruned]] LM: (doc_id, n_bigrams, avg_logp, ppl), q129b's
+    * arithmetic per bigram. Documents with fewer than two tokens drop
+    * (no bigrams to score — q129b's explode does the same). Stateless
+    * map-only plan: no Exchange, no state store; `try_element_at` (not
+    * `element_at`) because ANSI mode throws on a missing map key and
+    * missing IS the backoff path. The per-doc log-prob folds
+    * left-to-right over the document's own bigrams — associating
+    * differently from the batch aggregate's partial sums at ~1e-13,
+    * far under the 6dp/4dp output rounding (the q129 scaladoc's
+    * argument). */
+  def scoreStream(docs: DataFrame, lm: PrunedLm): DataFrame = {
+    val pm = typedLit(lm.probs)
+    val cm = typedLit(lm.contexts)
+    def pEff(g: Column): Column = coalesce(
+      try_element_at(pm, g),
+      lit(0.5) / (try_element_at(cm, split(g, " ").getItem(0)) + lm.v * 0.5),
+      lit(1.0) / lm.v)
+    docs
+      .select(col("doc_id"), shingles(tokens(col("text")), 2).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("slp",
+        aggregate(col("gs"), lit(0.0), (acc, g) => acc + log(pEff(g))))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_bigrams"),
+        round(col("slp") / size(col("gs")), 6).as("avg_logp"),
+        round(exp(-col("slp") / size(col("gs"))), 4).as("ppl"))
+  }
+}

@@ -15,10 +15,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * intervals final the moment they emit (no retraction channel exists
   * in append mode). Within a batch, rows are sorted by (ts, tie) before
   * folding, so any intra-batch shuffle scramble is repaired exactly as
-  * the batch operator's window sort repairs it. Null event times are
-  * dropped (CDC commit timestamps are non-null by construction; the
-  * batch operator would sort them first, which has no meaning in a
-  * stream).
+  * the batch operator's window sort repairs it. A row that arrives
+  * EARLIER than the open version's valid_from (a cross-batch contract
+  * violation) fails the stream loudly rather than silently emitting an
+  * inverted interval. Null event times are dropped (CDC commit
+  * timestamps are non-null by construction; the batch operator would
+  * sort them first, which has no meaning in a stream).
   *
   * Output (append mode): every CLOSED version the moment its successor
   * arrives — (k, version, v, valid_from, valid_to). The OPEN version
@@ -54,6 +56,18 @@ object Scd2Streams {
             st match {
               case None =>
                 st = Some(Scd2State(1, r.v, r.ts.getTime))
+              // a row OLDER than the open version violates the per-key
+              // ordering contract above (closed intervals already
+              // emitted are final — no retraction channel exists), so
+              // folding it silently would mint an inverted interval
+              // and corrupt downstream history with no signal: fail
+              // LOUDLY instead, naming the key (Scd2StreamsSpec pins it)
+              case Some(s) if r.ts.getTime < s.fromMs =>
+                throw new IllegalStateException(
+                  s"scd2Stream: out-of-order CDC row for key $k — event time " +
+                    s"${r.ts} precedes the open version's valid_from " +
+                    s"${new java.sql.Timestamp(s.fromMs)}; the stream contract " +
+                    "requires per-key commit order across micro-batches")
               case Some(s) if s.v != r.v => // Option equality: null-safe
                 out += Scd2Closed(k, s.version, s.v,
                   new java.sql.Timestamp(s.fromMs), r.ts)

@@ -229,12 +229,14 @@ class IvfIndexSpec extends SparkSpec {
     // ONE PSI semantics across the engine: the distributed detector and
     // the streaming monitor's driver fold must agree to the 4dp the
     // detector rounds to — including one-sided buckets (coalesce-0 vs
-    // getOrElse-0 paths)
+    // getOrElse-0 paths) and VARYING bucket counts (the smoothing is
+    // 0.5 per contributing bucket, not a fixed +5, so the parity must
+    // hold at 8 or 40 cells as well as the 10-decile case)
     val rnd = new scala.util.Random(10)
-    for (_ <- 1 to 5) {
-      val refM = (0 until 10).filter(_ => rnd.nextInt(10) > 0)
+    for (nb <- Seq(8, 10, 40); _ <- 1 to 3) {
+      val refM = (0 until nb).filter(_ => rnd.nextInt(10) > 0)
         .map(b => b -> (rnd.nextInt(500) + 1).toLong).toMap
-      val curM = (0 until 10).filter(_ => rnd.nextInt(10) > 0)
+      val curM = (0 until nb).filter(_ => rnd.nextInt(10) > 0)
         .map(b => b -> (rnd.nextInt(500) + 1).toLong).toMap
       val refDf = refM.toSeq.toDF("c_id", "n_ref")
       val curDf = curM.toSeq.toDF("c_id", "n_cur")
@@ -242,6 +244,58 @@ class IvfIndexSpec extends SparkSpec {
       val fold = BigDecimal(graft.streaming.DriftStreams.psiFromCounts(curM, refM))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(dist == fold, s"distributed $dist != driver fold $fold (ref=$refM cur=$curM)")
+    }
+    // an explicitly-present 0-0 bucket contributes nothing on either path
+    val a = Map(0 -> 100L, 1 -> 50L); val b = Map(0 -> 80L, 1 -> 70L)
+    val base = Similarity.occupancyPsi(
+      a.toSeq.toDF("c_id", "n_ref"), b.toSeq.toDF("c_id", "n_cur"))
+      .head().getDouble(0)
+    val withZeros = Similarity.occupancyPsi(
+      (a + (2 -> 0L)).toSeq.toDF("c_id", "n_ref"),
+      (b + (2 -> 0L)).toSeq.toDF("c_id", "n_cur")).head().getDouble(0)
+    assert(base == withZeros, "a 0-0 bucket must not shift PSI")
+  }
+
+  test("bulk kNN guard: rejects a mis-sized centroid set, passes a sqrt(n)-sized one") {
+    val (corpus, centroids, _) = inputs()
+    val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_guard_index", numBuckets = 8)
+      // the quadratic trap: force the guard with a tight factor — at
+      // sf0.001 (~60 vectors, 10 cells) the default 8.0 would pass, so
+      // the spec exercises the REJECT branch with factor small enough
+      // that sqrt(n)/factor > |centroids| at any fixture size
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKBulk("ivf_guard_index", centroids, probes,
+          k = 3, nprobe = 2, maxShareFactor = 0.01)
+      }
+      assert(ex.getMessage.contains("sizing rule"),
+        s"guard message must name the cost model: ${ex.getMessage}")
+      // and the pass side: the default factor admits this fixture, and
+      // results are unchanged from the unguarded path's contract
+      val ok = Similarity.ivfTopKBulk("ivf_guard_index", centroids, probes,
+        k = 3, nprobe = 2)
+      assert(ok.collect().nonEmpty, "guarded call must still return results")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_guard_index")
+    }
+  }
+
+  test("bulk kNN excludeSelf=false keeps the identity match as top-1") {
+    val (corpus, centroids, _) = inputs()
+    val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_self_index", numBuckets = 8)
+      val withSelf = Similarity.ivfTopKBulk("ivf_self_index", centroids, probes,
+        k = 1, nprobe = 2, excludeSelf = false)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      assert(withSelf.nonEmpty)
+      withSelf.foreach { case (pid, id, cos) =>
+        assert(id == pid, s"probe $pid: identity match not top-1 (got $id)")
+        assert(math.abs(cos - 1.0) < 1e-9, s"self-cosine $cos != 1")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_self_index")
     }
   }
 

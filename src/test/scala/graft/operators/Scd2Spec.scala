@@ -39,6 +39,53 @@ class Scd2Spec extends SparkSpec {
       (3L, 2, Some("q"), 10L, None, true)))
   }
 
+  test("rebuild idempotence: re-running over the flattened history is a fixpoint") {
+    // the documented backfill path is drop-and-rebuild; this pins the
+    // algebraic property that makes it safe — scd2History is a
+    // projection, so feeding its own output back (valid_from as ts,
+    // version as tie, output columns renamed past the reserved-name
+    // require) reproduces the history row-for-row: every no-op already
+    // collapsed, so nothing collapses further and versions renumber
+    // identically
+    val cdc = Seq(
+      (1L, 10L, 1L, Some("a")), (1L, 20L, 2L, Some("a")),
+      (1L, 30L, 3L, Some("b")), (1L, 50L, 5L, Some("a")),
+      (2L, 10L, 1L, None), (2L, 30L, 3L, Some("x")),
+      (3L, 10L, 6L, Some("p")), (3L, 10L, 7L, Some("q"))
+    ).toDF("user_id", "ts", "event_id", "v")
+    val hist = TemporalJoins.scd2History(cdc, Seq("user_id"), "ts", "event_id", "v")
+    val flattened = hist.select(col("user_id"),
+      col("valid_from").as("ts"), col("version").cast("long").as("event_id"),
+      col("v"))
+    val rebuilt = TemporalJoins.scd2History(flattened, Seq("user_id"), "ts",
+      "event_id", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "version", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, Option[String], Long, Option[Long], Boolean)].collect().toSet
+    assert(rows(rebuilt) == rows(hist),
+      "re-running scd2History over its own flattened output must be a no-op")
+  }
+
+  test("q128b point-in-time lookup: keyed plan, no nested-loop/cartesian join") {
+    // the PIT read side must stay the as-of composition (union + keyed
+    // window), never degrade to the inequality-join nested loop Spark
+    // plans for a bare interval predicate
+    val df = graft.queries.TemporalQueries.q128bScd2PointInTime
+      .fn(spark, sf001)
+    val got = df.collect()
+    assert(got.nonEmpty, "PIT lookup returned no rows on sf0.001")
+    // every matched fact sits INSIDE its version's interval: ts >=
+    // valid_from always (as-of), and no fact maps to a version that was
+    // superseded before the fact time (the empty-interval filter)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("NestedLoop"), s"PIT lookup planned a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"PIT lookup planned a cartesian:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).nonEmpty, s"no window pass in PIT plan:\n$plan")
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"unpartitioned window in PIT plan:\n$plan")
+  }
+
   test("plan: one Exchange, one Sort for all three windows") {
     val cdc = spark.range(1000).select(
       (col("id") % 50).as("user_id"), (col("id") / 50).as("ts"),

@@ -66,4 +66,29 @@ class Scd2StreamsSpec extends SparkSpec {
         "state-held open versions diverged from the batch is_current rows")
     } finally query.stop()
   }
+
+  test("out-of-order CDC row fails the stream loudly instead of inverting an interval") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Option[String])]
+    val stream = Scd2Streams.scd2Stream(
+      mem.toDF().toDF("k", "tsl", "tie", "v")
+        .select(col("k"), timestamp_millis(col("tsl")).as("ts"), col("tie"), col("v")))
+    val query = stream.writeStream
+      .format("memory").queryName("scd2ooo").outputMode("append").start()
+    try {
+      mem.addData((7L, 5000L, 1L, Some("a")))
+      query.processAllAvailable()
+      // ts 3000 precedes the open version's valid_from 5000 — a
+      // violation of the per-key ordering contract that, folded
+      // silently, would emit valid_to < valid_from
+      mem.addData((7L, 3000L, 2L, Some("b")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+      assert(msgs.contains("out-of-order CDC row"),
+        s"expected the contract-violation message in the failure chain:\n$msgs")
+    } finally query.stop()
+  }
 }
