@@ -177,15 +177,21 @@ object Similarity {
     * wrong tool there (millions of probes don't collect, and they touch
     * every bucket anyway); the scale win flips from bucket PRUNING to
     * join LOCALITY: probes assign to their nprobe coarse buckets
-    * map-side (broadcast centroids), then shuffle ONCE on c_id into a
-    * sort-merge join against the bucketed index, which is read in place
-    * — the 100 TB side never moves. The `merge` hint keeps AQE from
-    * demoting the join to a broadcast at test scale; the final top-k
-    * window shuffles only candidate rows (probes·nprobe·bucket-share),
-    * never the index. The SMJ's index-side per-bucket sort is the one
-    * recurring cost (appends keep buckets multi-file, so Spark cannot
-    * trust a write-time sort order); if executor memory allows, a
-    * `shuffle_hash` hint trades that sort for a per-bucket hash build.
+    * map-side (broadcast centroids), then shuffle ONCE on c_id onto the
+    * index's bucket layout, which is read in place — the 100 TB side
+    * never moves. The join is a SHUFFLE-HASH join BUILDING ON THE INDEX
+    * side (hint pinned so AQE can't demote it to a broadcast at test
+    * scale): each task hash-builds its own bucket's index rows once and
+    * STREAMS the probe side, which carries nprobe× more rows — measured
+    * 1.2–1.4× over the sort-merge alternative at sf1 (min 3.24 s vs
+    * 3.99 s, median 3.39 vs 4.72, matched-conditions A/B in SOAK.md;
+    * SMJ pays an index-side per-bucket sort EVERY probe run because
+    * appends keep buckets multi-file, so no write-time order is
+    * trustable). Build-side memory is one bucket's rows per task —
+    * n/|centroids| ≈ √n under the sizing rule the guard below enforces
+    * — and Spark's shuffled-hash join spills if a skewed bucket
+    * outgrows it. The final top-k window shuffles only candidate rows
+    * (probes·nprobe·bucket-share), never the index.
     * COST MODEL: candidate volume is Σ_bucket |probes→bucket|·|bucket|
     * ≈ n·nprobe·(n/|centroids|) for self-kNN — quadratic in corpus size
     * at FIXED centroid count. The dial is |centroids| ∝ √n (the
@@ -227,7 +233,7 @@ object Similarity {
     val pAssigned =
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
-    val cand0 = spark.table(table).join(pAssigned.hint("merge"), "c_id")
+    val cand0 = spark.table(table).hint("shuffle_hash").join(pAssigned, "c_id")
     val cand = if (excludeSelf) cand0.filter(col("id") =!= col("probe_id"))
                else cand0
     cand

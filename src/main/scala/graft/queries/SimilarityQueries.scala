@@ -245,8 +245,9 @@ object SimilarityQueries {
     * dedup and batch re-embedding runs look like), so the indexed
     * path's collect-and-prune convention doesn't apply; instead probes
     * assign map-side and shuffle ONCE onto the index's bucket layout
-    * for a sort-merge join that reads the index in place (IvfIndexSpec
-    * pins: one c_id Exchange total, index scan `Bucketed: true`). Same
+    * for a shuffled-hash join that reads the index in place and
+    * hash-builds it per bucket (IvfIndexSpec pins: one c_id Exchange
+    * total, index scan `Bucketed: true`, build side = index). Same
     * oracle family as q28 with the probe predicate opened to the whole
     * corpus. Deliberately UNDER-CELLED (10 coarse cells at every SF) to
     * demonstrate the fixed-centroid quadratic failure mode the sf1 soak

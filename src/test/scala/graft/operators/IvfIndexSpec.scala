@@ -167,15 +167,17 @@ class IvfIndexSpec extends SparkSpec {
       val got = bulk.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(got == direct, "bulk kNN join must reproduce the in-plan IVF results")
 
-      // plan shape: the join stays a sort-merge join (the hint holds
-      // against AQE's broadcast demotion) and the ONLY c_id exchange is
-      // the probe side moving to the index's bucket layout — the index
-      // itself is read in place
+      // plan shape: the join stays a shuffled-hash join BUILDING ON THE
+      // INDEX side (the r11 A/B winner — the hint holds against AQE's
+      // broadcast demotion) and the ONLY c_id exchange is the probe
+      // side moving to the index's bucket layout — the index itself is
+      // read in place
       // AQE's toString appends the pre-adaptive "Initial Plan" — count
       // exchanges in the FINAL plan section only
       val plan = bulk.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      assert(plan.contains("SortMergeJoin"), s"join demoted from SMJ:\n$plan")
+      assert(plan.contains("ShuffledHashJoin") && plan.contains("BuildLeft"),
+        s"join not a shuffled-hash building on the index side:\n$plan")
       assert(plan.contains("Bucketed: true"),
         s"index scan lost its bucket layout:\n$plan")
       val nExch = "Exchange hashpartitioning\\(c_id".r.findAllIn(plan).size
