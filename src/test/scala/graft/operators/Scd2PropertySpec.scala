@@ -52,4 +52,47 @@ class Scd2PropertySpec extends SparkSpec {
       assert(got == reference(rows), s"seed $seed: operator != reference")
     }
   }
+
+  test("random point-in-time lookups: as-of composition == interval-membership reference") {
+    // the q128b composition in the general case: history → drop empty
+    // [t,t) intervals → backward as-of on valid_from. The reference is
+    // the DEFINITION — scan each fact's key history for the version
+    // with valid_from <= ts < valid_to (null = ∞) — sharing no code
+    // with the window/union machinery. Fact times are drawn from the
+    // same small range as the CDC, so exact-boundary hits (ts ==
+    // valid_from, ts == valid_to) and before-first-version misses all
+    // occur.
+    for (seed <- Seq(11, 20260815)) {
+      val rnd = new scala.util.Random(seed)
+      val cdcRows: Seq[(Long, Long, Long, Option[String])] = (0 until 300).map { i =>
+        (rnd.nextInt(10).toLong, (rnd.nextInt(15) * 1000).toLong, i.toLong,
+          if (rnd.nextInt(100) < 15) None else Some("v" + rnd.nextInt(3)))
+      }
+      val facts: Seq[(Long, Long, Long)] = (0 until 200).map { i =>
+        (10000L + i, rnd.nextInt(10).toLong, (rnd.nextInt(17) * 1000 - 1000).toLong)
+      }
+      val hist = reference(cdcRows).toSeq
+      val expected = facts.map { case (fid, k, ts) =>
+        val hit = hist.find { case (hk, _, _, f, t, _) =>
+          hk == k && ts >= f && t.forall(ts < _)
+        }
+        (fid, hit.map(_._2), hit.flatMap(_._3), hit.map(_._4))
+      }.toSet
+
+      val cdc = cdcRows.toDF("k", "tsl", "tie", "v")
+        .select(col("k"), timestamp_millis(col("tsl")).as("ts"),
+          col("tie"), col("v"))
+      val dim = TemporalJoins.scd2History(cdc, Seq("k"), "ts", "tie", "v")
+        .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+        .select(col("k"), col("valid_from"), col("version"), col("v").as("status"))
+      val factDf = facts.toDF("fact_id", "k", "tsl")
+        .select(col("fact_id"), col("k"), timestamp_millis(col("tsl")).as("ts"))
+      val got = TemporalJoins.asofJoin(factDf, dim, Seq("k"), "ts", "valid_from")
+        .select(col("fact_id"), col("version"), col("status"),
+          unix_millis(col("valid_from")).as("f"))
+        .as[(Long, Option[Int], Option[String], Option[Long])]
+        .collect().map(r => (r._1, r._2, r._3, r._4)).toSet
+      assert(got == expected, s"seed $seed: PIT lookup != interval membership")
+    }
+  }
 }
