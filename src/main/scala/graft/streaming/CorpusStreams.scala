@@ -37,6 +37,31 @@ object CorpusStreams {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of the q100 cross-version dedup
+    * ([[graft.operators.Dedup.incrementalExactDedup]]) — the INGEST-
+    * MOUTH shape: new documents stream in, anything whose fingerprint
+    * already exists in the STANDING corpus index drops (stream-static
+    * LEFT ANTI join — stateless, re-evaluated per micro-batch, so the
+    * index can be the skinny 16-bytes/doc fingerprint store of a
+    * 10¹¹-doc corpus read in place), and within-stream repeats collapse
+    * to the first arrival ([[dedupByFingerprint]]'s watermarked state).
+    * ORDER MATTERS FOR STATE SIZE: the anti-join runs BEFORE the
+    * stateful dedup, so the state store holds only fingerprints that
+    * are genuinely NEW this horizon — not one entry per arrival against
+    * a mostly-duplicate ingest. Emits the same survivor set as the
+    * batch operator with `ord` = arrival order (CorpusStreamsSpec pins
+    * it across micro-batch splits); the batch/stream difference is
+    * only WHICH representative survives a duplicate group, and the
+    * stream's answer (first arrival) is the batch answer under
+    * arrival-order `ord`. `index` needs only an `fp` column. */
+  def dedupIncremental(docs: DataFrame, index: DataFrame,
+                       horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .join(index.select(col("fp")), Seq("fp"), "left_anti")
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** The five hygiene twins composed END-TO-END on ONE streaming frame —
     * the continuous form of q86's ingest: URL canonicalization
     * ([[graft.operators.UrlOps.canonicalizeUrl]]) → PII scrub

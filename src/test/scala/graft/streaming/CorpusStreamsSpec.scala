@@ -58,6 +58,53 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(streamedFps.nonEmpty)
   }
 
+  test("streaming dedupIncremental == batch incrementalExactDedup under arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    // standing index: fingerprints of the first 40 docs (yesterday's
+    // corpus); today's stream re-sends half of those (must drop), new
+    // docs (must survive once), and within-stream dups (first arrival
+    // survives)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val indexed = docs.take(40)
+    val index = indexed.toSeq.toDF("doc_id", "text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+    // arrival sequence: 20 re-sends of indexed docs, 20 new docs, then
+    // the same 20 new docs again as within-stream dups (new doc_ids so
+    // survivorship is decided by fingerprint, not id)
+    val newDocs = docs.drop(40)
+    val arrivals: Seq[(Long, String)] =
+      indexed.take(20).map { case (id, t) => (id + 100000L, t) } ++
+        newDocs.map { case (id, t) => (id, t) } ++
+        newDocs.map { case (id, t) => (id + 200000L, t) }
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = CorpusStreams.dedupIncremental(
+      mem.toDF().toDF("doc_id", "text")
+        .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp")),
+      index)
+    val q = stream.writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // three micro-batches cutting across all three arrival classes
+      arrivals.grouped(25).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("inc_dedup_stream").select("doc_id")
+        .as[Long].collect().toSet
+      val batch = Dedup.incrementalExactDedup(index,
+        arrivals.zipWithIndex.map { case ((id, t), i) => (id, t, i.toLong) }
+          .toDF("doc_id", "text", "ord"),
+        col("text"), col("ord"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == batch,
+        "streamed incremental-dedup survivors differ from the batch operator")
+      assert(got == newDocs.map(_._1).toSet,
+        "survivors must be exactly the first arrivals of un-indexed docs")
+    } finally q.stop()
+  }
+
   test("streaming quotaPerSource == batch quotaPerGroup on a one-batch corpus") {
     import graft.operators.Sampling
     val quota = 7
