@@ -222,6 +222,7 @@ object Similarity {
     val spark = probes.sparkSession
     val nIndex = spark.table(table).count()
     val nCells = centroids.count()
+    require(nCells > 0, "ivfTopKBulk: empty centroid set")
     require(nCells >= math.sqrt(nIndex.toDouble) / maxShareFactor,
       s"ivfTopKBulk: $nCells centroids over a $nIndex-row index — average " +
         f"per-bucket candidate share ${nIndex.toDouble / nCells}%.0f exceeds " +

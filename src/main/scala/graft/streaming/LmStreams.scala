@@ -50,6 +50,10 @@ object LmStreams {
     val v = pairs.agg(countDistinct(col("w2")).as("v")).head().getLong(0)
     val kept = graft.operators.Sampling.quotaPerGroup(
       c12, "w1", topK, col("c12").desc, col("w2").asc)
+    // an empty/one-word-per-doc corpus trains nothing; scoring with
+    // V = 0 would mint Infinity floors — fail at train time, loudly
+    require(v > 0, "trainPruned: training corpus produced no bigrams " +
+      "(empty, or every document shorter than two tokens)")
     val probs = kept.join(c1, "w1")
       .select(concat_ws(" ", col("w1"), col("w2")).as("g"),
         ((col("c12") + 0.5) / (col("c1") + v * 0.5)).as("p"))

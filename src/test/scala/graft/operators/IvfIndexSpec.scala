@@ -273,6 +273,13 @@ class IvfIndexSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("sizing rule"),
         s"guard message must name the cost model: ${ex.getMessage}")
+      // degenerate input: an empty centroid frame is its own failure,
+      // not a vacuous pass of the sizing inequality
+      val exEmpty = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKBulk("ivf_guard_index", centroids.limit(0), probes,
+          k = 3, nprobe = 2)
+      }
+      assert(exEmpty.getMessage.contains("empty centroid set"))
       // and the pass side: the default factor admits this fixture, and
       // results are unchanged from the unguarded path's contract
       val ok = Similarity.ivfTopKBulk("ivf_guard_index", centroids, probes,

@@ -35,6 +35,14 @@ class LmStreamsSpec extends SparkSpec {
     assert(got == want, "scorer diverged from the gated q129b arithmetic")
   }
 
+  test("training on a bigram-free corpus fails loudly (no Infinity floors)") {
+    val empty = Seq((1L, "single"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      LmStreams.trainPruned(empty, topK = 3)
+    }
+    assert(ex.getMessage.contains("no bigrams"))
+  }
+
   test("scorer plan is stateless and shuffle-free (map-only)") {
     val d = docs()
     val lm = LmStreams.trainPruned(d, topK = 3)
