@@ -67,25 +67,46 @@ object LmStreams {
     * a [[trainPruned]] LM: (doc_id, n_bigrams, avg_logp, ppl), q129b's
     * arithmetic per bigram. Documents with fewer than two tokens drop
     * (no bigrams to score — q129b's explode does the same). Stateless
-    * map-only plan: no Exchange, no state store; `try_element_at` (not
-    * `element_at`) because ANSI mode throws on a missing map key and
-    * missing IS the backoff path. The per-doc log-prob folds
-    * left-to-right over the document's own bigrams — associating
-    * differently from the batch aggregate's partial sums at ~1e-13,
-    * far under the 6dp/4dp output rounding (the q129 scaladoc's
-    * argument). */
+    * map-only plan: no Exchange, no state store.
+    *
+    * The LM ships as BROADCAST variables captured by one per-DOCUMENT
+    * scoring UDF (a fold over the doc's own bigrams), not as `typedLit`
+    * plan literals — the same call the hygiene scorer made in round 9
+    * for the same reason: a pruned LM is O(contexts·K) ≈ the fastText
+    * vocab size class (10⁵–10⁶ entries), where a map literal becomes
+    * the per-micro-batch plan-analysis/serialization bottleneck
+    * (SOAK.md's vocab-scale soak row pins the broadcast shape flat in
+    * vocab size). The fold is left-to-right doubles with term-for-term
+    * q129b arithmetic; it associates differently from the batch
+    * aggregate's partial sums at ~1e-13, far under the 6dp/4dp output
+    * rounding (the q129 scaladoc's argument — LmStreamsSpec pins exact
+    * equality of the rounded outputs). */
   def scoreStream(docs: DataFrame, lm: PrunedLm): DataFrame = {
-    val pm = typedLit(lm.probs)
-    val cm = typedLit(lm.contexts)
-    def pEff(g: Column): Column = coalesce(
-      try_element_at(pm, g),
-      lit(0.5) / (try_element_at(cm, split(g, " ").getItem(0)) + lm.v * 0.5),
-      lit(1.0) / lm.v)
+    val sc = docs.sparkSession.sparkContext
+    val bProbs = sc.broadcast(lm.probs)
+    val bCtx = sc.broadcast(lm.contexts)
+    val v = lm.v
+    val slpOf = udf { gs: Seq[String] =>
+      val probs = bProbs.value
+      val ctx = bCtx.value
+      var s = 0.0
+      gs.foreach { g =>
+        val p = probs.get(g) match {
+          case Some(pg) => pg
+          case None => // two-level backoff: known context, then 1/V floor
+            ctx.get(g.substring(0, g.indexOf(' '))) match {
+              case Some(c1) => 0.5 / (c1 + v * 0.5)
+              case None => 1.0 / v
+            }
+        }
+        s += math.log(p)
+      }
+      s
+    }
     docs
       .select(col("doc_id"), shingles(tokens(col("text")), 2).as("gs"))
       .filter(size(col("gs")) > 0)
-      .withColumn("slp",
-        aggregate(col("gs"), lit(0.0), (acc, g) => acc + log(pEff(g))))
+      .withColumn("slp", slpOf(col("gs")))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_bigrams"),
         round(col("slp") / size(col("gs")), 6).as("avg_logp"),
         round(exp(-col("slp") / size(col("gs"))), 4).as("ppl"))
