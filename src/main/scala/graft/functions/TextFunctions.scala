@@ -20,7 +20,16 @@ object TextFunctions {
     filter(split(text, " "), w => length(w) > 0)
 
   /** Word n-grams ("shingles") as space-joined strings; empty array when the
-    * document has fewer than `n` words. Pure per-row array ops: no shuffle. */
+    * document has fewer than `n` words. Pure per-row array ops: no shuffle.
+    *
+    * CALL CONTRACT: pass a BOUND array column (project `tokens(...)` to a
+    * named column first, as q129 does) — the Column DSL substitutes the
+    * `words` argument TEXTUALLY everywhere it appears, including inside
+    * the per-element `element_at` lambda, so a nested expression like
+    * `shingles(tokens(text), 2)` re-runs the whole tokenizer ~2× PER
+    * SHINGLE (the CollapseProject-class trap PlanSpec pins for
+    * NormalizeVector; measured 4.5× on the LM scorer at sf0.1 —
+    * SOAK.md round 11). A bound attribute costs one array read. */
   def shingles(words: Column, n: Int): Column = {
     require(n >= 1)
     val out = transform(
