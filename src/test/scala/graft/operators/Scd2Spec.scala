@@ -84,6 +84,11 @@ class Scd2Spec extends SparkSpec {
     assert("Window \\[".r.findAllIn(plan).nonEmpty, s"no window pass in PIT plan:\n$plan")
     assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
       s"unpartitioned window in PIT plan:\n$plan")
+    // exactly TWO key shuffles end-to-end: the history build's and the
+    // as-of union window's (the final ORDER BY is a range exchange) —
+    // a third would mean the composition lost a shared partitioning
+    val nKeyExch = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(nKeyExch == 2, s"expected 2 user_id exchanges, found $nKeyExch:\n$plan")
   }
 
   test("plan: one Exchange, one Sort for all three windows") {
