@@ -138,13 +138,19 @@ object CorpusStats {
   def dropRepeatedSpans(docs: DataFrame, text: Column, id: Column,
                         spanWords: Int = 8, maxOccur: Long = 2): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
-    val words = tokens(text)
+    // tokens bound to a column FIRST: the span lambda slices the word
+    // array per element, and a nested tokens(text) there re-tokenizes
+    // the document once per span (the shingles-scaladoc trap; measured
+    // on the LM scorer, SOAK.md round 11). Bound here, each slice is
+    // an array read.
+    val words = col("__ws")
     val spanArr = when(size(words) > 0, transform(
       sequence(lit(0), ceil(size(words).cast("double") / spanWords).cast("int") - 1),
       i => concat_ws(" ", slice(words, i * spanWords + 1, lit(spanWords)))))
       .otherwise(array().cast("array<string>")) // wordless docs drop (no spans)
     val spans = docs
-      .select(id.as("doc_id"), posexplode(spanArr).as(Seq("pos", "span")))
+      .select(id.as("doc_id"), tokens(text).as("__ws"))
+      .select(col("doc_id"), posexplode(spanArr).as(Seq("pos", "span")))
     val freq = spans.groupBy("span").agg(count(lit(1)).as("n_occ"))
     spans.join(freq, "span")
       .groupBy("doc_id")

@@ -341,6 +341,9 @@ object Dedup {
         .withColumn("n_dup_spans", lit(0L))
         .withColumn("n_dup_tokens", lit(0L))
     val L = spanTokens.toLong
+    val reserved = Seq("__flagged", "__stats").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"reserved column names in use: ${reserved.mkString(",")}")
     val grams = shingleHash(
       column(graft.expressions.OrderedShinglesExpr(expression(text), spanTokens)))
     // flagged gram START positions, ascending by construction
@@ -352,16 +355,26 @@ object Dedup {
     // the gap exceeds L; coverage grows by min(L, gap) per flagged gram
     val init = struct(lit(0L).as("spans"), lit(0L).as("toks"),
       lit(Long.MinValue / 2).as("prev"))
-    val stats = aggregate(flagged, init, (acc, p) => struct(
-      (acc.getField("spans") +
-        when(p > acc.getField("prev") + L, 1L).otherwise(0L)).as("spans"),
-      (acc.getField("toks") +
-        least(lit(L), p - acc.getField("prev"))).as("toks"),
-      p.as("prev")))
+    // flagged and the fold are BOUND to columns before fan-out: the
+    // three outputs would otherwise carry three textual copies of the
+    // HOF tree, and the PER-ELEMENT lambda work inside them (the md5
+    // per gram, the Bloom probe per gram) is beyond subexpression
+    // elimination's reach — it re-ran 3× per row (SpanFlagBindProbe:
+    // 0.71 → 0.44 s min at sf0.1; contrast duplicates whose expensive
+    // part is a CSE-able codegen subtree, which measure as a wash —
+    // TokenBindProbe, and the q74 matched A/B in SOAK.md)
     docs
-      .withColumn("n_flagged", coalesce(size(flagged).cast("long"), lit(0L)))
-      .withColumn("n_dup_spans", coalesce(stats.getField("spans"), lit(0L)))
-      .withColumn("n_dup_tokens", coalesce(stats.getField("toks"), lit(0L)))
+      .withColumn("__flagged", flagged)
+      .withColumn("__stats", aggregate(col("__flagged"), init, (acc, p) => struct(
+        (acc.getField("spans") +
+          when(p > acc.getField("prev") + L, 1L).otherwise(0L)).as("spans"),
+        (acc.getField("toks") +
+          least(lit(L), p - acc.getField("prev"))).as("toks"),
+        p.as("prev"))))
+      .withColumn("n_flagged", coalesce(size(col("__flagged")).cast("long"), lit(0L)))
+      .withColumn("n_dup_spans", coalesce(col("__stats").getField("spans"), lit(0L)))
+      .withColumn("n_dup_tokens", coalesce(col("__stats").getField("toks"), lit(0L)))
+      .drop("__flagged", "__stats")
   }
 
   /** A Bloom filter over any LONG hash column — the generic builder
@@ -493,10 +506,14 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
   }
 
-  /** Portable simhash fingerprints (see TextFunctions.simhashBits). */
+  /** Portable simhash fingerprints (see TextFunctions.simhashBits).
+    * Tokens are bound to a column first: simhashBits references its
+    * `toks` argument inside the per-BIT lambda, so a nested
+    * tokens(text) would re-tokenize the document once per bit. */
   def simhashPortable(df: DataFrame, text: Column, id: Column,
                       bits: Int = 60): DataFrame =
-    df.select(id.as("id"), simhashBits(tokens(text), bits).as("simhash"))
+    df.select(id.as("id"), tokens(text).as("__toks"))
+      .select(col("id"), simhashBits(col("__toks"), bits).as("simhash"))
 
   /** Engine-fast simhash: 64-bit long fingerprint via the codegen kernel
     * (one md5 per token, all 64 bit-votes in one JVM loop — the earlier
