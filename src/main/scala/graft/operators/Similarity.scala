@@ -43,6 +43,33 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Recall@k of an approximate kNN result against the exact baseline —
+    * the EVALUATE leg of the index lifecycle (the number every ANN
+    * deployment tunes nprobe/bands/m against; SimilaritySpec's quality
+    * pins use the same definition). Both frames carry at least
+    * (probe_id, id) — the top-k of the same probe set from the index
+    * under test and from [[bruteForceTopK]]. Per probe:
+    * |approx ∩ exact| / k, keeping probes the index missed entirely
+    * (recall 0) via a left join from the exact side's probe list.
+    *
+    * Scale shape: evaluation always runs on a probe SAMPLE (the exact
+    * side is O(|sample|·n) by construction — that cost is the
+    * baseline's, not this operator's). Both inputs here are
+    * |sample|·k rows, so the semi join on (probe_id, id) and the
+    * per-probe count are metadata-cheap at any corpus size. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "recallAtK needs k >= 1")
+    val hits = exact.select(col("probe_id"), col("id"))
+      .join(approx.select(col("probe_id"), col("id")),
+        Seq("probe_id", "id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("probe_id").distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / k.toDouble, 6).as("recall"))
+  }
+
   /** Assign each unit corpus vector to its nearest centroid (cosine; ties
     * broken by ascending centroid id). Inputs already unit-normalized. */
   private def assignUnit(ucorpus: DataFrame, ucent: DataFrame,

@@ -311,7 +311,10 @@ object SimilarityQueries {
   /** The shared IVF probe oracle, parameterized by the probe-set
     * predicate: q28/q28b/q28d use the 20-probe query set, q28f probes
     * the WHOLE corpus (self-kNN; the predicate degenerates to true). */
-  private def ivfOracle(probeWhere: String,
+  /** The IVF CTE chain through `scored` (all ranks) — shared by the
+    * direct IVF oracles and the q130 recall oracle, which joins
+    * `scored` against a brute-force chain over the same `u`. */
+  private def ivfCtes(probeWhere: String,
       centSql: String = """
       seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
       cent AS (
@@ -342,7 +345,15 @@ object SimilarityQueries {
                row_number() OVER (PARTITION BY p.probe_id
                  ORDER BY list_dot_product(p.up, a.ue) DESC, a.id) AS rank
         FROM probes p JOIN assigned a ON a.c_id = p.c_id
-        WHERE a.id <> p.probe_id)
+        WHERE a.id <> p.probe_id)"""
+
+  private def ivfOracle(probeWhere: String,
+      centSql: String = """
+      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
+      cent AS (
+        SELECT s.label AS c_id, u.ue AS uc
+        FROM seeds s JOIN u ON u.vec_id = s.seed_id)"""): String = s"""
+      ${ivfCtes(probeWhere, centSql)}
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM scored WHERE rank <= 3
       ORDER BY probe_id, rank
@@ -842,9 +853,51 @@ object SimilarityQueries {
     """
   }
 
+  /** Recall@k evaluation ([[Similarity.recallAtK]]) — the EVALUATE leg
+    * of the index lifecycle, and the number every ANN deployment tunes
+    * nprobe/bands/m against: the q28 seed-centroid IVF at nprobe=2
+    * scored per-probe against the q27 exact baseline over the same 20
+    * probes. SimilaritySpec's quality pins (trained ≥ seeds, LSH ≥ 0.9)
+    * use the same definition; this gates the COMPUTATION itself — both
+    * top-k sets, the (probe_id, id) intersection, and the per-probe
+    * ratio — under the cross-engine oracle. At 100 TB the exact side is
+    * the cost (O(|probe sample|·n), the documented baseline shape); the
+    * comparison here is |sample|·k rows on both sides, metadata-cheap
+    * at any corpus size. */
+  val q130AnnRecall = QueryDef(
+    "q130_ann_recall",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      val exact = Similarity.bruteForceTopK(corpus, probes, 3)
+      val approx = Similarity.ivfTopK(corpus, centroids, probes, k = 3, nprobe = 2)
+      Similarity.recallAtK(approx, exact, 3).orderBy("probe_id")
+    },
+    Some(ivfCtes("u.vec_id < 20") + """,
+      bfp AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
+      bfs AS (
+        SELECT probe_id, vec_id AS id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
+        FROM u CROSS JOIN bfp
+        WHERE vec_id <> probe_id),
+      bf AS (SELECT probe_id, id FROM bfs WHERE rank <= 3),
+      ivf AS (SELECT probe_id, id FROM scored WHERE rank <= 3),
+      hits AS (
+        SELECT bf.probe_id, count(*) AS n_hit
+        FROM bf JOIN ivf ON ivf.probe_id = bf.probe_id AND ivf.id = bf.id
+        GROUP BY bf.probe_id)
+      SELECT p.probe_id,
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0) / 3.0, 6) AS recall
+      FROM (SELECT DISTINCT probe_id FROM bf) p
+      LEFT JOIN hits h ON h.probe_id = p.probe_id
+      ORDER BY p.probe_id
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
-    q127cAnnIvfPqIndexed)
+    q127cAnnIvfPqIndexed, q130AnnRecall)
 }

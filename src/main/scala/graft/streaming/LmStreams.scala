@@ -15,12 +15,13 @@ import graft.functions.TextFunctions._
   * not tokens) collected to bounded driver metadata (O(contexts·K)
   * probabilities + O(contexts) counts — the size class a 100 TB scorer
   * broadcasts, which is the entire POINT of pruning). [[scoreStream]] is
-  * then completely STATELESS and shuffle-free: the LM rides the plan as
-  * a literal map (a broadcast variable in cluster terms), each document
-  * scores in one codegen'd fold over its own bigrams, and the stream
-  * needs no state store, no watermark, and no output-mode constraint —
-  * any micro-batch split scores identically (LmStreamsSpec pins stream
-  * ≡ batch ≡ q129b arithmetic, and pins the zero-Exchange plan).
+  * then completely STATELESS and shuffle-free: the LM ships as BROADCAST
+  * variables captured by one per-document scoring UDF (not plan
+  * literals — see the method scaladoc for the measured A/B), and the
+  * stream needs no state store, no watermark, and no output-mode
+  * constraint — any micro-batch split scores identically (LmStreamsSpec
+  * pins stream ≡ batch ≡ q129b arithmetic, and pins the zero-Exchange
+  * plan).
   *
   * Unseen grams get q129b's two-level backoff exactly: 0.5/(c1+0.5·V)
   * when the context w1 is known, 1/V when it isn't — so the scorer is

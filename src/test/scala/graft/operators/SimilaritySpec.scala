@@ -37,6 +37,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_._3).toSet == Set(1L, 2L, 3L)) // axis-y cluster never scanned
   }
 
+  test("recallAtK: per-probe hit ratio; probes the index missed score 0") {
+    val exact = Seq(
+      (100L, 1, 1L), (100L, 2, 3L), (100L, 3, 2L),
+      (200L, 1, 4L), (200L, 2, 5L), (200L, 3, 1L))
+      .toDF("probe_id", "rank", "id")
+    // probe 100: 2 of 3 right; probe 200: absent from the approx result
+    // entirely (its bucket was empty) — must still appear, at recall 0
+    val approx = Seq((100L, 1, 1L), (100L, 2, 2L), (100L, 3, 9L))
+      .toDF("probe_id", "rank", "id")
+    val r = Similarity.recallAtK(approx, exact, 3)
+      .orderBy("probe_id").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((100L, 2L, 0.666667), (200L, 0L, 0.0)))
+  }
+
   test("kmeansTrain: one Lloyd round moves each centroid to its cluster mean") {
     val pts = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)), (4L, Seq(0.0, 1.0)))
