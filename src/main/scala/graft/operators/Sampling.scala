@@ -102,17 +102,27 @@ object Sampling {
     * `fracs` are (name, fraction) in priority order; fractions must sum
     * to ≤ 1 and any remainder falls to the LAST split. */
   def groupedSplit(df: DataFrame, groupCol: String, seed: String,
-                   fracs: Seq[(String, Double)]): DataFrame = {
+                   fracs: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(col(groupCol), seed, fracs))
+
+  /** The split assignment as a pure column — [[groupedSplit]]'s CASE
+    * ladder, exposed so a frame that carries the SAME key under another
+    * name (a near-dup pair table with `id_a`/`id_b`, a shard manifest)
+    * can re-derive each side's split in place. Because the label is a
+    * pure function of (seed, key), an audit over pairs costs ZERO joins
+    * against the split assignment — at 100 TB a split-label join would
+    * re-shuffle the corpus; this is a map-side expression (q131). */
+  def splitLabel(key: Column, seed: String,
+                 fracs: Seq[(String, Double)]): Column = {
     require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val bucket = hashBucket(col(groupCol), seed)
+    val bucket = hashBucket(key, seed)
     val cuts = fracs.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * Buckets))
-    val expr = fracs.zip(cuts).init.foldRight(
+    fracs.zip(cuts).init.foldRight(
       lit(fracs.last._1): Column) { case (((name, _), cut), acc) =>
       when(bucket < cut, name).otherwise(acc)
     }
-    df.withColumn("split", expr)
   }
 
   /** Deterministic training-order shuffle key: ORDER BY this column

@@ -391,6 +391,91 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** Train/eval split-leakage audit — the hygiene gate a pipeline runs
+    * AFTER splitting and BEFORE shipping an eval set: near-duplicate
+    * pairs that straddle the split boundary leak training text into
+    * evaluation (the contamination mode row-hash splits are notorious
+    * for, and the reason [[graft.operators.Sampling.groupedSplit]]
+    * hashes the GROUP). The audit deliberately applies a doc-level
+    * split to the dup-dense corpus — each near-dup twin lands in an
+    * independent bucket, so ≈ 2·p·(1−p) of twin pairs cross — and
+    * reports every leaked (eval_id, train_id) pair with its hamming
+    * distance, i.e. the rows an operator would delete from eval or
+    * swap into train.
+    *
+    * Scale shape: candidates come from q64's banded simhash kernel
+    * (shuffle key (band, chunk), never the pair space), and each side's
+    * split is re-derived from the pair ids via
+    * [[graft.operators.Sampling.splitLabel]] — a pure map-side column,
+    * so the whole audit adds ZERO exchanges to the near-dup join it
+    * rides (a join against the split assignment would re-shuffle the
+    * 100 TB corpus a second time). SplitLeakageSpec pins exactly that:
+    * the q131 plan's exchange set equals q64's. */
+  val q131SplitLeakage = QueryDef(
+    "q131_split_leakage",
+    (s, d) => {
+      val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
+      val corpus = corpusNear(s, d)
+      Dedup.simhashCandidatePairs(corpus, col("text"), col("doc_id"),
+          bits = 128, bands = 4)
+        .filter(col("hamming") <= 3)
+        .withColumn("split_a", graft.operators.Sampling.splitLabel(col("id_a"), "sp2", fracs))
+        .withColumn("split_b", graft.operators.Sampling.splitLabel(col("id_b"), "sp2", fracs))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(
+          when(col("split_a") === "eval", col("id_a"))
+            .otherwise(col("id_b")).as("eval_id"),
+          when(col("split_a") === "train", col("id_a"))
+            .otherwise(col("id_b")).as("train_id"),
+          col("hamming"))
+        .orderBy("eval_id", "train_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
+      t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          list_aggregate(list_transform(range(0, 128), b ->
+            CASE WHEN COALESCE(list_sum(list_transform(words, t ->
+              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '') AS fp
+        FROM t),
+      banded AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM sh, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      near AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(1, 129), i ->
+                 CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                      THEN 1 ELSE 0 END))::BIGINT AS hamming
+        FROM pairs),
+      labeled AS (
+        SELECT id_a, id_b, hamming,
+               CASE WHEN (('0x' || substr(md5('sp2' || id_a::VARCHAR), 1, 15))::BIGINT
+                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_a,
+               CASE WHEN (('0x' || substr(md5('sp2' || id_b::VARCHAR), 1, 15))::BIGINT
+                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_b
+        FROM near WHERE hamming <= 3)
+      SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS eval_id,
+             CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
+             hamming
+      FROM labeled
+      WHERE split_a <> split_b
+      ORDER BY eval_id, train_id
+    """),
+    bench = true)
+
   /** The GUARDED near-dup clustering contract under a full oracle —
     * [[graft.operators.Dedup.nearDupClusters]] end-to-end: simhash
     * fingerprints → identical-fp rep grouping (bounded-collect
@@ -881,6 +966,7 @@ object DedupQueries {
     q100IncrementalDedup, q117FuzzyVerify,
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q26cEmbedNearDupIvfIndexed, q64SimhashNearDup,
+    q131SplitLeakage,
     q88NearDupClusters, q66Decontaminate,
     q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }

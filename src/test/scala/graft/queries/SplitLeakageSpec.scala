@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+import graft.operators.Sampling
+
+/** q131 split-leakage audit: the split labels must be the SAME pure
+  * function groupedSplit attaches (parity), the audit must add ZERO
+  * exchanges to the near-dup join it rides (the 100 TB contract — a
+  * join against the split assignment would re-shuffle the corpus), and
+  * every reported row must be a genuine cross-split near-dup pair. */
+class SplitLeakageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
+
+  test("splitLabel is exactly groupedSplit's assignment (parity)") {
+    val docs = (1L to 3000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val viaOp = Sampling.groupedSplit(docs, "doc_id", "sp2", fracs)
+      .select(col("doc_id"), col("split"))
+    val viaCol = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"), "sp2", fracs).as("split"))
+    assert(viaOp.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaOp).isEmpty)
+    // both names present at roughly the configured rates
+    val byName = viaCol.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byName("train").toDouble / 3000.0 - 0.8) < 0.03)
+    assert(math.abs(byName("eval").toDouble / 3000.0 - 0.2) < 0.03)
+  }
+
+  test("q131 adds zero exchanges over q64 — the split is map-side") {
+    def exchanges(name: String): Int = {
+      val p = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$name degenerated:\n$p")
+      "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    }
+    assert(exchanges("q131_split_leakage") == exchanges("q64_simhash_neardup"))
+  }
+
+  test("every reported pair is a genuine cross-split near-dup; audit is non-empty") {
+    val out = SparkEntry.queries("q131_split_leakage")(spark, sf001)
+      .withColumn("s_eval", Sampling.splitLabel(col("eval_id"), "sp2", fracs))
+      .withColumn("s_train", Sampling.splitLabel(col("train_id"), "sp2", fracs))
+      .cache()
+    assert(out.count() > 0, "dup-dense corpus must leak under a doc-level split")
+    assert(out.filter(col("s_eval") =!= "eval" || col("s_train") =!= "train").isEmpty,
+      "a reported pair does not straddle the split")
+    assert(out.filter(col("hamming") > 3).isEmpty)
+    out.unpersist()
+  }
+}
