@@ -57,21 +57,32 @@ object Dedup {
   def minhashBands(df: DataFrame, text: Column, id: Column,
                    shingleN: Int = 3, numBands: Int = 4,
                    rowsPerBand: Int = 2): DataFrame = {
-    val bandArr =
-      if (rowsPerBand == 2)
-        // hot path: one fused codegen kernel per row
-        column(MinhashBandsExpr(expression(text), shingleN, numBands))
-      else {
-        // generic path: portable column composition (empty when doc too short)
-        val words = tokens(text)
-        val h = shingleHash(shingles(words, shingleN))
-        when(size(words) >= shingleN,
-          array((0 until numBands).map(b => bandHashInt(h, b, rowsPerBand)): _*))
-          .otherwise(array().cast("array<long>"))
-      }
-    df.select(id.as("id"), bandArr.as("bands"))
-      .filter(size(col("bands")) > 0)
-      .select(col("id"), posexplode(col("bands")).as(Seq("band", "band_hash")))
+    if (rowsPerBand == 2)
+      // hot path: one fused codegen kernel per row (the kernel-side
+      // filter(size>0)-then-explode shape is safe: codegen CSE collapses
+      // the pushed predicate's re-substituted copy — MinhashFilterProbe)
+      df.select(id.as("id"),
+          column(MinhashBandsExpr(expression(text), shingleN, numBands)).as("bands"))
+        .filter(size(col("bands")) > 0)
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "band_hash")))
+    else
+      // generic path: portable column composition. Both round-11 plan
+      // traps apply here and are avoided structurally: (a) `__ws`/`__h`
+      // are BOUND to named columns before any per-element lambda
+      // consumes them (shingles()' CALL CONTRACT — nested, the lambda
+      // re-tokenizes per shingle and the numBands bandHashInt copies
+      // fan the whole tokens→md5 pipeline into one projection);
+      // (b) the too-short-doc cut is the CHEAP predicate size(__ws)
+      // BEFORE the shingle projection, so predicate pushdown has no
+      // expensive expression to re-substitute.
+      df.select(id.as("id"), tokens(text).as("__ws"))
+        .filter(size(col("__ws")) >= shingleN)
+        .select(col("id"),
+          shingleHash(shingles(col("__ws"), shingleN)).as("__h"))
+        .select(col("id"),
+          array((0 until numBands).map(b =>
+            bandHashInt(col("__h"), b, rowsPerBand)): _*).as("bands"))
+        .select(col("id"), posexplode(col("bands")).as(Seq("band", "band_hash")))
   }
 
   /** LSH candidate pairs: ids colliding on at least one band, id_a < id_b.

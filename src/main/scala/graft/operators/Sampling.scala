@@ -99,8 +99,9 @@ object Sampling {
     * (the group value hashes in place; no join, no shuffle) and stable
     * under corpus growth: a group keeps its split forever, so refreshing
     * the corpus never migrates yesterday's eval docs into train.
-    * `fracs` are (name, fraction) in priority order; fractions must sum
-    * to ≤ 1 and any remainder falls to the LAST split. */
+    * `fracs` are (name, fraction) in priority order and must sum to 1
+    * (enforced by [[splitLabel]]); the LAST split is the CASE ladder's
+    * `otherwise`, so float rounding in the cumulative cuts lands there. */
   def groupedSplit(df: DataFrame, groupCol: String, seed: String,
                    fracs: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitLabel(col(groupCol), seed, fracs))

@@ -59,15 +59,30 @@ object Similarity {
     * per-probe count are metadata-cheap at any corpus size. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "recallAtK needs k >= 1")
-    val hits = exact.select(col("probe_id"), col("id"))
-      .join(approx.select(col("probe_id"), col("id")),
-        Seq("probe_id", "id"), "left_semi")
+    val ap = approx.select(col("probe_id"), col("id"))
+    val ex = exact.select(col("probe_id"), col("id"))
+    val hits = ex.join(ap, Seq("probe_id", "id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
-    exact.select("probe_id").distinct()
-      .join(hits, Seq("probe_id"), "left")
-      .select(col("probe_id"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) / k.toDouble, 6).as("recall"))
+    // GUARD (execution-time, riding the metric's own sample·k row scale):
+    // each side must be a genuine top-k frame. An oversized side silently
+    // redefines the metric — exact > k per probe lets n_hit exceed k
+    // (recall > 1), approx > k per probe turns the number into "exact
+    // top-k found anywhere in a larger list" — so the recall column
+    // itself raises when either per-probe count exceeds k. Probes the
+    // exact side doesn't carry stay out of the metric, as before.
+    val exN = ex.groupBy("probe_id").agg(count(lit(1)).as("__n_ex"))
+    val apN = ap.groupBy("probe_id").agg(count(lit(1)).as("__n_ap"))
+    val nHit = coalesce(col("n_hit"), lit(0L))
+    val guardedRecall =
+      when(col("__n_ex") > k || coalesce(col("__n_ap"), lit(0L)) > k,
+        raise_error(format_string(
+          s"recallAtK: more than k=$k rows for probe %s (exact %s, approx %s)",
+          col("probe_id").cast("string"), col("__n_ex").cast("string"),
+          coalesce(col("__n_ap"), lit(0L)).cast("string"))).cast("double"))
+        .otherwise(round(nHit / k.toDouble, 6))
+    exN.join(hits, Seq("probe_id"), "left")
+      .join(apN, Seq("probe_id"), "left")
+      .select(col("probe_id"), nHit.as("n_hit"), guardedRecall.as("recall"))
   }
 
   /** Assign each unit corpus vector to its nearest centroid (cosine; ties
@@ -173,6 +188,12 @@ object Similarity {
     * collect and the scoring join). */
   private def materializeProbeSide(pb: DataFrame): (DataFrame, Array[Any]) = {
     val rows = pb.collect()
+    // rides the collect this path already pays: an empty assignment means
+    // an empty centroid or probe frame, and downstream it would surface
+    // as a silently empty result (or recall 0.0 in the q130 evaluation
+    // leg) instead of the input error it is
+    require(rows.nonEmpty,
+      "probe assignment is empty — empty centroid set or empty probe set")
     val cIdAt = pb.schema.fieldIndex("c_id")
     val clusterIds = rows.map(_.get(cIdAt)).distinct
     val local = pb.sparkSession.createDataFrame(
@@ -184,6 +205,17 @@ object Similarity {
     * `cos` is exact (unit vectors preserve cosine). */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
+    // CONTRACT: `centroids` must be non-empty — an empty frame empties
+    // the assignment on both sides and returns zero rows (which the
+    // q130 evaluation leg would read as recall 0.0). This path stays
+    // fully LAZY on purpose: an eager emptiness probe re-executes the
+    // centroid lineage (a window over the corpus, a training run) as an
+    // extra driver job — measured +0.4 s on q28 at sf0.1 for a check
+    // that's structurally impossible for in-repo callers (kmeansTrain
+    // requires seeds; seed CTEs are per-label firsts). The paths that
+    // already pay a driver-side materialization guard for free:
+    // [[ivfTopKIndexed]]/[[ivfRangeSearchIndexed]] via
+    // materializeProbeSide, [[ivfTopKBulk]] via its sizing counts.
     val ucent = unitized(centroids, "c", "uc")
     val assigned = assignUnit(unitized(corpus, "e", "ue"), ucent, "id", "ue", 1)
     val probeClusters =

@@ -314,12 +314,21 @@ object SimilarityQueries {
   /** The IVF CTE chain through `scored` (all ranks) — shared by the
     * direct IVF oracles and the q130 recall oracle, which joins
     * `scored` against a brute-force chain over the same `u`. */
-  private def ivfCtes(probeWhere: String,
-      centSql: String = """
+  /** Seed-centroid CTE (first vector per label class), the default
+    * centroid set of every direct IVF oracle AND the q130 recall oracle
+    * built on [[ivfCtes]] — ONE definition so the two can't diverge.
+    * `lazy` is load-bearing: the QueryDef vals ABOVE this declaration
+    * force ivfOracleSql (and so this default) during object init — a
+    * plain val would still be null at that point and interpolate the
+    * string "null" into every seed-centroid oracle. */
+  private lazy val SeedCentSql: String = """
       seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
       cent AS (
         SELECT s.label AS c_id, u.ue AS uc
-        FROM seeds s JOIN u ON u.vec_id = s.seed_id)"""): String = s"""
+        FROM seeds s JOIN u ON u.vec_id = s.seed_id)"""
+
+  private def ivfCtes(probeWhere: String,
+      centSql: String = SeedCentSql): String = s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
         SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
@@ -348,11 +357,7 @@ object SimilarityQueries {
         WHERE a.id <> p.probe_id)"""
 
   private def ivfOracle(probeWhere: String,
-      centSql: String = """
-      seeds AS (SELECT label, min(vec_id) AS seed_id FROM u GROUP BY label),
-      cent AS (
-        SELECT s.label AS c_id, u.ue AS uc
-        FROM seeds s JOIN u ON u.vec_id = s.seed_id)"""): String = s"""
+      centSql: String = SeedCentSql): String = s"""
       ${ivfCtes(probeWhere, centSql)}
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM scored WHERE rank <= 3

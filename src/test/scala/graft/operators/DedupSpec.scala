@@ -28,6 +28,25 @@ class DedupSpec extends SparkSpec {
     assert(!perDoc.contains(5L)) // 4 words < shingleN
   }
 
+  test("minhashBands generic path (rowsPerBand != 2): structure + bound tokenizer") {
+    val b = Dedup.minhashBands(docs, $"text", $"doc_id",
+      shingleN = 5, numBands = 4, rowsPerBand = 3)
+    val perDoc = b.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(_ == 4))
+    assert(!perDoc.contains(5L)) // 4 words < shingleN
+    // deterministic: the md5-packed wide-band hashes are pure functions
+    val again = Dedup.minhashBands(docs, $"text", $"doc_id",
+      shingleN = 5, numBands = 4, rowsPerBand = 3)
+    assert(b.exceptAll(again).isEmpty && again.exceptAll(b).isEmpty)
+    // regression pin for the per-element duplication trap (SOAK r11): the
+    // tokenizer must stay BOUND — at most 2 `split` sites in the optimized
+    // plan (the pushed size-predicate plus the bound projection); unbound,
+    // it fans into the per-shingle lambda and every band copy
+    val plan = b.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits <= 2, s"tokenizer duplicated $splits times:\n$plan")
+  }
+
   test("lshCandidatePairs recovers the near-dup pair, ordered id_a < id_b") {
     val bands = Dedup.minhashBands(docs, $"text", $"doc_id")
     val pairs = Dedup.lshCandidatePairs(bands).as[(Long, Long)].collect().toSet

@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.toSeq == Seq((100L, 2L, 0.666667), (200L, 0L, 0.0)))
   }
 
+  test("recallAtK raises on an oversized side instead of silently inflating") {
+    // exact carries 4 rows for probe 100 with k=3: n_hit could exceed k
+    val exact = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 9L))
+      .toDF("probe_id", "id")
+    val approx = Seq((100L, 1L), (100L, 2L), (100L, 3L)).toDF("probe_id", "id")
+    val e = intercept[Exception] {
+      Similarity.recallAtK(approx, exact, 3).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("recallAtK")), chain(e).mkString("; "))
+    // and the mirrored case: approx oversized turns recall@k into
+    // "found anywhere in a larger list" — must raise too
+    val e2 = intercept[Exception] {
+      Similarity.recallAtK(exact, approx, 3).collect()
+    }
+    assert(chain(e2).exists(_.contains("recallAtK")), chain(e2).mkString("; "))
+  }
+
+  test("ivfTopKIndexed rejects an empty centroid set loudly (free guard)") {
+    val empty = Seq.empty[(Int, Seq[Double])].toDF("c_id", "c")
+    // the indexed path guards inside the probe-side collect it already
+    // pays (and fires BEFORE the index table is even resolved); the lazy
+    // ivfTopK path documents the non-empty contract instead — an eager
+    // probe there would re-execute the centroid lineage (see scaladoc)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed("graft_no_such_index", empty, probes,
+        k = 3, nprobe = 1)
+    }
+    assert(e.getMessage.contains("empty centroid set or empty probe set"))
+  }
+
   test("kmeansTrain: one Lloyd round moves each centroid to its cluster mean") {
     val pts = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)), (4L, Seq(0.0, 1.0)))
