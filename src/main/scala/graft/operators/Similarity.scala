@@ -280,7 +280,14 @@ object Similarity {
                   maxShareFactor: Double = 8.0): DataFrame = {
     val spark = probes.sparkSession
     val nIndex = spark.table(table).count()
-    val nCells = centroids.count()
+    // ONE execution of the centroid lineage: the sizing guard needs the
+    // count and the assignment broadcast needs the rows — centroids are
+    // broadcast-sized by the very rule the guard enforces, so collect
+    // once and reuse. A separate count() would execute a possibly
+    // non-trivial lineage (a training run, a window over the corpus)
+    // once for the guard and AGAIN inside the broadcast build.
+    val centRows = centroids.collect()
+    val nCells = centRows.length.toLong
     require(nCells > 0, "ivfTopKBulk: empty centroid set")
     require(nCells >= math.sqrt(nIndex.toDouble) / maxShareFactor,
       s"ivfTopKBulk: $nCells centroids over a $nIndex-row index — average " +
@@ -289,7 +296,8 @@ object Similarity {
         "Candidate volume grows as n·nprobe·(n/|centroids|): retrain with " +
         "more cells (|centroids| ∝ sqrt(n)) or pass a larger maxShareFactor " +
         "to knowingly probe the mis-sized regime")
-    val ucent = unitized(centroids, "c", "uc")
+    val ucent = unitized(spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centroids.schema), "c", "uc")
     val pAssigned =
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))

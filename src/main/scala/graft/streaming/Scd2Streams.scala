@@ -16,9 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * in append mode). Within a batch, rows are sorted by (ts, tie) before
   * folding, so any intra-batch shuffle scramble is repaired exactly as
   * the batch operator's window sort repairs it. A row that arrives
-  * EARLIER than the open version's valid_from (a cross-batch contract
-  * violation) fails the stream loudly rather than silently emitting an
-  * inverted interval. Null event times are dropped (CDC commit
+  * BEHIND the key's last processed (ts, tie) — a cross-batch contract
+  * violation, whether it would invert an interval, lose an equal-ts
+  * tie, or merely slot before an already-folded no-op — fails the
+  * stream loudly rather than silently diverging from the batch
+  * operator. Null event times are dropped (CDC commit
   * timestamps are non-null by construction; the batch operator would
   * sort them first, which has no meaning in a stream).
   *
@@ -37,8 +39,16 @@ object Scd2Streams {
   final case class Scd2Closed(k: Long, version: Int, v: Option[String],
                               valid_from: java.sql.Timestamp,
                               valid_to: java.sql.Timestamp)
-  /** The open version: counter, current value, and its start micros. */
-  final case class Scd2State(version: Int, v: Option[String], fromMs: Long)
+  /** The open version — counter, current value, start millis — plus the
+    * last PROCESSED row's (ts, tie): the ordering contract is "per-key
+    * commit order across micro-batches", and checking arrivals against
+    * only the open version's start misses two silent-divergence shapes
+    * (an equal-ts row with a smaller tie, and a row older than an
+    * already-folded NO-OP — no-ops advance no interval, so a late row
+    * slotting before one changes what the batch operator would have
+    * collapsed). Still O(1) per key. */
+  final case class Scd2State(version: Int, v: Option[String], fromMs: Long,
+                             lastMs: Long, lastTie: Long)
 
   /** `cdc` carries (k long, ts timestamp, tie long, v string). */
   def scd2Stream(cdc: DataFrame): DataFrame = {
@@ -55,24 +65,31 @@ object Scd2Streams {
           rows.toSeq.sortBy(r => (r.ts.getTime, r.tie)).foreach { r =>
             st match {
               case None =>
-                st = Some(Scd2State(1, r.v, r.ts.getTime))
-              // a row OLDER than the open version violates the per-key
-              // ordering contract above (closed intervals already
-              // emitted are final — no retraction channel exists), so
-              // folding it silently would mint an inverted interval
-              // and corrupt downstream history with no signal: fail
-              // LOUDLY instead, naming the key (Scd2StreamsSpec pins it)
-              case Some(s) if r.ts.getTime < s.fromMs =>
+                st = Some(Scd2State(1, r.v, r.ts.getTime, r.ts.getTime, r.tie))
+              // a row behind the last PROCESSED (ts, tie) violates the
+              // per-key ordering contract above (closed intervals
+              // already emitted are final — no retraction channel
+              // exists; even a row that only slots before a folded
+              // no-op changes what the batch operator would have
+              // collapsed), so folding it silently would corrupt
+              // downstream history with no signal: fail LOUDLY
+              // instead, naming the key (Scd2StreamsSpec pins it)
+              case Some(s) if r.ts.getTime < s.lastMs ||
+                  (r.ts.getTime == s.lastMs && r.tie < s.lastTie) =>
                 throw new IllegalStateException(
-                  s"scd2Stream: out-of-order CDC row for key $k — event time " +
-                    s"${r.ts} precedes the open version's valid_from " +
-                    s"${new java.sql.Timestamp(s.fromMs)}; the stream contract " +
-                    "requires per-key commit order across micro-batches")
+                  s"scd2Stream: out-of-order CDC row for key $k — (ts, tie) " +
+                    s"(${r.ts}, ${r.tie}) precedes the last processed " +
+                    s"(${new java.sql.Timestamp(s.lastMs)}, ${s.lastTie}); the " +
+                    "stream contract requires per-key commit order across " +
+                    "micro-batches")
               case Some(s) if s.v != r.v => // Option equality: null-safe
                 out += Scd2Closed(k, s.version, s.v,
                   new java.sql.Timestamp(s.fromMs), r.ts)
-                st = Some(Scd2State(s.version + 1, r.v, r.ts.getTime))
-              case Some(_) => // no-op update: CDC re-emitted the same value
+                st = Some(Scd2State(s.version + 1, r.v, r.ts.getTime,
+                  r.ts.getTime, r.tie))
+              case Some(s) => // no-op update: CDC re-emitted the same value;
+                // still advances the ordering watermark
+                st = Some(s.copy(lastMs = r.ts.getTime, lastTie = r.tie))
             }
           }
           st.foreach(state.update)

@@ -91,4 +91,43 @@ class Scd2StreamsSpec extends SparkSpec {
         s"expected the contract-violation message in the failure chain:\n$msgs")
     } finally query.stop()
   }
+
+  // the two SILENT-divergence shapes the open-version-only check missed:
+  // an equal-ts row with a smaller tie (batch's (ts, tie) sort would have
+  // slotted it FIRST), and a row older than an already-folded NO-OP
+  // (no-ops advance no interval, but the batch operator would have
+  // ordered the late row before it and produced different versions)
+  private def expectOoo(batches: Seq[Seq[(Long, Long, Long, Option[String])]],
+                        name: String): Unit = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Option[String])]
+    val stream = Scd2Streams.scd2Stream(
+      mem.toDF().toDF("k", "tsl", "tie", "v")
+        .select(col("k"), timestamp_millis(col("tsl")).as("ts"), col("tie"), col("v")))
+    val query = stream.writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.init.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+      mem.addData(batches.last: _*)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+      assert(msgs.contains("out-of-order CDC row"),
+        s"expected the contract-violation message in the failure chain:\n$msgs")
+    } finally query.stop()
+  }
+
+  test("cross-batch equal-ts smaller-tie arrival fails loudly (tie ordering)") {
+    expectOoo(Seq(
+      Seq((7L, 5000L, 2L, Some("a"))),
+      Seq((7L, 5000L, 1L, Some("b")))), "scd2ooo_tie")
+  }
+
+  test("arrival behind an already-folded no-op fails loudly") {
+    expectOoo(Seq(
+      Seq((7L, 1000L, 1L, Some("a")), (7L, 9000L, 2L, Some("a"))), // no-op folded
+      Seq((7L, 5000L, 3L, Some("b")))), "scd2ooo_noop")            // slots before it
+  }
 }
