@@ -59,8 +59,13 @@ object Similarity {
     * per-probe count are metadata-cheap at any corpus size. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "recallAtK needs k >= 1")
-    val ap = approx.select(col("probe_id"), col("id"))
-    val ex = exact.select(col("probe_id"), col("id"))
+    // the metric is over (probe_id, id) SETS: a duplicated row (an
+    // upstream fan-out join artifact) collapses instead of
+    // double-counting a hit, and the oversize guard below then measures
+    // DISTINCT candidates per probe — the quantity the top-k contract
+    // actually bounds
+    val ap = approx.select(col("probe_id"), col("id")).distinct()
+    val ex = exact.select(col("probe_id"), col("id")).distinct()
     val hits = ex.join(ap, Seq("probe_id", "id"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
     // GUARD (execution-time, riding the metric's own sample·k row scale):
@@ -171,6 +176,7 @@ object Similarity {
     // window+assignment job twice (broadcast-sized by convention)
     val (probeClusters, clusterIds) = materializeProbeSide(
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
+    guardEmptyAssignment(clusterIds, centroids, "ivfTopKIndexed")
     val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     broadcast(probeClusters).join(index, "c_id")
@@ -186,14 +192,22 @@ object Similarity {
     * c_id values for bucket pruning. Shared by every indexed probe
     * path, where the frame is otherwise consumed twice (the pruning
     * collect and the scoring join). */
+  /** Disambiguate an empty probe assignment, riding the collect the
+    * indexed paths already pay: empty CENTROIDS are an input error
+    * (every probe of this index would silently return nothing — fail
+    * loudly, the ivfTopKBulk convention); an empty PROBE batch is a
+    * valid no-op ("today's new queries: zero rows") and flows through —
+    * the empty IN-list prunes everything and the result is empty with
+    * the correct schema. The centroid emptiness check only runs on the
+    * already-degenerate path, so the happy path stays lazy. */
+  private def guardEmptyAssignment(clusterIds: Array[Any],
+                                   centroids: DataFrame, op: String): Unit =
+    if (clusterIds.isEmpty) {
+      require(!centroids.isEmpty, s"$op: empty centroid set")
+    }
+
   private def materializeProbeSide(pb: DataFrame): (DataFrame, Array[Any]) = {
     val rows = pb.collect()
-    // rides the collect this path already pays: an empty assignment means
-    // an empty centroid or probe frame, and downstream it would surface
-    // as a silently empty result (or recall 0.0 in the q130 evaluation
-    // leg) instead of the input error it is
-    require(rows.nonEmpty,
-      "probe assignment is empty — empty centroid set or empty probe set")
     val cIdAt = pb.schema.fieldIndex("c_id")
     val clusterIds = rows.map(_.get(cIdAt)).distinct
     val local = pb.sparkSession.createDataFrame(
@@ -539,6 +553,7 @@ object Similarity {
     val ucent = unitized(centroids, "c", "uc")
     val (probeClusters, clusterIds) = materializeProbeSide(
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
+    guardEmptyAssignment(clusterIds, centroids, "ivfRangeSearchIndexed")
     val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     broadcast(probeClusters).join(index, "c_id")
       .withColumn("cos", dot(col("up"), col("ue")))
@@ -900,6 +915,7 @@ object Similarity {
     // one execution of the probe side (assignment window + m ADC tables)
     val (pb, clusterIds) =
       materializeProbeSide(pqProbeSide(probes, coarse, bk, nprobe))
+    guardEmptyAssignment(clusterIds, coarse, "ivfPqTopKIndexed")
     val enc = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     adcRank(enc, pb, bk, k)
   }

@@ -335,6 +335,44 @@ object DedupQueries {
     q26bEmbedNearDupIvf.oracle,
     benchSkip = true)
 
+  /** Shared oracle CTE chain for the banded 128-bit simhash join —
+    * corpus → words → fingerprints (empty docs COALESCE to the Spark
+    * kernel's all-'1' fp) → 32-bit bands → distinct candidate pairs →
+    * `near(id_a, id_b, hamming)`. Used verbatim by q64 and q131 so the
+    * two can't silently pin different fingerprint definitions against
+    * the same Spark kernel (q88's variant stays separate: its recursive
+    * CTE needs MATERIALIZED hints on the same stages). */
+  private val simhashNearSql = """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
+      t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM corpus),
+      sh AS (
+        SELECT doc_id,
+          list_aggregate(list_transform(range(0, 128), b ->
+            CASE WHEN COALESCE(list_sum(list_transform(words, t ->
+              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
+                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
+            THEN '1' ELSE '0' END), 'string_agg', '') AS fp
+        FROM t),
+      banded AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM sh, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      near AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(1, 129), i ->
+                 CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
+                      THEN 1 ELSE 0 END))::BIGINT AS hamming
+        FROM pairs)"""
+
   /** SimHash banded near-dup join: 128-bit portable fingerprints in 4
     * 32-bit bands; a pair is a candidate iff a band matches exactly
     * (pigeonhole ⇒ total recall up to hamming 3), then the exact hamming
@@ -352,41 +390,10 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     },
-    Some("""
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
-      t AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
-        FROM corpus),
-      sh AS (
-        SELECT doc_id,
-          -- COALESCE: an empty token list sums to NULL in DuckDB but the
-          -- Spark kernel's zero-initialized votes give >= 0 ⇒ all-'1' fp;
-          -- coalesce to 0 so empty docs hash identically in both engines
-          list_aggregate(list_transform(range(0, 128), b ->
-            CASE WHEN COALESCE(list_sum(list_transform(words, t ->
-              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
-                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
-            THEN '1' ELSE '0' END), 'string_agg', '') AS fp
-        FROM t),
-      banded AS (
-        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
-        FROM sh, (SELECT unnest(range(4)) AS band) b),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b,
-             list_sum(list_transform(range(1, 129), i ->
-               CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
-                    THEN 1 ELSE 0 END))::BIGINT AS hamming
-      FROM pairs
-      WHERE list_sum(list_transform(range(1, 129), i ->
-              CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
-                   THEN 1 ELSE 0 END)) <= 3
+    Some(simhashNearSql + """
+      SELECT id_a, id_b, hamming
+      FROM near
+      WHERE hamming <= 3
       ORDER BY id_a, id_b
     """),
     bench = true)
@@ -430,36 +437,7 @@ object DedupQueries {
           col("hamming"))
         .orderBy("eval_id", "train_id")
     },
-    Some("""
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
-      t AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
-        FROM corpus),
-      sh AS (
-        SELECT doc_id,
-          list_aggregate(list_transform(range(0, 128), b ->
-            CASE WHEN COALESCE(list_sum(list_transform(words, t ->
-              2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
-                 // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
-            THEN '1' ELSE '0' END), 'string_agg', '') AS fp
-        FROM t),
-      banded AS (
-        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
-        FROM sh, (SELECT unnest(range(4)) AS band) b),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-      near AS (
-        SELECT id_a, id_b,
-               list_sum(list_transform(range(1, 129), i ->
-                 CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_b, i::INT, 1)
-                      THEN 1 ELSE 0 END))::BIGINT AS hamming
-        FROM pairs),
+    Some(simhashNearSql + """,
       labeled AS (
         SELECT id_a, id_b, hamming,
                CASE WHEN (('0x' || substr(md5('sp2' || id_a::VARCHAR), 1, 15))::BIGINT

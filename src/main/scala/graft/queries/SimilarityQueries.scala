@@ -308,12 +308,6 @@ object SimilarityQueries {
       cent AS (SELECT s.c_id, u.ue AS uc FROM seeds s JOIN u ON u.vec_id = s.c_id)""")),
     benchSkip = true)
 
-  /** The shared IVF probe oracle, parameterized by the probe-set
-    * predicate: q28/q28b/q28d use the 20-probe query set, q28f probes
-    * the WHOLE corpus (self-kNN; the predicate degenerates to true). */
-  /** The IVF CTE chain through `scored` (all ranks) — shared by the
-    * direct IVF oracles and the q130 recall oracle, which joins
-    * `scored` against a brute-force chain over the same `u`. */
   /** Seed-centroid CTE (first vector per label class), the default
     * centroid set of every direct IVF oracle AND the q130 recall oracle
     * built on [[ivfCtes]] — ONE definition so the two can't diverge.
@@ -327,6 +321,13 @@ object SimilarityQueries {
         SELECT s.label AS c_id, u.ue AS uc
         FROM seeds s JOIN u ON u.vec_id = s.seed_id)"""
 
+  /** The IVF CTE chain through `scored` (all ranks), parameterized by
+    * the probe-set predicate (q28/q28b/q28d use the 20-probe query set;
+    * q28f probes the WHOLE corpus, the predicate degenerating to true)
+    * and the centroid CTE. Shared by the direct IVF oracles
+    * ([[ivfOracle]] appends the rank-filtered SELECT) and the q130
+    * recall oracle, which joins `scored` against a brute-force chain
+    * over the same `u`. */
   private def ivfCtes(probeWhere: String,
       centSql: String = SeedCentSql): String = s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

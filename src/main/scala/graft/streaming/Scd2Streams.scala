@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -39,16 +40,23 @@ object Scd2Streams {
   final case class Scd2Closed(k: Long, version: Int, v: Option[String],
                               valid_from: java.sql.Timestamp,
                               valid_to: java.sql.Timestamp)
-  /** The open version — counter, current value, start millis — plus the
+  /** The open version — counter, current value, start MICROS — plus the
     * last PROCESSED row's (ts, tie): the ordering contract is "per-key
     * commit order across micro-batches", and checking arrivals against
     * only the open version's start misses two silent-divergence shapes
     * (an equal-ts row with a smaller tie, and a row older than an
     * already-folded NO-OP — no-ops advance no interval, so a late row
     * slotting before one changes what the batch operator would have
-    * collapsed). Still O(1) per key. */
-  final case class Scd2State(version: Int, v: Option[String], fromMs: Long,
-                             lastMs: Long, lastTie: Long)
+    * collapsed). Still O(1) per key. Times are kept at Spark's native
+    * MICROSECOND precision (DateTimeUtils) — `Timestamp.getTime`
+    * truncates to millis, which would both blind the ordering guard to
+    * sub-ms reorderings and emit valid_from rounded away from the batch
+    * operator's output. NOTE: adding fields changes the state-store
+    * encoder schema — a checkpoint written by an older build cannot be
+    * restarted against this one (rebuild from the CDC log; closed
+    * intervals already emitted are unaffected). */
+  final case class Scd2State(version: Int, v: Option[String], fromUs: Long,
+                             lastUs: Long, lastTie: Long)
 
   /** `cdc` carries (k long, ts timestamp, tie long, v string). */
   def scd2Stream(cdc: DataFrame): DataFrame = {
@@ -62,10 +70,12 @@ object Scd2Streams {
         case (k, rows, state: GroupState[Scd2State]) =>
           var st = state.getOption
           val out = Seq.newBuilder[Scd2Closed]
-          rows.toSeq.sortBy(r => (r.ts.getTime, r.tie)).foreach { r =>
+          rows.toSeq.sortBy(r => (DateTimeUtils.fromJavaTimestamp(r.ts), r.tie))
+            .foreach { r =>
+            val us = DateTimeUtils.fromJavaTimestamp(r.ts)
             st match {
               case None =>
-                st = Some(Scd2State(1, r.v, r.ts.getTime, r.ts.getTime, r.tie))
+                st = Some(Scd2State(1, r.v, us, us, r.tie))
               // a row behind the last PROCESSED (ts, tie) violates the
               // per-key ordering contract above (closed intervals
               // already emitted are final — no retraction channel
@@ -74,22 +84,21 @@ object Scd2Streams {
               // collapsed), so folding it silently would corrupt
               // downstream history with no signal: fail LOUDLY
               // instead, naming the key (Scd2StreamsSpec pins it)
-              case Some(s) if r.ts.getTime < s.lastMs ||
-                  (r.ts.getTime == s.lastMs && r.tie < s.lastTie) =>
+              case Some(s) if us < s.lastUs ||
+                  (us == s.lastUs && r.tie < s.lastTie) =>
                 throw new IllegalStateException(
                   s"scd2Stream: out-of-order CDC row for key $k — (ts, tie) " +
                     s"(${r.ts}, ${r.tie}) precedes the last processed " +
-                    s"(${new java.sql.Timestamp(s.lastMs)}, ${s.lastTie}); the " +
-                    "stream contract requires per-key commit order across " +
+                    s"(${DateTimeUtils.toJavaTimestamp(s.lastUs)}, ${s.lastTie}); " +
+                    "the stream contract requires per-key commit order across " +
                     "micro-batches")
               case Some(s) if s.v != r.v => // Option equality: null-safe
                 out += Scd2Closed(k, s.version, s.v,
-                  new java.sql.Timestamp(s.fromMs), r.ts)
-                st = Some(Scd2State(s.version + 1, r.v, r.ts.getTime,
-                  r.ts.getTime, r.tie))
+                  DateTimeUtils.toJavaTimestamp(s.fromUs), r.ts)
+                st = Some(Scd2State(s.version + 1, r.v, us, us, r.tie))
               case Some(s) => // no-op update: CDC re-emitted the same value;
                 // still advances the ordering watermark
-                st = Some(s.copy(lastMs = r.ts.getTime, lastTie = r.tie))
+                st = Some(s.copy(lastUs = us, lastTie = r.tie))
             }
           }
           st.foreach(state.update)

@@ -70,17 +70,36 @@ class SimilaritySpec extends SparkSpec {
     assert(chain(e2).exists(_.contains("recallAtK")), chain(e2).mkString("; "))
   }
 
-  test("ivfTopKIndexed rejects an empty centroid set loudly (free guard)") {
+  test("ivfTopKIndexed: empty centroids fail loudly; an empty probe batch is a no-op") {
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("c_id", "c")
+    Similarity.writeIvfIndex(corpus, centroids, "graft_guard_idx", numBuckets = 2)
+    // empty CENTROIDS = input error (every probe would silently return
+    // nothing); fires inside the probe-side collect the path already
+    // pays, BEFORE the (possibly mistyped) index table is resolved
     val empty = Seq.empty[(Int, Seq[Double])].toDF("c_id", "c")
-    // the indexed path guards inside the probe-side collect it already
-    // pays (and fires BEFORE the index table is even resolved); the lazy
-    // ivfTopK path documents the non-empty contract instead — an eager
-    // probe there would re-execute the centroid lineage (see scaladoc)
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfTopKIndexed("graft_no_such_index", empty, probes,
         k = 3, nprobe = 1)
     }
-    assert(e.getMessage.contains("empty centroid set or empty probe set"))
+    assert(e.getMessage.contains("empty centroid set"))
+    // empty PROBES = a valid no-op (a zero-row daily batch): empty
+    // result with the output schema, not an exception
+    val noProbes = Seq.empty[(Long, Seq[Double])].toDF("probe_id", "p")
+    val r = Similarity.ivfTopKIndexed("graft_guard_idx", centroids, noProbes,
+      k = 3, nprobe = 1)
+    assert(r.columns.toSeq == Seq("probe_id", "rank", "id", "cos"))
+    assert(r.count() == 0L)
+  }
+
+  test("recallAtK collapses duplicate (probe_id, id) rows instead of double-counting") {
+    // an upstream fan-out join duplicated an exact row: 3 rows but only
+    // 2 distinct ids — row-counting would pass the k=3 guard and score
+    // n_hit=3, recall 1.0; the set metric scores 2/3
+    val exact = Seq((100L, 1L), (100L, 1L), (100L, 2L)).toDF("probe_id", "id")
+    val approx = Seq((100L, 1L), (100L, 2L), (100L, 3L)).toDF("probe_id", "id")
+    val r = Similarity.recallAtK(approx, exact, 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((100L, 2L, 0.666667)), r.toString)
   }
 
   test("kmeansTrain: one Lloyd round moves each centroid to its cluster mean") {

@@ -130,4 +130,36 @@ class Scd2StreamsSpec extends SparkSpec {
       Seq((7L, 1000L, 1L, Some("a")), (7L, 9000L, 2L, Some("a"))), // no-op folded
       Seq((7L, 5000L, 3L, Some("b")))), "scd2ooo_noop")            // slots before it
   }
+
+  test("microsecond precision: sub-ms reorder fails; sub-ms valid_from survives") {
+    // Timestamp.getTime truncates to millis — both rows below share ms 0,
+    // so a ms-based guard would silently fold the genuinely-late arrival
+    // and a ms-based state would emit valid_from rounded to .000
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Option[String])]
+    val stream = Scd2Streams.scd2Stream(
+      mem.toDF().toDF("k", "tsus", "tie", "v")
+        .select(col("k"), timestamp_micros(col("tsus")).as("ts"), col("tie"), col("v")))
+    val query = stream.writeStream
+      .format("memory").queryName("scd2us").outputMode("append").start()
+    try {
+      mem.addData((7L, 900L, 1L, Some("a")))   // 900 µs
+      query.processAllAvailable()
+      mem.addData((7L, 950L, 2L, Some("b")))   // closes version 1 at 950 µs
+      query.processAllAvailable()
+      val closed = spark.table("scd2us")
+        .select(col("k"), col("version"),
+          unix_micros(col("valid_from")).as("f"), unix_micros(col("valid_to")).as("t"))
+        .as[(Long, Int, Long, Long)].collect().toSeq
+      assert(closed == Seq((7L, 1, 900L, 950L)),
+        s"sub-ms interval bounds truncated: $closed")
+      mem.addData((7L, 400L, 3L, Some("c")))   // 400 µs: behind, same ms
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+      assert(msgs.contains("out-of-order CDC row"), msgs)
+    } finally query.stop()
+  }
 }
