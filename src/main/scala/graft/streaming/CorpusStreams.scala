@@ -129,6 +129,67 @@ object CorpusStreams {
         "score" -> col("score")))
   }
 
+  /** NEAR-dup protection at the ingest mouth — the streaming twin of the
+    * q131 split-leakage audit (and the near-dup generalization of
+    * [[dedupIncremental]]'s exact anti-join): arriving documents are
+    * checked against a STATIC banded simhash table of a protected set
+    * (an eval/test split, a benchmark corpus), emitting
+    * (doc_id, protected_id, hamming) for every arrival within
+    * `maxHamming` of a protected doc — the rows an ingest router must
+    * divert before they contaminate future training data. `protectedFps`
+    * carries (sid, fp) — [[graft.operators.Dedup.simhashFps]]'s output,
+    * computed OFFLINE once per split refresh and read in place.
+    *
+    * STATELESS by construction, so the stream needs no watermark and no
+    * state store: the arrival side fingerprints and band-explodes
+    * map-side (the same chunk-long encoding as
+    * [[graft.operators.Dedup.bandedHammingPairsGuarded]]), the join is
+    * stream-static equi on (band, bv) (the static side is eval-set-
+    * sized — Spark broadcasts it when small; either way the unbounded
+    * side never shuffles more than its banded rows), and the one
+    * subtlety is DEDUP WITHOUT STATE: a pair whose fingerprints collide
+    * on several bands would emit once per band, and a streaming
+    * `distinct` would grow a state store. Instead each pair emits
+    * exactly on its FIRST matching band — all band chunks ride both
+    * sides, so "band == least matching band index" is a per-row
+    * predicate (the canonical-band trick; pigeonhole recall up to
+    * hamming ≤ bands-1 is untouched because every qualifying pair HAS a
+    * matching band). NearDupGuardSpec pins stream ≡ the batch kernel's
+    * cross pairs and the exactly-once emission on all-band collisions. */
+  def nearDupGuard(docs: DataFrame, text: Column, protectedFps: DataFrame,
+                   bits: Int = 128, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+    val w = bits / bands
+    require(w <= 62, s"band chunk of $w bits exceeds a signed long")
+    def banded(fps: DataFrame, idOut: String, pre: String): DataFrame = {
+      val chunks = (0 until bands).map(i =>
+        conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"$pre$i"))
+      fps.select(col("sid").as(idOut) +: chunks: _*)
+        .select(col(idOut) +: ((0 until bands).map(i => col(s"$pre$i")) :+
+          explode(array((0 until bands).map(i =>
+            struct(lit(i).as("band"), col(s"$pre$i").as("bv"))): _*)).as("hb")): _*)
+        .select(col(idOut) +: ((0 until bands).map(i => col(s"$pre$i")) :+
+          col("hb.band").as("band") :+ col("hb.bv").as("bv")): _*)
+    }
+    val arrivals = banded(
+      graft.operators.Dedup.simhashFps(docs, text, col("doc_id"), bits),
+      "doc_id", "__a")
+    val protect = banded(protectedFps.select(col("sid"), col("fp")),
+      "protected_id", "__b")
+    // first matching band index — the canonical emission band
+    val firstMatch = (0 until bands).reverse.foldLeft(lit(bands): Column) {
+      case (acc, i) => when(col(s"__a$i") === col(s"__b$i"), lit(i)).otherwise(acc)
+    }
+    arrivals.join(protect, Seq("band", "bv"))
+      .filter(col("band") === firstMatch)
+      .withColumn("hamming", (0 until bands).map(i =>
+        bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
+        .reduce(_ + _))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("protected_id"), col("hamming"))
+  }
+
   final case class QuotaDoc(doc_id: Long, source: String, ord: Long)
 
   /** Streaming per-source quota — the continuous form of

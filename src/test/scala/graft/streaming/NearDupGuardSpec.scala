@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Streaming near-dup eval-set protection ≡ the batch kernel: the
+  * stream-static banded join must emit exactly the cross pairs the
+  * batch simhash kernel finds between arrivals and the protected set —
+  * across micro-batch splits, exactly once per pair even when
+  * fingerprints collide on every band, and with NO state store. */
+class NearDupGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  // protected "eval" docs plus arrivals: one near-dup (first word
+  // dropped), one EXACT dup (collides on all 4 bands — the
+  // exactly-once trap), one unrelated
+  private val evalDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "completely different content about spark plans and shuffle exchanges"),
+    (3L, "a third protected document with enough words to shingle cleanly"))
+  private val arrivals = Seq(
+    (101L, "quick brown fox jumps over the lazy dog near the river bank"), // near-dup of 1
+    (102L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (103L, "an entirely unrelated arrival about io throughput and parquet")) // clean
+
+  private lazy val protectedFps =
+    Dedup.simhashFps(evalDocs.toDF("pid", "text"), col("text"), col("pid"))
+
+  private def batchExpected: Set[(Long, Long, Long)] = {
+    // independent reference: the batch self-join kernel over the union
+    // (arrival ids offset out of the protected id space), restricted to
+    // cross pairs
+    val union = evalDocs.toDF("doc_id", "text")
+      .unionByName(arrivals.toDF("doc_id", "text"))
+    Dedup.simhashCandidatePairs(union, col("text"), col("doc_id"))
+      .filter(col("hamming") <= 3)
+      .filter(col("id_a") <= 3L && col("id_b") >= 101L) // protected × arrival
+      .select(col("id_b"), col("id_a"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("stream guard == batch cross pairs; exactly-once; zero state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = CorpusStreams.nearDupGuard(
+      mem.toDF().toDF("doc_id", "text"), col("text"), protectedFps)
+    val query = out.writeStream
+      .format("memory").queryName("ndguard").outputMode("append").start()
+    try {
+      mem.addData(arrivals.take(1): _*)
+      query.processAllAvailable()
+      mem.addData(arrivals.drop(1): _*)
+      query.processAllAvailable()
+      val got = spark.table("ndguard")
+        .as[(Long, Long, Long)].collect().toSeq
+      // exactly once per pair — the exact dup collides on ALL bands and
+      // must still emit a single row (the canonical-band filter)
+      assert(got.size == got.toSet.size, s"duplicate emissions: $got")
+      assert(got.toSet == batchExpected,
+        s"stream ${got.toSet} != batch $batchExpected")
+      assert(got.exists(r => r._1 == 102L && r._3 == 0L),
+        "exact dup must flag at hamming 0")
+      assert(!got.exists(_._1 == 103L), "clean arrival must not flag")
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "near-dup guard must hold no streaming state")
+    } finally query.stop()
+  }
+}
