@@ -638,6 +638,31 @@ object Dedup {
         Seq(col("id_a"), col("id_b"), col("hamming")): _*)
   }
 
+  /** Chunk-long encode a frame's `fp` bit-string into `bands` per-band
+    * longs and explode to one row per (band, bv) — the ONE banding
+    * shape shared by the batch kernel ([[bandedHammingPairsGuarded]])
+    * and the streaming near-dup guard
+    * ([[graft.streaming.CorpusStreams.nearDupGuard]]), whose
+    * spec-pinned stream≡batch equivalence would silently break if the
+    * two encoded differently. `keep` columns ride along (must not
+    * include `fp`); chunk columns are named s"$pre$i" and stay in the
+    * output for per-pair hamming/canonical-band math. */
+  private[graft] def bandExplode(fps: DataFrame, keep: Seq[String],
+                                 pre: String, bits: Int,
+                                 bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
+    val w = bits / bands
+    require(w <= 62, s"band chunk of $w bits exceeds a signed long")
+    val chunks = (0 until bands).map(i =>
+      conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"$pre$i"))
+    fps.select(keep.map(col) ++ chunks: _*)
+      .select(keep.map(col) ++ (0 until bands).map(i => col(s"$pre$i")) :+
+        explode(array((0 until bands).map(i =>
+          struct(lit(i).as("band"), col(s"$pre$i").as("bv"))): _*)).as("hb"): _*)
+      .select(keep.map(col) ++ (0 until bands).map(i => col(s"$pre$i")) :+
+        col("hb.band").as("band") :+ col("hb.bv").as("bv"): _*)
+  }
+
   /** Result of [[bandedHammingPairsGuarded]]:
     *  - `pairs` — keys ++ (id_a, id_b, hamming), candidate pairs at the
     *    identical-fingerprint REPRESENTATIVE level (one per distinct
@@ -758,15 +783,7 @@ object Dedup {
         explode(col("__sids")).as("sid")): _*)
     val multiMembers = multiSmall.unionByName(fromOverflow)
       .select(outKeys ++ Seq(col("sid"), col("rep")): _*)
-    val chunks = (0 until bands).map(i =>
-      conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"__c$i"))
-    val withFp = reps.select(col("sid") +: (ik.map(col) ++ chunks): _*)
-    val banded0 = withFp.select(col("sid") +: (ik.map(col) ++
-      (0 until bands).map(i => col(s"__c$i")) :+
-      explode(array((0 until bands).map(i =>
-        struct(lit(i).as("band"), col(s"__c$i").as("bv"))): _*)).as("hb")): _*)
-      .select(col("sid") +: (ik.map(col) ++ (0 until bands).map(i => col(s"__c$i")) :+
-        col("hb.band").as("band") :+ col("hb.bv").as("bv")): _*)
+    val banded0 = bandExplode(reps, "sid" +: ik, "__c", bits, bands)
     val bucketKey = ik :+ "band" :+ "bv"
     val bucketSizes = banded0.groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("n_reps"))

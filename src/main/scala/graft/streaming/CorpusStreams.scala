@@ -159,24 +159,25 @@ object CorpusStreams {
   def nearDupGuard(docs: DataFrame, text: Column, protectedFps: DataFrame,
                    bits: Int = 128, bands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
-    require(bits % bands == 0, s"bits=$bits not divisible by bands=$bands")
-    val w = bits / bands
-    require(w <= 62, s"band chunk of $w bits exceeds a signed long")
-    def banded(fps: DataFrame, idOut: String, pre: String): DataFrame = {
-      val chunks = (0 until bands).map(i =>
-        conv(substring(col("fp"), i * w + 1, w), 2, 10).cast("long").as(s"$pre$i"))
-      fps.select(col("sid").as(idOut) +: chunks: _*)
-        .select(col(idOut) +: ((0 until bands).map(i => col(s"$pre$i")) :+
-          explode(array((0 until bands).map(i =>
-            struct(lit(i).as("band"), col(s"$pre$i").as("bv"))): _*)).as("hb")): _*)
-        .select(col(idOut) +: ((0 until bands).map(i => col(s"$pre$i")) :+
-          col("hb.band").as("band") :+ col("hb.bv").as("bv")): _*)
-    }
-    val arrivals = banded(
-      graft.operators.Dedup.simhashFps(docs, text, col("doc_id"), bits),
-      "doc_id", "__a")
-    val protect = banded(protectedFps.select(col("sid"), col("fp")),
-      "protected_id", "__b")
+    import graft.operators.Dedup
+    // the static side is taken on faith from an OFFLINE refresh — a
+    // width mismatch (table built at bits=64, stream banding at 128)
+    // would NULL the high bands' bv and compare the low bands across
+    // hash spaces: near-dup arrivals would flow PAST the guard, the
+    // exact silent-contamination mode this operator exists to prevent.
+    // One eager limit-1 check over the eval-set-sized frame, at stream
+    // BUILD time (once per query start, never per micro-batch).
+    require(protectedFps.filter(length(col("fp")) =!= bits).isEmpty,
+      s"nearDupGuard: protectedFps carries fingerprints narrower/wider " +
+        s"than bits=$bits — rebuild the protected table with simhashFps " +
+        "at the stream's width")
+    val arrivals = Dedup.bandExplode(
+      Dedup.simhashFps(docs, text, col("doc_id"), bits)
+        .select(col("sid").as("doc_id"), col("fp")),
+      Seq("doc_id"), "__a", bits, bands)
+    val protect = Dedup.bandExplode(
+      protectedFps.select(col("sid").as("protected_id"), col("fp")),
+      Seq("protected_id"), "__b", bits, bands)
     // first matching band index — the canonical emission band
     val firstMatch = (0 until bands).reverse.foldLeft(lit(bands): Column) {
       case (acc, i) => when(col(s"__a$i") === col(s"__b$i"), lit(i)).otherwise(acc)

@@ -70,9 +70,12 @@ object Scd2Streams {
         case (k, rows, state: GroupState[Scd2State]) =>
           var st = state.getOption
           val out = Seq.newBuilder[Scd2Closed]
-          rows.toSeq.sortBy(r => (DateTimeUtils.fromJavaTimestamp(r.ts), r.tie))
-            .foreach { r =>
-            val us = DateTimeUtils.fromJavaTimestamp(r.ts)
+          // convert ONCE per row, not per sort comparison (Ordering.by
+          // applies the key function on every compare) and not a third
+          // time in the fold — this sits on the state function's hot path
+          rows.toSeq.map(r => (DateTimeUtils.fromJavaTimestamp(r.ts), r))
+            .sortBy(p => (p._1, p._2.tie))
+            .foreach { case (us, r) =>
             st match {
               case None =>
                 st = Some(Scd2State(1, r.v, us, us, r.tie))
