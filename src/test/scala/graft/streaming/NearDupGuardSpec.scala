@@ -68,4 +68,58 @@ class NearDupGuardSpec extends SparkSpec {
         "near-dup guard must hold no streaming state")
     } finally query.stop()
   }
+
+  test("property: random corpora, random batch splits — stream == batch kernel (3 seeds)") {
+    // the encode is deliberately shared (Dedup.bandExplode); what this
+    // fuzzes is the JOIN + dedup logic: stream-static canonical-band
+    // emission vs the batch self-join + distinct
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (seed <- Seq(11, 99, 20260815)) {
+      val rnd = new scala.util.Random(seed)
+      def doc(): String =
+        (0 until (6 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      val prot = (1L to 20L).map(i => (i, doc()))
+      // arrivals: mutated protected copies (guaranteed near/exact dups),
+      // exact copies, and fresh docs
+      val arrivals = rnd.shuffle(
+        prot.take(8).map { case (i, t) =>
+          (100L + i, t.split(" ").drop(1).mkString(" ")) } ++ // near-dup
+        prot.slice(8, 12).map { case (i, t) => (200L + i, t) } ++ // exact
+        (301L to 312L).map(i => (i, doc())))
+      val protFps = Dedup.simhashFps(prot.toDF("pid", "text"),
+        col("text"), col("pid"))
+      val expected = {
+        val union = prot.toDF("doc_id", "text")
+          .unionByName(arrivals.toDF("doc_id", "text"))
+        Dedup.simhashCandidatePairs(union, col("text"), col("doc_id"))
+          .filter(col("hamming") <= 3)
+          .filter(col("id_a") <= 20L && col("id_b") >= 101L)
+          .select(col("id_b"), col("id_a"), col("hamming"))
+          .as[(Long, Long, Long)].collect().toSet
+      }
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val out = CorpusStreams.nearDupGuard(
+        mem.toDF().toDF("doc_id", "text"), col("text"), protFps)
+      val query = out.writeStream
+        .format("memory").queryName(s"ndprop$seed").outputMode("append").start()
+      try {
+        // 1–3 random micro-batch splits
+        val cuts = rnd.shuffle(arrivals.indices.toList).take(rnd.nextInt(3))
+          .sorted :+ arrivals.size
+        var from = 0
+        cuts.foreach { to =>
+          if (to > from) { mem.addData(arrivals.slice(from, to): _*); from = to }
+          query.processAllAvailable()
+        }
+        val got = spark.table(s"ndprop$seed")
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(got.size == got.toSet.size, s"seed $seed: duplicate emissions")
+        assert(got.toSet == expected,
+          s"seed $seed: stream ${got.toSet} != batch $expected")
+      } finally query.stop()
+    }
+  }
 }
