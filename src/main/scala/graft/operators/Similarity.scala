@@ -49,8 +49,12 @@ object Similarity {
     * pins use the same definition). Both frames carry at least
     * (probe_id, id) — the top-k of the same probe set from the index
     * under test and from [[bruteForceTopK]]. Per probe:
-    * |approx ∩ exact| / k, keeping probes the index missed entirely
-    * (recall 0) via a left join from the exact side's probe list.
+    * |approx ∩ exact| / min(k, |exact|) — the standard recall@k
+    * denominator, so a baseline that legitimately carries fewer than k
+    * neighbors (a corpus smaller than k+1, a range-limited ground
+    * truth) scores a perfect index 1.0 instead of |exact|/k. Probes the
+    * index missed entirely keep recall 0 via a left join from the
+    * exact side's probe list.
     *
     * Scale shape: evaluation always runs on a probe SAMPLE (the exact
     * side is O(|sample|·n) by construction — that cost is the
@@ -84,7 +88,8 @@ object Similarity {
           s"recallAtK: more than k=$k rows for probe %s (exact %s, approx %s)",
           col("probe_id").cast("string"), col("__n_ex").cast("string"),
           coalesce(col("__n_ap"), lit(0L)).cast("string"))).cast("double"))
-        .otherwise(round(nHit / k.toDouble, 6))
+        .otherwise(round(
+          nHit / least(lit(k.toLong), col("__n_ex")).cast("double"), 6))
     exN.join(hits, Seq("probe_id"), "left")
       .join(apN, Seq("probe_id"), "left")
       .select(col("probe_id"), nHit.as("n_hit"), guardedRecall.as("recall"))
@@ -187,11 +192,6 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
   }
 
-  /** Execute a (broadcast-sized by convention) probe-side frame ONCE:
-    * returns it re-wrapped as a local DataFrame plus its distinct
-    * c_id values for bucket pruning. Shared by every indexed probe
-    * path, where the frame is otherwise consumed twice (the pruning
-    * collect and the scoring join). */
   /** Disambiguate an empty probe assignment, riding the collect the
     * indexed paths already pay: empty CENTROIDS are an input error
     * (every probe of this index would silently return nothing — fail
@@ -206,6 +206,11 @@ object Similarity {
       require(!centroids.isEmpty, s"$op: empty centroid set")
     }
 
+  /** Execute a (broadcast-sized by convention) probe-side frame ONCE:
+    * returns it re-wrapped as a local DataFrame plus its distinct
+    * c_id values for bucket pruning. Shared by every indexed probe
+    * path, where the frame is otherwise consumed twice (the pruning
+    * collect and the scoring join). */
   private def materializeProbeSide(pb: DataFrame): (DataFrame, Array[Any]) = {
     val rows = pb.collect()
     val cIdAt = pb.schema.fieldIndex("c_id")

@@ -891,11 +891,12 @@ object SimilarityQueries {
       hits AS (
         SELECT bf.probe_id, count(*) AS n_hit
         FROM bf JOIN ivf ON ivf.probe_id = bf.probe_id AND ivf.id = bf.id
-        GROUP BY bf.probe_id)
+        GROUP BY bf.probe_id),
+      bfn AS (SELECT probe_id, count(*) AS n_ex FROM bf GROUP BY probe_id)
       SELECT p.probe_id,
              coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-             round(coalesce(h.n_hit, 0) / 3.0, 6) AS recall
-      FROM (SELECT DISTINCT probe_id FROM bf) p
+             round(coalesce(h.n_hit, 0) / least(3, p.n_ex), 6) AS recall
+      FROM bfn p
       LEFT JOIN hits h ON h.probe_id = p.probe_id
       ORDER BY p.probe_id
     """),

@@ -167,10 +167,13 @@ object CorpusStreams {
     // exact silent-contamination mode this operator exists to prevent.
     // One eager limit-1 check over the eval-set-sized frame, at stream
     // BUILD time (once per query start, never per micro-batch).
-    require(protectedFps.filter(length(col("fp")) =!= bits).isEmpty,
-      s"nearDupGuard: protectedFps carries fingerprints narrower/wider " +
-        s"than bits=$bits — rebuild the protected table with simhashFps " +
-        "at the stream's width")
+    // null-safe (<=>): a NULL fingerprint (null-text protected row) must
+    // flag too — `length(fp) =!= bits` is NULL for it, a plain filter
+    // drops it, and that protected doc would silently match nothing
+    require(protectedFps.filter(!(length(col("fp")) <=> lit(bits))).isEmpty,
+      s"nearDupGuard: protectedFps carries null fingerprints or widths " +
+        s"other than bits=$bits — rebuild the protected table with " +
+        "simhashFps at the stream's width over non-null text")
     val arrivals = Dedup.bandExplode(
       Dedup.simhashFps(docs, text, col("doc_id"), bits)
         .select(col("sid").as("doc_id"), col("fp")),

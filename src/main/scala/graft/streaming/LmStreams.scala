@@ -51,22 +51,32 @@ object LmStreams {
       .select(explode(shingles(col("ws"), 2)).as("g"))
       .select(split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
+    // ONE corpus pass: the training body runs THREE driver actions
+    // (vocab size, the probs collect, the contexts collect), and each
+    // would re-execute the tokenize+shingle pipeline over the full
+    // corpus if it chained back to `pairs`. Persisting the unique-gram
+    // aggregate — bounded by |distinct bigrams|, not corpus bytes —
+    // collapses them to a single corpus scan; countDistinct(w2) over
+    // c12's groups equals countDistinct over the raw pairs.
     val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    val v = pairs.agg(countDistinct(col("w2")).as("v")).head().getLong(0)
-    val kept = graft.operators.Sampling.quotaPerGroup(
-      c12, "w1", topK, col("c12").desc, col("w2").asc)
-    // an empty/one-word-per-doc corpus trains nothing; scoring with
-    // V = 0 would mint Infinity floors — fail at train time, loudly
-    require(v > 0, "trainPruned: training corpus produced no bigrams " +
-      "(empty, or every document shorter than two tokens)")
-    val probs = kept.join(c1, "w1")
-      .select(concat_ws(" ", col("w1"), col("w2")).as("g"),
-        ((col("c12") + 0.5) / (col("c1") + v * 0.5)).as("p"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val contexts = c1.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    PrunedLm(probs, contexts, v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val v = c12.agg(countDistinct(col("w2")).as("v")).head().getLong(0)
+      val kept = graft.operators.Sampling.quotaPerGroup(
+        c12, "w1", topK, col("c12").desc, col("w2").asc)
+      // an empty/one-word-per-doc corpus trains nothing; scoring with
+      // V = 0 would mint Infinity floors — fail at train time, loudly
+      require(v > 0, "trainPruned: training corpus produced no bigrams " +
+        "(empty, or every document shorter than two tokens)")
+      val probs = kept.join(c1, "w1")
+        .select(concat_ws(" ", col("w1"), col("w2")).as("g"),
+          ((col("c12") + 0.5) / (col("c1") + v * 0.5)).as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val contexts = c1.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      PrunedLm(probs, contexts, v)
+    } finally c12.unpersist()
   }
 
   /** Score a document frame — streaming or batch, identically — against

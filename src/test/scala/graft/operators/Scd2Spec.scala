@@ -82,8 +82,15 @@ class Scd2Spec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), s"PIT lookup planned a nested loop:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"PIT lookup planned a cartesian:\n$plan")
     assert("Window \\[".r.findAllIn(plan).nonEmpty, s"no window pass in PIT plan:\n$plan")
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-      s"unpartitioned window in PIT plan:\n$plan")
+    // a PARTITIONED Window line prints three bracket groups —
+    // [funcs], [partitionCols], [orderCols] — an unpartitioned one only
+    // [funcs], [orderCols]. (The earlier pin grepped for the literal
+    // "windowspecdefinition()", which never occurs — order/frame args
+    // always print — so it could not fail; this one does.)
+    plan.split("\n").filter(_.contains("Window [")).foreach { l =>
+      assert("\\], \\[".r.findAllIn(l).size >= 2,
+        s"unpartitioned window in PIT plan: $l\n$plan")
+    }
     // exactly TWO key shuffles end-to-end: the history build's and the
     // as-of union window's (the final ORDER BY is a range exchange) —
     // a third would mean the composition lost a shared partitioning

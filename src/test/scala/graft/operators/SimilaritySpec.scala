@@ -91,15 +91,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count() == 0L)
   }
 
-  test("recallAtK collapses duplicate (probe_id, id) rows instead of double-counting") {
-    // an upstream fan-out join duplicated an exact row: 3 rows but only
-    // 2 distinct ids — row-counting would pass the k=3 guard and score
-    // n_hit=3, recall 1.0; the set metric scores 2/3
-    val exact = Seq((100L, 1L), (100L, 1L), (100L, 2L)).toDF("probe_id", "id")
-    val approx = Seq((100L, 1L), (100L, 2L), (100L, 3L)).toDF("probe_id", "id")
+  test("recallAtK: set semantics and the min(k, |exact|) denominator") {
+    // probe 100: an upstream fan-out join duplicated an exact row — 3
+    // rows but only 2 distinct ids. Row-counting would score n_hit=3;
+    // the set metric counts 2 hits, and the denominator is the 2
+    // distinct exact neighbors (a perfect index over a ground truth
+    // smaller than k scores 1.0, not |exact|/k).
+    // probe 200: full k=3 exact set, 2 hits -> 2/3 (denominator k).
+    val exact = Seq((100L, 1L), (100L, 1L), (100L, 2L),
+      (200L, 1L), (200L, 2L), (200L, 3L)).toDF("probe_id", "id")
+    val approx = Seq((100L, 1L), (100L, 2L), (100L, 3L),
+      (200L, 1L), (200L, 2L), (200L, 9L)).toDF("probe_id", "id")
     val r = Similarity.recallAtK(approx, exact, 3)
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(r == Seq((100L, 2L, 0.666667)), r.toString)
+      .orderBy("probe_id").as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((100L, 2L, 1.0), (200L, 2L, 0.666667)), r.toString)
   }
 
   test("kmeansTrain: one Lloyd round moves each centroid to its cluster mean") {
