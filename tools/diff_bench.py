@@ -7,8 +7,19 @@ two BENCH_QUERIES_r{N}.json / target/bench_queries.json files and flags:
 
   - REGRESSION: new min exceeds max(old*ratio, old+abs) — the same
     threshold the round-close audits use (default 1.5x / +0.3 s);
+  - WATCH:     new min exceeds max(old*1.15, old+0.15) but stays under
+    the REGRESSION bar — printed, never exit-failing. The loose 1.5x bar
+    alone lets ~1.2x/round creep compound invisibly across rounds (the
+    r11 q69 +23% / q28c +21% case); WATCH rows surface it for the
+    round-close fresh-JVM adjudication without turning host-envelope
+    noise into gate failures;
   - IMPROVED:  new min under old*0.7 and at least 0.3 s faster;
   - ADDED / REMOVED queries.
+
+Each input file's resolved metric key (queries_min or the queries
+median fallback) is printed; a MIXED-KEYS warning fires when the two
+files resolve differently — mins compared against medians flag spurious
+regressions (or mask real ones).
 
 A flagged regression is a CANDIDATE, not a verdict: re-measure it in a
 fresh JVM (`sbt 'Test/runMain graft.DevScratch <q> <sfdir> 4 noExplain'`)
@@ -30,23 +41,39 @@ def main() -> int:
     new = json.load(open(sys.argv[2]))
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     abs_s = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
-    om = old.get("queries_min") or old.get("queries") or {}
-    nm = new.get("queries_min") or new.get("queries") or {}
-    print(f"old: {old.get('value')} s over {len(om)} | "
-          f"new: {new.get('value')} s over {len(nm)}")
-    regs = []
+    def resolve(snap):
+        if snap.get("queries_min"):
+            return snap["queries_min"], "queries_min"
+        return snap.get("queries") or {}, "queries (median fallback)"
+
+    om, okey = resolve(old)
+    nm, nkey = resolve(new)
+    print(f"old: {old.get('value')} s over {len(om)} [{okey}] | "
+          f"new: {new.get('value')} s over {len(nm)} [{nkey}]")
+    if okey != nkey:
+        print("  MIXED-KEYS WARNING: the two files resolve to different "
+              "metrics — min-vs-median comparison flags spurious "
+              "regressions and masks real ones; regenerate the missing "
+              "queries_min snapshot before trusting the rows below")
+    regs, watch = [], []
     for q, v in sorted(nm.items()):
         o = om.get(q)
         if o is None or v is None:
             continue
         if v > max(o * ratio, o + abs_s):
             regs.append((q, o, v))
+        elif v > max(o * 1.15, o + 0.15):
+            watch.append((q, o, v))
         elif v < o * 0.7 and o - v > abs_s:
             print(f"  IMPROVED   {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x)")
     for q in sorted(set(nm) - set(om)):
         print(f"  ADDED      {q}: {nm[q]:.2f}")
     for q in sorted(set(om) - set(nm)):
         print(f"  REMOVED    {q} (was {om[q]:.2f})")
+    for q, o, v in sorted(watch, key=lambda x: -(x[2] / x[1])):
+        print(f"  WATCH      {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x) — "
+              "under the regression bar; adjudicate fresh-JVM at "
+              "round close so creep can't compound")
     for q, o, v in sorted(regs, key=lambda x: -(x[2] / x[1])):
         print(f"  REGRESSION {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x) — "
               "re-measure fresh-JVM before believing it")
