@@ -78,9 +78,19 @@ object Similarity {
     // (recall > 1), approx > k per probe turns the number into "exact
     // top-k found anywhere in a larger list" — so the recall column
     // itself raises when either per-probe count exceeds k. Probes the
-    // exact side doesn't carry stay out of the metric, as before.
+    // exact side doesn't carry stay out of the metric, as before — but
+    // the top-k contract is checked over the WHOLE approx frame, not
+    // just the probes the exact side happens to carry: a 1-row global
+    // max over the approx per-probe counts (metadata-cheap, sample·k
+    // input rows) rides every output row via a broadcast cross join, so
+    // an oversized approx-only probe fails too instead of slipping the
+    // per-row check. Residual edge, by construction: the guard columns
+    // evaluate once per OUTPUT row, so an entirely empty exact side
+    // (zero output rows — nothing to mis-measure) raises nothing.
     val exN = ex.groupBy("probe_id").agg(count(lit(1)).as("__n_ex"))
     val apN = ap.groupBy("probe_id").agg(count(lit(1)).as("__n_ap"))
+    val apMax = apN.agg(max(col("__n_ap")).as("__max_ap"),
+      max(when(col("__n_ap") > k, col("probe_id"))).as("__max_ap_probe"))
     val nHit = coalesce(col("n_hit"), lit(0L))
     val guardedRecall =
       when(col("__n_ex") > k || coalesce(col("__n_ap"), lit(0L)) > k,
@@ -88,10 +98,18 @@ object Similarity {
           s"recallAtK: more than k=$k rows for probe %s (exact %s, approx %s)",
           col("probe_id").cast("string"), col("__n_ex").cast("string"),
           coalesce(col("__n_ap"), lit(0L)).cast("string"))).cast("double"))
+        .when(coalesce(col("__max_ap"), lit(0L)) > k,
+          raise_error(format_string(
+            s"recallAtK: approx frame is not a top-$k frame — probe %s " +
+              s"carries %s rows (> k=$k); a probe outside the exact side's " +
+              "list would otherwise be silently ignored by the metric",
+            col("__max_ap_probe").cast("string"),
+            col("__max_ap").cast("string"))).cast("double"))
         .otherwise(round(
           nHit / least(lit(k.toLong), col("__n_ex")).cast("double"), 6))
     exN.join(hits, Seq("probe_id"), "left")
       .join(apN, Seq("probe_id"), "left")
+      .crossJoin(broadcast(apMax))
       .select(col("probe_id"), nHit.as("n_hit"), guardedRecall.as("recall"))
   }
 
@@ -283,9 +301,11 @@ object Similarity {
     * undersized centroid set on a grown corpus): the call `require`s
     * |centroids| ≥ √n / `maxShareFactor`, i.e. the average per-bucket
     * candidate share n/|centroids| may exceed the √n-rule share by at
-    * most `maxShareFactor`×. Both counts are metadata-cheap (the index
-    * count comes from parquet stats; centroids are broadcast-sized);
-    * no job runs over the probe side. A deliberate probe of the
+    * most `maxShareFactor`×. Both counts are metadata-cheap: the index
+    * count comes from catalog statistics when available, else one
+    * footer-metadata count job ([[indexRowCount]] — ANALYZE the index
+    * table to make the guard job-free); centroids are broadcast-sized.
+    * No job runs over the probe side. A deliberate probe of the
     * mis-sized regime passes `maxShareFactor = Double.PositiveInfinity`
     * — loudly, at the call site (q28f does exactly this).
     *
@@ -298,7 +318,7 @@ object Similarity {
                   k: Int, nprobe: Int, excludeSelf: Boolean = true,
                   maxShareFactor: Double = 8.0): DataFrame = {
     val spark = probes.sparkSession
-    val nIndex = spark.table(table).count()
+    val (nIndex, _) = indexRowCount(spark, table)
     // ONE execution of the centroid lineage: the sizing guard needs the
     // count and the assignment broadcast needs the rows — centroids are
     // broadcast-sized by the very rule the guard enforces, so collect
@@ -328,6 +348,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Index row count for [[ivfTopKBulk]]'s sizing guard: catalog/plan
+    * STATISTICS when the optimizer exposes them (`ANALYZE TABLE …
+    * COMPUTE STATISTICS` + CBO/planStats on — zero jobs, free at a
+    * 100 TB/100k-file index), falling back to one `count()` (at test
+    * scale a parquet footer-metadata job; on a huge un-analyzed index,
+    * one task per file — cheap relative to the bulk join it guards, and
+    * far better than the silent quadratic it prevents, but ANALYZE the
+    * index to make the guard free). The boolean reports which path
+    * served the count (IvfIndexSpec pins both). The guard tolerates a
+    * slightly-stale analyzed count by construction: `maxShareFactor`
+    * already allows 8× drift off the √n rule, far beyond any realistic
+    * stats lag. */
+  private[operators] def indexRowCount(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): (Long, Boolean) = {
+    val rel = spark.table(table)
+    rel.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => (rc.toLong, true)
+      case None     => (rel.count(), false)
+    }
   }
 
   /** Spherical k-means (Lloyd) centroid training — the index-BUILD step

@@ -154,12 +154,30 @@ object CorpusStreams {
     * sides, so "band == least matching band index" is a per-row
     * predicate (the canonical-band trick; pigeonhole recall up to
     * hamming ≤ bands-1 is untouched because every qualifying pair HAS a
-    * matching band). NearDupGuardSpec pins stream ≡ the batch kernel's
+    * matching band). `maxHamming` must respect the banding's pigeonhole
+    * bound (≤ bands-1; enforced — beyond it recall silently degrades,
+    * the one failure this operator exists to prevent), and BOTH sides
+    * fail loudly on null/mis-width fingerprints: the protected table at
+    * stream build, arrivals per row (an unbounded side can't be checked
+    * eagerly). NearDupGuardSpec pins stream ≡ the batch kernel's
     * cross pairs and the exactly-once emission on all-band collisions. */
   def nearDupGuard(docs: DataFrame, text: Column, protectedFps: DataFrame,
                    bits: Int = 128, bands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
     import graft.operators.Dedup
+    // the banding's pigeonhole bound is bands-1: a pair at hamming ≤
+    // bands-1 cannot differ in every band, but at hamming ≥ bands it
+    // CAN, so a caller passing maxHamming=5 over 4 bands would get
+    // silently incomplete recall — contaminated arrivals at hamming 4-5
+    // flowing past the guard, the exact failure mode this operator
+    // exists to prevent. The batch kernel leaves the hamming cut to the
+    // caller (who can see the bound); here it is baked in, so enforce it
+    require(maxHamming <= bands - 1,
+      s"nearDupGuard: maxHamming=$maxHamming exceeds the banding's " +
+        s"pigeonhole recall bound of bands-1=${bands - 1} — pairs at " +
+        s"hamming in [${bands}, $maxHamming] can miss every band and " +
+        "pass the guard silently; raise bands (recall is total up to " +
+        "hamming <= bands-1) or lower maxHamming")
     // the static side is taken on faith from an OFFLINE refresh — a
     // width mismatch (table built at bits=64, stream banding at 128)
     // would NULL the high bands' bv and compare the low bands across
@@ -174,9 +192,22 @@ object CorpusStreams {
       s"nearDupGuard: protectedFps carries null fingerprints or widths " +
         s"other than bits=$bits — rebuild the protected table with " +
         "simhashFps at the stream's width over non-null text")
+    // the ARRIVAL side can't be checked eagerly (it is unbounded), so
+    // the same silent mode is closed PER ROW: a null/undecodable text
+    // fingerprints to null, its band chunks go null, and the (band, bv)
+    // equi-join would wave it past the guard with no signal — instead
+    // the fp column itself raises on the offending micro-batch row
+    // (null-safe <=>, same predicate as the protected-side require)
+    val checkedFp = when(length(col("fp")) <=> lit(bits), col("fp"))
+      .otherwise(raise_error(format_string(
+        s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
+          s"other than bits=$bits (null/undecodable text?) — it would " +
+          "silently bypass the guard; scrub or route null-text arrivals " +
+          "before the guard", col("doc_id").cast("string"))))
     val arrivals = Dedup.bandExplode(
       Dedup.simhashFps(docs, text, col("doc_id"), bits)
-        .select(col("sid").as("doc_id"), col("fp")),
+        .select(col("sid").as("doc_id"), col("fp"))
+        .select(col("doc_id"), checkedFp.as("fp")),
       Seq("doc_id"), "__a", bits, bands)
     val protect = Dedup.bandExplode(
       protectedFps.select(col("sid").as("protected_id"), col("fp")),

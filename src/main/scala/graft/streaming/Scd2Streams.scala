@@ -53,8 +53,19 @@ object Scd2Streams {
     * sub-ms reorderings and emit valid_from rounded away from the batch
     * operator's output. NOTE: adding fields changes the state-store
     * encoder schema — a checkpoint written by an older build cannot be
-    * restarted against this one (rebuild from the CDC log; closed
-    * intervals already emitted are unaffected). */
+    * restarted against this one. That restart does NOT fail opaquely:
+    * Spark's state-schema check (`spark.sql.streaming.stateStore
+    * .stateSchemaCheck`, on by default) compares the checkpoint's
+    * recorded state schema at query start and aborts with a
+    * STATE_STORE_*_SCHEMA_NOT_COMPATIBLE error printing both schemas —
+    * which is also why an in-state version FIELD would add nothing: an
+    * old state row is rejected by that check before any field of it
+    * could be decoded and compared. RECOVERY procedure (also in
+    * README's streaming notes): start the query against a FRESH
+    * checkpoint dir replaying the CDC log from the earliest offset
+    * still needed — closed intervals already emitted downstream are
+    * final and unaffected; the replay re-derives only the open-version
+    * state. */
   final case class Scd2State(version: Int, v: Option[String], fromUs: Long,
                              lastUs: Long, lastTie: Long)
 

@@ -290,6 +290,39 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("bulk kNN sizing guard reads catalog stats when available (count() only as fallback)") {
+    val (corpus, centroids, _) = inputs()
+    val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ivf_stats_index", numBuckets = 8)
+      val (nScan, viaStatsBefore) =
+        Similarity.indexRowCount(spark, "ivf_stats_index")
+      assert(!viaStatsBefore, "un-analyzed table must fall back to count()")
+      // ANALYZE publishes a catalog row count; with plan stats on, the
+      // optimizer exposes it and the guard becomes job-free
+      spark.sql("ANALYZE TABLE ivf_stats_index COMPUTE STATISTICS")
+      val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val (nStats, viaStats) =
+          Similarity.indexRowCount(spark, "ivf_stats_index")
+        assert(viaStats, "analyzed table + CBO must serve the count from stats")
+        assert(nStats == nScan, s"stats count $nStats != scanned $nScan")
+        // and the guard still FIRES through the stats path
+        val ex = intercept[IllegalArgumentException] {
+          Similarity.ivfTopKBulk("ivf_stats_index", centroids, probes,
+            k = 3, nprobe = 2, maxShareFactor = 0.01)
+        }
+        assert(ex.getMessage.contains("sizing rule"), ex.getMessage)
+      } finally prevCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_stats_index")
+    }
+  }
+
   test("bulk kNN excludeSelf=false keeps the identity match as top-1") {
     val (corpus, centroids, _) = inputs()
     val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))

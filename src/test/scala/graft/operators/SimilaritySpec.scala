@@ -68,6 +68,17 @@ class SimilaritySpec extends SparkSpec {
       Similarity.recallAtK(exact, approx, 3).collect()
     }
     assert(chain(e2).exists(_.contains("recallAtK")), chain(e2).mkString("; "))
+    // the top-k contract is checked over the WHOLE approx frame: an
+    // oversized probe the exact baseline doesn't carry would slip a
+    // per-row check (it drives no output row — the exact side drives
+    // the output), but the 1-row global max catches it
+    val exactOther = Seq((200L, 1L), (200L, 2L)).toDF("probe_id", "id")
+    val e3 = intercept[Exception] {
+      Similarity.recallAtK(exact /* 4 rows for probe 100 */, exactOther, 3)
+        .collect()
+    }
+    assert(chain(e3).exists(m => m.contains("recallAtK") &&
+      m.contains("not a top-3 frame")), chain(e3).mkString("; "))
   }
 
   test("ivfTopKIndexed: empty centroids fail loudly; an empty probe batch is a no-op") {

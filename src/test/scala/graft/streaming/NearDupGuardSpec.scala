@@ -69,6 +69,39 @@ class NearDupGuardSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("maxHamming beyond the pigeonhole bound (bands-1) is rejected at build") {
+    // 4 bands guarantee recall only up to hamming 3: a pair at hamming
+    // 4-5 CAN differ in every band and slip the guard — the silent
+    // incomplete-recall mode the operator exists to prevent, so the
+    // baked-in cut must refuse instead of under-delivering
+    val e = intercept[IllegalArgumentException] {
+      CorpusStreams.nearDupGuard(arrivals.toDF("doc_id", "text"),
+        col("text"), protectedFps, bits = 128, bands = 4, maxHamming = 5)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+    // deriving more bands restores the same request legally
+    CorpusStreams.nearDupGuard(arrivals.toDF("doc_id", "text"),
+      col("text"), protectedFps, bits = 128, bands = 8, maxHamming = 5)
+  }
+
+  test("null-text arrival fails loudly per row instead of bypassing the guard") {
+    // a null fingerprint nulls the band chunks and drops out of the
+    // (band, bv) equi-join with no signal — the arrival-side twin of the
+    // protected-side width require (which is eager; arrivals are
+    // unbounded so the check rides the row)
+    val withNull = arrivals.toDF("doc_id", "text")
+      .unionByName(Seq((999L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      CorpusStreams.nearDupGuard(withNull, col("text"), protectedFps)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("nearDupGuard") &&
+      m.contains("999")), chain(e).mkString("; "))
+  }
+
   test("property: random corpora, random batch splits — stream == batch kernel (3 seeds)") {
     // the encode is deliberately shared (Dedup.bandExplode); what this
     // fuzzes is the JOIN + dedup logic: stream-static canonical-band
