@@ -750,7 +750,15 @@ object SimilarityQueries {
     Some(ivfPqOracleSql),
     benchSkip = true)
 
-  private lazy val ivfPqOracleSql: String = {
+  /** The full IVF-PQ CTE chain through `ranked` (coarse training, the
+    * exact residual subtraction, both Lloyd rounds per subspace, the
+    * encoding argmax, and the left-associated `pc + (t0 + … + t15)` ADC
+    * sum) — shared by the q127b/q127c result oracles ([[ivfPqOracleSql]]
+    * appends the rank-filtered SELECT) and the q130b recall oracle,
+    * which joins `ranked` against a brute-force chain over the same
+    * `emb`, so the recall gate and the result gate can't pin different
+    * ADC arithmetic. */
+  private lazy val ivfPqCtes: String = {
       val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
         .mkString(" + ")
       s"""
@@ -852,12 +860,14 @@ object SimilarityQueries {
         SELECT probe_id, id, adc,
                row_number() OVER (PARTITION BY probe_id
                  ORDER BY adc DESC, id) AS rank
-        FROM adc)
+        FROM adc)"""
+  }
+
+  private lazy val ivfPqOracleSql: String = ivfPqCtes + """
       SELECT probe_id, rank, id, round(adc, 9) AS adc
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank
     """
-  }
 
   /** Recall@k evaluation ([[Similarity.recallAtK]]) — the EVALUATE leg
     * of the index lifecycle, and the number every ANN deployment tunes
@@ -902,9 +912,68 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** Recall@k for the QUANTIZED ladder — the quality gate q130 gives the
+    * unquantized IVF, applied to the PERSISTED IVF-PQ index (q127c's
+    * flow: coarse training → writeIvfPqIndex → readPqBooks →
+    * ivfPqTopKIndexed): quantization error is precisely what PQ trades
+    * for its 16× compression, so a user tuning m/bk/nprobe on the
+    * persisted index needs this number, not just the determinism gates.
+    * Scored per-probe against the q27 exact baseline through the SAME
+    * [[Similarity.recallAtK]] (same min(k,|exact|) denominator, same
+    * oversize guards). The oracle composes [[ivfPqCtes]] — every float
+    * of the coarse training, residual codes, and ADC sum — with the
+    * brute-force chain over the same embeddings, then the hit-count
+    * arithmetic, so a flipped assignment anywhere upstream breaks this
+    * gate exactly as it breaks q127b/q127c. Measured at sf0.01 (5k
+    * vectors): IVF-PQ at nprobe=2 scores mean recall@3 0.33 vs the
+    * unquantized IVF's 0.63 at the same nprobe (SOAK.md round 12) —
+    * the 16×-compression trade made visible, and the number the m/bk/
+    * nprobe dials move. benchSkip: the timed body would be the one-off index
+    * WRITE plus two training runs (the q127c convention); the probe
+    * path is what production re-runs. */
+  val q130bPqRecall = QueryDef(
+    "q130b_pq_recall",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_recall_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_recall_index", dim = 64)
+      val approx = Similarity.ivfPqTopKIndexed("graft_ivfpq_recall_index",
+        coarse, probes, bk, k = 3, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(corpus, probes, 3)
+      Similarity.recallAtK(approx, exact, 3).orderBy("probe_id")
+    },
+    Some(ivfPqCtes + """,
+      u AS (
+        SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
+        FROM emb),
+      bfp AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
+      bfs AS (
+        SELECT probe_id, vec_id AS id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
+        FROM u CROSS JOIN bfp
+        WHERE vec_id <> probe_id),
+      bf AS (SELECT probe_id, id FROM bfs WHERE rank <= 3),
+      apx AS (SELECT probe_id, id FROM ranked WHERE rank <= 3),
+      hits AS (
+        SELECT bf.probe_id, count(*) AS n_hit
+        FROM bf JOIN apx ON apx.probe_id = bf.probe_id AND apx.id = bf.id
+        GROUP BY bf.probe_id),
+      bfn AS (SELECT probe_id, count(*) AS n_ex FROM bf GROUP BY probe_id)
+      SELECT p.probe_id,
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0) / least(3, p.n_ex), 6) AS recall
+      FROM bfn p
+      LEFT JOIN hits h ON h.probe_id = p.probe_id
+      ORDER BY p.probe_id
+    """),
+    benchSkip = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
-    q127cAnnIvfPqIndexed, q130AnnRecall)
+    q127cAnnIvfPqIndexed, q130AnnRecall, q130bPqRecall)
 }
