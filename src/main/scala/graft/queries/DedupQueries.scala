@@ -454,6 +454,68 @@ object DedupQueries {
     """),
     bench = true)
 
+  /** Leakage REMEDIATION — the operator a pipeline runs on q131's
+    * output: emit the CLEANED eval assignment, i.e. every eval doc with
+    * any train near-dup dropped, so the audit feeds an operator instead
+    * of a human. One left_anti from the eval split against q131's
+    * leaked eval_ids (the J5 protected∖processed pattern — reference
+    * `main.py:483-488` — in LLM-pipeline clothing).
+    *
+    * Scale shape: the eval-side split filter is the same map-side
+    * [[graft.operators.Sampling.splitLabel]] column (no join against a
+    * split table), the leaked-id set — output-sized, a sliver of the
+    * corpus by construction — is MATERIALIZED once (localCheckpoint:
+    * the audit artifact a real pipeline would persist anyway) and
+    * BROADCAST into the anti join. The materialization is load-bearing
+    * for the plan, not a convenience: Catalyst pushes left-anti joins
+    * below Union (the corpus is documents ∪ near-dup variants), which
+    * duplicated the whole banded-join lineage into BOTH branches'
+    * build sides — the audit would compute twice. With the checkpointed
+    * frame the audit runs exactly once and the remediation's ONLY
+    * shuffle is the output sort: SplitLeakageSpec pins exchanges == 1 <
+    * q131's, and the broadcast LeftAnti. If leakage ever stopped being
+    * a sliver the pipeline's problem is upstream (the split), not this
+    * join. */
+  val q131bLeakageRemediation = QueryDef(
+    "q131b_leakage_remediation",
+    (s, d) => {
+      val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
+      val corpus = corpusNear(s, d)
+      val leaked = Dedup.simhashCandidatePairs(corpus, col("text"), col("doc_id"),
+          bits = 128, bands = 4)
+        .filter(col("hamming") <= 3)
+        .withColumn("split_a", graft.operators.Sampling.splitLabel(col("id_a"), "sp2", fracs))
+        .withColumn("split_b", graft.operators.Sampling.splitLabel(col("id_b"), "sp2", fracs))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(when(col("split_a") === "eval", col("id_a"))
+          .otherwise(col("id_b")).as("doc_id"))
+        .localCheckpoint()
+      corpus
+        .filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", fracs) === "eval")
+        .join(broadcast(leaked), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some(simhashNearSql + """,
+      labeled AS (
+        SELECT id_a, id_b,
+               CASE WHEN (('0x' || substr(md5('sp2' || id_a::VARCHAR), 1, 15))::BIGINT
+                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_a,
+               CASE WHEN (('0x' || substr(md5('sp2' || id_b::VARCHAR), 1, 15))::BIGINT
+                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_b
+        FROM near WHERE hamming <= 3),
+      leaked AS (
+        SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS doc_id
+        FROM labeled WHERE split_a <> split_b)
+      SELECT c.doc_id
+      FROM corpus c
+      WHERE (('0x' || substr(md5('sp2' || c.doc_id::VARCHAR), 1, 15))::BIGINT
+             % 1000000) >= 800000
+        AND c.doc_id NOT IN (SELECT doc_id FROM leaked)
+      ORDER BY doc_id
+    """),
+    bench = true)
+
   /** The GUARDED near-dup clustering contract under a full oracle —
     * [[graft.operators.Dedup.nearDupClusters]] end-to-end: simhash
     * fingerprints → identical-fp rep grouping (bounded-collect
@@ -944,7 +1006,7 @@ object DedupQueries {
     q100IncrementalDedup, q117FuzzyVerify,
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q26cEmbedNearDupIvfIndexed, q64SimhashNearDup,
-    q131SplitLeakage,
+    q131SplitLeakage, q131bLeakageRemediation,
     q88NearDupClusters, q66Decontaminate,
     q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }

@@ -39,6 +39,47 @@ class SplitLeakageSpec extends SparkSpec {
     assert(exchanges("q131_split_leakage") == exchanges("q64_simhash_neardup"))
   }
 
+  test("q131b: audit materialized once, anti-join broadcast, only the sort shuffles") {
+    def exchanges(name: String): Int = {
+      val p = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct"), s"$name degenerated:\n$p")
+      "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    }
+    // the leaked-id frame is checkpointed (the audit runs exactly once —
+    // without it Catalyst pushes the anti-join below the corpus Union and
+    // duplicates the banded-join lineage into both branches), so the
+    // remediation's ONLY shuffle is the output sort
+    assert(exchanges("q131b_leakage_remediation") == 1)
+    assert(exchanges("q131_split_leakage") > 1) // the audit's own shuffles
+    // and the anti-join really is broadcast (the corpus side must not
+    // shuffle against the output-sized leaked-id frame)
+    val p = SparkEntry.queries("q131b_leakage_remediation")(spark, sf001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"remediation anti-join not broadcast:\n$p")
+  }
+
+  test("q131b = eval split minus exactly q131's leaked eval ids") {
+    val audit = SparkEntry.queries("q131_split_leakage")(spark, sf001)
+      .select(col("eval_id")).distinct()
+    val evalSplit = {
+      // same corpus construction as the queries (documents + near-dup copies)
+      val doc = graft.Tables.documents(spark, sf001).select(col("doc_id"), col("text"))
+      doc.unionByName(doc.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text")))
+        .filter(Sampling.splitLabel(col("doc_id"), "sp2", fracs) === "eval")
+        .select("doc_id")
+    }
+    val cleaned = SparkEntry.queries("q131b_leakage_remediation")(spark, sf001)
+    val expected = evalSplit.join(audit.withColumnRenamed("eval_id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(cleaned.exceptAll(expected).isEmpty && expected.exceptAll(cleaned).isEmpty)
+    // the remediation must actually remove something on the dup-dense corpus
+    assert(cleaned.count() < evalSplit.count())
+    assert(cleaned.count() > 0)
+  }
+
   test("every reported pair is a genuine cross-split near-dup; audit is non-empty") {
     val out = SparkEntry.queries("q131_split_leakage")(spark, sf001)
       .withColumn("s_eval", Sampling.splitLabel(col("eval_id"), "sp2", fracs))
