@@ -335,30 +335,43 @@ object DedupQueries {
     q26bEmbedNearDupIvf.oracle,
     benchSkip = true)
 
-  /** Shared oracle CTE chain for the banded 128-bit simhash join —
-    * corpus → words → fingerprints (empty docs COALESCE to the Spark
-    * kernel's all-'1' fp) → 32-bit bands → distinct candidate pairs →
-    * `near(id_a, id_b, hamming)`. Used verbatim by q64 and q131 so the
-    * two can't silently pin different fingerprint definitions against
-    * the same Spark kernel (q88's variant stays separate: its recursive
-    * CTE needs MATERIALIZED hints on the same stages). */
-  private val simhashNearSql = """
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
-      t AS (
-        SELECT doc_id,
-               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
-        FROM corpus),
-      sh AS (
+  /** The 128-bit portable simhash fingerprint as a SQL SELECT over a
+    * (doc_id, words) CTE — THE one fp definition every simhash oracle
+    * in this file interpolates ([[simhashNearSql]] for q64/q131/q131b,
+    * the q132 guard oracle), mirroring the Spark kernel's
+    * SimhashBitsExpr exactly (empty docs COALESCE to the all-'1' fp).
+    * One definition so no two oracles can silently pin different
+    * fingerprints against the same kernel. */
+  private def simhashFpSelect(wordsCte: String): String = s"""
         SELECT doc_id,
           list_aggregate(list_transform(range(0, 128), b ->
             CASE WHEN COALESCE(list_sum(list_transform(words, t ->
               2*((strpos('0123456789abcdef', substr(md5(t), (b//4)::INT + 1, 1)) - 1)
                  // ([8,4,2,1][(b%4)+1]) % 2) - 1)), 0) >= 0
             THEN '1' ELSE '0' END), 'string_agg', '') AS fp
-        FROM t),
+        FROM $wordsCte"""
+
+  /** The whitespace tokenizer as a SQL SELECT — the `words` side of
+    * [[simhashFpSelect]]'s contract. */
+  private def wordsSelect(srcCte: String): String = s"""
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS words
+        FROM $srcCte"""
+
+  /** Shared oracle CTE chain for the banded 128-bit simhash join —
+    * corpus → words → fingerprints (empty docs COALESCE to the Spark
+    * kernel's all-'1' fp) → 32-bit bands → distinct candidate pairs →
+    * `near(id_a, id_b, hamming)`. Used verbatim by q64, q131 and q131b
+    * so they can't silently pin different fingerprint definitions
+    * against the same Spark kernel (q88's variant stays separate: its
+    * recursive CTE needs MATERIALIZED hints on the same stages). */
+  private val simhashNearSql = s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, regexp_replace(text, '^[^ ]+ ', '') FROM documents),
+      t AS (${wordsSelect("corpus")}),
+      sh AS (${simhashFpSelect("t")}),
       banded AS (
         SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
         FROM sh, (SELECT unnest(range(4)) AS band) b),
@@ -513,6 +526,73 @@ object DedupQueries {
              % 1000000) >= 800000
         AND c.doc_id NOT IN (SELECT doc_id FROM leaked)
       ORDER BY doc_id
+    """),
+    bench = true)
+
+  /** The near-dup eval-set GUARD's kernel under the cross-engine oracle
+    * — [[graft.streaming.CorpusStreams.nearDupGuard]] run on batch
+    * frames (the operator is stream/batch-agnostic by construction;
+    * NearDupGuardSpec pins stream ≡ this batch form, so this row puts
+    * the last first-class streaming operator's kernel under the oracle
+    * rather than spec-only). Protected side: the eval split of
+    * `documents` (the same sp2 splitLabel as q131), fingerprinted
+    * offline by simhashFps — exactly how a deployment refreshes the
+    * protected table. Arrivals: the near-dup variants (first word
+    * dropped, ids +100000) — the contaminated ingest the guard exists
+    * to catch. Output: (doc_id, protected_id, hamming ≤ 3), exactly
+    * once per pair via the canonical-band emission (the oracle's
+    * DISTINCT over band collisions pins that exactly-once contract).
+    * The oracle interpolates the SAME [[simhashFpSelect]] as
+    * q64/q131/q131b. Scale shape: stateless; both sides band map-side,
+    * the join shuffles on (band, bv) only — never the pair space. */
+  val q132NearDupGuard = QueryDef(
+    "q132_neardup_guard",
+    (s, d) => {
+      val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
+      val doc = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val protectedFps = Dedup.simhashFps(
+        doc.filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", fracs) === "eval"),
+        col("text"), col("doc_id"), bits = 128)
+      val arrivals = doc.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+      graft.streaming.CorpusStreams.nearDupGuard(arrivals, col("text"),
+          protectedFps, bits = 128, bands = 4, maxHamming = 3)
+        .orderBy("doc_id", "protected_id")
+    },
+    Some(s"""
+      WITH prot AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substr(md5('sp2' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000) >= 800000),
+      arr AS (
+        SELECT doc_id + 100000 AS doc_id,
+               regexp_replace(text, '^[^ ]+ ', '') AS text
+        FROM documents),
+      tp AS (${wordsSelect("prot")}),
+      ta AS (${wordsSelect("arr")}),
+      shp AS (${simhashFpSelect("tp")}),
+      sha AS (${simhashFpSelect("ta")}),
+      bp AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM shp, (SELECT unnest(range(4)) AS band) b),
+      ba AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM sha, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id, p.doc_id AS protected_id,
+                        a.fp AS fp_a, p.fp AS fp_p
+        FROM ba a
+        JOIN bp p ON a.band = p.band AND a.bv = p.bv),
+      near AS (
+        SELECT doc_id, protected_id,
+               list_sum(list_transform(range(1, 129), i ->
+                 CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_p, i::INT, 1)
+                      THEN 1 ELSE 0 END))::BIGINT AS hamming
+        FROM pairs)
+      SELECT doc_id, protected_id, hamming
+      FROM near
+      WHERE hamming <= 3
+      ORDER BY doc_id, protected_id
     """),
     bench = true)
 
@@ -1006,7 +1086,7 @@ object DedupQueries {
     q100IncrementalDedup, q117FuzzyVerify,
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q26cEmbedNearDupIvfIndexed, q64SimhashNearDup,
-    q131SplitLeakage, q131bLeakageRemediation,
+    q131SplitLeakage, q131bLeakageRemediation, q132NearDupGuard,
     q88NearDupClusters, q66Decontaminate,
     q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }
