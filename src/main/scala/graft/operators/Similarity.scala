@@ -361,14 +361,17 @@ object Similarity {
     * served the count (IvfIndexSpec pins both). The guard tolerates a
     * slightly-stale analyzed count by construction: `maxShareFactor`
     * already allows 8× drift off the √n rule, far beyond any realistic
-    * stats lag. */
+    * stats lag — EXCEPT a stats row count of 0 (an ANALYZE that ran
+    * before the first append), which would disarm the guard entirely
+    * (√0 = 0 passes any centroid set); a zero is treated as
+    * no-stats and falls back to the scan. */
   private[operators] def indexRowCount(
       spark: org.apache.spark.sql.SparkSession,
       table: String): (Long, Boolean) = {
     val rel = spark.table(table)
     rel.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(rc) => (rc.toLong, true)
-      case None     => (rel.count(), false)
+      case Some(rc) if rc > 0 => (rc.toLong, true)
+      case _                  => (rel.count(), false)
     }
   }
 

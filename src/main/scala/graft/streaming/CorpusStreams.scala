@@ -160,7 +160,19 @@ object CorpusStreams {
     * fail loudly on null/mis-width fingerprints: the protected table at
     * stream build, arrivals per row (an unbounded side can't be checked
     * eagerly). NearDupGuardSpec pins stream ≡ the batch kernel's
-    * cross pairs and the exactly-once emission on all-band collisions. */
+    * cross pairs and the exactly-once emission on all-band collisions;
+    * q132 gates the batch form under the cross-engine oracle.
+    *
+    * Scale class (measured, SOAK.md round 12): output is one row per
+    * (arrival, protected) near-pair, so cost tracks PAIR volume — on
+    * the replicated sf1 soak corpus output grew 84× on 10× data at
+    * 8.9× wall (sublinear vs its own output). Unlike the batch kernel
+    * this stateless form has NO identical-fingerprint rep-grouping
+    * (grouping needs a shuffle; the stream side stays map-side), so a
+    * deployment whose arrivals carry heavy exact duplication should run
+    * [[dedupIncremental]] (exact, stream-static anti) BEFORE the guard
+    * — the real contamination signal per distinct document, without
+    * per-copy pair fan-out. */
   def nearDupGuard(docs: DataFrame, text: Column, protectedFps: DataFrame,
                    bits: Int = 128, bands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {

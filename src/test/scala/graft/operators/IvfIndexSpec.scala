@@ -314,12 +314,24 @@ class IvfIndexSpec extends SparkSpec {
             k = 3, nprobe = 2, maxShareFactor = 0.01)
         }
         assert(ex.getMessage.contains("sizing rule"), ex.getMessage)
+        // the stale-zero edge: ANALYZE before the first append publishes
+        // rowCount=0, which would DISARM the guard (sqrt(0) passes any
+        // centroid set) — a zero must fall back to the scan
+        Similarity.writeIvfIndex(corpus.limit(0), centroids,
+          "ivf_stats0_index", numBuckets = 8)
+        spark.sql("ANALYZE TABLE ivf_stats0_index COMPUTE STATISTICS")
+        Similarity.appendIvfIndex(corpus, centroids, "ivf_stats0_index")
+        val (nAfter, viaStats0) =
+          Similarity.indexRowCount(spark, "ivf_stats0_index")
+        assert(!viaStats0 && nAfter == nScan,
+          s"stale-zero stats must fall back to the scan (got $nAfter via stats=$viaStats0)")
       } finally prevCbo match {
         case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
         case None    => spark.conf.unset("spark.sql.cbo.enabled")
       }
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_stats_index")
+      spark.sql("DROP TABLE IF EXISTS ivf_stats0_index")
     }
   }
 
