@@ -89,8 +89,13 @@ object Similarity {
     // (zero output rows — nothing to mis-measure) raises nothing.
     val exN = ex.groupBy("probe_id").agg(count(lit(1)).as("__n_ex"))
     val apN = ap.groupBy("probe_id").agg(count(lit(1)).as("__n_ap"))
-    val apMax = apN.agg(max(col("__n_ap")).as("__max_ap"),
-      max(when(col("__n_ap") > k, col("probe_id"))).as("__max_ap_probe"))
+    // one struct max so the reported (count, probe) pair is the SAME
+    // winning row — two independent maxes could pair the max count with
+    // a different oversized probe's id in the error message
+    val apMax = apN
+      .agg(max(struct(col("__n_ap"), col("probe_id"))).as("__w"))
+      .select(col("__w.__n_ap").as("__max_ap"),
+        col("__w.probe_id").as("__max_ap_probe"))
     val nHit = coalesce(col("n_hit"), lit(0L))
     val guardedRecall =
       when(col("__n_ex") > k || coalesce(col("__n_ap"), lit(0L)) > k,

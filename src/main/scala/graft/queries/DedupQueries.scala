@@ -431,17 +431,44 @@ object DedupQueries {
     * rides (a join against the split assignment would re-shuffle the
     * 100 TB corpus a second time). SplitLeakageSpec pins exactly that:
     * the q131 plan's exchange set equals q64's. */
+  private val sp2Fracs = Seq("train" -> 0.8, "eval" -> 0.2)
+
+  /** Cross-split near-dup pairs — THE leaked-pair derivation shared by
+    * the q131 audit and the q131b remediation (one definition, so an
+    * edit to the hamming cut, seed, or banding can never make the
+    * remediation drop a different set than the audit reports): q64's
+    * banded simhash kernel, the hamming ≤ 3 cut, both sides' sp2 split
+    * labels re-derived map-side via splitLabel, cross-split rows only.
+    * Returns (id_a, id_b, hamming, split_a, split_b). */
+  private def leakedPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidatePairs(corpusNear(s, d), col("text"), col("doc_id"),
+        bits = 128, bands = 4)
+      .filter(col("hamming") <= 3)
+      .withColumn("split_a", graft.operators.Sampling.splitLabel(col("id_a"), "sp2", sp2Fracs))
+      .withColumn("split_b", graft.operators.Sampling.splitLabel(col("id_b"), "sp2", sp2Fracs))
+      .filter(col("split_a") =!= col("split_b"))
+
+  /** The SQL twin of [[leakedPairs]]: [[simhashNearSql]] + the labeled
+    * cross-split CTE, shared verbatim by the q131 and q131b oracles. */
+  private val leakedLabeledSql = simhashNearSql + """,
+      labeled AS (
+        SELECT id_a, id_b, hamming,
+               CASE WHEN (('0x' || substr(md5('sp2' || id_a::VARCHAR), 1, 15))::BIGINT
+                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_a,
+               CASE WHEN (('0x' || substr(md5('sp2' || id_b::VARCHAR), 1, 15))::BIGINT
+                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_b
+        FROM near WHERE hamming <= 3),
+      leaked AS (
+        SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS eval_id,
+               CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
+               hamming
+        FROM labeled
+        WHERE split_a <> split_b)"""
+
   val q131SplitLeakage = QueryDef(
     "q131_split_leakage",
     (s, d) => {
-      val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
-      val corpus = corpusNear(s, d)
-      Dedup.simhashCandidatePairs(corpus, col("text"), col("doc_id"),
-          bits = 128, bands = 4)
-        .filter(col("hamming") <= 3)
-        .withColumn("split_a", graft.operators.Sampling.splitLabel(col("id_a"), "sp2", fracs))
-        .withColumn("split_b", graft.operators.Sampling.splitLabel(col("id_b"), "sp2", fracs))
-        .filter(col("split_a") =!= col("split_b"))
+      leakedPairs(s, d)
         .select(
           when(col("split_a") === "eval", col("id_a"))
             .otherwise(col("id_b")).as("eval_id"),
@@ -450,19 +477,9 @@ object DedupQueries {
           col("hamming"))
         .orderBy("eval_id", "train_id")
     },
-    Some(simhashNearSql + """,
-      labeled AS (
-        SELECT id_a, id_b, hamming,
-               CASE WHEN (('0x' || substr(md5('sp2' || id_a::VARCHAR), 1, 15))::BIGINT
-                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_a,
-               CASE WHEN (('0x' || substr(md5('sp2' || id_b::VARCHAR), 1, 15))::BIGINT
-                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_b
-        FROM near WHERE hamming <= 3)
-      SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS eval_id,
-             CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
-             hamming
-      FROM labeled
-      WHERE split_a <> split_b
+    Some(leakedLabeledSql + """
+      SELECT eval_id, train_id, hamming
+      FROM leaked
       ORDER BY eval_id, train_id
     """),
     bench = true)
@@ -492,39 +509,22 @@ object DedupQueries {
   val q131bLeakageRemediation = QueryDef(
     "q131b_leakage_remediation",
     (s, d) => {
-      val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
-      val corpus = corpusNear(s, d)
-      val leaked = Dedup.simhashCandidatePairs(corpus, col("text"), col("doc_id"),
-          bits = 128, bands = 4)
-        .filter(col("hamming") <= 3)
-        .withColumn("split_a", graft.operators.Sampling.splitLabel(col("id_a"), "sp2", fracs))
-        .withColumn("split_b", graft.operators.Sampling.splitLabel(col("id_b"), "sp2", fracs))
-        .filter(col("split_a") =!= col("split_b"))
+      val leaked = leakedPairs(s, d)
         .select(when(col("split_a") === "eval", col("id_a"))
           .otherwise(col("id_b")).as("doc_id"))
         .localCheckpoint()
-      corpus
-        .filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", fracs) === "eval")
+      corpusNear(s, d)
+        .filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", sp2Fracs) === "eval")
         .join(broadcast(leaked), Seq("doc_id"), "left_anti")
         .select("doc_id")
         .orderBy("doc_id")
     },
-    Some(simhashNearSql + """,
-      labeled AS (
-        SELECT id_a, id_b,
-               CASE WHEN (('0x' || substr(md5('sp2' || id_a::VARCHAR), 1, 15))::BIGINT
-                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_a,
-               CASE WHEN (('0x' || substr(md5('sp2' || id_b::VARCHAR), 1, 15))::BIGINT
-                          % 1000000) < 800000 THEN 'train' ELSE 'eval' END AS split_b
-        FROM near WHERE hamming <= 3),
-      leaked AS (
-        SELECT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS doc_id
-        FROM labeled WHERE split_a <> split_b)
+    Some(leakedLabeledSql + """
       SELECT c.doc_id
       FROM corpus c
       WHERE (('0x' || substr(md5('sp2' || c.doc_id::VARCHAR), 1, 15))::BIGINT
              % 1000000) >= 800000
-        AND c.doc_id NOT IN (SELECT doc_id FROM leaked)
+        AND c.doc_id NOT IN (SELECT eval_id FROM leaked)
       ORDER BY doc_id
     """),
     bench = true)

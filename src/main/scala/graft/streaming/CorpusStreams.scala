@@ -157,9 +157,19 @@ object CorpusStreams {
     * matching band). `maxHamming` must respect the banding's pigeonhole
     * bound (≤ bands-1; enforced — beyond it recall silently degrades,
     * the one failure this operator exists to prevent), and BOTH sides
-    * fail loudly on null/mis-width fingerprints: the protected table at
-    * stream build, arrivals per row (an unbounded side can't be checked
-    * eagerly). NearDupGuardSpec pins stream ≡ the batch kernel's
+    * refuse to pass null/mis-width fingerprints silently: the protected
+    * table fails at stream build; arrivals (unbounded — no eager check
+    * possible) are handled per `raiseOnInvalidArrival`. The default
+    * (true) raises on the offending row — correct for a batch audit or
+    * a pipeline that treats undecodable input as a stop-the-line fault,
+    * but on a long-lived stream one poisoned document would fail the
+    * micro-batch, replay from the checkpoint, and fail again, taking
+    * the WHOLE guard offline. Pass false for streaming deployments:
+    * invalid arrivals are emitted IN-BAND as (doc_id, protected_id =
+    * null, hamming = null) dead-letter rows — unambiguous (clean docs
+    * emit nothing; genuine flags carry a non-null protected_id), so a
+    * downstream router diverts them without losing guard coverage for
+    * everyone else. NearDupGuardSpec pins stream ≡ the batch kernel's
     * cross pairs and the exactly-once emission on all-band collisions;
     * q132 gates the batch form under the cross-engine oracle.
     *
@@ -175,7 +185,8 @@ object CorpusStreams {
     * per-copy pair fan-out. */
   def nearDupGuard(docs: DataFrame, text: Column, protectedFps: DataFrame,
                    bits: Int = 128, bands: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   raiseOnInvalidArrival: Boolean = true): DataFrame = {
     import graft.operators.Dedup
     // the banding's pigeonhole bound is bands-1: a pair at hamming ≤
     // bands-1 cannot differ in every band, but at hamming ≥ bands it
@@ -207,18 +218,25 @@ object CorpusStreams {
     // the ARRIVAL side can't be checked eagerly (it is unbounded), so
     // the same silent mode is closed PER ROW: a null/undecodable text
     // fingerprints to null, its band chunks go null, and the (band, bv)
-    // equi-join would wave it past the guard with no signal — instead
+    // equi-join would wave it past the guard with no signal. Default:
     // the fp column itself raises on the offending micro-batch row
-    // (null-safe <=>, same predicate as the protected-side require)
-    val checkedFp = when(length(col("fp")) <=> lit(bits), col("fp"))
-      .otherwise(raise_error(format_string(
-        s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
-          s"other than bits=$bits (null/undecodable text?) — it would " +
-          "silently bypass the guard; scrub or route null-text arrivals " +
-          "before the guard", col("doc_id").cast("string"))))
+    // (null-safe <=>, same predicate as the protected-side require);
+    // streaming deployments pass raiseOnInvalidArrival = false and get
+    // the row back as an in-band dead-letter instead (scaladoc above)
+    val fps = Dedup.simhashFps(docs, text, col("doc_id"), bits)
+      .select(col("sid").as("doc_id"), col("fp"))
+    val fpValid = length(col("fp")) <=> lit(bits)
+    val checkedFp =
+      if (raiseOnInvalidArrival)
+        when(fpValid, col("fp")).otherwise(raise_error(format_string(
+          s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
+            s"other than bits=$bits (null/undecodable text?) — it would " +
+            "silently bypass the guard; scrub or route null-text arrivals " +
+            "before the guard, or pass raiseOnInvalidArrival = false to " +
+            "receive dead-letter rows", col("doc_id").cast("string"))))
+      else col("fp")
     val arrivals = Dedup.bandExplode(
-      Dedup.simhashFps(docs, text, col("doc_id"), bits)
-        .select(col("sid").as("doc_id"), col("fp"))
+      (if (raiseOnInvalidArrival) fps else fps.filter(fpValid))
         .select(col("doc_id"), checkedFp.as("fp")),
       Seq("doc_id"), "__a", bits, bands)
     val protect = Dedup.bandExplode(
@@ -228,13 +246,25 @@ object CorpusStreams {
     val firstMatch = (0 until bands).reverse.foldLeft(lit(bands): Column) {
       case (acc, i) => when(col(s"__a$i") === col(s"__b$i"), lit(i)).otherwise(acc)
     }
-    arrivals.join(protect, Seq("band", "bv"))
+    val flagged = arrivals.join(protect, Seq("band", "bv"))
       .filter(col("band") === firstMatch)
       .withColumn("hamming", (0 until bands).map(i =>
         bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
         .reduce(_ + _))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_id"), col("protected_id"), col("hamming"))
+    if (raiseOnInvalidArrival) flagged
+    else {
+      // in-band dead-letter rows: map-side filter of the same source
+      // (stateless; a self-union of streaming frames is append-safe).
+      // protected_id keeps the protected table's id type so the union
+      // resolves for non-long id schemes too.
+      val pidType = protectedFps.schema("sid").dataType
+      flagged.unionByName(fps.filter(!fpValid).select(
+        col("doc_id"),
+        lit(null).cast(pidType).as("protected_id"),
+        lit(null).cast("long").as("hamming")))
+    }
   }
 
   final case class QuotaDoc(doc_id: Long, source: String, ord: Long)

@@ -6,6 +6,16 @@ import org.apache.spark.sql.execution.ExplainMode
   * triage). Args: comma-separated query names, then sfDir. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: Test/runMain graft.PlanDump <name1,name2,...> <sfDir>")
+      sys.exit(2)
+    }
+    val unknown = args(0).split(",").filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")

@@ -102,6 +102,43 @@ class NearDupGuardSpec extends SparkSpec {
       m.contains("999")), chain(e).mkString("; "))
   }
 
+  test("dead-letter mode: invalid arrivals emit in-band null rows instead of failing") {
+    // raiseOnInvalidArrival = false is the streaming deployment shape:
+    // a poisoned document must not fail the micro-batch (checkpoint
+    // replay would fail it again forever, taking the guard offline) —
+    // it comes back as (doc_id, null, null), which cannot be mistaken
+    // for either a pass (clean docs emit NOTHING) or a flag (genuine
+    // flags carry a non-null protected_id)
+    val withNull = arrivals.toDF("doc_id", "text")
+      .unionByName(Seq((999L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val out = CorpusStreams.nearDupGuard(withNull, col("text"), protectedFps,
+        raiseOnInvalidArrival = false)
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(out.contains((999L, None, None)), s"dead-letter row missing: $out")
+    // the valid arrivals' flags are byte-identical to the default mode
+    val expected = batchExpected.map { case (a, p, h) => (a, Some(p), Some(h)) }
+    assert(out - ((999L, None, None)) == expected,
+      s"flags diverged from the batch kernel: $out vs $expected")
+    // and on a genuine STREAM the mode holds append semantics with no state
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val query = CorpusStreams.nearDupGuard(
+        mem.toDF().toDF("doc_id", "text"), col("text"), protectedFps,
+        raiseOnInvalidArrival = false)
+      .writeStream.format("memory").queryName("nddead")
+      .outputMode("append").start()
+    try {
+      mem.addData((999L, null.asInstanceOf[String]), arrivals.head)
+      query.processAllAvailable()
+      val got = spark.table("nddead")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+      assert(got.contains((999L, None, None)))
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "dead-letter mode must stay stateless")
+    } finally query.stop()
+  }
+
   test("property: random corpora, random batch splits — stream == batch kernel (3 seeds)") {
     // the encode is deliberately shared (Dedup.bandExplode); what this
     // fuzzes is the JOIN + dedup logic: stream-static canonical-band

@@ -66,10 +66,14 @@ def main() -> int:
             watch.append((q, o, v))
         elif v < o * 0.7 and o - v > abs_s:
             print(f"  IMPROVED   {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x)")
+    def fmt(v):
+        # a failed query records null; keep the report alive and visible
+        return f"{v:.2f}" if v is not None else "FAILED/null"
+
     for q in sorted(set(nm) - set(om)):
-        print(f"  ADDED      {q}: {nm[q]:.2f}")
+        print(f"  ADDED      {q}: {fmt(nm[q])}")
     for q in sorted(set(om) - set(nm)):
-        print(f"  REMOVED    {q} (was {om[q]:.2f})")
+        print(f"  REMOVED    {q} (was {fmt(om[q])})")
     for q, o, v in sorted(watch, key=lambda x: -(x[2] / x[1])):
         print(f"  WATCH      {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x) — "
               "under the regression bar; adjudicate fresh-JVM at "
