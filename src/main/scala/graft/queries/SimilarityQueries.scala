@@ -926,9 +926,10 @@ object SimilarityQueries {
     * arithmetic, so a flipped assignment anywhere upstream breaks this
     * gate exactly as it breaks q127b/q127c. Measured at sf0.01 (5k
     * vectors): IVF-PQ at nprobe=2 scores mean recall@3 0.33 vs the
-    * unquantized IVF's 0.63 at the same nprobe (SOAK.md round 12) —
-    * the 16×-compression trade made visible, and the number the m/bk/
-    * nprobe dials move. benchSkip: the timed body would be the one-off index
+    * unquantized IVF's 0.63 at the same nprobe, and the RecallProbe
+    * nprobe sweep shows the PQ number is QUANTIZATION-bound (saturates
+    * ~0.38 while IVF climbs to 0.97 — the fix is m/kSub, not nprobe;
+    * SOAK.md round 12). benchSkip: the timed body would be the one-off index
     * WRITE plus two training runs (the q127c convention); the probe
     * path is what production re-runs. */
   val q130bPqRecall = QueryDef(

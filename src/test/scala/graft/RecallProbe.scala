@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** One-off measurement probe (the LmScaleProbe/SimhashProbe convention):
+  * recall@k of the IVF and IVF-PQ rungs vs the exact baseline across
+  * nprobe — the sensitivity curve behind q130/q130b's single-point gates,
+  * i.e. what a user tuning the recall/cost dial actually sweeps.
+  * Args: sfDir [k]. Prints one line per (rung, nprobe). */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Test/runMain graft.RecallProbe <sfDir> [k]")
+      sys.exit(2)
+    }
+    val k = if (args.length > 1) args(1).toInt else 3
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.embeddings(spark, args(0)).select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ws = Window.partitionBy("label").orderBy("vec_id")
+    val seeds = e.withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = e.select(col("vec_id").as("id"), col("e"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val exact = Similarity.bruteForceTopK(corpus, probes, k).cache()
+    exact.count()
+    // train once per rung (not per nprobe — probing is the dial, not training)
+    val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg("recall")).head().getDouble(0)
+    for (np <- Seq(1, 2, 4, 8)) {
+      val ivf = Similarity.ivfTopK(corpus, seeds, probes, k, np)
+      println(f"[recall] ivf     nprobe=$np%d  recall@$k%d = ${mean(Similarity.recallAtK(ivf, exact, k))}%.4f")
+      val pq = Similarity.ivfPqTopK(corpus, coarse, probes, m = 16, dim = 64,
+        seedIds = 0L until 16L, iters = 2, k = k, nprobe = np)
+      println(f"[recall] ivf-pq  nprobe=$np%d  recall@$k%d = ${mean(Similarity.recallAtK(pq, exact, k))}%.4f")
+    }
+    exact.unpersist()
+    spark.stop()
+  }
+}
