@@ -9,14 +9,18 @@ import graft.operators.Similarity
   * recall@k of the IVF and IVF-PQ rungs vs the exact baseline across
   * nprobe — the sensitivity curve behind q130/q130b's single-point gates,
   * i.e. what a user tuning the recall/cost dial actually sweeps.
-  * Args: sfDir [k]. Prints one line per (rung, nprobe). */
+  * Args: sfDir [k] [kSub] — kSub is the per-subspace codebook size
+  * (default 16, q127's config; raise it to test the quantization-bound
+  * diagnosis: if PQ recall is code-capacity-limited, more codes move it
+  * where more probes could not). Prints one line per (rung, nprobe). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: Test/runMain graft.RecallProbe <sfDir> [k]")
+      System.err.println("usage: Test/runMain graft.RecallProbe <sfDir> [k] [kSub]")
       sys.exit(2)
     }
     val k = if (args.length > 1) args(1).toInt else 3
+    val kSub = if (args.length > 2) args(2).toInt else 16
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,8 +45,8 @@ object RecallProbe {
       val ivf = Similarity.ivfTopK(corpus, seeds, probes, k, np)
       println(f"[recall] ivf     nprobe=$np%d  recall@$k%d = ${mean(Similarity.recallAtK(ivf, exact, k))}%.4f")
       val pq = Similarity.ivfPqTopK(corpus, coarse, probes, m = 16, dim = 64,
-        seedIds = 0L until 16L, iters = 2, k = k, nprobe = np)
-      println(f"[recall] ivf-pq  nprobe=$np%d  recall@$k%d = ${mean(Similarity.recallAtK(pq, exact, k))}%.4f")
+        seedIds = 0L until kSub.toLong, iters = 2, k = k, nprobe = np)
+      println(f"[recall] ivf-pq  nprobe=$np%d kSub=$kSub%d  recall@$k%d = ${mean(Similarity.recallAtK(pq, exact, k))}%.4f")
     }
     exact.unpersist()
     spark.stop()
