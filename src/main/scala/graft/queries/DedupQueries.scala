@@ -435,11 +435,13 @@ object DedupQueries {
 
   /** Cross-split near-dup pairs — THE leaked-pair derivation shared by
     * the q131 audit and the q131b remediation (one definition, so an
-    * edit to the hamming cut, seed, or banding can never make the
-    * remediation drop a different set than the audit reports): q64's
-    * banded simhash kernel, the hamming ≤ 3 cut, both sides' sp2 split
-    * labels re-derived map-side via splitLabel, cross-split rows only.
-    * Returns (id_a, id_b, hamming, split_a, split_b). */
+    * edit to the hamming cut, seed, banding, OR the eval/train side
+    * selection can never make the remediation drop a different set than
+    * the audit reports — matching the SQL twin, whose `leaked` CTE also
+    * carries the CASE): q64's banded simhash kernel, the hamming ≤ 3
+    * cut, both sides' sp2 split labels re-derived map-side via
+    * splitLabel, cross-split rows only, each pair oriented to
+    * (eval_id, train_id, hamming). */
   private def leakedPairs(s: SparkSession, d: String): DataFrame =
     Dedup.simhashCandidatePairs(corpusNear(s, d), col("text"), col("doc_id"),
         bits = 128, bands = 4)
@@ -447,6 +449,12 @@ object DedupQueries {
       .withColumn("split_a", graft.operators.Sampling.splitLabel(col("id_a"), "sp2", sp2Fracs))
       .withColumn("split_b", graft.operators.Sampling.splitLabel(col("id_b"), "sp2", sp2Fracs))
       .filter(col("split_a") =!= col("split_b"))
+      .select(
+        when(col("split_a") === "eval", col("id_a"))
+          .otherwise(col("id_b")).as("eval_id"),
+        when(col("split_a") === "train", col("id_a"))
+          .otherwise(col("id_b")).as("train_id"),
+        col("hamming"))
 
   /** The SQL twin of [[leakedPairs]]: [[simhashNearSql]] + the labeled
     * cross-split CTE, shared verbatim by the q131 and q131b oracles. */
@@ -467,16 +475,7 @@ object DedupQueries {
 
   val q131SplitLeakage = QueryDef(
     "q131_split_leakage",
-    (s, d) => {
-      leakedPairs(s, d)
-        .select(
-          when(col("split_a") === "eval", col("id_a"))
-            .otherwise(col("id_b")).as("eval_id"),
-          when(col("split_a") === "train", col("id_a"))
-            .otherwise(col("id_b")).as("train_id"),
-          col("hamming"))
-        .orderBy("eval_id", "train_id")
-    },
+    (s, d) => leakedPairs(s, d).orderBy("eval_id", "train_id"),
     Some(leakedLabeledSql + """
       SELECT eval_id, train_id, hamming
       FROM leaked
@@ -510,8 +509,7 @@ object DedupQueries {
     "q131b_leakage_remediation",
     (s, d) => {
       val leaked = leakedPairs(s, d)
-        .select(when(col("split_a") === "eval", col("id_a"))
-          .otherwise(col("id_b")).as("doc_id"))
+        .select(col("eval_id").as("doc_id"))
         .localCheckpoint()
       corpusNear(s, d)
         .filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", sp2Fracs) === "eval")

@@ -48,7 +48,12 @@ object SimilarityQueries {
     """),
     bench = true)
 
-  private def ivfInputs(s: SparkSession, d: String)
+  /** (corpus, seed centroids, probes) — the ONE input construction the
+    * whole IVF gate family shares. private[graft] so measurement probes
+    * (RecallProbe) sweep exactly the setup the gates score — a probe on
+    * a re-implemented copy would silently stop corresponding to the
+    * gate numbers it exists to explain. */
+  private[graft] def ivfInputs(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val e = emb(s, d)
     val ws = org.apache.spark.sql.expressions.Window

@@ -223,7 +223,18 @@ object CorpusStreams {
     // (null-safe <=>, same predicate as the protected-side require);
     // streaming deployments pass raiseOnInvalidArrival = false and get
     // the row back as an in-band dead-letter instead (scaladoc above)
-    val fps = Dedup.simhashFps(docs, text, col("doc_id"), bits)
+    // Dead-letter routing keys on the TEXT expression, not the fp:
+    // SimhashBitsExpr emits exactly `bits` chars for any NON-NULL input
+    // (even empty text gets the all-'1' fp) and null only for null
+    // input, so "invalid" ⟺ text IS NULL — and routing on text means
+    // the dead-letter branch never runs the fingerprint kernel at all
+    // (the first cut filtered on fp from both union branches, which
+    // fingerprinted every arrival TWICE — 2× the dominant map cost in
+    // exactly the long-lived deployments the mode exists for). The fp
+    // width check stays on the valid branch as defense in depth (CSE'd
+    // with the projection, no extra pass).
+    val validDocs = if (raiseOnInvalidArrival) docs else docs.filter(text.isNotNull)
+    val fps = Dedup.simhashFps(validDocs, text, col("doc_id"), bits)
       .select(col("sid").as("doc_id"), col("fp"))
     val fpValid = length(col("fp")) <=> lit(bits)
     val checkedFp =
@@ -255,12 +266,13 @@ object CorpusStreams {
       .select(col("doc_id"), col("protected_id"), col("hamming"))
     if (raiseOnInvalidArrival) flagged
     else {
-      // in-band dead-letter rows: map-side filter of the same source
-      // (stateless; a self-union of streaming frames is append-safe).
+      // in-band dead-letter rows: a map-side null-text filter of the
+      // same source (stateless; a self-union of streaming frames is
+      // append-safe) — NO fingerprint evaluation on this branch.
       // protected_id keeps the protected table's id type so the union
       // resolves for non-long id schemes too.
       val pidType = protectedFps.schema("sid").dataType
-      flagged.unionByName(fps.filter(!fpValid).select(
+      flagged.unionByName(docs.filter(text.isNull).select(
         col("doc_id"),
         lit(null).cast(pidType).as("protected_id"),
         lit(null).cast("long").as("hamming")))

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -8,7 +7,11 @@ import graft.operators.Similarity
 /** One-off measurement probe (the LmScaleProbe/SimhashProbe convention):
   * recall@k of the IVF and IVF-PQ rungs vs the exact baseline across
   * nprobe — the sensitivity curve behind q130/q130b's single-point gates,
-  * i.e. what a user tuning the recall/cost dial actually sweeps.
+  * i.e. what a user tuning the recall/cost dial actually sweeps. Inputs
+  * come from the SAME [[graft.queries.SimilarityQueries.ivfInputs]] the
+  * gates use, and training happens ONCE per configuration via the
+  * persisted-index flow (q130b's shape) — only the probe dial varies
+  * inside the sweep.
   * Args: sfDir [k] [kSub] — kSub is the per-subspace codebook size
   * (default 16, q127's config; raise it to test the quantization-bound
   * diagnosis: if PQ recall is code-capacity-limited, more codes move it
@@ -27,28 +30,27 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = Tables.embeddings(spark, args(0)).select(
-      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val ws = Window.partitionBy("label").orderBy("vec_id")
-    val seeds = e.withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = e.select(col("vec_id").as("id"), col("e"))
-    val probes = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (corpus, seeds, probes) = graft.queries.SimilarityQueries.ivfInputs(spark, args(0))
     val exact = Similarity.bruteForceTopK(corpus, probes, k).cache()
     exact.count()
-    // train once per rung (not per nprobe — probing is the dial, not training)
+    // train ONCE (coarse quantizer + residual codebooks into the
+    // persisted index, q130b's flow) — ivfPqTopK would re-run the full
+    // PQ training on every nprobe point
     val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+    val bk = Similarity.writeIvfPqIndex(corpus, coarse, "graft_recall_probe_idx",
+      m = 16, dim = 64, seedIds = 0L until kSub.toLong, iters = 2, numBuckets = 8)
     def mean(df: org.apache.spark.sql.DataFrame): Double =
       df.agg(avg("recall")).head().getDouble(0)
     for (np <- Seq(1, 2, 4, 8)) {
       val ivf = Similarity.ivfTopK(corpus, seeds, probes, k, np)
       println(f"[recall] ivf     nprobe=$np%d  recall@$k%d = ${mean(Similarity.recallAtK(ivf, exact, k))}%.4f")
-      val pq = Similarity.ivfPqTopK(corpus, coarse, probes, m = 16, dim = 64,
-        seedIds = 0L until kSub.toLong, iters = 2, k = k, nprobe = np)
+      val pq = Similarity.ivfPqTopKIndexed("graft_recall_probe_idx", coarse,
+        probes, bk, k, np)
       println(f"[recall] ivf-pq  nprobe=$np%d kSub=$kSub%d  recall@$k%d = ${mean(Similarity.recallAtK(pq, exact, k))}%.4f")
     }
     exact.unpersist()
+    spark.sql("DROP TABLE IF EXISTS graft_recall_probe_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_recall_probe_idx_books")
     spark.stop()
   }
 }

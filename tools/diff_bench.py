@@ -14,6 +14,9 @@ two BENCH_QUERIES_r{N}.json / target/bench_queries.json files and flags:
     round-close fresh-JVM adjudication without turning host-envelope
     noise into gate failures;
   - IMPROVED:  new min under old*0.7 and at least 0.3 s faster;
+  - NEWLY-FAILED: numeric in the old snapshot, null in the new (the
+    producer records null for a query that errored) — treated as a
+    regression (exit 1), never silently skipped;
   - ADDED / REMOVED queries.
 
 Each input file's resolved metric key (queries_min or the queries
@@ -55,10 +58,17 @@ def main() -> int:
               "metrics — min-vs-median comparison flags spurious "
               "regressions and masks real ones; regenerate the missing "
               "queries_min snapshot before trusting the rows below")
-    regs, watch = [], []
+    regs, watch, newly_failed = [], [], []
     for q, v in sorted(nm.items()):
         o = om.get(q)
+        if q in om and o is not None and v is None:
+            # regressed to outright FAILURE — the worst case; silently
+            # skipping it (the old behavior) passed the round-close gate
+            newly_failed.append((q, o))
+            continue
         if o is None or v is None:
+            if q in om and o is None and v is not None:
+                print(f"  RECOVERED  {q}: was FAILED/null, now {v:.2f}")
             continue
         if v > max(o * ratio, o + abs_s):
             regs.append((q, o, v))
@@ -78,12 +88,15 @@ def main() -> int:
         print(f"  WATCH      {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x) — "
               "under the regression bar; adjudicate fresh-JVM at "
               "round close so creep can't compound")
+    for q, o in newly_failed:
+        print(f"  NEWLY-FAILED {q}: was {o:.2f}, now null — the query "
+              "errored in the new run; this IS a regression")
     for q, o, v in sorted(regs, key=lambda x: -(x[2] / x[1])):
         print(f"  REGRESSION {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x) — "
               "re-measure fresh-JVM before believing it")
-    if not regs:
+    if not regs and not newly_failed:
         print("zero min-regressions")
-    return 1 if regs else 0
+    return 1 if (regs or newly_failed) else 0
 
 
 if __name__ == "__main__":
