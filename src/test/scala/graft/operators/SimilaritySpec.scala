@@ -263,4 +263,37 @@ class SimilaritySpec extends SparkSpec {
     // within probed buckets, not pruning). Floor set below the product.
     assert(ivfpqRecall >= 0.2, f"IVF-PQ recall@3 $ivfpqRecall%.3f below floor")
   }
+
+  test("property: recallAtK == scan-the-definition reference on random top-k frames (3 seeds)") {
+    // the metric q130/q130b gate everything through, fuzzed against a
+    // plain-Scala restatement of its contract: per exact-side probe,
+    // |distinct approx ∩ distinct exact| / min(k, |distinct exact|);
+    // probes only in the approx side stay out; duplicated rows collapse
+    import spark.implicits._
+    val k = 3
+    for (seed <- Seq(7, 1234, 20260815)) {
+      val rnd = new scala.util.Random(seed)
+      def frame(): Seq[(Long, Long)] =
+        (1L to 12L).filter(_ => rnd.nextBoolean()).flatMap { p =>
+          val ids = rnd.shuffle((1L to 30L).toList).take(1 + rnd.nextInt(k))
+          // inject a duplicate row sometimes (set semantics under test)
+          val dup = if (rnd.nextBoolean() && ids.nonEmpty) ids.take(1) else Nil
+          (ids ++ dup).map(id => (p, id))
+        }
+      val exS = frame()
+      val apS = frame()
+      val got = Similarity.recallAtK(
+          apS.toDF("probe_id", "id"), exS.toDF("probe_id", "id"), k)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val exByP = exS.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val apByP = apS.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = exByP.map { case (p, ex) =>
+        val hit = (ex & apByP.getOrElse(p, Set.empty)).size.toLong
+        p -> (hit, BigDecimal(hit.toDouble / math.min(k, ex.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
 }
