@@ -17,7 +17,10 @@ two BENCH_QUERIES_r{N}.json / target/bench_queries.json files and flags:
   - NEWLY-FAILED: numeric in the old snapshot, null in the new (the
     producer records null for a query that errored) — treated as a
     regression (exit 1), never silently skipped;
-  - ADDED / REMOVED queries.
+  - ADDED / REMOVED queries. An ADDED query whose new value is null
+    (brand-new query that errored in its very first bench run) is a
+    failure too (exit 1) — it has no old row for NEWLY-FAILED to catch,
+    and a new-and-broken query must not pass the round-close gate.
 
 Each input file's resolved metric key (queries_min or the queries
 median fallback) is printed; a MIXED-KEYS warning fires when the two
@@ -80,7 +83,12 @@ def main() -> int:
         # a failed query records null; keep the report alive and visible
         return f"{v:.2f}" if v is not None else "FAILED/null"
 
+    added_failed = []
     for q in sorted(set(nm) - set(om)):
+        if nm[q] is None:
+            # a brand-new query that errored in its first run — no old
+            # row exists for NEWLY-FAILED to catch it, so flag it here
+            added_failed.append(q)
         print(f"  ADDED      {q}: {fmt(nm[q])}")
     for q in sorted(set(om) - set(nm)):
         print(f"  REMOVED    {q} (was {fmt(om[q])})")
@@ -91,12 +99,15 @@ def main() -> int:
     for q, o in newly_failed:
         print(f"  NEWLY-FAILED {q}: was {o:.2f}, now null — the query "
               "errored in the new run; this IS a regression")
+    for q in added_failed:
+        print(f"  ADDED-FAILED {q}: new query errored in its first bench "
+              "run (null) — failing tier, fix before round close")
     for q, o, v in sorted(regs, key=lambda x: -(x[2] / x[1])):
         print(f"  REGRESSION {q}: {o:.2f} -> {v:.2f} ({v/o:.2f}x) — "
               "re-measure fresh-JVM before believing it")
-    if not regs and not newly_failed:
+    if not regs and not newly_failed and not added_failed:
         print("zero min-regressions")
-    return 1 if (regs or newly_failed) else 0
+    return 1 if (regs or newly_failed or added_failed) else 0
 
 
 if __name__ == "__main__":
