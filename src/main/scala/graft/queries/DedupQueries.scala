@@ -495,7 +495,12 @@ object DedupQueries {
     * split table), the leaked-id set — output-sized, a sliver of the
     * corpus by construction — is MATERIALIZED once (localCheckpoint:
     * the audit artifact a real pipeline would persist anyway) and
-    * BROADCAST into the anti join. The materialization is load-bearing
+    * BROADCAST into the anti join. CLUSTER-MODE NOTE: localCheckpoint
+    * blocks live on executor block managers and die with them (dynamic
+    * allocation, spot kills) — on a real cluster use the reliable form
+    * of exactly this shape: write the audit output to a table (or
+    * `checkpoint()` with a checkpoint dir) and anti-join against the
+    * read; the plan properties below are identical. The materialization is load-bearing
     * for the plan, not a convenience: Catalyst pushes left-anti joins
     * below Union (the corpus is documents ∪ near-dup variants), which
     * duplicated the whole banded-join lineage into BOTH branches'
@@ -590,6 +595,79 @@ object DedupQueries {
       SELECT doc_id, protected_id, hamming
       FROM near
       WHERE hamming <= 3
+      ORDER BY doc_id, protected_id
+    """),
+    bench = true)
+
+  /** q132's DEAD-LETTER mode under the cross-engine oracle — the
+    * configuration a production stream actually runs
+    * (`raiseOnInvalidArrival = false`: one poisoned document must not
+    * fail the micro-batch and checkpoint-replay the guard offline).
+    * Same protected side and near-dup-variant arrivals as q132, with
+    * null-text arrivals INJECTED (one per 100 docs, ids +200000 —
+    * disjoint from both id spaces): the flagged pairs must be
+    * byte-identical to the raise mode's, and each invalid arrival must
+    * come back as exactly one in-band (doc_id, NULL, NULL) dead-letter
+    * row — the oracle's UNION ALL pins both halves and the
+    * exactly-once contract at once. Scale shape: single-pass — one
+    * fingerprint evaluation per arrival (null text short-circuits the
+    * kernel), one stream-static LEFT OUTER join on (band, bv); the
+    * dead-letter routing adds no scan, no shuffle, and no state. */
+  val q132bNearDupGuardDeadLetter = QueryDef(
+    "q132b_neardup_guard_deadletter",
+    (s, d) => {
+      val fracs = Seq("train" -> 0.8, "eval" -> 0.2)
+      val doc = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val protectedFps = Dedup.simhashFps(
+        doc.filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", fracs) === "eval"),
+        col("text"), col("doc_id"), bits = 128)
+      val arrivals = doc.select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^[^ ]+ ", "").as("text"))
+        .unionByName(doc.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            lit(null).cast("string").as("text")))
+      graft.streaming.CorpusStreams.nearDupGuard(arrivals, col("text"),
+          protectedFps, bits = 128, bands = 4, maxHamming = 3,
+          raiseOnInvalidArrival = false)
+        .orderBy("doc_id", "protected_id")
+    },
+    Some(s"""
+      WITH prot AS (
+        SELECT doc_id, text FROM documents
+        WHERE (('0x' || substr(md5('sp2' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000) >= 800000),
+      arr AS (
+        SELECT doc_id + 100000 AS doc_id,
+               regexp_replace(text, '^[^ ]+ ', '') AS text
+        FROM documents),
+      tp AS (${wordsSelect("prot")}),
+      ta AS (${wordsSelect("arr")}),
+      shp AS (${simhashFpSelect("tp")}),
+      sha AS (${simhashFpSelect("ta")}),
+      bp AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM shp, (SELECT unnest(range(4)) AS band) b),
+      ba AS (
+        SELECT doc_id, fp, b.band, substr(fp, (b.band*32+1)::INT, 32) AS bv
+        FROM sha, (SELECT unnest(range(4)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id, p.doc_id AS protected_id,
+                        a.fp AS fp_a, p.fp AS fp_p
+        FROM ba a
+        JOIN bp p ON a.band = p.band AND a.bv = p.bv),
+      near AS (
+        SELECT doc_id, protected_id,
+               list_sum(list_transform(range(1, 129), i ->
+                 CASE WHEN substr(fp_a, i::INT, 1) <> substr(fp_p, i::INT, 1)
+                      THEN 1 ELSE 0 END))::BIGINT AS hamming
+        FROM pairs)
+      SELECT doc_id, protected_id, hamming
+      FROM near
+      WHERE hamming <= 3
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, NULL::BIGINT AS protected_id,
+             NULL::BIGINT AS hamming
+      FROM documents WHERE doc_id % 100 = 0
       ORDER BY doc_id, protected_id
     """),
     bench = true)
@@ -1085,6 +1163,7 @@ object DedupQueries {
     q22ExactDedup, q23MinhashLsh, q24JaccardVerify, q25SimhashHamming,
     q26EmbedNearDup, q26bEmbedNearDupIvf, q26cEmbedNearDupIvfIndexed, q64SimhashNearDup,
     q131SplitLeakage, q131bLeakageRemediation, q132NearDupGuard,
+    q132bNearDupGuardDeadLetter,
     q88NearDupClusters, q66Decontaminate,
     q67DecontaminateBloom, q77SemanticDedup, q80SubstringDedup, q80bSpanCut)
 }

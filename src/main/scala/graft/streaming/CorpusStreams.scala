@@ -169,9 +169,20 @@ object CorpusStreams {
     * null, hamming = null) dead-letter rows — unambiguous (clean docs
     * emit nothing; genuine flags carry a non-null protected_id), so a
     * downstream router diverts them without losing guard coverage for
-    * everyone else. NearDupGuardSpec pins stream ≡ the batch kernel's
-    * cross pairs and the exactly-once emission on all-band collisions;
-    * q132 gates the batch form under the cross-engine oracle.
+    * everyone else. Dead-letter mode is SINGLE-PASS: one fingerprint
+    * evaluation per arrival (a null text short-circuits the kernel to
+    * null — nullSafeEval — so undecodable rows cost O(1)), one
+    * stream-static LEFT OUTER join; an invalid fingerprint nulls its
+    * band values, survives the join unmatched, and emits exactly one
+    * dead-letter row at band 0 — so BOTH invalid classes (null text
+    * and, defense-in-depth, a mis-width fp that SimhashBitsExpr's
+    * contract says cannot exist) take the same dead-letter path
+    * instead of one flagging and one silently vanishing.
+    * NearDupGuardSpec pins stream ≡ the batch kernel's cross pairs,
+    * the exactly-once emission on all-band collisions, and the
+    * mis-width contract in both modes (raise vs in-band); q132 gates
+    * the batch form — and q132b the dead-letter mode with null-text
+    * arrivals injected — under the cross-engine oracle.
     *
     * Scale class (measured, SOAK.md round 12): output is one row per
     * (arrival, protected) near-pair, so cost tracks PAIR volume — on
@@ -186,7 +197,20 @@ object CorpusStreams {
   def nearDupGuard(docs: DataFrame, text: Column, protectedFps: DataFrame,
                    bits: Int = 128, bands: Int = 4,
                    maxHamming: Int = 3,
-                   raiseOnInvalidArrival: Boolean = true): DataFrame = {
+                   raiseOnInvalidArrival: Boolean = true): DataFrame =
+    nearDupGuardFromFps(
+      graft.operators.Dedup.simhashFps(docs, text, col("doc_id"), bits)
+        .select(col("sid").as("doc_id"), col("fp")),
+      protectedFps, bits, bands, maxHamming, raiseOnInvalidArrival)
+
+  /** [[nearDupGuard]]'s join kernel over a PRECOMPUTED arrival
+    * fingerprint frame (doc_id, fp) — private[graft] so the spec can
+    * inject the contractually-impossible mis-width fp and prove both
+    * modes' handling (raise vs in-band dead-letter) without a seam in
+    * the public API. All contracts documented on [[nearDupGuard]]. */
+  private[graft] def nearDupGuardFromFps(fps: DataFrame,
+      protectedFps: DataFrame, bits: Int, bands: Int, maxHamming: Int,
+      raiseOnInvalidArrival: Boolean): DataFrame = {
     import graft.operators.Dedup
     // the banding's pigeonhole bound is bands-1: a pair at hamming ≤
     // bands-1 cannot differ in every band, but at hamming ≥ bands it
@@ -217,39 +241,13 @@ object CorpusStreams {
         "simhashFps at the stream's width over non-null text")
     // the ARRIVAL side can't be checked eagerly (it is unbounded), so
     // the same silent mode is closed PER ROW: a null/undecodable text
-    // fingerprints to null, its band chunks go null, and the (band, bv)
-    // equi-join would wave it past the guard with no signal. Default:
-    // the fp column itself raises on the offending micro-batch row
-    // (null-safe <=>, same predicate as the protected-side require);
+    // fingerprints to null, its band chunks go null, and a plain
+    // (band, bv) equi-join would wave it past the guard with no signal.
+    // Default: the fp column itself raises on the offending micro-batch
+    // row (null-safe <=>, same predicate as the protected-side require);
     // streaming deployments pass raiseOnInvalidArrival = false and get
-    // the row back as an in-band dead-letter instead (scaladoc above)
-    // Dead-letter routing keys on the TEXT expression, not the fp:
-    // SimhashBitsExpr emits exactly `bits` chars for any NON-NULL input
-    // (even empty text gets the all-'1' fp) and null only for null
-    // input, so "invalid" ⟺ text IS NULL — and routing on text means
-    // the dead-letter branch never runs the fingerprint kernel at all
-    // (the first cut filtered on fp from both union branches, which
-    // fingerprinted every arrival TWICE — 2× the dominant map cost in
-    // exactly the long-lived deployments the mode exists for). The fp
-    // width check stays on the valid branch as defense in depth (CSE'd
-    // with the projection, no extra pass).
-    val validDocs = if (raiseOnInvalidArrival) docs else docs.filter(text.isNotNull)
-    val fps = Dedup.simhashFps(validDocs, text, col("doc_id"), bits)
-      .select(col("sid").as("doc_id"), col("fp"))
+    // the row back as an in-band dead-letter instead (scaladoc above).
     val fpValid = length(col("fp")) <=> lit(bits)
-    val checkedFp =
-      if (raiseOnInvalidArrival)
-        when(fpValid, col("fp")).otherwise(raise_error(format_string(
-          s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
-            s"other than bits=$bits (null/undecodable text?) — it would " +
-            "silently bypass the guard; scrub or route null-text arrivals " +
-            "before the guard, or pass raiseOnInvalidArrival = false to " +
-            "receive dead-letter rows", col("doc_id").cast("string"))))
-      else col("fp")
-    val arrivals = Dedup.bandExplode(
-      (if (raiseOnInvalidArrival) fps else fps.filter(fpValid))
-        .select(col("doc_id"), checkedFp.as("fp")),
-      Seq("doc_id"), "__a", bits, bands)
     val protect = Dedup.bandExplode(
       protectedFps.select(col("sid").as("protected_id"), col("fp")),
       Seq("protected_id"), "__b", bits, bands)
@@ -257,25 +255,49 @@ object CorpusStreams {
     val firstMatch = (0 until bands).reverse.foldLeft(lit(bands): Column) {
       case (acc, i) => when(col(s"__a$i") === col(s"__b$i"), lit(i)).otherwise(acc)
     }
-    val flagged = arrivals.join(protect, Seq("band", "bv"))
-      .filter(col("band") === firstMatch)
-      .withColumn("hamming", (0 until bands).map(i =>
-        bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
-        .reduce(_ + _))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_id"), col("protected_id"), col("hamming"))
-    if (raiseOnInvalidArrival) flagged
-    else {
-      // in-band dead-letter rows: a map-side null-text filter of the
-      // same source (stateless; a self-union of streaming frames is
-      // append-safe) — NO fingerprint evaluation on this branch.
-      // protected_id keeps the protected table's id type so the union
-      // resolves for non-long id schemes too.
-      val pidType = protectedFps.schema("sid").dataType
-      flagged.unionByName(docs.filter(text.isNull).select(
-        col("doc_id"),
-        lit(null).cast(pidType).as("protected_id"),
-        lit(null).cast("long").as("hamming")))
+    val hamming = (0 until bands).map(i =>
+      bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
+      .reduce(_ + _)
+    if (raiseOnInvalidArrival) {
+      val checkedFp =
+        when(fpValid, col("fp")).otherwise(raise_error(format_string(
+          s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
+            s"other than bits=$bits (null/undecodable text?) — it would " +
+            "silently bypass the guard; scrub or route null-text arrivals " +
+            "before the guard, or pass raiseOnInvalidArrival = false to " +
+            "receive dead-letter rows", col("doc_id").cast("string"))))
+      val arrivals = Dedup.bandExplode(
+        fps.select(col("doc_id"), checkedFp.as("fp")),
+        Seq("doc_id"), "__a", bits, bands)
+      arrivals.join(protect, Seq("band", "bv"))
+        .filter(col("band") === firstMatch)
+        .withColumn("hamming", hamming)
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_id"), col("protected_id"), col("hamming"))
+    } else {
+      // dead-letter mode, SINGLE-PASS: an invalid fp (null or — defense
+      // in depth — mis-width) is nulled BEFORE banding, so its band
+      // values are null and it can match nothing; the join goes LEFT
+      // OUTER (stream-static left outer is stateless like the inner
+      // form) and the emission filter keeps (a) matched rows at their
+      // canonical band within the hamming cut — genuine flags — and
+      // (b) the band-0 row of each invalid arrival — its exactly-once
+      // dead-letter, protected_id/hamming null naturally from the
+      // unmatched side. A VALID arrival's unmatched banded rows carry
+      // null hamming and firstMatch = `bands`, so both branches of the
+      // filter reject them: clean docs still emit nothing. One
+      // fingerprint evaluation per arrival, one join — no self-union
+      // re-scanning the stream (the earlier two-branch form scanned the
+      // source twice and silently DROPPED the mis-width case).
+      val arrivals = Dedup.bandExplode(
+        fps.select(col("doc_id"), when(fpValid, col("fp")).as("fp"),
+          (!fpValid).as("__dead")),
+        Seq("doc_id", "__dead"), "__a", bits, bands)
+      arrivals.join(protect, Seq("band", "bv"), "left_outer")
+        .withColumn("hamming", hamming)
+        .filter((col("band") === firstMatch && col("hamming") <= maxHamming)
+          || (col("__dead") && col("band") === 0))
+        .select(col("doc_id"), col("protected_id"), col("hamming"))
     }
   }
 

@@ -139,6 +139,35 @@ class NearDupGuardSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mis-width fp: raises in raise mode, dead-letters in-band in dead-letter mode") {
+    // SimhashBitsExpr's contract makes a non-null mis-width fp
+    // impossible from the public API, so the defense-in-depth width
+    // check is exercised through the private kernel seam with a
+    // hand-made 20-char fingerprint. Both modes must handle it per
+    // their contract — neither may silently drop it (the pre-r13 form
+    // filtered it out in dead-letter mode: flagged nowhere, raised
+    // nowhere, dead-lettered nowhere).
+    val misWidth = Seq((7L, "01" * 10), // 20 chars ≠ 128
+      (8L, "1" * 128)) // a valid-width control that matches nothing
+    val fps = misWidth.toDF("doc_id", "fp")
+    val e = intercept[Exception] {
+      CorpusStreams.nearDupGuardFromFps(fps, protectedFps,
+        bits = 128, bands = 4, maxHamming = 3,
+        raiseOnInvalidArrival = true).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("nearDupGuard") && m.contains("7")),
+      chain(e).mkString("; "))
+    val out = CorpusStreams.nearDupGuardFromFps(fps, protectedFps,
+        bits = 128, bands = 4, maxHamming = 3,
+        raiseOnInvalidArrival = false)
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq((7L, None, None)),
+      s"mis-width fp must emit exactly one dead-letter row (and the " +
+        s"valid non-matching control none): $out")
+  }
+
   test("property: random corpora, random batch splits — stream == batch kernel (3 seeds)") {
     // the encode is deliberately shared (Dedup.bandExplode); what this
     // fuzzes is the JOIN + dedup logic: stream-static canonical-band
