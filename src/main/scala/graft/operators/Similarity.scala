@@ -974,4 +974,57 @@ object Similarity {
     val enc = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
     adcRank(enc, pb, bk, k)
   }
+
+  /** EXACT-COSINE RE-RANK over a persisted IVF-PQ index — the standard
+    * production fix for quantization-bound recall (the regime the q130b
+    * gate measured at recall@3 ≈ 0.33 and the RecallProbe sweep proved
+    * nprobe cannot move): take the top-`rerank` candidates per probe by
+    * ADC (cheap — m code-byte lookups per pair, never the vectors),
+    * fetch ONLY those candidates' full vectors from the corpus, recompute
+    * the true cosine, and emit the top-k. ADC's job collapses from
+    * "rank exactly" to "don't drop the true neighbors from a
+    * rerank-sized shortlist" — a far weaker demand on the codebooks, so
+    * small-m indexes keep their 16× compression while the emitted
+    * ranking (and the emitted SCORE — `cos` is exact, directly
+    * comparable to [[bruteForceTopK]]'s, unlike the approximate `adc`)
+    * recovers toward the exact baseline. Same refine-after-candidates
+    * shape as the banded dedup family's verify stage (q117): a cheap
+    * recall-oriented stage proposes, an exact bounded stage disposes.
+    *
+    * Scale shape: the candidate frame is |probes|·rerank (id, probe_id)
+    * rows — broadcast-sized by the same convention as the probe set —
+    * so the vector fetch is ONE pass of the corpus scan against a
+    * broadcast build side: the 100 TB side never shuffles, nothing
+    * re-encodes, and the re-scoring dot products number
+    * |probes|·rerank, not |probes|·|corpus|. (On an id-sorted/bucketed
+    * corpus the broadcast join's runtime filter prunes the scan further;
+    * either way the plan adds zero exchanges beyond the final top-k
+    * window over |probes|·rerank rows.) Cost knob: `rerank` trades one
+    * bounded join + rerank·d multiplies per probe for recall — the
+    * conventional setting is a small multiple of k (2–10×; q127d gates
+    * rerank = 32 for k = 3).
+    *
+    * `corpus` must be the same (id, e) frame the index was built from
+    * (the index stores codes, not vectors — re-ranking is exactly the
+    * operation that needs the originals back). Returns (probe_id, rank,
+    * id, cos) like the exact baseline. */
+  def ivfPqTopKRerankIndexed(table: String, coarse: DataFrame,
+                             probes: DataFrame, corpus: DataFrame,
+                             bk: PqBooks, k: Int, nprobe: Int,
+                             rerank: Int): DataFrame = {
+    require(rerank >= k,
+      s"ivfPqTopKRerankIndexed: rerank=$rerank < k=$k — the shortlist " +
+        "cannot be smaller than the answer; use ivfPqTopKIndexed for " +
+        "plain ADC ranking")
+    val cand = ivfPqTopKIndexed(table, coarse, probes, bk, rerank, nprobe)
+      .select(col("probe_id"), col("id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
+    unitized(corpus, "e", "ue")
+      .join(broadcast(cand), "id")
+      .join(broadcast(unitized(probes, "p", "up")), "probe_id")
+      .withColumn("cos", dot(col("up"), col("ue")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
 }

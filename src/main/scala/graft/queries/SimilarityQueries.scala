@@ -759,11 +759,14 @@ object SimilarityQueries {
     * exact residual subtraction, both Lloyd rounds per subspace, the
     * encoding argmax, and the left-associated `pc + (t0 + … + t15)` ADC
     * sum) — shared by the q127b/q127c result oracles ([[ivfPqOracleSql]]
-    * appends the rank-filtered SELECT) and the q130b recall oracle,
-    * which joins `ranked` against a brute-force chain over the same
-    * `emb`, so the recall gate and the result gate can't pin different
-    * ADC arithmetic. */
-  private lazy val ivfPqCtes: String = {
+    * appends the rank-filtered SELECT), the q130b recall oracle, and the
+    * q127d/q130c re-rank oracles ([[pqRerankCtes]] appends the
+    * exact-cosine re-scoring over `ranked`'s top-32), so no two gates
+    * can pin different ADC arithmetic. `kSub` parameterizes the
+    * per-subspace codebook size (seeds = vec_id < kSub, matching
+    * pqTrain's `seedIds = 0L until kSub`): 16 is the gated
+    * quantization-bound anchor, 64 the capacity fix q130d gates. */
+  private def ivfPqCtesK(kSub: Int): String = {
       val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
         .mkString(" + ")
       s"""
@@ -809,7 +812,7 @@ object SimilarityQueries {
         SELECT vec_id, cc_id, s, r[(s*4+1):(s*4+4)] AS x
         FROM ca, range(0, 16) t(s)),
       c0 AS (
-        SELECT s, vec_id::INT AS c_id, x AS c FROM subv WHERE vec_id < 16),
+        SELECT s, vec_id::INT AS c_id, x AS c FROM subv WHERE vec_id < $kSub),
       a1 AS (
         SELECT vec_id, s, x, c_id FROM (
           SELECT subv.vec_id, subv.s, subv.x, c0.c_id,
@@ -868,10 +871,66 @@ object SimilarityQueries {
         FROM adc)"""
   }
 
+  /** The gated default configuration (kSub = 16). */
+  private lazy val ivfPqCtes: String = ivfPqCtesK(16)
+
   private lazy val ivfPqOracleSql: String = ivfPqCtes + """
       SELECT probe_id, rank, id, round(adc, 9) AS adc
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank
+    """
+
+  /** Unit-vector CTE over `emb` — the brute-force/re-rank cosine side of
+    * the PQ-family oracles (must follow a chain that defines `emb`). */
+  private lazy val unitCteSql: String = """
+      u AS (
+        SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
+        FROM emb)"""
+
+  /** [[ivfPqCtes]] + the EXACT-COSINE RE-RANK stage
+    * ([[Similarity.ivfPqTopKRerankIndexed]]'s arithmetic): `ranked`'s
+    * top-32 ADC candidates per probe re-scored by the true unit-vector
+    * dot product — the q27 brute-force chain scoped to the candidate
+    * set — and re-ranked on (cos desc, id). Shared by the q127d result
+    * oracle and the q130c recall oracle, the same one-definition
+    * discipline as [[ivfPqCtes]] itself. */
+  private lazy val pqRerankCtes: String = ivfPqCtes + s""",
+      $unitCteSql,
+      cr AS (SELECT probe_id, id FROM ranked WHERE rank <= 32),
+      rr AS (
+        SELECT cr.probe_id, cr.id, list_dot_product(pu.ue, cu.ue) AS cos,
+               row_number() OVER (PARTITION BY cr.probe_id
+                 ORDER BY list_dot_product(pu.ue, cu.ue) DESC, cr.id) AS rank
+        FROM cr
+        JOIN u cu ON cu.vec_id = cr.id
+        JOIN u pu ON pu.vec_id = cr.probe_id)"""
+
+  /** The recall@k tail every PQ-family recall oracle appends: the q27
+    * brute-force top-3 chain over `u` (which must already be defined),
+    * the approx side supplied as `apxSelect`, then the hit-count
+    * arithmetic — one definition shared by q130b/q130c/q130d so the
+    * three gates measure recall identically. */
+  private def pqRecallTailSql(apxSelect: String): String = s""",
+      bfp AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
+      bfs AS (
+        SELECT probe_id, vec_id AS id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
+        FROM u CROSS JOIN bfp
+        WHERE vec_id <> probe_id),
+      bf AS (SELECT probe_id, id FROM bfs WHERE rank <= 3),
+      apx AS ($apxSelect),
+      hits AS (
+        SELECT bf.probe_id, count(*) AS n_hit
+        FROM bf JOIN apx ON apx.probe_id = bf.probe_id AND apx.id = bf.id
+        GROUP BY bf.probe_id),
+      bfn AS (SELECT probe_id, count(*) AS n_ex FROM bf GROUP BY probe_id)
+      SELECT p.probe_id,
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0) / least(3, p.n_ex), 6) AS recall
+      FROM bfn p
+      LEFT JOIN hits h ON h.probe_id = p.probe_id
+      ORDER BY p.probe_id
     """
 
   /** Recall@k evaluation ([[Similarity.recallAtK]]) — the EVALUATE leg
@@ -950,36 +1009,113 @@ object SimilarityQueries {
       val exact = Similarity.bruteForceTopK(corpus, probes, 3)
       Similarity.recallAtK(approx, exact, 3).orderBy("probe_id")
     },
-    Some(ivfPqCtes + """,
-      u AS (
-        SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
-        FROM emb),
-      bfp AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
-      bfs AS (
-        SELECT probe_id, vec_id AS id,
-               row_number() OVER (PARTITION BY probe_id
-                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
-        FROM u CROSS JOIN bfp
-        WHERE vec_id <> probe_id),
-      bf AS (SELECT probe_id, id FROM bfs WHERE rank <= 3),
-      apx AS (SELECT probe_id, id FROM ranked WHERE rank <= 3),
-      hits AS (
-        SELECT bf.probe_id, count(*) AS n_hit
-        FROM bf JOIN apx ON apx.probe_id = bf.probe_id AND apx.id = bf.id
-        GROUP BY bf.probe_id),
-      bfn AS (SELECT probe_id, count(*) AS n_ex FROM bf GROUP BY probe_id)
-      SELECT p.probe_id,
-             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-             round(coalesce(h.n_hit, 0) / least(3, p.n_ex), 6) AS recall
-      FROM bfn p
-      LEFT JOIN hits h ON h.probe_id = p.probe_id
-      ORDER BY p.probe_id
+    Some(ivfPqCtes + "," + unitCteSql +
+      pqRecallTailSql("SELECT probe_id, id FROM ranked WHERE rank <= 3")),
+    benchSkip = true)
+
+  /** ADC RE-RANK over the persisted IVF-PQ index
+    * ([[Similarity.ivfPqTopKRerankIndexed]]) — the production operator
+    * for quantization-bound recall, closing the tuning loop q130b
+    * opened: top-32 candidates per probe by ADC (m code-byte lookups),
+    * then ONLY those 32 vectors fetched from the corpus (broadcast
+    * candidate ids — the corpus never shuffles), exact cosine
+    * recomputed, top-3 emitted. The emitted `cos` is the TRUE cosine
+    * (directly comparable to q27's), not the ADC approximation — the
+    * oracle replays the whole chain: coarse training, residual codes,
+    * the ADC shortlist, and the exact re-scoring join, so a candidate
+    * swap OR a re-rank float anywhere breaks the hash. Same
+    * refine-after-candidates shape as q117's verify-after-banding.
+    * benchSkip: the timed body would be the one-off index write plus
+    * two training runs (the q127c convention). */
+  val q127dAnnIvfPqRerank = QueryDef(
+    "q127d_ann_ivfpq_rerank",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_rr_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_rr_index", dim = 64)
+      Similarity.ivfPqTopKRerankIndexed("graft_ivfpq_rr_index", coarse,
+          probes, corpus, bk, k = 3, nprobe = 2, rerank = 32)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(pqRerankCtes + """
+      SELECT probe_id, rank, id, round(cos, 9) AS cos
+      FROM rr WHERE rank <= 3
+      ORDER BY probe_id, rank
     """),
+    benchSkip = true)
+
+  /** Recall@3 of the RE-RANKED persisted IVF-PQ index (q127d's flow)
+    * against the q27 exact baseline — the number that closes q130b's
+    * loop WITH AN OPERATOR instead of a dial: same index, same m=16
+    * codebooks, same nprobe=2, and the re-rank stage lifts recall@3
+    * from 0.33 to 0.75 at sf0.01 and 0.23 to 0.57 at sf0.1 (SOAK.md
+    * round 13) at the cost of 32 exact dot products per probe. The
+    * residual gap is PRUNING-bound, measured, not asserted: the
+    * RecallProbe rerank sweep re-scores EVERY probed-bucket member
+    * exactly (the R→∞ ceiling) and R=32 sits ON that ceiling at sf0.01
+    * (0.75 = 0.75), within 0.07 of it at sf0.1 (0.57 vs 0.63 — bucket
+    * occupancy grew 10×, so a shortlist term appears; R=128 closes
+    * it). Quantization error is fully recovered; what remains responds
+    * to nprobe (pruning) and R (shortlist) — the two dials that
+    * actually work, where q130b proved nprobe alone could not move the
+    * un-reranked number. Oracle: [[pqRerankCtes]] (the q127d chain) +
+    * the shared recall tail. benchSkip: index write + training
+    * dominates (q127c convention). */
+  val q130cPqRerankRecall = QueryDef(
+    "q130c_pq_rerank_recall",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_rrq_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_rrq_index", dim = 64)
+      val approx = Similarity.ivfPqTopKRerankIndexed("graft_ivfpq_rrq_index",
+        coarse, probes, corpus, bk, k = 3, nprobe = 2, rerank = 32)
+      val exact = Similarity.bruteForceTopK(corpus, probes, 3)
+      Similarity.recallAtK(approx, exact, 3).orderBy("probe_id")
+    },
+    Some(pqRerankCtes +
+      pqRecallTailSql("SELECT probe_id, id FROM rr WHERE rank <= 3")),
+    benchSkip = true)
+
+  /** Recall@3 of the persisted IVF-PQ index at kSub = 64 — the CAPACITY
+    * fix the round-12 RecallProbe sweep diagnosed and validated
+    * (quantization-bound at kSub=16: nprobe sweeps saturate ~0.38 while
+    * kSub=64 lifts recall everywhere), now pinned under the cross-engine
+    * oracle instead of living only in a test-main probe: same m=16,
+    * same nprobe=2, 4× the codebook entries (index codes are still m
+    * bytes/vector — capacity costs codebook metadata and encode-time
+    * argmax width, not index size). Gated recall@3 0.53 at sf0.01 /
+    * 0.38 at sf0.1 vs kSub=16's 0.33 / 0.23 (q130b) — the dial's
+    * number; q130c's re-rank is the OPERATOR answer at fixed capacity
+    * (0.75 / 0.57 there), and they compose. Oracle:
+    * [[ivfPqCtesK]](64) + the shared recall tail. benchSkip: index
+    * write + training dominates (q127c convention). */
+  val q130dPqRecallKsub64 = QueryDef(
+    "q130d_pq_recall_ksub64",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_k64_index",
+        m = 16, dim = 64, seedIds = 0L until 64L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_k64_index", dim = 64)
+      val approx = Similarity.ivfPqTopKIndexed("graft_ivfpq_k64_index",
+        coarse, probes, bk, k = 3, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(corpus, probes, 3)
+      Similarity.recallAtK(approx, exact, 3).orderBy("probe_id")
+    },
+    Some(ivfPqCtesK(64) + "," + unitCteSql +
+      pqRecallTailSql("SELECT probe_id, id FROM ranked WHERE rank <= 3")),
     benchSkip = true)
 
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
-    q127cAnnIvfPqIndexed, q130AnnRecall, q130bPqRecall)
+    q127cAnnIvfPqIndexed, q127dAnnIvfPqRerank, q130AnnRecall, q130bPqRecall,
+    q130cPqRerankRecall, q130dPqRecallKsub64)
 }

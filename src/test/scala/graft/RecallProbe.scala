@@ -15,7 +15,12 @@ import graft.operators.Similarity
   * Args: sfDir [k] [kSub] — kSub is the per-subspace codebook size
   * (default 16, q127's config; raise it to test the quantization-bound
   * diagnosis: if PQ recall is code-capacity-limited, more codes move it
-  * where more probes could not). Prints one line per (rung, nprobe). */
+  * where more probes could not). Prints one line per (rung, nprobe),
+  * plus a RERANK sweep at the gated nprobe=2 (the q127d/q130c operator:
+  * rerank ∈ {8, 32, 128} shortlist sizes, and rerank=10⁹ — every bucket
+  * member re-scored exactly — as the PRUNING CEILING the re-rank can
+  * never exceed at that nprobe, separating shortlist-bound from
+  * pruning-bound residual error). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
@@ -47,6 +52,12 @@ object RecallProbe {
       val pq = Similarity.ivfPqTopKIndexed("graft_recall_probe_idx", coarse,
         probes, bk, k, np)
       println(f"[recall] ivf-pq  nprobe=$np%d kSub=$kSub%d  recall@$k%d = ${mean(Similarity.recallAtK(pq, exact, k))}%.4f")
+    }
+    for (rr <- Seq(8, 32, 128, 1000000000)) {
+      val rrk = Similarity.ivfPqTopKRerankIndexed("graft_recall_probe_idx",
+        coarse, probes, corpus, bk, k, nprobe = 2, rerank = rr)
+      val tag = if (rr >= 1000000000) "ceil" else rr.toString
+      println(f"[recall] rerank  nprobe=2 kSub=$kSub%d R=$tag%s  recall@$k%d = ${mean(Similarity.recallAtK(rrk, exact, k))}%.4f")
     }
     exact.unpersist()
     spark.sql("DROP TABLE IF EXISTS graft_recall_probe_idx")

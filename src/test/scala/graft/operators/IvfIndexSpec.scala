@@ -96,6 +96,66 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ re-rank: shortlist-contained, exact cosine, recall >= plain ADC") {
+    val (corpus, seeds, probes) = inputs()
+    val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+    try {
+      val bk = Similarity.writeIvfPqIndex(corpus, coarse, "ivfpq_rr_spec_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val rr = Similarity.ivfPqTopKRerankIndexed("ivfpq_rr_spec_index", coarse,
+        probes, corpus, bk, k = 3, nprobe = 2, rerank = 32)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // 1. the re-rank may only REORDER the ADC shortlist, never invent a
+      // candidate outside it (that would mean it scanned the corpus)
+      val shortlist = Similarity.ivfPqTopKIndexed("ivfpq_rr_spec_index", coarse,
+        probes, bk, k = 32, nprobe = 2)
+        .select("probe_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rr.forall(r => shortlist((r._1, r._3))),
+        "re-rank emitted an id outside the ADC shortlist")
+      // 2. the emitted cos is the TRUE cosine — byte-identical to the
+      // exact kernel's arithmetic (unit-normalize then left-assoc dot),
+      // replayed here independently on the collected vectors
+      val vecs = corpus.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def unitDot(a: Array[Double], b: Array[Double]): Double = {
+        def unit(v: Array[Double]): Array[Double] = {
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          val s = math.sqrt(n); v.map(_ / s)
+        }
+        val (ua, ub) = (unit(a), unit(b)); var acc = 0.0; var i = 0
+        while (i < ua.length) { acc += ua(i) * ub(i); i += 1 }
+        acc
+      }
+      rr.foreach { case (p, _, id, cos) =>
+        assert(cos == unitDot(vecs(p), vecs(id)),
+          s"probe $p id $id: emitted cos $cos is not the exact cosine")
+      }
+      // 3. the operator's reason to exist: recall at least the plain
+      // ADC top-k's (strictly above it on this corpus — the gated
+      // q130b/q130c numbers; >= is the contract)
+      val exact = Similarity.bruteForceTopK(corpus, probes, 3)
+      def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+        Similarity.recallAtK(df, exact, 3).agg(avg("recall")).head().getDouble(0)
+      val plain = Similarity.ivfPqTopKIndexed("ivfpq_rr_spec_index", coarse,
+        probes, bk, k = 3, nprobe = 2)
+      val rrDf = Similarity.ivfPqTopKRerankIndexed("ivfpq_rr_spec_index", coarse,
+        probes, corpus, bk, k = 3, nprobe = 2, rerank = 32)
+      assert(meanRecall(rrDf) >= meanRecall(plain),
+        "re-rank must not lose recall vs the plain ADC ranking")
+      // 4. a shortlist smaller than the answer is a caller bug
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKRerankIndexed("ivfpq_rr_spec_index", coarse,
+          probes, corpus, bk, k = 3, nprobe = 2, rerank = 2)
+      }
+      assert(e.getMessage.contains("rerank"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_rr_spec_index")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_rr_spec_index_books")
+    }
+  }
+
   test("indexed range search: identical to in-plan range search, pruned buckets") {
     val (corpus, centroids, probes) = inputs()
     try {
