@@ -179,11 +179,36 @@ object Similarity {
     * [[ivfRetrainFromIndex]] (retrain, no corpus re-scan) +
     * [[writeIvfIndex]] (rebuild) — gated end-to-end as q28e; periodic
     * [[Compaction]] of accumulated small per-append files is the
-    * companion maintenance task. */
+    * companion maintenance task.
+    *
+    * STATS KEEP-ALIVE: if the table carried optimizer-visible
+    * statistics going into the append (an earlier `ANALYZE`), the
+    * append re-ANALYZEs it afterwards. Spark itself CLEARS catalog
+    * stats on any catalog-routed insert (so the "stale analyzed
+    * rowCount under-enforces the [[ivfTopKBulk]] guard" failure cannot
+    * arise through this path) — but clearing silently DOWNGRADES an
+    * analyzed index to the count()-per-probe fallback on its first
+    * append; the refresh preserves the job-free guard path the ANALYZE
+    * opted into. Detection uses the SAME predicate [[indexRowCount]]
+    * reads through (optimizer-exposed rowCount), so the two can't
+    * disagree about what "has stats" means; a never-analyzed index
+    * pays nothing here. Cost: one count-class job per append batch —
+    * noise next to the insert, bought back by every guarded probe.
+    * (Writers that bypass the catalog entirely — files dropped into
+    * the directory — leave stats both stale AND un-cleared on ANY
+    * engine: after such an append, REFRESH + re-ANALYZE the table; the
+    * guard's 8× drift allowance plus [[indexRowCount]]'s zero-count
+    * fallback bound the damage until then.) */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
-                     table: String): Unit =
+                     table: String): Unit = {
+    val spark = newVectors.sparkSession
+    val hadStats =
+      spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
     ivfAssign(newVectors, centroids)
       .write.mode(SaveMode.Append).insertInto(table)
+    if (hadStats)
+      spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+  }
 
   /** Probe a materialized IVF index ([[writeIvfIndex]]) — result-identical
     * to [[ivfTopK]] on the same corpus/centroids/probes.
@@ -366,7 +391,11 @@ object Similarity {
     * served the count (IvfIndexSpec pins both). The guard tolerates a
     * slightly-stale analyzed count by construction: `maxShareFactor`
     * already allows 8× drift off the √n rule, far beyond any realistic
-    * stats lag — EXCEPT a stats row count of 0 (an ANALYZE that ran
+    * stats lag — and staleness can only come from a writer that
+    * bypassed the catalog entirely (Spark clears stats on
+    * catalog-routed inserts, and [[appendIvfIndex]] re-ANALYZEs
+    * analyzed tables to keep this path alive) — EXCEPT a stats row
+    * count of 0 (an ANALYZE that ran
     * before the first append), which would disarm the guard entirely
     * (√0 = 0 passes any centroid set); a zero is treated as
     * no-stats and falls back to the scan. */

@@ -374,17 +374,34 @@ class IvfIndexSpec extends SparkSpec {
             k = 3, nprobe = 2, maxShareFactor = 0.01)
         }
         assert(ex.getMessage.contains("sizing rule"), ex.getMessage)
-        // the stale-zero edge: ANALYZE before the first append publishes
-        // rowCount=0, which would DISARM the guard (sqrt(0) passes any
-        // centroid set) — a zero must fall back to the scan
-        Similarity.writeIvfIndex(corpus.limit(0), centroids,
+        // Spark CLEARS catalog stats on any catalog-routed insert, which
+        // would silently downgrade an analyzed index to count()-per-probe
+        // on its first append — appendIvfIndex must re-ANALYZE so the
+        // stats path survives the append AND serves the NEW count
+        Similarity.appendIvfIndex(
+          corpus.limit(5).select((col("id") + 1000000L).as("id"), col("e")),
+          centroids, "ivf_stats_index")
+        val (nFresh, viaStatsFresh) =
+          Similarity.indexRowCount(spark, "ivf_stats_index")
+        assert(viaStatsFresh && nFresh == nScan + 5,
+          s"append must keep an analyzed index analyzed: got $nFresh via " +
+            s"stats=$viaStatsFresh, want ${nScan + 5}")
+        // the stats-zero edge: a catalog entry claiming numRows=0 over a
+        // NON-empty index (only an out-of-band writer can produce it —
+        // files dropped into the directory bypass Spark's
+        // stats-clearing; injected here via the stats table properties
+        // such a writer would leave behind) would DISARM the guard —
+        // sqrt(0) passes any centroid set — so a zero must be treated
+        // as no-stats and fall back to the scan
+        Similarity.writeIvfIndex(corpus, centroids,
           "ivf_stats0_index", numBuckets = 8)
-        spark.sql("ANALYZE TABLE ivf_stats0_index COMPUTE STATISTICS")
-        Similarity.appendIvfIndex(corpus, centroids, "ivf_stats0_index")
+        spark.sql("ALTER TABLE ivf_stats0_index SET TBLPROPERTIES(" +
+          "'spark.sql.statistics.numRows'='0'," +
+          "'spark.sql.statistics.totalSize'='1')")
         val (nAfter, viaStats0) =
           Similarity.indexRowCount(spark, "ivf_stats0_index")
         assert(!viaStats0 && nAfter == nScan,
-          s"stale-zero stats must fall back to the scan (got $nAfter via stats=$viaStats0)")
+          s"stats-zero must fall back to the scan (got $nAfter via stats=$viaStats0)")
       } finally prevCbo match {
         case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
         case None    => spark.conf.unset("spark.sql.cbo.enabled")
