@@ -118,34 +118,119 @@ object Similarity {
       .select(col("probe_id"), nHit.as("n_hit"), guardedRecall.as("recall"))
   }
 
+  /** POST-FILTER top-k — filtered vector search when the predicate lives
+    * on metadata the index does NOT carry (an external allow-list: a
+    * permissions table, a freshness snapshot, a per-request tenant set).
+    * `shortlist` is an OVER-FETCHED retrieval frame (probe_id, rank, id,
+    * cos) from any path in the family ([[ivfTopK]], [[ivfTopKIndexed]],
+    * [[ivfPqTopKRerankIndexed]]) fetched at `overfetch` ≥ k; survivors
+    * of the `allowed`-ids filter re-rank and the top-k emit.
+    *
+    * This is the standard recall trade the over-fetch dial prices: a
+    * probe whose shortlist holds fewer than k allowed ids comes back
+    * SHORT (the candidates were spent on filtered-out rows) — recall
+    * decays with predicate selectivity, which is exactly why a
+    * FREQUENTLY-filtered column belongs in the index as payload
+    * ([[writeIvfIndex]]) where [[ivfTopKIndexed]]'s `indexFilter` ranks
+    * over matching rows only. q133d gates the comparison; the shortfall
+    * is observable per-probe (rows < k), not silently padded.
+    *
+    * Scale shape: `allowed` can be corpus-sized — it STREAMS through one
+    * broadcast-hash join against the shortlist (|probes|·overfetch rows,
+    * broadcast-sized by the probe-batch convention) and never shuffles;
+    * the re-rank window moves only surviving shortlist rows. `allowed`
+    * must be id-unique (it is a set; a duplicated id would fan out
+    * shortlist rows and corrupt ranks). */
+  def postFilterTopK(shortlist: DataFrame, allowed: DataFrame,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
+    allowed.select(col("id"))
+      .join(broadcast(shortlist.select("probe_id", "id", "cos")), "id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher '09) — the
+    * standard hybrid-retrieval combiner: each leg is a ranked list
+    * (id, rank) from an independent retrieval mode (BM25 lexical, ANN
+    * vector, recency, …), and a document's fused score is
+    * Σ_legs 1/(c + rank). Rank-based (no per-leg score normalization
+    * problem — BM25 logs and cosines never share a scale), and c = 60
+    * is the paper's dampening constant: rank-1-in-one-leg cannot crush
+    * consistent mid-ranks across legs.
+    *
+    * Determinism across engines AND partitionings: the addends are
+    * IEEE doubles (identical everywhere) summed as DECIMAL(28,12) —
+    * exact, so accumulation order cannot flip a downstream rank tie —
+    * then cast back to double. 12 fractional digits is the proven
+    * cross-engine conversion width (the q65 kmeans-mean convention:
+    * well inside the zone where Spark's shortest-repr-string and
+    * DuckDB's exact-binary double→decimal roundings agree), and 8+
+    * significant digits on a 1/(c+rank) addend — far below any rank
+    * flip. Scale shape: legs are top-R frames (bounded by their own
+    * retrieval), so the union/groupBy moves |legs|·R rows —
+    * metadata-cheap; ties break on ascending id. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: no ranked legs")
+    require(k >= 1, "rrfFuse needs k >= 1")
+    val fused = legs.map(_.select(col("id"), col("rank"))).reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(sum((lit(1.0) / (lit(c) + col("rank"))).cast("decimal(28,12)"))
+        .cast("double").as("rrf"))
+    // global top-k through the sanctioned bounded-window helper
+    // (TakeOrderedAndProject selection; the rank window sees ≤ k rows)
+    Windows.topKRank(fused, k, "rank", col("rrf").desc, col("id"))
+      .select(col("rank"), col("id"), col("rrf"))
+  }
+
   /** Assign each unit corpus vector to its nearest centroid (cosine; ties
-    * broken by ascending centroid id). Inputs already unit-normalized. */
+    * broken by ascending centroid id). Inputs already unit-normalized.
+    * `extra`: passthrough columns appended after c_id (payload carry). */
   private def assignUnit(ucorpus: DataFrame, ucent: DataFrame,
-                         idCol: String, vecCol: String, keep: Int): DataFrame = {
+                         idCol: String, vecCol: String, keep: Int,
+                         extra: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy(col("cos_c").desc, col("c_id"))
     ucorpus.join(broadcast(ucent))
       .withColumn("cos_c", dot(col(vecCol), col("uc")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
-      .select(idCol, vecCol, "c_id")
+      .select((Seq(idCol, vecCol, "c_id") ++ extra).map(col): _*)
   }
 
-  /** Assign each corpus vector to its nearest centroid. `corpus`: (id, e);
-    * `centroids`: (c_id, c). Map-only: centroids are broadcast. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+  /** Assign each corpus vector to its nearest centroid. `corpus`: (id, e,
+    * payload…); `centroids`: (c_id, c). Map-only: centroids are broadcast.
+    * `payload` columns of the corpus ride along unchanged after c_id. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                payload: Seq[String] = Nil): DataFrame =
     assignUnit(unitized(corpus, "e", "ue"), unitized(centroids, "c", "uc"),
-      "id", "ue", 1)
+      "id", "ue", 1, payload)
 
   /** Materialize the IVF index: corpus vectors unit-normalized, assigned
     * to their nearest centroid, and written BUCKETED BY the cluster id —
     * the 100 TB layout where a probe reads only its nprobe buckets off
     * disk instead of scanning (or shuffling) the corpus. Stored schema:
-    * (id, ue unit vector, c_id). */
+    * (id, ue unit vector, c_id, payload…).
+    *
+    * `payload`: metadata columns of `corpus` (tenant, language, source,
+    * license class…) stored IN the index rows. This is what makes
+    * FILTERED vector search single-stage: [[ivfTopKIndexed]]'s
+    * `indexFilter` on a payload column is pushed into the bucket-pruned
+    * parquet scan (`PushedFilters` — FilteredAnnSpec pins it), so a
+    * predicate probe ranks over exactly the matching rows and recall is
+    * selectivity-independent (the post-filter alternative,
+    * [[postFilterTopK]], is for predicates on metadata the index does
+    * NOT carry). Payload costs index bytes, not probe time: columnar
+    * parquet reads only the filtered columns. */
   def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
-                    table: String, numBuckets: Int): Unit = {
+                    table: String, numBuckets: Int,
+                    payload: Seq[String] = Nil): Unit = {
     dropTableAndDir(corpus.sparkSession, table)
-    Bucketing.writeBucketed(ivfAssign(corpus, centroids), table, "c_id",
-      numBuckets, sort = false)
+    // a REBUILD starts a fresh index: stale tombstones from the previous
+    // incarnation must not suppress rows the new corpus legitimately holds
+    dropTableAndDir(corpus.sparkSession, tombstoneTable(table))
+    Bucketing.writeBucketed(ivfAssign(corpus, centroids, payload), table,
+      "c_id", numBuckets, sort = false)
   }
 
   /** DROP TABLE plus clearing the warehouse location: a previous JVM's
@@ -200,12 +285,98 @@ object Similarity {
     * guard's 8× drift allowance plus [[indexRowCount]]'s zero-count
     * fallback bound the damage until then.) */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
-                     table: String): Unit = {
+                     table: String, payload: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
     val hadStats =
       spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
-    ivfAssign(newVectors, centroids)
+    // insertInto is POSITIONAL: `payload` must list the same columns in
+    // the same order the index was written with, or values land in the
+    // wrong stored columns silently — FilteredAnnSpec pins the happy path
+    ivfAssign(newVectors, centroids, payload)
       .write.mode(SaveMode.Append).insertInto(table)
+    if (hadStats)
+      spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+  }
+
+  /** The tombstone side table of an index: `<table>__tombstones`. */
+  private def tombstoneTable(table: String): String = s"${table}__tombstones"
+
+  /** DELETE ids from a materialized index ([[writeIvfIndex]] /
+    * [[writeIvfPqIndex]]) — the right-to-be-forgotten leg of the index
+    * lifecycle. At 100 TB a delete cannot rewrite the bucketed table
+    * (that is a full-index job for a handful of rows), so this is
+    * MERGE-ON-READ: `ids` (one `id` column) append to a tombstone side
+    * table, and every indexed serve path ([[ivfTopKIndexed]],
+    * [[ivfTopKBulk]], [[ivfRangeSearchIndexed]], [[ivfPqTopKIndexed]] —
+    * all read through [[liveIndexRows]]) anti-joins it BROADCAST
+    * (tombstones are deletes-since-last-compaction, bounded small by the
+    * maintenance cadence), so a deleted row's top-k slot backfills with
+    * the next-best candidate at serve time, not at compaction time.
+    * [[compactIvfIndex]] folds tombstones into the table and empties
+    * them — run it on the maintenance cadence that bounds the side
+    * table ([[Compaction]]'s class).
+    *
+    * CONTRACT: deletion is by id, and an id stays suppressed until the
+    * next compaction even if re-appended (the anti-join cannot tell the
+    * old row from a new one). Re-ingesting a previously deleted id =
+    * compact first, then append — the same discipline every
+    * merge-on-read table format imposes. Deleting ids the index never
+    * held is a no-op. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, ids: DataFrame): Unit = {
+    val ts = tombstoneTable(table)
+    val frame = ids.select(col("id"))
+    if (spark.catalog.tableExists(ts))
+      frame.write.mode(SaveMode.Append).insertInto(ts)
+    else
+      frame.write.format("parquet").saveAsTable(ts)
+  }
+
+  /** Index rows minus tombstones — what every indexed serve path reads.
+    * No tombstone table (the common case) reads the table untouched:
+    * the existence check is one driver-side catalog call, the plan is
+    * byte-identical to the pre-delete one. With tombstones, the
+    * anti-join is BROADCAST on the small side and Catalyst pushes the
+    * callers' bucket/payload filters below it onto the scan, so bucket
+    * pruning and `PushedFilters` survive deletes (FilteredAnnSpec). */
+  private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
+                            table: String): DataFrame = {
+    val base = spark.table(table)
+    val ts = tombstoneTable(table)
+    if (spark.catalog.tableExists(ts))
+      base.join(broadcast(spark.table(ts)), Seq("id"), "left_anti")
+    else base
+  }
+
+  /** COMPACT a deleted index: rewrite the bucketed table without its
+    * tombstoned rows (same bucket count/key, payload columns intact),
+    * then drop the tombstone side table — the merge-on-read debt
+    * payment, on the same maintenance cadence as [[Compaction]] of
+    * append-accumulated small files. The rewrite stages into
+    * `<table>__compact` and swaps via catalog RENAME (managed-table
+    * rename moves the directory), so a failure before the swap leaves
+    * the live index untouched. Stats keep-alive mirrors
+    * [[appendIvfIndex]]: an ANALYZE'd index is re-ANALYZE'd after the
+    * swap so the [[ivfTopKBulk]] guard stays job-free. No-op without a
+    * tombstone table. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Unit = {
+    val ts = tombstoneTable(table)
+    if (!spark.catalog.tableExists(ts)) return
+    val hadStats =
+      spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactIvfIndex: `$table` is not bucketed — not an IVF index"))
+    val staging = s"${table}__compact"
+    dropTableAndDir(spark, staging)
+    Bucketing.writeBucketed(liveIndexRows(spark, table), staging, "c_id",
+      numBuckets, sort = false)
+    dropTableAndDir(spark, table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    dropTableAndDir(spark, ts)
     if (hadStats)
       spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
   }
@@ -218,9 +389,21 @@ object Similarity {
     * construction) and pushed as an IN-literal filter on the bucket
     * column, so the scan prunes to the selected buckets
     * (`SelectedBucketsCount` in the plan — spec-pinned) and the join
-    * needs no Exchange on the index side. */
+    * needs no Exchange on the index side.
+    *
+    * `indexFilter`: FILTERED search — a predicate over the index's
+    * stored columns (id, c_id, payload columns the index was written
+    * with). Ranking runs over exactly the rows that pass, so top-k
+    * backfills from the filtered candidate pool inside the probed
+    * buckets (recall vs the filtered ground truth equals the
+    * unfiltered path's recall — selectivity-independent, unlike
+    * [[postFilterTopK]]), and the predicate lands in the parquet scan's
+    * `PushedFilters` under the bucket pruning (FilteredAnnSpec pins
+    * both). Deleted ids ([[deleteFromIvfIndex]]) are excluded the same
+    * way — before ranking. */
   def ivfTopKIndexed(table: String, centroids: DataFrame, probes: DataFrame,
-                     k: Int, nprobe: Int): DataFrame = {
+                     k: Int, nprobe: Int,
+                     indexFilter: Column = lit(true)): DataFrame = {
     val spark = probes.sparkSession
     val ucent = unitized(centroids, "c", "uc")
     // ONE execution of the probe-assignment subplan: the collected rows
@@ -230,7 +413,9 @@ object Similarity {
     val (probeClusters, clusterIds) = materializeProbeSide(
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
     guardEmptyAssignment(clusterIds, centroids, "ivfTopKIndexed")
-    val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
+    val index = liveIndexRows(spark, table)
+      .filter(col("c_id").isin(clusterIds: _*))
+      .filter(indexFilter)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     broadcast(probeClusters).join(index, "c_id")
       .filter(col("id") =!= col("probe_id"))
@@ -370,7 +555,8 @@ object Similarity {
     val pAssigned =
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
-    val cand0 = spark.table(table).hint("shuffle_hash").join(pAssigned, "c_id")
+    val cand0 = liveIndexRows(spark, table).hint("shuffle_hash")
+      .join(pAssigned, "c_id")
     val cand = if (excludeSelf) cand0.filter(col("id") =!= col("probe_id"))
                else cand0
     cand
@@ -638,7 +824,8 @@ object Similarity {
     val (probeClusters, clusterIds) = materializeProbeSide(
       assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
     guardEmptyAssignment(clusterIds, centroids, "ivfRangeSearchIndexed")
-    val index = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
+    val index = liveIndexRows(spark, table)
+      .filter(col("c_id").isin(clusterIds: _*))
     broadcast(probeClusters).join(index, "c_id")
       .withColumn("cos", dot(col("up"), col("ue")))
       .filter(col("cos") >= minCos)
@@ -946,6 +1133,9 @@ object Similarity {
       .join(assigned.select(col("id"), col("c_id")), "id")
     dropTableAndDir(spark, table)
     dropTableAndDir(spark, s"${table}_books")
+    // rebuild invalidates the previous incarnation's deletes (writeIvfIndex
+    // convention — stale tombstones must not suppress fresh rows)
+    dropTableAndDir(spark, tombstoneTable(table))
     Bucketing.writeBucketed(enc, table, "c_id", numBuckets, sort = false)
     import spark.implicits._
     bk.books.zipWithIndex
@@ -1000,7 +1190,8 @@ object Similarity {
     val (pb, clusterIds) =
       materializeProbeSide(pqProbeSide(probes, coarse, bk, nprobe))
     guardEmptyAssignment(clusterIds, coarse, "ivfPqTopKIndexed")
-    val enc = spark.table(table).filter(col("c_id").isin(clusterIds: _*))
+    val enc = liveIndexRows(spark, table)
+      .filter(col("c_id").isin(clusterIds: _*))
     adcRank(enc, pb, bk, k)
   }
 

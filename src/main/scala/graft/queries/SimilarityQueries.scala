@@ -328,21 +328,26 @@ object SimilarityQueries {
 
   /** The IVF CTE chain through `scored` (all ranks), parameterized by
     * the probe-set predicate (q28/q28b/q28d use the 20-probe query set;
-    * q28f probes the WHOLE corpus, the predicate degenerating to true)
-    * and the centroid CTE. Shared by the direct IVF oracles
+    * q28f probes the WHOLE corpus, the predicate degenerating to true),
+    * the centroid CTE, and the CANDIDATE predicate (`candWhere` over
+    * `a.*` — q133b's inline metadata filter, q134's tombstone
+    * exclusion; degenerates to TRUE elsewhere). `assigned`/`scored`
+    * carry `label` through so filtered variants can predicate on it
+    * without a second chain. Shared by the direct IVF oracles
     * ([[ivfOracle]] appends the rank-filtered SELECT) and the q130
     * recall oracle, which joins `scored` against a brute-force chain
     * over the same `u`. */
   private def ivfCtes(probeWhere: String,
-      centSql: String = SeedCentSql): String = s"""
+      centSql: String = SeedCentSql,
+      candWhere: String = "TRUE"): String = s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
       u AS (
         SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
         FROM (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
       $centSql,
       assigned AS (
-        SELECT vec_id AS id, ue, c_id FROM (
-          SELECT u.vec_id, u.ue, cent.c_id,
+        SELECT vec_id AS id, ue, c_id, label FROM (
+          SELECT u.vec_id, u.ue, cent.c_id, u.label,
                  row_number() OVER (PARTITION BY u.vec_id
                    ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
           FROM u CROSS JOIN cent)
@@ -356,15 +361,16 @@ object SimilarityQueries {
           WHERE $probeWhere)
         WHERE rn <= 2),
       scored AS (
-        SELECT p.probe_id, a.id, list_dot_product(p.up, a.ue) AS cos,
+        SELECT p.probe_id, a.id, a.label, list_dot_product(p.up, a.ue) AS cos,
                row_number() OVER (PARTITION BY p.probe_id
                  ORDER BY list_dot_product(p.up, a.ue) DESC, a.id) AS rank
         FROM probes p JOIN assigned a ON a.c_id = p.c_id
-        WHERE a.id <> p.probe_id)"""
+        WHERE a.id <> p.probe_id AND ($candWhere))"""
 
   private def ivfOracle(probeWhere: String,
-      centSql: String = SeedCentSql): String = s"""
-      ${ivfCtes(probeWhere, centSql)}
+      centSql: String = SeedCentSql,
+      candWhere: String = "TRUE"): String = s"""
+      ${ivfCtes(probeWhere, centSql, candWhere)}
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM scored WHERE rank <= 3
       ORDER BY probe_id, rank
@@ -1112,10 +1118,318 @@ object SimilarityQueries {
       pqRecallTailSql("SELECT probe_id, id FROM ranked WHERE rank <= 3")),
     benchSkip = true)
 
+  // ---------------------------------------------------------------- //
+  // FILTERED vector search (q133 family): predicate + top-k, the       //
+  // production serve shape ("nearest docs WHERE lang = …"). Two        //
+  // strategies with opposite trade-offs, both gated cross-engine:      //
+  //  - INLINE (q133b): the predicate column is index PAYLOAD           //
+  //    (writeIvfIndex payload=…) and ivfTopKIndexed ranks over         //
+  //    matching rows only — recall is selectivity-independent, the     //
+  //    predicate reaches the parquet scan (PushedFilters).             //
+  //  - POST-FILTER (q133c): the predicate lives on an EXTERNAL         //
+  //    allow-list; an over-fetched shortlist is filtered after         //
+  //    retrieval — no index change, but recall decays with             //
+  //    selectivity (short probes are visible, not padded).             //
+  // q133 is the exact filtered baseline; q133d gates both strategies'  //
+  // recall against it through the same Similarity.recallAtK.           //
+  // ---------------------------------------------------------------- //
+
+  /** Exact FILTERED top-k baseline: brute-force cosine over the corpus
+    * restricted to the predicate (label % 3 = 0 — a stand-in for any
+    * metadata class: language, license, tenant). The filtered ground
+    * truth the two approximate strategies (q133b inline, q133c
+    * post-filter) are scored against in q133d. Same scale shape as q27:
+    * O(|probes|·|corpus|) by design, the evaluation-leg cost. */
+  val q133AnnFiltered = QueryDef(
+    "q133_ann_filtered",
+    (s, d) => {
+      val e = emb(s, d)
+      val corpus = e.filter(col("label") % 3 === 0)
+        .select(col("vec_id").as("id"), col("e"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"))
+      Similarity.bruteForceTopK(corpus, probes, 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some("""
+      WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      u AS (
+        SELECT vec_id, label, list_transform(e, x -> x / nrm) AS ue
+        FROM (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM emb)),
+      probes AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
+      scored AS (
+        SELECT probe_id, vec_id AS id, list_dot_product(up, ue) AS cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
+        FROM u CROSS JOIN probes
+        WHERE vec_id <> probe_id AND label % 3 = 0)
+      SELECT probe_id, rank, id, round(cos, 9) AS cos
+      FROM scored WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
+  /** INLINE-filtered IVF over a PAYLOAD-carrying persisted index: the
+    * index is written with `label` stored in its rows
+    * ([[Similarity.writeIvfIndex]] payload), and the probe ranks over
+    * exactly the rows passing `indexFilter` — top-k backfills from the
+    * filtered pool inside the probed buckets, so recall against the
+    * filtered ground truth equals the unfiltered path's (q133d measures
+    * it). The predicate composes UNDER the bucket pruning: the scan
+    * reads nprobe buckets AND pushes the label predicate to parquet
+    * (`PushedFilters` — FilteredAnnSpec pins both, plus parity with
+    * ivfTopK over the pre-filtered corpus, which is the same operator
+    * semantics since per-row assignment commutes with filtering).
+    * Oracle: the shared IVF chain with the candidate predicate.
+    * benchSkip: the timed body would be the index write (q28b
+    * convention). */
+  val q133bAnnFilteredIvf = QueryDef(
+    "q133b_ann_filtered_ivf",
+    (s, d) => {
+      val e = emb(s, d)
+      val (_, centroids, probes) = ivfInputs(s, d)
+      val corpus = e.select(col("vec_id").as("id"), col("e"), col("label"))
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_filt_index",
+        numBuckets = 8, payload = Seq("label"))
+      Similarity.ivfTopKIndexed("graft_ivf_filt_index", centroids, probes,
+          k = 3, nprobe = 2, indexFilter = col("label") % 3 === 0)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracle("u.vec_id < 20", candWhere = "a.label % 3 = 0")),
+    benchSkip = true)
+
+  /** POST-FILTER strategy ([[Similarity.postFilterTopK]]): the same
+    * predicate as an EXTERNAL allow-list (metadata the index does not
+    * carry — permissions, freshness), applied to a 3× over-fetched IVF
+    * shortlist, survivors re-ranked, top-3 emitted. A probe whose
+    * 9-candidate shortlist holds fewer than 3 allowed ids comes back
+    * SHORT — the oracle replays exactly that (both engines emit the
+    * same short probes), and q133d prices the recall loss against
+    * q133b's inline strategy. The allow-list side STREAMS through one
+    * broadcast-hash join against the shortlist; it never shuffles. */
+  val q133cAnnPostfilter = QueryDef(
+    "q133c_ann_postfilter",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      val allowed = emb(s, d).filter(col("label") % 3 === 0)
+        .select(col("vec_id").as("id"))
+      val shortlist = Similarity.ivfTopK(corpus, centroids, probes,
+        k = 9, nprobe = 2)
+      Similarity.postFilterTopK(shortlist, allowed, 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfCtes("u.vec_id < 20") + """,
+      pf AS (
+        SELECT probe_id, id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS prank
+        FROM scored WHERE rank <= 9 AND label % 3 = 0)
+      SELECT probe_id, prank AS rank, id, round(cos, 9) AS cos
+      FROM pf WHERE prank <= 3
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
+  /** Recall@3 of BOTH filtered-search strategies against the exact
+    * filtered baseline (q133), through the same
+    * [[Similarity.recallAtK]] as the whole recall family — the number
+    * that makes the strategy choice a measurement instead of folklore:
+    * inline ranks over filtered candidates in the probed buckets
+    * (selectivity-independent), post-filter spends its 9-candidate
+    * shortlist on rows the predicate then discards (recall decays with
+    * selectivity, and SHORT probes score their true partial credit).
+    * Measured mean recall@3 (SOAK.md round 13): inline 0.633 / 0.667,
+    * post-filter 0.617 / 0.617 at sf0.01 / sf0.1 — close at 1/3
+    * selectivity with a 3× over-fetch, and the gap is one dial-turn
+    * wide: tighten selectivity or drop the over-fetch and the
+    * post-filter side falls away (FilteredAnnSpec's R = k case starves
+    * probes below k) while inline holds. The inline side runs [[Similarity.ivfTopK]]
+    * on the pre-filtered corpus — the SAME semantics as q133b's
+    * indexed path (assignment commutes with filtering; FilteredAnnSpec
+    * pins frame equality) without paying an index write in a timed
+    * body. Oracle: ONE shared IVF chain, both strategies' top-3 and
+    * the filtered brute-force ground truth derived from it, recall
+    * arithmetic replayed per strategy. */
+  val q133dFilteredRecall = QueryDef(
+    "q133d_filtered_recall",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      val fcorpus = emb(s, d).filter(col("label") % 3 === 0)
+        .select(col("vec_id").as("id"), col("e"))
+      val exact = Similarity.bruteForceTopK(fcorpus, probes, 3)
+      val inline = Similarity.ivfTopK(fcorpus, centroids, probes,
+        k = 3, nprobe = 2)
+      val post = Similarity.postFilterTopK(
+        Similarity.ivfTopK(corpus, centroids, probes, k = 9, nprobe = 2),
+        fcorpus.select("id"), 3)
+      Similarity.recallAtK(inline, exact, 3)
+        .withColumn("strategy", lit("inline"))
+        .unionByName(Similarity.recallAtK(post, exact, 3)
+          .withColumn("strategy", lit("postfilter")))
+        .select(col("strategy"), col("probe_id"), col("n_hit"), col("recall"))
+        .orderBy("strategy", "probe_id")
+    },
+    Some(ivfCtes("u.vec_id < 20") + """,
+      inl AS (
+        SELECT probe_id, id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS rnk
+        FROM scored WHERE label % 3 = 0),
+      inl3 AS (SELECT probe_id, id FROM inl WHERE rnk <= 3),
+      pfc AS (
+        SELECT probe_id, id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS rnk
+        FROM scored WHERE rank <= 9 AND label % 3 = 0),
+      pf3 AS (SELECT probe_id, id FROM pfc WHERE rnk <= 3),
+      bfp AS (SELECT vec_id AS probe_id, ue AS up FROM u WHERE vec_id < 20),
+      bfs AS (
+        SELECT probe_id, vec_id AS id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_dot_product(up, ue) DESC, vec_id) AS rank
+        FROM u CROSS JOIN bfp
+        WHERE vec_id <> probe_id AND label % 3 = 0),
+      bf AS (SELECT probe_id, id FROM bfs WHERE rank <= 3),
+      bfn AS (SELECT probe_id, count(*) AS n_ex FROM bf GROUP BY probe_id),
+      hin AS (
+        SELECT bf.probe_id, count(*) AS n_hit
+        FROM bf JOIN inl3 ON inl3.probe_id = bf.probe_id AND inl3.id = bf.id
+        GROUP BY bf.probe_id),
+      hpf AS (
+        SELECT bf.probe_id, count(*) AS n_hit
+        FROM bf JOIN pf3 ON pf3.probe_id = bf.probe_id AND pf3.id = bf.id
+        GROUP BY bf.probe_id)
+      SELECT 'inline' AS strategy, p.probe_id,
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0) / least(3, p.n_ex), 6) AS recall
+      FROM bfn p LEFT JOIN hin h ON h.probe_id = p.probe_id
+      UNION ALL
+      SELECT 'postfilter' AS strategy, p.probe_id,
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0) / least(3, p.n_ex), 6) AS recall
+      FROM bfn p LEFT JOIN hpf h ON h.probe_id = p.probe_id
+      ORDER BY strategy, probe_id
+    """),
+    bench = true)
+
+  /** DELETE from a persisted index ([[Similarity.deleteFromIvfIndex]])
+    * — the right-to-be-forgotten leg of the lifecycle, merge-on-read:
+    * ids (every 7th vector) tombstone into a side table, and the
+    * UNCHANGED probe path excludes them BEFORE ranking (the serve read
+    * goes through liveIndexRows' broadcast anti-join), so each deleted
+    * id's top-k slot backfills with the next-best live candidate at
+    * serve time — no index rewrite on the delete path. The oracle pins
+    * exactly that: the shared IVF chain ranking over non-deleted
+    * candidates only. benchSkip: the timed body would be the index
+    * write (q28b convention). */
+  val q134AnnDelete = QueryDef(
+    "q134_ann_delete",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_del_index",
+        numBuckets = 8)
+      Similarity.deleteFromIvfIndex(s, "graft_ivf_del_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      Similarity.ivfTopKIndexed("graft_ivf_del_index", centroids, probes,
+          k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracle("u.vec_id < 20", candWhere = "a.id % 7 <> 3")),
+    benchSkip = true)
+
+  /** COMPACTION of a deleted index ([[Similarity.compactIvfIndex]]):
+    * the merge-on-read debt payment — tombstones fold into a bucketed
+    * rewrite (staged + catalog-swap, same bucket count), the side
+    * table drops, and the PLAIN probe path (no anti-join — there is
+    * nothing left to exclude) serves the identical result: this gate
+    * shares q134's oracle verbatim, so "before compaction with
+    * tombstones" and "after compaction without" cannot diverge.
+    * FilteredAnnSpec additionally pins that bucket pruning
+    * (SelectedBucketsCount) survives the rewrite. benchSkip: two index
+    * writes in the body. */
+  val q134bAnnDeleteCompact = QueryDef(
+    "q134b_ann_delete_compact",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_delc_index",
+        numBuckets = 8)
+      Similarity.deleteFromIvfIndex(s, "graft_ivf_delc_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      Similarity.compactIvfIndex(s, "graft_ivf_delc_index")
+      Similarity.ivfTopKIndexed("graft_ivf_delc_index", centroids, probes,
+          k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracle("u.vec_id < 20", candWhere = "a.id % 7 <> 3")),
+    benchSkip = true)
+
+  /** HYBRID retrieval ([[Similarity.rrfFuse]]): the BM25 lexical top-20
+    * (q96's exact chain — shared via [[TextAnalytics.bm25Scored]] /
+    * `bm25Ctes`, one definition) fused with the vector top-20 (IVF at
+    * nprobe=2, probe = document 7's embedding — the synthetic tables
+    * are 1:1 doc_id↔vec_id) by reciprocal-rank fusion, top-10 emitted.
+    * This is the production search serve shape — keyword AND semantic
+    * legs, combined WITHOUT score normalization (ranks only), so
+    * neither leg's score scale can drown the other. The oracle replays
+    * both legs end-to-end (the full BM25 float chain, the full IVF
+    * chain) plus the decimal-exact fusion sum, so a rank flip in EITHER
+    * leg breaks the hash. Both legs are top-R selections feeding a
+    * |legs|·R-row fuse — at 100 TB each leg bounds its own cost (BM25's
+    * TakeOrderedAndProject, IVF's bucket pruning) and the fusion is
+    * metadata-cheap. */
+  val q135HybridRrf = QueryDef(
+    "q135_hybrid_rrf",
+    (s, d) => {
+      val (corpus, centroids, probes0) = ivfInputs(s, d)
+      val vecLeg = Similarity.ivfTopK(corpus, centroids,
+          probes0.filter(col("probe_id") === 7), k = 20, nprobe = 2)
+        .select(col("id"), col("rank"))
+      val lexLeg = graft.operators.Windows.topKRank(
+          TextAnalytics.bm25Scored(s, d).filter(col("score") > 0), 20,
+          "rank", col("score").desc, col("doc_id"))
+        .select(col("doc_id").as("id"), col("rank"))
+      Similarity.rrfFuse(Seq(lexLeg, vecLeg), k = 10)
+        .select(col("rank"), col("id"), round(col("rrf"), 9).as("rrf"))
+        .orderBy("rank")
+    },
+    Some(ivfCtes("u.vec_id = 7") + "," + TextAnalytics.bm25Ctes("lex") + """,
+      vec AS (SELECT id, rank FROM scored WHERE rank <= 20),
+      lextop AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (SELECT doc_id, score FROM lexscored WHERE score > 0
+              ORDER BY score DESC, doc_id LIMIT 20)),
+      unioned AS (
+        SELECT id, rank FROM lextop
+        UNION ALL
+        SELECT id, rank FROM vec),
+      fused AS (
+        SELECT id,
+               (sum((1.0::DOUBLE / (60 + rank))::DECIMAL(28,12)))::DOUBLE AS rrf
+        FROM unioned GROUP BY id),
+      ftop AS (SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10)
+      SELECT row_number() OVER (ORDER BY rrf DESC, id) AS rank,
+             id, round(rrf, 9) AS rrf
+      FROM ftop ORDER BY rank
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
     q127cAnnIvfPqIndexed, q127dAnnIvfPqRerank, q130AnnRecall, q130bPqRecall,
-    q130cPqRerankRecall, q130dPqRecallKsub64)
+    q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
+    q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
+    q134AnnDelete, q134bAnnDeleteCompact, q135HybridRrf)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -756,49 +757,54 @@ object TextAnalytics {
     * rows only. Float determinism: both engines evaluate the identical
     * association (constants pre-folded: k1=1.2, b=0.75 → 0.25/0.75), and
     * scores round at 1e-6 far above ulp scale. */
-  val q96Bm25Rank = QueryDef(
-    "q96_bm25_rank",
-    (s, d) => {
-      val terms = Seq("spark", "query", "window")
-      val toks = tokens(col("text"))
-      val base = Tables.documents(s, d).select(
-        col("doc_id") +: size(toks).cast("double").as("dl") +:
-          terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t")): _*)
-      val stats = base.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl") +:
-          terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0))
-            .cast("double").as(s"df_$t")): _*)
-      val score = terms.map { t =>
-        val tf = col(s"tf_$t")
-        val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
-          (col(s"df_$t") + lit(0.5)) + lit(1.0))
-        idf * (tf * lit(2.2)) /
-          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
-      val scored = base.join(broadcast(stats))
-        .withColumn("score", score)
-        .filter(col("score") > 0)
-      graft.operators.Windows.topKRank(scored, 20, "rank",
-          col("score").desc, col("doc_id"))
-        .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy("rank")
-    },
-    Some("""
-      WITH base AS (
+  /** The q96 BM25 scored frame (doc_id, …, score) — UNFILTERED, like
+    * its SQL twin [[bm25Ctes]] (consumers apply `score > 0`); ONE
+    * definition shared by q96's ranking and q135's hybrid-fusion
+    * lexical leg, so the two gates cannot pin different BM25
+    * arithmetic. */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "query", "window")
+    val toks = tokens(col("text"))
+    val base = Tables.documents(s, d).select(
+      col("doc_id") +: size(toks).cast("double").as("dl") +:
+        terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0))
+          .cast("double").as(s"df_$t")): _*)
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t")
+      val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.join(broadcast(stats))
+      .withColumn("score", score)
+  }
+
+  /** [[bm25Scored]]'s DuckDB twin: the CTE chain through
+    * `${p}scored(doc_id, score)` — UNFILTERED (consumers apply
+    * `score > 0`, matching where [[bm25Scored]] callers read it), CTE
+    * names prefixed so it composes into oracles that already use
+    * base/stats/scored (q135 rides the shared IVF chain). Emitted
+    * WITHOUT a leading `WITH`. */
+  private[queries] def bm25Ctes(p: String): String = s"""
+      ${p}base AS (
         SELECT doc_id,
                len(list_filter(string_split(text, ' '), w -> len(w) > 0))::DOUBLE AS dl,
                len(list_filter(string_split(text, ' '), w -> w = 'spark'))::DOUBLE AS tf_spark,
                len(list_filter(string_split(text, ' '), w -> w = 'query'))::DOUBLE AS tf_query,
                len(list_filter(string_split(text, ' '), w -> w = 'window'))::DOUBLE AS tf_window
         FROM documents),
-      stats AS (
+      ${p}stats AS (
         SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
                sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_spark,
                sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_query,
                sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_window
-        FROM base),
-      scored AS (
+        FROM ${p}base),
+      ${p}scored AS (
         SELECT doc_id,
                ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
                  * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
@@ -807,7 +813,18 @@ object TextAnalytics {
              + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
                  * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
                AS score
-        FROM base CROSS JOIN stats),
+        FROM ${p}base CROSS JOIN ${p}stats)"""
+
+  val q96Bm25Rank = QueryDef(
+    "q96_bm25_rank",
+    (s, d) => {
+      graft.operators.Windows.topKRank(
+          bm25Scored(s, d).filter(col("score") > 0), 20, "rank",
+          col("score").desc, col("doc_id"))
+        .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("rank")
+    },
+    Some("WITH " + bm25Ctes("") + """,
       top AS (
         SELECT doc_id, score FROM scored WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 20)

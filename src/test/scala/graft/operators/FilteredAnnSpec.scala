@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Filtered vector search + index deletion lifecycle:
+  *  - INLINE filtering (payload column stored in the index,
+  *    ivfTopKIndexed indexFilter): result parity with the in-plan IVF
+  *    over the pre-filtered corpus (assignment commutes with
+  *    filtering), and the PHYSICAL promises — the predicate reaches the
+  *    parquet scan (PushedFilters) UNDER the bucket pruning
+  *    (SelectedBucketsCount), no index-side Exchange.
+  *  - POST-FILTER (external allow-list over an over-fetched shortlist):
+  *    short probes are real (never padded), and an exhaustive
+  *    over-fetch converges to the exact filtered baseline.
+  *  - DELETES (merge-on-read tombstones): serve-time exclusion ≡
+  *    rebuild-without-deleted, compaction preserves result + bucket
+  *    pruning + stats, rebuild invalidates stale tombstones.
+  */
+class FilteredAnnSpec extends SparkSpec {
+
+  private def inputs() = {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val centroids = emb
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = emb.select(col("vec_id").as("id"), col("e"), col("label"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    (corpus, centroids, probes)
+  }
+
+  private def keySet(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("inline filter: parity with pre-filtered in-plan IVF; pushdown under bucket pruning") {
+    val (corpus, centroids, probes) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "fann_inline_index",
+        numBuckets = 8, payload = Seq("label"))
+      val filtered = Similarity.ivfTopKIndexed("fann_inline_index", centroids,
+        probes, k = 3, nprobe = 2, indexFilter = col("label") % 3 === 0)
+      // assignment is per-row, so filtering the corpus BEFORE assignment
+      // equals filtering index rows AFTER it — the q133d inline leg rides
+      // this equivalence to avoid an index write in a timed body
+      val direct = Similarity.ivfTopK(
+        corpus.filter(col("label") % 3 === 0).select("id", "e"),
+        centroids, probes, k = 3, nprobe = 2)
+      assert(keySet(filtered) == keySet(direct),
+        "inline-filtered indexed probe must equal IVF over the pre-filtered corpus")
+
+      val plan = filtered.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"bucket pruning lost under the payload filter:\n$plan")
+      assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+        s"label predicate did not reach the parquet scan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(c_id"),
+        s"index side re-shuffled on c_id:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_inline_index")
+    }
+  }
+
+  test("payload survives append: build-half + append-half == build-whole") {
+    val (corpus, centroids, probes) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus.filter(col("id") % 2 === 0), centroids,
+        "fann_pay_append_index", numBuckets = 8, payload = Seq("label"))
+      Similarity.appendIvfIndex(corpus.filter(col("id") % 2 === 1), centroids,
+        "fann_pay_append_index", payload = Seq("label"))
+      Similarity.writeIvfIndex(corpus, centroids, "fann_pay_whole_index",
+        numBuckets = 8, payload = Seq("label"))
+      val appended = Similarity.ivfTopKIndexed("fann_pay_append_index",
+        centroids, probes, k = 3, nprobe = 2,
+        indexFilter = col("label") % 3 === 0)
+      val whole = Similarity.ivfTopKIndexed("fann_pay_whole_index",
+        centroids, probes, k = 3, nprobe = 2,
+        indexFilter = col("label") % 3 === 0)
+      assert(keySet(appended) == keySet(whole),
+        "payload columns must land positionally correct through insertInto")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_pay_append_index")
+      spark.sql("DROP TABLE IF EXISTS fann_pay_whole_index")
+    }
+  }
+
+  test("post-filter: short probes are real; exhaustive over-fetch == exact filtered") {
+    val (corpus, centroids, probes) = inputs()
+    val plain = corpus.select("id", "e")
+    val allowed = corpus.filter(col("label") % 3 === 0).select("id")
+    // minimum over-fetch (R = k): selective predicate must starve some
+    // probe below k — and the operator must emit the short probe as-is
+    val tight = Similarity.postFilterTopK(
+      Similarity.ivfTopK(plain, centroids, probes, k = 3, nprobe = 2),
+      allowed, 3)
+    val perProbe = tight.groupBy("probe_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perProbe.values.forall(_ <= 3), "post-filter emitted more than k rows")
+    assert(perProbe.values.exists(_ < 3),
+      "expected at least one SHORT probe at R = k under a 1/3-selective predicate")
+    // R = |corpus|: every allowed candidate in the probed buckets is in
+    // the shortlist, so post-filter == inline == IVF over filtered corpus
+    val n = plain.count().toInt
+    val exhaustive = Similarity.postFilterTopK(
+      Similarity.ivfTopK(plain, centroids, probes, k = n, nprobe = 2),
+      allowed, 3)
+    val inline = Similarity.ivfTopK(
+      corpus.filter(col("label") % 3 === 0).select("id", "e"),
+      centroids, probes, k = 3, nprobe = 2)
+    assert(keySet(exhaustive) == keySet(inline),
+      "exhaustive over-fetch must converge to the inline-filtered result")
+  }
+
+  test("deletes: serve-time exclusion == rebuild-without; compact preserves result, pruning, stats; rebuild clears tombstones") {
+    val (corpus, centroids, probes) = inputs()
+    val plain = corpus.select("id", "e")
+    val deleted = plain.filter(col("id") % 7 === 3)
+    // stats visibility (both compactIvfIndex's keep-alive detection and
+    // indexRowCount's read) goes through optimizer plan stats, which
+    // expose rowCount only with CBO on — the IvfIndexSpec convention
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      Similarity.writeIvfIndex(plain, centroids, "fann_del_index", numBuckets = 8)
+      spark.sql("ANALYZE TABLE fann_del_index COMPUTE STATISTICS")
+      // two delete batches: the first creates the tombstone table, the
+      // second APPENDS to it — both branches of deleteFromIvfIndex
+      Similarity.deleteFromIvfIndex(spark, "fann_del_index",
+        deleted.filter(col("id") % 2 === 0).select("id"))
+      Similarity.deleteFromIvfIndex(spark, "fann_del_index",
+        deleted.filter(col("id") % 2 === 1).select("id"))
+
+      // ground truth: an index built without the deleted rows
+      Similarity.writeIvfIndex(plain.filter(col("id") % 7 =!= 3), centroids,
+        "fann_del_truth_index", numBuckets = 8)
+      val truth = keySet(Similarity.ivfTopKIndexed("fann_del_truth_index",
+        centroids, probes, k = 3, nprobe = 2))
+
+      val served = Similarity.ivfTopKIndexed("fann_del_index", centroids,
+        probes, k = 3, nprobe = 2)
+      assert(keySet(served) == truth,
+        "tombstoned probe must equal the rebuild-without-deleted result")
+      // the bulk path reads through the same liveIndexRows
+      val bulkIds = Similarity.ivfTopKBulk("fann_del_index", centroids,
+        probes.limit(3), k = 3, nprobe = 2,
+        maxShareFactor = Double.PositiveInfinity)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(bulkIds.forall(_ % 7 != 3), "bulk path served a deleted id")
+
+      Similarity.compactIvfIndex(spark, "fann_del_index")
+      assert(!spark.catalog.tableExists("fann_del_index__tombstones"),
+        "compaction must drop the tombstone table")
+      val compacted = Similarity.ivfTopKIndexed("fann_del_index", centroids,
+        probes, k = 3, nprobe = 2)
+      assert(keySet(compacted) == truth,
+        "compaction changed the served result")
+      val plan = compacted.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"bucket pruning lost across the compaction rewrite:\n$plan")
+      // stats keep-alive: the ANALYZE'd index still serves the bulk-kNN
+      // guard through catalog statistics after the rewrite
+      val (_, fromStats) = Similarity.indexRowCount(spark, "fann_del_index")
+      assert(fromStats, "compaction dropped the analyzed index's stats path")
+
+      // REBUILD invalidates any stale tombstones of the old incarnation
+      Similarity.deleteFromIvfIndex(spark, "fann_del_index",
+        deleted.select("id"))
+      Similarity.writeIvfIndex(plain, centroids, "fann_del_index", numBuckets = 8)
+      val rebuilt = Similarity.ivfTopKIndexed("fann_del_index", centroids,
+        probes, k = 3, nprobe = 2)
+      val rebuiltIds = rebuilt.select("id").collect().map(_.getLong(0)).toSet
+      assert(rebuiltIds.exists(_ % 7 == 3),
+        "stale tombstones suppressed rows of the rebuilt index")
+    } finally {
+      prevCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS fann_del_index")
+      spark.sql("DROP TABLE IF EXISTS fann_del_index__tombstones")
+      spark.sql("DROP TABLE IF EXISTS fann_del_truth_index")
+    }
+  }
+}

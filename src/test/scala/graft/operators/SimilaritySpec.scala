@@ -296,4 +296,31 @@ class SimilaritySpec extends SparkSpec {
       assert(got == want, s"seed $seed: $got != $want")
     }
   }
+
+  test("property: rrfFuse == scan-the-definition reference on random ranked legs (3 seeds)") {
+    // the hybrid-retrieval combiner q135 gates, fuzzed against a plain
+    // restatement: score(id) = Σ_legs 1/(c + rank), top-k by (score
+    // desc, id asc) — the decimal-exact sum must make leg order and
+    // partitioning irrelevant
+    import spark.implicits._
+    val (k, c) = (5, 60)
+    for (seed <- Seq(11, 4242, 20260816)) {
+      val rnd = new scala.util.Random(seed)
+      def leg(): Seq[(Long, Int)] =
+        rnd.shuffle((1L to 25L).toList).take(3 + rnd.nextInt(10))
+          .zipWithIndex.map { case (id, i) => (id, i + 1) }
+      val legs = Seq.fill(2 + rnd.nextInt(2))(leg())
+      val got = Similarity.rrfFuse(legs.map(_.toDF("id", "rank")), k, c)
+        .as[(Int, Long, Double)].collect().toSeq
+      val scores = legs.flatten.groupBy(_._1).map { case (id, rows) =>
+        // same arithmetic class as the operator: double addends summed
+        // exactly (order-free), emitted as double
+        id -> rows.map(r => BigDecimal(1.0 / (c + r._2))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      }
+      val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s) }
+      assert(got == want, s"seed $seed: ${got.toList} != ${want.toList}")
+    }
+  }
 }
