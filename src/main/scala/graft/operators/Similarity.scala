@@ -170,14 +170,39 @@ object Similarity {
     * significant digits on a 1/(c+rank) addend — far below any rank
     * flip. Scale shape: legs are top-R frames (bounded by their own
     * retrieval), so the union/groupBy moves |legs|·R rows —
-    * metadata-cheap; ties break on ascending id. */
+    * metadata-cheap; ties break on ascending id.
+    *
+    * GUARD (execution-time, riding the fuse's own row scale): each leg
+    * must carry ONE row per id — a duplicated id would silently
+    * double-count its reciprocal, quietly re-weighting that leg. The
+    * worst per-(leg, id) multiplicity rides every output row as a
+    * 1-row broadcast (the [[recallAtK]] pattern) and raises when > 1.
+    * Residual edge, same as recallAtK's: a fuse with zero output rows
+    * evaluates no guard — nothing was mis-scored. */
   def rrfFuse(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: no ranked legs")
     require(k >= 1, "rrfFuse needs k >= 1")
-    val fused = legs.map(_.select(col("id"), col("rank"))).reduce(_ unionAll _)
+    val tagged = legs.zipWithIndex
+      .map { case (l, i) => l.select(lit(i).as("__leg"), col("id"), col("rank")) }
+      .reduce(_ union _)
+    // one struct max so the reported (count, leg, id) triple is the same
+    // winning row (the recallAtK convention)
+    val dupMax = tagged.groupBy("__leg", "id").agg(count(lit(1)).as("__n"))
+      .agg(max(struct(col("__n"), col("__leg"), col("id"))).as("__w"))
+      .select(col("__w.__n").as("__max_n"), col("__w.__leg").as("__max_leg"),
+        col("__w.id").as("__max_id"))
+    val fused = tagged
       .groupBy("id")
       .agg(sum((lit(1.0) / (lit(c) + col("rank"))).cast("decimal(28,12)"))
-        .cast("double").as("rrf"))
+        .cast("double").as("__rrf0"))
+      .crossJoin(broadcast(dupMax))
+      .withColumn("rrf",
+        when(col("__max_n") > 1, raise_error(format_string(
+          "rrfFuse: leg %s carries id %s %s times — each ranked leg must " +
+            "be one row per id (a top-R frame)",
+          col("__max_leg").cast("string"), col("__max_id").cast("string"),
+          col("__max_n").cast("string"))).cast("double"))
+        .otherwise(col("__rrf0")))
     // global top-k through the sanctioned bounded-window helper
     // (TakeOrderedAndProject selection; the rank window sees ≤ k rows)
     Windows.topKRank(fused, k, "rank", col("rrf").desc, col("id"))
@@ -352,7 +377,11 @@ object Similarity {
     * tombstoned rows (same bucket count/key, payload columns intact),
     * then drop the tombstone side table — the merge-on-read debt
     * payment, on the same maintenance cadence as [[Compaction]] of
-    * append-accumulated small files. The rewrite stages into
+    * append-accumulated small files. Index-kind agnostic: works on
+    * [[writeIvfIndex]] vector tables and [[writeIvfPqIndex]] code
+    * tables alike (both are c_id-bucketed with an id column; the
+    * `_books` side table is untouched — codebooks describe subspaces,
+    * not rows). The rewrite stages into
     * `<table>__compact` and swaps via catalog RENAME (managed-table
     * rename moves the directory), so a failure before the swap leaves
     * the live index untouched. Stats keep-alive mirrors
@@ -1227,7 +1256,15 @@ object Similarity {
     * `corpus` must be the same (id, e) frame the index was built from
     * (the index stores codes, not vectors — re-ranking is exactly the
     * operation that needs the originals back). Returns (probe_id, rank,
-    * id, cos) like the exact baseline. */
+    * id, cos) like the exact baseline — which also makes this the
+    * PQ-ladder composition point for filtered search: fetch at an
+    * over-sized k and hand the frame to [[postFilterTopK]] (the code
+    * table carries no payload columns, so the PQ path filters
+    * post-retrieval; a frequently-filtered corpus belongs in a payload
+    * IVF index, [[writeIvfIndex]]). Deleted ids
+    * ([[deleteFromIvfIndex]]) never reach the shortlist — the ADC scan
+    * reads through the same tombstone-aware path as every serve
+    * operator. */
   def ivfPqTopKRerankIndexed(table: String, coarse: DataFrame,
                              probes: DataFrame, corpus: DataFrame,
                              bk: PqBooks, k: Int, nprobe: Int,

@@ -185,6 +185,7 @@ class FilteredAnnSpec extends SparkSpec {
       }
       spark.sql("DROP TABLE IF EXISTS fann_del_index")
       spark.sql("DROP TABLE IF EXISTS fann_del_index__tombstones")
+      spark.sql("DROP TABLE IF EXISTS fann_del_index__compact")
       spark.sql("DROP TABLE IF EXISTS fann_del_truth_index")
     }
   }

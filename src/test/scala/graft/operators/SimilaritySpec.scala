@@ -323,4 +323,16 @@ class SimilaritySpec extends SparkSpec {
       assert(got == want, s"seed $seed: ${got.toList} != ${want.toList}")
     }
   }
+
+  test("rrfFuse raises on a leg with a duplicated id instead of double-counting") {
+    import spark.implicits._
+    val clean = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val dup = Seq((5L, 1), (5L, 2), (6L, 3)).toDF("id", "rank")
+    val e = intercept[Exception] {
+      Similarity.rrfFuse(Seq(clean, dup), k = 3).collect()
+    }
+    assert(e.getMessage.contains("rrfFuse"), s"wrong failure: ${e.getMessage}")
+    // and the clean pair still fuses
+    assert(Similarity.rrfFuse(Seq(clean, clean), k = 2).count() == 2)
+  }
 }
