@@ -123,8 +123,9 @@ object Similarity {
     * permissions table, a freshness snapshot, a per-request tenant set).
     * `shortlist` is an OVER-FETCHED retrieval frame (probe_id, rank, id,
     * cos) from any path in the family ([[ivfTopK]], [[ivfTopKIndexed]],
-    * [[ivfPqTopKRerankIndexed]]) fetched at `overfetch` ≥ k; survivors
-    * of the `allowed`-ids filter re-rank and the top-k emit.
+    * [[ivfPqTopKRerankIndexed]]) fetched at some R ≥ k (q133c uses
+    * R = 3k); survivors of the `allowed`-ids filter re-rank and the
+    * top-k emit.
     *
     * This is the standard recall trade the over-fetch dial prices: a
     * probe whose shortlist holds fewer than k allowed ids comes back

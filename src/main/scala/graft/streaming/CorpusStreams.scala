@@ -169,15 +169,19 @@ object CorpusStreams {
     * null, hamming = null) dead-letter rows — unambiguous (clean docs
     * emit nothing; genuine flags carry a non-null protected_id), so a
     * downstream router diverts them without losing guard coverage for
-    * everyone else. Dead-letter mode is SINGLE-PASS: one fingerprint
-    * evaluation per arrival (a null text short-circuits the kernel to
-    * null — nullSafeEval — so undecodable rows cost O(1)), one
-    * stream-static LEFT OUTER join; an invalid fingerprint nulls its
-    * band values, survives the join unmatched, and emits exactly one
-    * dead-letter row at band 0 — so BOTH invalid classes (null text
-    * and, defense-in-depth, a mis-width fp that SimhashBitsExpr's
-    * contract says cannot exist) take the same dead-letter path
-    * instead of one flagging and one silently vanishing.
+    * everyone else. BOTH modes run ONE single-pass kernel: one
+    * fingerprint evaluation per arrival (a null text short-circuits the
+    * kernel to null — nullSafeEval — so undecodable rows cost O(1)),
+    * one stream-static LEFT OUTER join; an invalid fingerprint nulls
+    * its band values, survives the join unmatched, and emits exactly
+    * one dead-letter row at band 0 — so BOTH invalid classes (null
+    * text and, defense-in-depth, a mis-width fp that SimhashBitsExpr's
+    * contract says cannot exist) take the same dead-letter path, which
+    * raise mode then converts to the per-row raise at emission. The
+    * left-outer shape is load-bearing for COST even in raise mode
+    * (2.6× measured — the inner-join form let Catalyst push inferred
+    * join-key null-checks below the banding, inlining the fingerprint
+    * expression ~8× per arrival; see the kernel comment).
     * NearDupGuardSpec pins stream ≡ the batch kernel's cross pairs,
     * the exactly-once emission on all-band collisions, and the
     * mis-width contract in both modes (raise vs in-band); q132 gates
@@ -243,10 +247,11 @@ object CorpusStreams {
     // the same silent mode is closed PER ROW: a null/undecodable text
     // fingerprints to null, its band chunks go null, and a plain
     // (band, bv) equi-join would wave it past the guard with no signal.
-    // Default: the fp column itself raises on the offending micro-batch
-    // row (null-safe <=>, same predicate as the protected-side require);
-    // streaming deployments pass raiseOnInvalidArrival = false and get
-    // the row back as an in-band dead-letter instead (scaladoc above).
+    // Default: the offending row's dead-letter converts to a raise at
+    // EMISSION (null-safe <=>, same predicate as the protected-side
+    // require — and the same single-pass plan as dead-letter mode, see
+    // the cost note below); streaming deployments pass
+    // raiseOnInvalidArrival = false and keep the row in-band instead.
     val fpValid = length(col("fp")) <=> lit(bits)
     val protect = Dedup.bandExplode(
       protectedFps.select(col("sid").as("protected_id"), col("fp")),
@@ -258,47 +263,50 @@ object CorpusStreams {
     val hamming = (0 until bands).map(i =>
       bit_count(col(s"__a$i").bitwiseXOR(col(s"__b$i"))).cast("long"))
       .reduce(_ + _)
-    if (raiseOnInvalidArrival) {
-      val checkedFp =
-        when(fpValid, col("fp")).otherwise(raise_error(format_string(
-          s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
-            s"other than bits=$bits (null/undecodable text?) — it would " +
-            "silently bypass the guard; scrub or route null-text arrivals " +
-            "before the guard, or pass raiseOnInvalidArrival = false to " +
-            "receive dead-letter rows", col("doc_id").cast("string"))))
-      val arrivals = Dedup.bandExplode(
-        fps.select(col("doc_id"), checkedFp.as("fp")),
-        Seq("doc_id"), "__a", bits, bands)
-      arrivals.join(protect, Seq("band", "bv"))
-        .filter(col("band") === firstMatch)
-        .withColumn("hamming", hamming)
-        .filter(col("hamming") <= maxHamming)
-        .select(col("doc_id"), col("protected_id"), col("hamming"))
-    } else {
-      // dead-letter mode, SINGLE-PASS: an invalid fp (null or — defense
-      // in depth — mis-width) is nulled BEFORE banding, so its band
-      // values are null and it can match nothing; the join goes LEFT
-      // OUTER (stream-static left outer is stateless like the inner
-      // form) and the emission filter keeps (a) matched rows at their
-      // canonical band within the hamming cut — genuine flags — and
-      // (b) the band-0 row of each invalid arrival — its exactly-once
-      // dead-letter, protected_id/hamming null naturally from the
-      // unmatched side. A VALID arrival's unmatched banded rows carry
-      // null hamming and firstMatch = `bands`, so both branches of the
-      // filter reject them: clean docs still emit nothing. One
-      // fingerprint evaluation per arrival, one join — no self-union
-      // re-scanning the stream (the earlier two-branch form scanned the
-      // source twice and silently DROPPED the mis-width case).
-      val arrivals = Dedup.bandExplode(
-        fps.select(col("doc_id"), when(fpValid, col("fp")).as("fp"),
-          (!fpValid).as("__dead")),
-        Seq("doc_id", "__dead"), "__a", bits, bands)
-      arrivals.join(protect, Seq("band", "bv"), "left_outer")
-        .withColumn("hamming", hamming)
-        .filter((col("band") === firstMatch && col("hamming") <= maxHamming)
-          || (col("__dead") && col("band") === 0))
-        .select(col("doc_id"), col("protected_id"), col("hamming"))
-    }
+    // ONE kernel for both modes, SINGLE-PASS: an invalid fp (null or —
+    // defense in depth — mis-width) is nulled BEFORE banding, so its
+    // band values are null and it can match nothing; the join goes LEFT
+    // OUTER (stream-static left outer is stateless like the inner form)
+    // and the emission filter keeps (a) matched rows at their canonical
+    // band within the hamming cut — genuine flags — and (b) the band-0
+    // row of each invalid arrival — its exactly-once dead-letter,
+    // protected_id/hamming null naturally from the unmatched side. A
+    // VALID arrival's unmatched banded rows carry null hamming and
+    // firstMatch = `bands`, so both branches of the filter reject them:
+    // clean docs still emit nothing.
+    //
+    // The LEFT OUTER is load-bearing for COST, not just the dead-letter
+    // rows — measured 2.6x on the raise mode (q132 3.15 s -> 1.2 s warm
+    // at sf0.1, ~22 s -> ~4 s at sf1): with an INNER join Catalyst
+    // infers `isnotnull` on the (band, bv) join keys and pushes them
+    // below the banding projection, where expression inlining duplicates
+    // the ENTIRE SimhashBitsExpr chain into every band's null-check —
+    // the fingerprint of each arrival was computed ~8x instead of once.
+    // An outer join must preserve null-keyed stream rows, so no such
+    // filter exists to push and the fingerprint is evaluated once.
+    // Raise mode therefore runs the SAME plan and converts the
+    // dead-letter row into the per-row raise AT EMISSION — identical
+    // detection coverage (every invalid arrival emits exactly one
+    // dead-letter row), one fingerprint evaluation either way.
+    val arrivals = Dedup.bandExplode(
+      fps.select(col("doc_id"), when(fpValid, col("fp")).as("fp"),
+        (!fpValid).as("__dead")),
+      Seq("doc_id", "__dead"), "__a", bits, bands)
+    val emitted = arrivals.join(protect, Seq("band", "bv"), "left_outer")
+      .withColumn("hamming", hamming)
+      .filter((col("band") === firstMatch && col("hamming") <= maxHamming)
+        || (col("__dead") && col("band") === 0))
+    val docId =
+      if (!raiseOnInvalidArrival) col("doc_id")
+      else when(col("__dead"), raise_error(format_string(
+        s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
+          s"other than bits=$bits (null/undecodable text?) — it would " +
+          "silently bypass the guard; scrub or route null-text arrivals " +
+          "before the guard, or pass raiseOnInvalidArrival = false to " +
+          "receive dead-letter rows", col("doc_id").cast("string")))
+        .cast("long"))
+        .otherwise(col("doc_id"))
+    emitted.select(docId.as("doc_id"), col("protected_id"), col("hamming"))
   }
 
   final case class QuotaDoc(doc_id: Long, source: String, ord: Long)
