@@ -1175,6 +1175,41 @@ object Similarity {
     bk
   }
 
+  /** APPEND new vectors into an existing [[writeIvfPqIndex]] index —
+    * the PQ twin of [[appendIvfIndex]], completing the lifecycle
+    * symmetry (a daily-ingest IVF-PQ deployment encodes new vectors
+    * against the index's FROZEN coarse centroids and FROZEN codebooks
+    * — retraining per batch would re-encode the whole index): the new
+    * batch coarse-assigns map-side (broadcast centroids), its residuals
+    * encode through the m codebook argmaxes (broadcast literal arrays),
+    * and the (id, codes, c_id) rows insertInto the bucketed table —
+    * positional, same construction order as the build, so bucket
+    * numbering and every probe-side guarantee hold over the union.
+    * `coarse` and `bk` must be the index's own ([[readPqBooks]] — a
+    * drifted coarse mis-buckets, foreign codebooks decode garbage ADC).
+    * Stats keep-alive mirrors [[appendIvfIndex]].
+    *
+    * The PQ-specific drift hazard is QUANTIZATION drift on top of
+    * occupancy drift: codebooks fit yesterday's residual distribution,
+    * so a shifted ingest encodes with rising quantization error even
+    * while bucket occupancy ([[occupancyPsi]]) still looks flat —
+    * watch the q130b-style recall gate on a probe sample across
+    * appends, and rebuild ([[writeIvfPqIndex]]) when it sags; q127e
+    * gates this append flow end-to-end cross-engine. */
+  def appendIvfPqIndex(newVectors: DataFrame, coarse: DataFrame,
+                       table: String, bk: PqBooks): Unit = {
+    val spark = newVectors.sparkSession
+    val hadStats =
+      spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
+    val assigned = coarseResiduals(newVectors, coarse)
+    pqEncode(assigned.select(col("id"), col("r").as("e")), bk)
+      .select(col("id"), col("codes"))
+      .join(assigned.select(col("id"), col("c_id")), "id")
+      .write.mode(SaveMode.Append).insertInto(table)
+    if (hadStats)
+      spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+  }
+
   /** Load the persisted codebooks of a [[writeIvfPqIndex]] index. This
     * is the "later session, self-contained index" entry point — exactly
     * the path that meets corrupt or partially-written on-disk state, so

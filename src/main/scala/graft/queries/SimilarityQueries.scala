@@ -771,13 +771,25 @@ object SimilarityQueries {
     * can pin different ADC arithmetic. `kSub` parameterizes the
     * per-subspace codebook size (seeds = vec_id < kSub, matching
     * pqTrain's `seedIds = 0L until kSub`): 16 is the gated
-    * quantization-bound anchor, 64 the capacity fix q130d gates. */
-  private def ivfPqCtesK(kSub: Int): String = {
+    * quantization-bound anchor, 64 the capacity fix q130d gates.
+    * `trainWhere` restricts the TRAINING population (coarse seeds,
+    * both coarse Lloyd rounds, both PQ Lloyd rounds) while assignment
+    * and encoding still cover every row — the q127e append shape,
+    * where the index was built (and trained) on the initial half and
+    * later rows encode against the frozen coarse/codebooks.
+    * `pqSeedWhere` picks the PQ seed subvectors; codebook ids densify
+    * by ascending vec_id (dense_rank−1), matching pqTrain's
+    * position-in-sorted-seed-list c_id — an order-preserving relabel,
+    * so Lloyd's ties-to-smaller-c_id breaks identically. */
+  private def ivfPqCtesK(kSub: Int, trainWhere: String = "TRUE",
+      pqSeedWhere: String = ""): String = {
+      val seedW = if (pqSeedWhere.nonEmpty) pqSeedWhere else s"vec_id < $kSub"
       val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
         .mkString(" + ")
       s"""
       WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-      seeds AS (SELECT label, min(vec_id) AS sid FROM emb GROUP BY label),
+      seeds AS (SELECT label, min(vec_id) AS sid FROM emb
+                WHERE $trainWhere GROUP BY label),
       cc0 AS (
         SELECT emb.label AS cc_id, emb.e AS c
         FROM emb JOIN seeds ON emb.vec_id = seeds.sid),
@@ -787,7 +799,7 @@ object SimilarityQueries {
                  row_number() OVER (PARTITION BY emb.vec_id
                    ORDER BY (list_dot_product(e, c) - 0.5 * list_dot_product(c, c)) DESC,
                             cc0.cc_id) AS rn
-          FROM emb CROSS JOIN cc0) WHERE rn = 1),
+          FROM emb CROSS JOIN cc0 WHERE $trainWhere) WHERE rn = 1),
       cm1 AS (
         SELECT cc_id, j, (sum((e[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
         FROM ca1, range(1, 65) t(j) GROUP BY cc_id, j),
@@ -818,14 +830,17 @@ object SimilarityQueries {
         SELECT vec_id, cc_id, s, r[(s*4+1):(s*4+4)] AS x
         FROM ca, range(0, 16) t(s)),
       c0 AS (
-        SELECT s, vec_id::INT AS c_id, x AS c FROM subv WHERE vec_id < $kSub),
+        SELECT s, (dense_rank() OVER (PARTITION BY s ORDER BY vec_id) - 1)::INT AS c_id,
+               x AS c
+        FROM subv WHERE $seedW),
       a1 AS (
         SELECT vec_id, s, x, c_id FROM (
           SELECT subv.vec_id, subv.s, subv.x, c0.c_id,
                  row_number() OVER (PARTITION BY subv.vec_id, subv.s
                    ORDER BY (list_dot_product(x, c) - 0.5 * list_dot_product(c, c)) DESC,
                             c0.c_id) AS rn
-          FROM subv JOIN c0 ON c0.s = subv.s) WHERE rn = 1),
+          FROM subv JOIN c0 ON c0.s = subv.s
+          WHERE $trainWhere) WHERE rn = 1),
       m1 AS (
         SELECT s, c_id, j, (sum((x[j])::DECIMAL(28,12)))::DOUBLE / count(*) AS mv
         FROM a1, range(1, 5) t(j) GROUP BY s, c_id, j),
@@ -1050,6 +1065,54 @@ object SimilarityQueries {
     Some(pqRerankCtes + """
       SELECT probe_id, rank, id, round(cos, 9) AS cos
       FROM rr WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
+  /** INCREMENTAL IVF-PQ maintenance ([[Similarity.appendIvfPqIndex]])
+    * — the growing-corpus shape for the QUANTIZED index, completing
+    * the lifecycle symmetry with q28d: the index is built (coarse
+    * trained, codebooks trained, evens encoded) from HALF the corpus,
+    * the odd half appends later — coarse-assigned and PQ-encoded
+    * against the FROZEN centroids and the PERSISTED codebooks
+    * ([[Similarity.readPqBooks]], the later-session path) — and the
+    * probe is byte-identical to q127c's. The oracle replays training
+    * restricted to the even half (the shared [[ivfPqCtesK]] chain with
+    * `trainWhere`) while assignment and encoding cover every row, so a
+    * flipped coarse pick, a mis-encoded appended code, or an ADC float
+    * anywhere breaks the hash. benchSkip: two index writes + training
+    * in the timed body (q28b convention). */
+  val q127eAnnIvfPqAppend = QueryDef(
+    "q127e_ann_ivfpq_append",
+    (s, d) => {
+      val e = emb(s, d)
+      val evens = e.filter(col("vec_id") % 2 === 0)
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy("vec_id")
+      val seedsE = evens
+        .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+        .select(col("label").as("c_id"), col("e").as("c"))
+      val corpusE = evens.select(col("vec_id").as("id"), col("e"))
+      val corpusO = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("e"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"))
+      val coarse = Similarity.kmeansTrainL2(corpusE, seedsE, iters = 2)
+      Similarity.writeIvfPqIndex(corpusE, coarse, "graft_ivfpq_app_index",
+        m = 16, dim = 64, seedIds = 0L until 32L by 2, iters = 2,
+        numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_app_index", dim = 64)
+      Similarity.appendIvfPqIndex(corpusO, coarse, "graft_ivfpq_app_index", bk)
+      Similarity.ivfPqTopKIndexed("graft_ivfpq_app_index", coarse, probes,
+          bk, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfPqCtesK(16, trainWhere = "vec_id % 2 = 0",
+      pqSeedWhere = "vec_id % 2 = 0 AND vec_id < 32") + """
+      SELECT probe_id, rank, id, round(adc, 9) AS adc
+      FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank
     """),
     benchSkip = true)
@@ -1428,7 +1491,8 @@ object SimilarityQueries {
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
-    q127cAnnIvfPqIndexed, q127dAnnIvfPqRerank, q130AnnRecall, q130bPqRecall,
+    q127cAnnIvfPqIndexed, q127dAnnIvfPqRerank, q127eAnnIvfPqAppend,
+    q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
     q134AnnDelete, q134bAnnDeleteCompact, q135HybridRrf)

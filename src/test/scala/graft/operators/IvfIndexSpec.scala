@@ -156,6 +156,42 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ append: frozen-codebook encode, both halves served, pruning survives") {
+    val (corpus, seeds, probes) = inputs()
+    val evens = corpus.filter(col("id") % 2 === 0)
+    val odds = corpus.filter(col("id") % 2 === 1)
+    val coarse = Similarity.kmeansTrainL2(evens, seeds, iters = 2)
+    try {
+      val built = Similarity.writeIvfPqIndex(evens, coarse, "ivfpq_app_spec_index",
+        m = 16, dim = 64, seedIds = 0L until 32L by 2, iters = 2, numBuckets = 8)
+      Similarity.appendIvfPqIndex(odds, coarse, "ivfpq_app_spec_index", built)
+      // every id exactly once — the append encoded and inserted all of
+      // the second half, duplicating nothing
+      val ids = spark.table("ivfpq_app_spec_index").select("id")
+        .collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length, "append duplicated index rows")
+      assert(ids.length == corpus.count(), "append missed rows")
+      // appended rows carry codes decodable by the PERSISTED books and
+      // land in buckets the probe path prunes to — and results draw
+      // from BOTH halves
+      val bk = Similarity.readPqBooks(spark, "ivfpq_app_spec_index", dim = 64)
+      val res = Similarity.ivfPqTopKIndexed("ivfpq_app_spec_index", coarse,
+        probes, bk, k = 3, nprobe = 2)
+      val gotIds = res.select("id").collect().map(_.getLong(0)).toSet
+      assert(gotIds.exists(_ % 2 == 0) && gotIds.exists(_ % 2 == 1),
+        s"results draw from one half only: $gotIds")
+      val plan = res.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"bucket pruning lost across the PQ append:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(c_id"),
+        s"index side re-shuffled on c_id after append:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_app_spec_index")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_app_spec_index_books")
+    }
+  }
+
   test("indexed range search: identical to in-plan range search, pruned buckets") {
     val (corpus, centroids, probes) = inputs()
     try {
