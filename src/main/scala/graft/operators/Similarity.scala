@@ -411,6 +411,45 @@ object Similarity {
       spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
   }
 
+  /** PER-BUCKET HEALTH REPORT of a materialized index — the diagnostic
+    * every production index ships an endpoint for, over either index
+    * kind ([[writeIvfIndex]] vectors or [[writeIvfPqIndex]] codes):
+    * one row per coarse bucket with its stored row count, tombstoned
+    * count, and live count. What each column answers:
+    *  - `n_rows` skew across buckets → probe-cost skew (a hot bucket
+    *    makes every probe touching it pay its share) and the
+    *    [[ivfTopKBulk]] cost model's per-bucket share; feed the counts
+    *    to [[occupancyPsi]] against a build-time reference to DETECT
+    *    drift, retrain/rebuild to fix it (the q28e cycle).
+    *  - `n_tombstoned` → merge-on-read debt: serve paths anti-join
+    *    this many ids on every probe; schedule [[compactIvfIndex]]
+    *    when it grows past the broadcast-comfort bound.
+    *  - `n_live` → what a probe actually ranks over; a bucket whose
+    *    live count collapsed serves thin answers even though stats
+    *    still count its rows.
+    * ONE pass over the index (map-side partial counts; the tombstone
+    * side is broadcast — the same size class the serve path already
+    * assumes), no vector/code bytes read beyond the id and bucket
+    * columns (columnar scan prunes the rest). Gated cross-engine as
+    * q136 with deletes in place. */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession,
+                  table: String): DataFrame = {
+    val ts = tombstoneTable(table)
+    val idx = spark.table(table)
+    val marked =
+      if (spark.catalog.tableExists(ts))
+        idx.join(
+          broadcast(spark.table(ts).select("id").distinct()
+            .withColumn("__t", lit(1L))),
+          Seq("id"), "left_outer")
+      else idx.withColumn("__t", lit(null).cast("long"))
+    marked.groupBy("c_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_tombstoned"))
+      .withColumn("n_live", col("n_rows") - col("n_tombstoned"))
+      .select(col("c_id"), col("n_rows"), col("n_tombstoned"), col("n_live"))
+  }
+
   /** Probe a materialized IVF index ([[writeIvfIndex]]) — result-identical
     * to [[ivfTopK]] on the same corpus/centroids/probes.
     *
@@ -1011,8 +1050,18 @@ object Similarity {
   /** Per-subspace code of each corpus vector: the argmax of [[l2Score]]
     * over that subspace's codebook (ties to the smaller code). Pure
     * column algebra over literal centroids — `array_max` of
-    * (score, −code) structs, fully codegen, map-only. Adds `codes`
-    * (array<int>, length m). */
+    * (score, −code) structs, map-only. Adds `codes` (array<int>,
+    * length m).
+    *
+    * Codegen ceiling, known and graceful: the m·kSub unrolled dot
+    * terms (256 at m=16/kSub=16, 1024 at kSub=64) overflow Janino's
+    * 64 KB method limit for the FUSED whole-stage method, so Spark
+    * disables stage fusion for this one map stage (a logged WARN) and
+    * compiles the projection per-operator instead — where
+    * projection-level expression splitting puts each subspace's argmax
+    * in its own method and succeeds. Cost: one virtual call per row
+    * between scan and project on the one-off encode job; the serve
+    * path (ADC, m table lookups) is unaffected and stays fused. */
   def pqEncode(corpus: DataFrame, bk: PqBooks): DataFrame = {
     val codeCols = (0 until bk.m).map { s =>
       val xs = slice(col("e"), s * bk.w + 1, bk.w)

@@ -1436,6 +1436,37 @@ object SimilarityQueries {
     Some(ivfOracle("u.vec_id < 20", candWhere = "a.id % 7 <> 3")),
     benchSkip = true)
 
+  /** Index HEALTH report ([[Similarity.indexHealth]]) with
+    * merge-on-read debt in place: build the IVF index, tombstone every
+    * 7th vector, and report per-bucket (n_rows, n_tombstoned, n_live)
+    * — the skew/debt/thin-bucket diagnostic a production index
+    * operator reads before deciding to retrain ([[occupancyPsi]] +
+    * q28e's cycle) or compact (q134b's). The oracle replays the
+    * assignment and counts per bucket, so a mis-bucketed row or a
+    * miscounted tombstone breaks the hash. One pass over the index;
+    * benchSkip: the timed body would be the index write (q28b
+    * convention). */
+  val q136IndexHealth = QueryDef(
+    "q136_index_health",
+    (s, d) => {
+      val (corpus, centroids, _) = ivfInputs(s, d)
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_health_index",
+        numBuckets = 8)
+      Similarity.deleteFromIvfIndex(s, "graft_ivf_health_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      Similarity.indexHealth(s, "graft_ivf_health_index")
+        .orderBy("c_id")
+    },
+    Some(ivfCtes("u.vec_id < 20") + """
+      SELECT c_id, count(*) AS n_rows,
+             (sum(CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END))::BIGINT AS n_tombstoned,
+             (count(*) - sum(CASE WHEN id % 7 = 3 THEN 1 ELSE 0 END))::BIGINT AS n_live
+      FROM assigned
+      GROUP BY c_id
+      ORDER BY c_id
+    """),
+    benchSkip = true)
+
   /** HYBRID retrieval ([[Similarity.rrfFuse]]): the BM25 lexical top-20
     * (q96's exact chain — shared via [[TextAnalytics.bm25Scored]] /
     * `bm25Ctes`, one definition) fused with the vector top-20 (IVF at
@@ -1495,5 +1526,5 @@ object SimilarityQueries {
     q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
-    q134AnnDelete, q134bAnnDeleteCompact, q135HybridRrf)
+    q134AnnDelete, q134bAnnDeleteCompact, q135HybridRrf, q136IndexHealth)
 }

@@ -117,6 +117,36 @@ class FilteredAnnSpec extends SparkSpec {
       "exhaustive over-fetch must converge to the inline-filtered result")
   }
 
+  test("indexHealth: zero debt without tombstones; per-bucket debt with; clean after compaction") {
+    val (corpus, centroids, _) = inputs()
+    val plain = corpus.select("id", "e")
+    try {
+      Similarity.writeIvfIndex(plain, centroids, "fann_health_index", numBuckets = 8)
+      val before = Similarity.indexHealth(spark, "fann_health_index")
+      assert(before.agg(sum("n_tombstoned")).head().getLong(0) == 0L,
+        "fresh index reports tombstone debt")
+      assert(before.agg(sum("n_rows")).head().getLong(0) == plain.count(),
+        "health row counts do not cover the index")
+      Similarity.deleteFromIvfIndex(spark, "fann_health_index",
+        plain.filter(col("id") % 5 === 0).select("id"))
+      val during = Similarity.indexHealth(spark, "fann_health_index")
+      val nDel = plain.filter(col("id") % 5 === 0).count()
+      assert(during.agg(sum("n_tombstoned")).head().getLong(0) == nDel,
+        "tombstone debt miscounted")
+      assert(during.agg(sum("n_live")).head().getLong(0) == plain.count() - nDel,
+        "live counts inconsistent with debt")
+      Similarity.compactIvfIndex(spark, "fann_health_index")
+      val after = Similarity.indexHealth(spark, "fann_health_index")
+      assert(after.agg(sum("n_tombstoned")).head().getLong(0) == 0L &&
+        after.agg(sum("n_rows")).head().getLong(0) == plain.count() - nDel,
+        "compaction did not clear the reported debt")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_health_index")
+      spark.sql("DROP TABLE IF EXISTS fann_health_index__tombstones")
+      spark.sql("DROP TABLE IF EXISTS fann_health_index__compact")
+    }
+  }
+
   test("deletes: serve-time exclusion == rebuild-without; compact preserves result, pruning, stats; rebuild clears tombstones") {
     val (corpus, centroids, probes) = inputs()
     val plain = corpus.select("id", "e")
