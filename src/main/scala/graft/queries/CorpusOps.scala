@@ -452,8 +452,18 @@ object CorpusOps {
           when(pmod(k, lit(3)) === 0,
             concat(lit(" contact user"), istr(k), lit("@host.org")))
             .otherwise(lit(""))).as("text"))
+      // materialize the scrub output ONCE: four downstream consumers
+      // (vocab, scores, the qual join, chunking) would each re-expand
+      // the URL-dedup + 4-rule regex cascade lineage otherwise — the
+      // plan audit counted SIX Projects each carrying the full 42-regex
+      // chain (≈6 corpus passes; matched warm A/B: 3.3 → 2.4 s at
+      // sf0.1, 6.1 → 2.6 s at sf1). At 100 TB the durable form is what a real ingest
+      // does anyway: persist the scrubbed corpus to a table between
+      // stages (localCheckpoint blocks die with executors under dynamic
+      // allocation — the q131b note applies here too).
       val scrubbed = graft.operators.PiiScrub.scrub(withPii, col("text"))
         .select(k, col("source"), col("n_email"), col("scrubbed"))
+        .localCheckpoint()
       val vocab = scrubbed
         .select(explode(tokens(col("scrubbed"))).as("term")).distinct()
         .withColumn("__h",

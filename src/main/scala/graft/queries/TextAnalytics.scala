@@ -200,8 +200,19 @@ object TextAnalytics {
       import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      // tf materializes ONCE and df derives FROM it (tf is one row per
+      // (doc_id, token), so its per-token row count IS the document
+      // frequency): without the barrier the tf⋈df self-referencing join
+      // re-expands the tokenize+explode+aggregate lineage into BOTH
+      // sides (exprId re-aliasing on the dedup'd side defeats
+      // ReuseExchange — verified in the plan), costing two full corpus
+      // tokenization passes (matched warm A/B 5.2 → 3.5 s at sf1). The
+      // materialized frame is the (doc, term) aggregate — far smaller
+      // than the exploded token stream; the cluster-durable form is a
+      // table (q131b's localCheckpoint note).
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("token"))
@@ -765,9 +776,18 @@ object TextAnalytics {
   private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "query", "window")
     val toks = tokens(col("text"))
+    // materialize the per-doc term stats ONCE: `base` is consumed by
+    // both the corpus-stats aggregate and the scoring join, and without
+    // a barrier each branch re-tokenizes the whole corpus (2× the
+    // dominant cost; matched warm A/B 4.0 → 1.7 s at sf1). The frame is
+    // NARROW — doc_id + 4 doubles, no text — so at 100 TB this is the
+    // classic two-pass-over-stats shape: persist the tiny stats frame,
+    // never re-read the text (cluster-durable form: a table, per the
+    // q131b localCheckpoint note).
     val base = Tables.documents(s, d).select(
       col("doc_id") +: size(toks).cast("double").as("dl") +:
         terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t")): _*)
+      .localCheckpoint()
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl") +:
