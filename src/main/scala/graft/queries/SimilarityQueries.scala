@@ -780,9 +780,11 @@ object SimilarityQueries {
     * `pqSeedWhere` picks the PQ seed subvectors; codebook ids densify
     * by ascending vec_id (dense_rank−1), matching pqTrain's
     * position-in-sorted-seed-list c_id — an order-preserving relabel,
-    * so Lloyd's ties-to-smaller-c_id breaks identically. */
+    * so Lloyd's ties-to-smaller-c_id breaks identically. `candWhere`
+    * (over `cand.*`) restricts the SCORED candidate set — q134c's
+    * tombstone exclusion; TRUE elsewhere. */
   private def ivfPqCtesK(kSub: Int, trainWhere: String = "TRUE",
-      pqSeedWhere: String = ""): String = {
+      pqSeedWhere: String = "", candWhere: String = "TRUE"): String = {
       val seedW = if (pqSeedWhere.nonEmpty) pqSeedWhere else s"vec_id < $kSub"
       val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
         .mkString(" + ")
@@ -880,6 +882,7 @@ object SimilarityQueries {
                list_dot_product(pb.pe[(codes.s*4+1):(codes.s*4+4)], c2.c) AS ds
         FROM pb
         JOIN cand ON cand.cc_id = pb.cc_id AND cand.vec_id <> pb.probe_id
+                 AND ($candWhere)
         JOIN codes ON codes.vec_id = cand.vec_id
         JOIN c2 ON c2.s = codes.s AND c2.c_id = codes.code),
       adc AS (
@@ -1436,6 +1439,40 @@ object SimilarityQueries {
     Some(ivfOracle("u.vec_id < 20", candWhere = "a.id % 7 <> 3")),
     benchSkip = true)
 
+  /** DELETE on the QUANTIZED index — q134's contract proven for the
+    * PQ serve path: the q127c flow (train, writeIvfPqIndex, persisted
+    * books) with every 7th vector tombstoned
+    * ([[Similarity.deleteFromIvfIndex]] — the same side table, the
+    * same liveIndexRows read), probed through plain
+    * [[Similarity.ivfPqTopKIndexed]]: deleted code rows are excluded
+    * BEFORE ADC ranking, so their top-k slots backfill with the
+    * next-best live candidates. The oracle is the full IVF-PQ replay
+    * with the candidate set restricted — a resurrected (or
+    * over-deleted) id anywhere breaks the hash. benchSkip: index
+    * write + training in the timed body (q127c convention). */
+  val q134cAnnPqDelete = QueryDef(
+    "q134c_ann_pq_delete",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_del_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_del_index", dim = 64)
+      Similarity.deleteFromIvfIndex(s, "graft_ivfpq_del_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      Similarity.ivfPqTopKIndexed("graft_ivfpq_del_index", coarse, probes,
+          bk, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfPqCtesK(16, candWhere = "cand.vec_id % 7 <> 3") + """
+      SELECT probe_id, rank, id, round(adc, 9) AS adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   /** Index HEALTH report ([[Similarity.indexHealth]]) with
     * merge-on-read debt in place: build the IVF index, tombstone every
     * 7th vector, and report per-bucket (n_rows, n_tombstoned, n_live)
@@ -1526,5 +1563,6 @@ object SimilarityQueries {
     q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
-    q134AnnDelete, q134bAnnDeleteCompact, q135HybridRrf, q136IndexHealth)
+    q134AnnDelete, q134bAnnDeleteCompact, q134cAnnPqDelete, q135HybridRrf,
+    q136IndexHealth)
 }
