@@ -210,6 +210,60 @@ object Similarity {
       .select(col("rank"), col("id"), col("rrf"))
   }
 
+  /** BATCH reciprocal-rank fusion — [[rrfFuse]] keyed per probe, the
+    * production serve shape (a batch of queries, each with its own
+    * ranked legs, fused in ONE job instead of a driver-side loop over
+    * single-query fuses). Each leg carries (probe_id, id, rank): a
+    * probe-dependent leg (per-probe ANN top-R) contributes its own
+    * ranking per probe; a probe-INDEPENDENT leg (a global popularity /
+    * recency / lexical prior) is replicated across the probe batch by
+    * the caller before fusing — q135b does exactly that with the BM25
+    * prior. Same arithmetic as [[rrfFuse]] row for row (decimal-exact
+    * sum, c = 60, ties on ascending id), so fusing a batch equals
+    * fusing each probe alone — RrfSpec pins the equivalence.
+    *
+    * The duplicate-id guard generalizes to (leg, probe_id, id): one
+    * row per id PER PROBE per leg — the same id ranked by the same leg
+    * for two different probes is the normal batch shape and must NOT
+    * raise. Scale shape: |probes|·|legs|·R input rows; the fuse groups
+    * on (probe_id, id) and the top-k window partitions on probe_id
+    * over ≤ |legs|·R rows per probe — metadata-cheap at any corpus
+    * size, no unpartitioned window anywhere. */
+  def rrfFuseByProbe(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuseByProbe: no ranked legs")
+    require(k >= 1, "rrfFuseByProbe needs k >= 1")
+    val tagged = legs.zipWithIndex
+      .map { case (l, i) =>
+        l.select(lit(i).as("__leg"), col("probe_id"), col("id"), col("rank"))
+      }
+      .reduce(_ union _)
+    // one struct max so the reported (count, leg, probe, id) quadruple
+    // is the same winning row (the rrfFuse/recallAtK convention)
+    val dupMax = tagged.groupBy("__leg", "probe_id", "id")
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(struct(col("__n"), col("__leg"), col("probe_id"), col("id")))
+        .as("__w"))
+      .select(col("__w.__n").as("__max_n"), col("__w.__leg").as("__max_leg"),
+        col("__w.probe_id").as("__max_probe"), col("__w.id").as("__max_id"))
+    val w = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("id"))
+    tagged
+      .groupBy("probe_id", "id")
+      .agg(sum((lit(1.0) / (lit(c) + col("rank"))).cast("decimal(28,12)"))
+        .cast("double").as("__rrf0"))
+      .crossJoin(broadcast(dupMax))
+      .withColumn("rrf",
+        when(col("__max_n") > 1, raise_error(format_string(
+          "rrfFuseByProbe: leg %s carries id %s %s times for probe %s — " +
+            "each ranked leg must be one row per (probe_id, id)",
+          col("__max_leg").cast("string"), col("__max_id").cast("string"),
+          col("__max_n").cast("string"), col("__max_probe").cast("string")))
+          .cast("double"))
+        .otherwise(col("__rrf0")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("rrf"))
+  }
+
   /** Assign each unit corpus vector to its nearest centroid (cosine; ties
     * broken by ascending centroid id). Inputs already unit-normalized.
     * `extra`: passthrough columns appended after c_id (payload carry). */
@@ -253,8 +307,12 @@ object Similarity {
                     payload: Seq[String] = Nil): Unit = {
     dropTableAndDir(corpus.sparkSession, table)
     // a REBUILD starts a fresh index: stale tombstones from the previous
-    // incarnation must not suppress rows the new corpus legitimately holds
+    // incarnation must not suppress rows the new corpus legitimately
+    // holds, and an interrupted compaction's staging/backup tables must
+    // not linger as orphans under the new incarnation's side names
     dropTableAndDir(corpus.sparkSession, tombstoneTable(table))
+    dropTableAndDir(corpus.sparkSession, s"${table}__compact")
+    dropTableAndDir(corpus.sparkSession, s"${table}__old")
     Bucketing.writeBucketed(ivfAssign(corpus, centroids, payload), table,
       "c_id", numBuckets, sort = false)
   }
@@ -262,18 +320,19 @@ object Similarity {
   /** DROP TABLE plus clearing the warehouse location: a previous JVM's
     * orphaned directory survives the (fresh, in-memory) catalog and
     * blocks CREATE TABLE — index rebuilds must be idempotent across
-    * sessions. */
+    * sessions. The cleanup goes through the Hadoop FileSystem API, so
+    * it is scheme-aware: on an object-store warehouse (the 100 TB
+    * deployment — s3a/abfs/gs) the same one recursive delete applies,
+    * instead of a java.nio walk that would silently no-op off the
+    * local filesystem and quietly degrade rebuild idempotency to plain
+    * DROP TABLE. */
   private def dropTableAndDir(spark: org.apache.spark.sql.SparkSession,
                               table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
-    val dir = java.nio.file.Paths.get(
-      if (wh.getScheme == null) wh.toString else wh.getPath).resolve(table)
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
   }
 
   /** APPEND new vectors into an existing [[writeIvfIndex]] index — the
@@ -317,11 +376,33 @@ object Similarity {
       spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
     // insertInto is POSITIONAL: `payload` must list the same columns in
     // the same order the index was written with, or values land in the
-    // wrong stored columns silently — FilteredAnnSpec pins the happy path
-    ivfAssign(newVectors, centroids, payload)
-      .write.mode(SaveMode.Append).insertInto(table)
+    // wrong stored columns silently — one driver-side name comparison
+    // before the write converts that silent corruption into an error
+    // (FilteredAnnSpec pins both the happy path and the reject)
+    val assigned = ivfAssign(newVectors, centroids, payload)
+    requireInsertColumns(spark, table, assigned, "appendIvfIndex")
+    assigned.write.mode(SaveMode.Append).insertInto(table)
     if (hadStats)
       spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
+  }
+
+  /** Pre-insert schema check for the positional `insertInto` appends:
+    * the batch frame's column NAMES must equal the stored table's, in
+    * order. Name-for-name equality is the cheapest faithful proxy for
+    * "same construction order as the build" — a payload list permuted
+    * against the build order produces a differently-ordered frame here
+    * and fails loudly instead of writing values into the wrong stored
+    * columns. Driver-side catalog read only; no job. */
+  private def requireInsertColumns(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, batch: DataFrame,
+                                   op: String): Unit = {
+    val expected = spark.table(table).columns.toSeq
+    val got = batch.columns.toSeq
+    require(got == expected,
+      s"$op: batch columns ${got.mkString("(", ", ", ")")} do not match " +
+        s"`$table`'s stored columns ${expected.mkString("(", ", ", ")")} — " +
+        "insertInto is positional; pass payload columns in the index's " +
+        "build order")
   }
 
   /** The tombstone side table of an index: `<table>__tombstones`. */
@@ -347,15 +428,27 @@ object Similarity {
     * old row from a new one). Re-ingesting a previously deleted id =
     * compact first, then append — the same discipline every
     * merge-on-read table format imposes. Deleting ids the index never
-    * held is a no-op. */
+    * held is a no-op.
+    *
+    * Every delete batch re-ANALYZEs the side table (one count-class job
+    * over a deletes-since-compaction-sized table — noise next to the
+    * write), so [[liveIndexRows]]' tombstone-debt guard reads the count
+    * job-free from catalog statistics (with CBO on) on every probe
+    * instead of paying a count() there. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, ids: DataFrame): Unit = {
     val ts = tombstoneTable(table)
     val frame = ids.select(col("id"))
     if (spark.catalog.tableExists(ts))
       frame.write.mode(SaveMode.Append).insertInto(ts)
-    else
+    else {
+      // a previous JVM's orphaned side-table directory (catalog entry
+      // gone, files left — the exact hazard dropTableAndDir documents)
+      // would fail this first saveAsTable with 'path already exists'
+      dropTableAndDir(spark, ts)
       frame.write.format("parquet").saveAsTable(ts)
+    }
+    spark.sql(s"ANALYZE TABLE `$ts` COMPUTE STATISTICS")
   }
 
   /** Index rows minus tombstones — what every indexed serve path reads.
@@ -364,14 +457,42 @@ object Similarity {
     * byte-identical to the pre-delete one. With tombstones, the
     * anti-join is BROADCAST on the small side and Catalyst pushes the
     * callers' bucket/payload filters below it onto the scan, so bucket
-    * pruning and `PushedFilters` survive deletes (FilteredAnnSpec). */
+    * pruning and `PushedFilters` survive deletes (FilteredAnnSpec).
+    *
+    * TOMBSTONE-DEBT GUARD: the broadcast is safe only while the side
+    * table stays "deletes since the last compaction, bounded small by
+    * the maintenance cadence" — nothing else enforces that contract, so
+    * a deployment that deletes continuously and never compacts would
+    * grow the side table until the broadcast OOMs or stalls, SILENTLY
+    * (the ivfTopKBulk mis-sizing guard's failure class). Every serve
+    * read therefore checks the tombstone row count against
+    * `graft.ann.maxTombstoneRows` (default 10M rows — ~1 GB hashed,
+    * comfortably inside executor broadcast budgets) and raises past it,
+    * naming [[compactIvfIndex]] as the debt payment. The count is
+    * stats-first via [[indexRowCount]] — [[deleteFromIvfIndex]]
+    * re-ANALYZEs the side table on every batch, so with CBO on the
+    * check is job-free; un-analyzed side tables (out-of-band writers)
+    * pay one footer-metadata count(). [[compactIvfIndex]] itself reads
+    * with `guardDebt = false`: the compaction job is the cure and must
+    * stay runnable at any debt size. */
   private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
-                            table: String): DataFrame = {
+                            table: String,
+                            guardDebt: Boolean = true): DataFrame = {
     val base = spark.table(table)
     val ts = tombstoneTable(table)
-    if (spark.catalog.tableExists(ts))
+    if (spark.catalog.tableExists(ts)) {
+      if (guardDebt) {
+        val bound = spark.conf.get("graft.ann.maxTombstoneRows", "10000000").toLong
+        val (nTs, _) = indexRowCount(spark, ts)
+        require(nTs <= bound,
+          s"liveIndexRows: `$ts` carries $nTs tombstones, past the " +
+            s"broadcast-comfort bound of $bound — merge-on-read debt has " +
+            s"outgrown the serve path's anti-join; run compactIvfIndex " +
+            s"(the maintenance cadence bounds this table) or raise " +
+            "graft.ann.maxTombstoneRows knowingly")
+      }
       base.join(broadcast(spark.table(ts)), Seq("id"), "left_anti")
-    else base
+    } else base
   }
 
   /** COMPACT a deleted index: rewrite the bucketed table without its
@@ -382,15 +503,24 @@ object Similarity {
     * [[writeIvfIndex]] vector tables and [[writeIvfPqIndex]] code
     * tables alike (both are c_id-bucketed with an id column; the
     * `_books` side table is untouched — codebooks describe subspaces,
-    * not rows). The rewrite stages into
-    * `<table>__compact` and swaps via catalog RENAME (managed-table
-    * rename moves the directory), so a failure before the swap leaves
-    * the live index untouched. Stats keep-alive mirrors
-    * [[appendIvfIndex]]: an ANALYZE'd index is re-ANALYZE'd after the
-    * swap so the [[ivfTopKBulk]] guard stays job-free. No-op without a
-    * tombstone table. */
+    * not rows). The rewrite stages into `<table>__compact`, then swaps
+    * via two catalog RENAMEs (managed-table rename moves the
+    * directory): live → `<table>__old`, staging → live, drop `__old`.
+    * A failure before the first rename leaves the live index untouched;
+    * a crash anywhere INSIDE the swap leaves full data under `__old`
+    * and/or `__compact`, and the next [[compactIvfIndex]] call
+    * self-heals (restores a live table from the staged copy, then
+    * finishes the compaction) — no serve window depends on manual
+    * recovery, and the only instant with no table under the live name
+    * is the metadata-only gap between the two renames (manual recovery,
+    * if ever needed mid-gap: `ALTER TABLE <table>__compact RENAME TO
+    * <table>`). Stats keep-alive mirrors [[appendIvfIndex]]: an
+    * ANALYZE'd index is re-ANALYZE'd after the swap so the
+    * [[ivfTopKBulk]] guard stays job-free. No-op without a tombstone
+    * table (after any pending swap recovery). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       table: String): Unit = {
+    recoverCompactionSwap(spark, table)
     val ts = tombstoneTable(table)
     if (!spark.catalog.tableExists(ts)) return
     val hadStats =
@@ -401,15 +531,39 @@ object Similarity {
       throw new IllegalArgumentException(
         s"compactIvfIndex: `$table` is not bucketed — not an IVF index"))
     val staging = s"${table}__compact"
+    val backup = s"${table}__old"
     dropTableAndDir(spark, staging)
-    Bucketing.writeBucketed(liveIndexRows(spark, table), staging, "c_id",
-      numBuckets, sort = false)
-    dropTableAndDir(spark, table)
+    dropTableAndDir(spark, backup)
+    // the compaction is the debt payment: read tombstones unguarded so
+    // an over-bound side table can still be folded away
+    Bucketing.writeBucketed(liveIndexRows(spark, table, guardDebt = false),
+      staging, "c_id", numBuckets, sort = false)
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$backup`")
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    dropTableAndDir(spark, backup)
     dropTableAndDir(spark, ts)
     if (hadStats)
       spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
   }
+
+  /** Complete a compaction swap a previous run crashed inside: if
+    * nothing answers under the live name, restore it from the staged
+    * copy (`__compact` — complete by construction: the swap's renames
+    * only start after the staged write commits, and it already folds
+    * the tombstones in) or, failing that, the pre-swap backup
+    * (`__old`). Leftover side tables and a still-present tombstone
+    * table are then cleaned by the normal compaction path that follows
+    * — re-running [[compactIvfIndex]] after a crash fully heals. */
+  private def recoverCompactionSwap(spark: org.apache.spark.sql.SparkSession,
+                                    table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val staging = s"${table}__compact"
+      val backup = s"${table}__old"
+      if (spark.catalog.tableExists(staging))
+        spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      else if (spark.catalog.tableExists(backup))
+        spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")
+    }
 
   /** PER-BUCKET HEALTH REPORT of a materialized index — the diagnostic
     * every production index ships an endpoint for, over either index
@@ -1213,8 +1367,11 @@ object Similarity {
     dropTableAndDir(spark, table)
     dropTableAndDir(spark, s"${table}_books")
     // rebuild invalidates the previous incarnation's deletes (writeIvfIndex
-    // convention — stale tombstones must not suppress fresh rows)
+    // convention — stale tombstones must not suppress fresh rows) and
+    // clears any interrupted compaction's staging/backup side tables
     dropTableAndDir(spark, tombstoneTable(table))
+    dropTableAndDir(spark, s"${table}__compact")
+    dropTableAndDir(spark, s"${table}__old")
     Bucketing.writeBucketed(enc, table, "c_id", numBuckets, sort = false)
     import spark.implicits._
     bk.books.zipWithIndex
@@ -1251,10 +1408,11 @@ object Similarity {
     val hadStats =
       spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
     val assigned = coarseResiduals(newVectors, coarse)
-    pqEncode(assigned.select(col("id"), col("r").as("e")), bk)
+    val batch = pqEncode(assigned.select(col("id"), col("r").as("e")), bk)
       .select(col("id"), col("codes"))
       .join(assigned.select(col("id"), col("c_id")), "id")
-      .write.mode(SaveMode.Append).insertInto(table)
+    requireInsertColumns(spark, table, batch, "appendIvfPqIndex")
+    batch.write.mode(SaveMode.Append).insertInto(table)
     if (hadStats)
       spark.sql(s"ANALYZE TABLE `$table` COMPUTE STATISTICS")
   }

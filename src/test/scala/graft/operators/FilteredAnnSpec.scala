@@ -219,4 +219,140 @@ class FilteredAnnSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS fann_del_truth_index")
     }
   }
+
+  test("tombstone-debt guard: serve raises past the bound; compaction still pays the debt") {
+    val (corpus, centroids, probes) = inputs()
+    val plain = corpus.select("id", "e")
+    try {
+      Similarity.writeIvfIndex(plain, centroids, "fann_debt_index", numBuckets = 8)
+      Similarity.deleteFromIvfIndex(spark, "fann_debt_index",
+        plain.filter(col("id") % 5 === 0).select("id"))
+      val nDel = plain.filter(col("id") % 5 === 0).count()
+      assert(nDel > 4, s"fixture too small to exceed the injected bound: $nDel")
+      // under the (generous) default bound the serve path is untouched
+      assert(Similarity.ivfTopKIndexed("fann_debt_index", centroids, probes,
+        k = 3, nprobe = 2).collect().nonEmpty)
+      // shrink the bound below the injected debt: every serve path must
+      // raise and name the debt payment instead of broadcasting onward
+      spark.conf.set("graft.ann.maxTombstoneRows", "4")
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          Similarity.ivfTopKIndexed("fann_debt_index", centroids, probes,
+            k = 3, nprobe = 2).collect()
+        }
+        assert(ex.getMessage.contains("compactIvfIndex"),
+          s"guard must name the cure: ${ex.getMessage}")
+        val exBulk = intercept[IllegalArgumentException] {
+          Similarity.ivfTopKBulk("fann_debt_index", centroids, probes.limit(3),
+            k = 3, nprobe = 2, maxShareFactor = Double.PositiveInfinity)
+            .collect()
+        }
+        assert(exBulk.getMessage.contains("maxTombstoneRows"), exBulk.getMessage)
+        // the cure stays runnable at any debt size (guardDebt = false on
+        // the compaction read), and pays the debt down to zero
+        Similarity.compactIvfIndex(spark, "fann_debt_index")
+        val served = Similarity.ivfTopKIndexed("fann_debt_index", centroids,
+          probes, k = 3, nprobe = 2)
+        assert(served.select("id").collect().map(_.getLong(0)).forall(_ % 5 != 0),
+          "compaction under an exceeded bound served a deleted id")
+      } finally spark.conf.unset("graft.ann.maxTombstoneRows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_debt_index")
+      spark.sql("DROP TABLE IF EXISTS fann_debt_index__tombstones")
+      spark.sql("DROP TABLE IF EXISTS fann_debt_index__compact")
+      spark.sql("DROP TABLE IF EXISTS fann_debt_index__old")
+    }
+  }
+
+  test("append column check: permuted payload rejected before the write") {
+    val (corpus, centroids, _) = inputs()
+    val wide = corpus.withColumn("grp", (col("id") % 4).cast("int"))
+    try {
+      Similarity.writeIvfIndex(wide.filter(col("id") % 2 === 0), centroids,
+        "fann_colchk_index", numBuckets = 8, payload = Seq("label", "grp"))
+      val before = spark.table("fann_colchk_index").count()
+      // permuted payload order: insertInto would silently write grp
+      // values into the stored label column — the check must refuse
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.appendIvfIndex(wide.filter(col("id") % 2 === 1), centroids,
+          "fann_colchk_index", payload = Seq("grp", "label"))
+      }
+      assert(ex.getMessage.contains("positional"), ex.getMessage)
+      assert(spark.table("fann_colchk_index").count() == before,
+        "rejected append must write nothing")
+      // the build-order payload still appends cleanly
+      Similarity.appendIvfIndex(wide.filter(col("id") % 2 === 1), centroids,
+        "fann_colchk_index", payload = Seq("label", "grp"))
+      assert(spark.table("fann_colchk_index").count() == wide.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_colchk_index")
+    }
+  }
+
+  test("compaction swap: a crash after any step leaves a servable or self-healing index") {
+    val (corpus, centroids, probes) = inputs()
+    val plain = corpus.select("id", "e")
+    val idx = "fann_swap_index"
+    // truth: the index rebuilt without the deleted rows
+    def truthSet() = {
+      Similarity.writeIvfIndex(plain.filter(col("id") % 7 =!= 3), centroids,
+        "fann_swap_truth", numBuckets = 8)
+      keySet(Similarity.ivfTopKIndexed("fann_swap_truth", centroids, probes,
+        k = 3, nprobe = 2))
+    }
+    // rebuild the deleted index and manually stage the compacted copy —
+    // the state right before the swap's renames (the staged write is
+    // complete by construction before any rename runs)
+    def stageUpToSwap(): Unit = {
+      Similarity.writeIvfIndex(plain, centroids, idx, numBuckets = 8)
+      Similarity.deleteFromIvfIndex(spark, idx,
+        plain.filter(col("id") % 7 === 3).select("id"))
+      spark.sql(s"DROP TABLE IF EXISTS ${idx}__compact")
+      Similarity.writeIvfIndex(plain.filter(col("id") % 7 =!= 3), centroids,
+        s"${idx}__compact", numBuckets = 8)
+    }
+    try {
+      val truth = truthSet()
+      // CRASH POINT 1 — staging written, no rename yet: the live name
+      // answers (tombstone-aware serve), and a re-run heals completely
+      stageUpToSwap()
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == truth, "pre-swap crash broke the live index")
+      Similarity.compactIvfIndex(spark, idx)
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == truth)
+      assert(!spark.catalog.tableExists(s"${idx}__tombstones"))
+      // CRASH POINT 2 — between the two renames (live gone, staged copy
+      // and backup both present): re-running compactIvfIndex restores a
+      // live table from the staged copy and finishes the job
+      stageUpToSwap()
+      spark.sql(s"ALTER TABLE `$idx` RENAME TO `${idx}__old`")
+      assert(!spark.catalog.tableExists(idx))
+      Similarity.compactIvfIndex(spark, idx)
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == truth, "mid-swap crash not healed")
+      assert(!spark.catalog.tableExists(s"${idx}__old") &&
+        !spark.catalog.tableExists(s"${idx}__compact") &&
+        !spark.catalog.tableExists(s"${idx}__tombstones"),
+        "recovery left swap side tables behind")
+      // CRASH POINT 3 — after the second rename, before the cleanup
+      // (live = compacted content, backup + tombstones still present):
+      // the live name answers immediately; a re-run clears the leftovers
+      stageUpToSwap()
+      spark.sql(s"ALTER TABLE `$idx` RENAME TO `${idx}__old`")
+      spark.sql(s"ALTER TABLE `${idx}__compact` RENAME TO `$idx`")
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == truth, "post-swap crash broke the live index")
+      Similarity.compactIvfIndex(spark, idx)
+      assert(!spark.catalog.tableExists(s"${idx}__old") &&
+        !spark.catalog.tableExists(s"${idx}__tombstones"),
+        "re-run after a post-swap crash left side tables behind")
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == truth)
+    } finally {
+      Seq(idx, s"${idx}__tombstones", s"${idx}__compact", s"${idx}__old",
+        "fann_swap_truth")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
 }
