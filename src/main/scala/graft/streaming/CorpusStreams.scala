@@ -292,21 +292,31 @@ object CorpusStreams {
       fps.select(col("doc_id"), when(fpValid, col("fp")).as("fp"),
         (!fpValid).as("__dead")),
       Seq("doc_id", "__dead"), "__a", bits, bands)
+    // The raise is ANCHORED IN THE EMISSION FILTER, not a projected
+    // column: a filter predicate must be evaluated to decide which rows
+    // exist, so no downstream projection can optimize it away — a
+    // consumer that selects only protected_id (or runs a bare count)
+    // still fails on an invalid arrival. (A raise riding the doc_id
+    // output column — the previous form — died to column pruning under
+    // exactly those consumers, silently emitting the null-keyed row
+    // raise mode exists to forbid.) And.eval short-circuits left to
+    // right, so the raise only evaluates on a row that already passed
+    // `__dead && band = 0` — valid arrivals never touch it; isnull()
+    // over the never-returning raise keeps the predicate boolean-typed.
+    val deadEmit =
+      if (!raiseOnInvalidArrival) col("__dead") && col("band") === 0
+      else col("__dead") && col("band") === 0 &&
+        isnull(raise_error(format_string(
+          s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
+            s"other than bits=$bits (null/undecodable text?) — it would " +
+            "silently bypass the guard; scrub or route null-text arrivals " +
+            "before the guard, or pass raiseOnInvalidArrival = false to " +
+            "receive dead-letter rows", col("doc_id").cast("string"))))
     val emitted = arrivals.join(protect, Seq("band", "bv"), "left_outer")
       .withColumn("hamming", hamming)
       .filter((col("band") === firstMatch && col("hamming") <= maxHamming)
-        || (col("__dead") && col("band") === 0))
-    val docId =
-      if (!raiseOnInvalidArrival) col("doc_id")
-      else when(col("__dead"), raise_error(format_string(
-        s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
-          s"other than bits=$bits (null/undecodable text?) — it would " +
-          "silently bypass the guard; scrub or route null-text arrivals " +
-          "before the guard, or pass raiseOnInvalidArrival = false to " +
-          "receive dead-letter rows", col("doc_id").cast("string")))
-        .cast("long"))
-        .otherwise(col("doc_id"))
-    emitted.select(docId.as("doc_id"), col("protected_id"), col("hamming"))
+        || deadEmit)
+    emitted.select(col("doc_id"), col("protected_id"), col("hamming"))
   }
 
   final case class QuotaDoc(doc_id: Long, source: String, ord: Long)

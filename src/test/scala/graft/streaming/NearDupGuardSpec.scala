@@ -102,6 +102,33 @@ class NearDupGuardSpec extends SparkSpec {
       m.contains("999")), chain(e).mkString("; "))
   }
 
+  test("raise mode survives column pruning: consumers that never read doc_id still fail") {
+    // the regression shape this pins: a raise riding the projected
+    // doc_id column dies to Catalyst column pruning when the consumer
+    // drops that column (a protected_id-only projection, a bare count),
+    // silently emitting the null-keyed row raise mode exists to forbid.
+    // Anchored in the emission filter, the raise must fire under BOTH
+    // consumers.
+    val withNull = arrivals.toDF("doc_id", "text")
+      .unionByName(Seq((999L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val guard = CorpusStreams.nearDupGuard(withNull, col("text"), protectedFps)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e1 = intercept[Exception] { guard.select("protected_id").collect() }
+    assert(chain(e1).exists(m => m.contains("nearDupGuard") && m.contains("999")),
+      s"protected_id-only projection let the invalid arrival through: " +
+        chain(e1).mkString("; "))
+    val e2 = intercept[Exception] { guard.count() }
+    assert(chain(e2).exists(m => m.contains("nearDupGuard") && m.contains("999")),
+      s"count() let the invalid arrival through: " + chain(e2).mkString("; "))
+    // and clean inputs stay clean under the same pruned consumers
+    val cleanGuard = CorpusStreams.nearDupGuard(
+      arrivals.toDF("doc_id", "text"), col("text"), protectedFps)
+    assert(cleanGuard.count() == batchExpected.size.toLong,
+      "pruned-consumer plan changed the flag set on valid arrivals")
+  }
+
   test("dead-letter mode: invalid arrivals emit in-band null rows instead of failing") {
     // raiseOnInvalidArrival = false is the streaming deployment shape:
     // a poisoned document must not fail the micro-batch (checkpoint
