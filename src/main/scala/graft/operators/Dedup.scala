@@ -140,13 +140,14 @@ object Dedup {
     * pathological chains. Returns (id, component) where component is the
     * smallest id in the cluster. Lineage is cut every round
     * (iterative-plan blowup is the classic failure mode at scale):
-    * by default with `localCheckpoint` (executor-local blocks — fast, but
-    * an executor loss mid-iteration loses blocks and kills the job), or
-    * reliably when `checkpointDir` is set — blocks go to that
-    * fault-tolerant path (HDFS/S3) via `checkpoint()`, which is what a
-    * multi-hour 100 TB run on a real cluster should use. Setting
-    * `checkpointDir` updates the SparkContext's checkpoint dir (a
-    * context-global setting). Storage note for the reliable path: each
+    * through the shared [[Barrier]] by default (`localCheckpoint` —
+    * executor-local blocks, fast, but an executor loss mid-iteration
+    * loses blocks and kills the job; set `graft.barrier.checkpointDir`
+    * to upgrade every barrier in the session), or reliably when
+    * `checkpointDir` is set — blocks go to that fault-tolerant path
+    * (HDFS/S3) via `checkpoint()`, which is what a multi-hour 100 TB
+    * run on a real cluster should use. Setting `checkpointDir` updates
+    * the SparkContext's checkpoint dir (a context-global setting). Storage note for the reliable path: each
     * round snapshots the LABELS frame — skinny (id, comp) pairs, one per
     * node, so ≤ maxIter small snapshots plus one edge snapshot, bounded
     * and tiny next to the corpus — but Spark does not delete them
@@ -156,8 +157,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // the explicit parameter wins; otherwise the shared barrier applies
+    // (and with it the session-wide graft.barrier.checkpointDir opt-in)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else Barrier.cut(df)
     val edges = cut(pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct())
@@ -736,10 +739,10 @@ object Dedup {
     // executor loss the operator recomputes from the caller's plan.
     val memberCol = column(graft.expressions.BoundedCollectList(
       expression(col("sid")), memberCap).toAggregateExpression())
-    val reps0 = in.groupBy((ik :+ "fp").map(col): _*)
-      .agg(min("sid").as("sid"), count(lit(1)).as("__n"),
-        memberCol.as("__sids"))
-      .localCheckpoint()
+    val reps0 = Barrier.cut(
+      in.groupBy((ik :+ "fp").map(col): _*)
+        .agg(min("sid").as("sid"), count(lit(1)).as("__n"),
+          memberCol.as("__sids")))
     val reps = reps0.drop("__n", "__sids")
     val outKeys = keys.zip(ik).map { case (k, a) => col(a).as(k) }
     // groups the bounded collect kept whole (≤ cap members, i.e. every
@@ -768,9 +771,8 @@ object Dedup {
         // legitimate extra upstream pass must stay exactly one.
         val cond = (ik.map(k => col(k) <=> col(s"__o$k")) :+
           (col("fp") <=> col("__ofp"))).reduce(_ && _)
-        in.join(broadcast(overflow), cond)
-          .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*)
-          .localCheckpoint()
+        Barrier.cut(in.join(broadcast(overflow), cond)
+          .select(ik.map(col) ++ Seq(col("rep"), col("sid")): _*))
       }
     val membership = inCap.unionByName(fromOverflow)
       .select(outKeys ++ Seq(col("sid"), col("rep")): _*)

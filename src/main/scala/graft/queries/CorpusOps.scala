@@ -459,11 +459,13 @@ object CorpusOps {
       // chain (≈6 corpus passes; matched warm A/B: 3.3 → 2.4 s at
       // sf0.1, 6.1 → 2.6 s at sf1). At 100 TB the durable form is what a real ingest
       // does anyway: persist the scrubbed corpus to a table between
-      // stages (localCheckpoint blocks die with executors under dynamic
+      // stages — or set graft.barrier.checkpointDir and this same cut
+      // becomes a reliable checkpoint (Barrier's scaladoc; plain
+      // localCheckpoint blocks die with executors under dynamic
       // allocation — the q131b note applies here too).
-      val scrubbed = graft.operators.PiiScrub.scrub(withPii, col("text"))
-        .select(k, col("source"), col("n_email"), col("scrubbed"))
-        .localCheckpoint()
+      val scrubbed = graft.operators.Barrier.cut(
+        graft.operators.PiiScrub.scrub(withPii, col("text"))
+          .select(k, col("source"), col("n_email"), col("scrubbed")))
       val vocab = scrubbed
         .select(explode(tokens(col("scrubbed"))).as("term")).distinct()
         .withColumn("__h",

@@ -513,9 +513,8 @@ object DedupQueries {
   val q131bLeakageRemediation = QueryDef(
     "q131b_leakage_remediation",
     (s, d) => {
-      val leaked = leakedPairs(s, d)
-        .select(col("eval_id").as("doc_id"))
-        .localCheckpoint()
+      val leaked = graft.operators.Barrier.cut(
+        leakedPairs(s, d).select(col("eval_id").as("doc_id")))
       corpusNear(s, d)
         .filter(graft.operators.Sampling.splitLabel(col("doc_id"), "sp2", sp2Fracs) === "eval")
         .join(broadcast(leaked), Seq("doc_id"), "left_anti")

@@ -208,10 +208,11 @@ object TextAnalytics {
       // ReuseExchange — verified in the plan), costing two full corpus
       // tokenization passes (matched warm A/B 5.2 → 3.5 s at sf1). The
       // materialized frame is the (doc, term) aggregate — far smaller
-      // than the exploded token stream; the cluster-durable form is a
-      // table (q131b's localCheckpoint note).
-      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      // than the exploded token stream; cluster deployments set
+      // graft.barrier.checkpointDir for the durable form of this cut
+      // (or persist a table — q131b's localCheckpoint note).
+      val tf = graft.operators.Barrier.cut(
+        toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
@@ -782,12 +783,12 @@ object TextAnalytics {
     // dominant cost; matched warm A/B 4.0 → 1.7 s at sf1). The frame is
     // NARROW — doc_id + 4 doubles, no text — so at 100 TB this is the
     // classic two-pass-over-stats shape: persist the tiny stats frame,
-    // never re-read the text (cluster-durable form: a table, per the
-    // q131b localCheckpoint note).
-    val base = Tables.documents(s, d).select(
-      col("doc_id") +: size(toks).cast("double").as("dl") +:
-        terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t")): _*)
-      .localCheckpoint()
+    // never re-read the text (cluster-durable form: a table, or
+    // graft.barrier.checkpointDir per the q131b localCheckpoint note).
+    val base = graft.operators.Barrier.cut(
+      Tables.documents(s, d).select(
+        col("doc_id") +: size(toks).cast("double").as("dl") +:
+          terms.map(t => size(filter(toks, x => x === t)).cast("double").as(s"tf_$t")): _*))
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl") +:
