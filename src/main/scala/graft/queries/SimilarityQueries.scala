@@ -1384,6 +1384,54 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** The PQ-LADDER FILTERED-SERVE COMPOSITION the re-rank operator's
+    * scaladoc prescribes, now gated instead of documented: the code
+    * table carries no payload columns, so a quantized index filters
+    * POST-retrieval — [[Similarity.ivfPqTopKRerankIndexed]] fetches an
+    * over-sized exact-cosine shortlist (k = 9 from the rerank = 32 ADC
+    * candidates), and [[Similarity.postFilterTopK]] applies the
+    * external allow-list (label % 3 = 0) and re-ranks the survivors to
+    * the final top-3. This pins the rank-column HANDOFF between the
+    * two operators cross-engine: the re-rank emits (probe_id, rank,
+    * id, cos) with exact cosines, exactly the shortlist contract
+    * postFilterTopK consumes — a drift in either frame's ordering or
+    * score breaks the hash. Short probes stay honest (the q133c
+    * contract); a frequently-filtered corpus belongs in a payload IVF
+    * index instead (q133b — the selectivity-independent path). Oracle:
+    * the shared [[pqRerankCtes]] chain (coarse training, residual
+    * codes, ADC top-32, exact re-rank) + the allow-list restriction
+    * and re-rank over its rank ≤ 9 rows. benchSkip: index write +
+    * training in the timed body (q127c convention). */
+  val q133eAnnPqPostfilter = QueryDef(
+    "q133e_ann_pq_postfilter",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_pf_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_pf_index", dim = 64)
+      val allowed = emb(s, d).filter(col("label") % 3 === 0)
+        .select(col("vec_id").as("id"))
+      val shortlist = Similarity.ivfPqTopKRerankIndexed("graft_ivfpq_pf_index",
+        coarse, probes, corpus, bk, k = 9, nprobe = 2, rerank = 32)
+      Similarity.postFilterTopK(shortlist, allowed, 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(pqRerankCtes + """,
+      pf AS (
+        SELECT rr.probe_id, rr.id, rr.cos,
+               row_number() OVER (PARTITION BY rr.probe_id
+                 ORDER BY rr.cos DESC, rr.id) AS prank
+        FROM rr JOIN emb ON emb.vec_id = rr.id
+        WHERE rr.rank <= 9 AND emb.label % 3 = 0)
+      SELECT probe_id, prank AS rank, id, round(cos, 9) AS cos
+      FROM pf WHERE prank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   /** DELETE from a persisted index ([[Similarity.deleteFromIvfIndex]])
     * — the right-to-be-forgotten leg of the lifecycle, merge-on-read:
     * ids (every 7th vector) tombstone into a side table, and the
@@ -1555,6 +1603,69 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** BATCH hybrid retrieval ([[Similarity.rrfFuseByProbe]]) — q135's
+    * serve shape at production cardinality: ALL 20 probes' legs fused
+    * in ONE job instead of a driver-side loop of single-query fuses.
+    * The vector leg is per-probe (IVF top-20 at nprobe = 2, all
+    * probes in one frame — exactly what [[Similarity.ivfTopK]] already
+    * returns); the lexical leg is the probe-INDEPENDENT BM25 prior
+    * (q96's exact chain via the shared [[TextAnalytics.bm25Scored]]),
+    * replicated across the probe batch — the global-prior fusion shape
+    * (popularity/recency/keyword context shared by a request batch).
+    * Per-probe top-10 emitted; fusing the batch equals fusing each
+    * probe alone (RrfSpec pins the equivalence against [[rrfFuse]]).
+    * The oracle replays both legs end-to-end plus the per-probe
+    * decimal-exact fusion, so a rank flip in either leg for ANY probe
+    * breaks the hash. Scale shape: |probes|·|legs|·R fused rows, the
+    * top-k window partitioned on probe_id — each leg bounds its own
+    * cost exactly as in q135. */
+  val q135bHybridRrfBatch = QueryDef(
+    "q135b_hybrid_rrf_batch",
+    (s, d) => {
+      val (corpus, centroids, probes0) = ivfInputs(s, d)
+      val vecLeg = Similarity.ivfTopK(corpus, centroids, probes0,
+          k = 20, nprobe = 2)
+        .select(col("probe_id"), col("id"), col("rank"))
+      val lexTop = graft.operators.Windows.topKRank(
+          TextAnalytics.bm25Scored(s, d).filter(col("score") > 0), 20,
+          "rank", col("score").desc, col("doc_id"))
+        .select(col("doc_id").as("id"), col("rank"))
+      // the probe-independent prior replicates across the batch: 20
+      // probe ids × the top-20 prior rows — metadata-sized by both
+      // sides' top-k bounds
+      val lexLeg = probes0.select(col("probe_id")).crossJoin(lexTop)
+      Similarity.rrfFuseByProbe(Seq(lexLeg, vecLeg), k = 10)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfCtes("u.vec_id < 20") + "," + TextAnalytics.bm25Ctes("lex") + """,
+      vec AS (SELECT probe_id, id, rank FROM scored WHERE rank <= 20),
+      lextop AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (SELECT doc_id, score FROM lexscored WHERE score > 0
+              ORDER BY score DESC, doc_id LIMIT 20)),
+      probeids AS (SELECT DISTINCT vec_id AS probe_id FROM emb WHERE vec_id < 20),
+      unioned AS (
+        SELECT p.probe_id, l.id, l.rank FROM probeids p CROSS JOIN lextop l
+        UNION ALL
+        SELECT probe_id, id, rank FROM vec),
+      fused AS (
+        SELECT probe_id, id,
+               (sum((1.0::DOUBLE / (60 + rank))::DECIMAL(28,12)))::DOUBLE AS rrf
+        FROM unioned GROUP BY probe_id, id),
+      rankd AS (
+        SELECT probe_id, id, rrf,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY rrf DESC, id) AS rank
+        FROM fused)
+      SELECT probe_id, rank, id, round(rrf, 9) AS rrf
+      FROM rankd WHERE rank <= 10
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
@@ -1563,6 +1674,6 @@ object SimilarityQueries {
     q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
-    q134AnnDelete, q134bAnnDeleteCompact, q134cAnnPqDelete, q135HybridRrf,
-    q136IndexHealth)
+    q133eAnnPqPostfilter, q134AnnDelete, q134bAnnDeleteCompact,
+    q134cAnnPqDelete, q135HybridRrf, q135bHybridRrfBatch, q136IndexHealth)
 }

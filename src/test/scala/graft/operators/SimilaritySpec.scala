@@ -335,4 +335,51 @@ class SimilaritySpec extends SparkSpec {
     // and the clean pair still fuses
     assert(Similarity.rrfFuse(Seq(clean, clean), k = 2).count() == 2)
   }
+
+  test("property: rrfFuseByProbe == per-probe rrfFuse, probe by probe (3 seeds)") {
+    // batch fusion must equal looping single-query fuses driver-side —
+    // the exact replacement contract (a batch caller previously HAD to
+    // loop; q135b rides this equivalence)
+    import spark.implicits._
+    val (k, c) = (4, 60)
+    for (seed <- Seq(7, 1234, 20260816)) {
+      val rnd = new scala.util.Random(seed)
+      val probeIds = (1L to 5L).toSeq
+      def leg(): Map[Long, Seq[(Long, Int)]] = probeIds.map { p =>
+        p -> rnd.shuffle((1L to 25L).toList).take(3 + rnd.nextInt(8))
+          .zipWithIndex.map { case (id, i) => (id, i + 1) }
+      }.toMap
+      val legA = leg(); val legB = leg()
+      def flat(l: Map[Long, Seq[(Long, Int)]]) =
+        l.toSeq.flatMap { case (p, rows) => rows.map { case (id, r) => (p, id, r) } }
+          .toDF("probe_id", "id", "rank")
+      val got = Similarity.rrfFuseByProbe(Seq(flat(legA), flat(legB)), k, c)
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+      val want = probeIds.flatMap { p =>
+        Similarity.rrfFuse(
+          Seq(legA(p).toDF("id", "rank"), legB(p).toDF("id", "rank")), k, c)
+          .as[(Int, Long, Double)].collect().toSeq
+          .map { case (r, id, s) => (p, r, id, s) }
+      }.sorted
+      assert(got == want, s"seed $seed: batch fuse != per-probe fuses")
+    }
+  }
+
+  test("rrfFuseByProbe guard is per (leg, probe, id): cross-probe repeats pass, in-probe dups raise") {
+    import spark.implicits._
+    // the same id ranked by the same leg for two DIFFERENT probes is
+    // the normal batch shape — must fuse cleanly
+    val crossProbe = Seq((1L, 9L, 1), (2L, 9L, 1), (2L, 8L, 2))
+      .toDF("probe_id", "id", "rank")
+    val other = Seq((1L, 8L, 1), (2L, 9L, 2))
+      .toDF("probe_id", "id", "rank")
+    assert(Similarity.rrfFuseByProbe(Seq(crossProbe, other), k = 3).count() == 4)
+    // a duplicated (probe, id) WITHIN one leg silently re-weights that
+    // leg — must raise, naming the offending quadruple's parts
+    val dup = Seq((1L, 9L, 1), (1L, 9L, 2)).toDF("probe_id", "id", "rank")
+    val e = intercept[Exception] {
+      Similarity.rrfFuseByProbe(Seq(dup, other), k = 3).collect()
+    }
+    assert(e.getMessage.contains("rrfFuseByProbe"), s"wrong failure: ${e.getMessage}")
+  }
 }
