@@ -1326,19 +1326,79 @@ object Similarity {
       .select(Seq(col("probe_id"), col("c_id"), col("pc"), col("p")) ++ tblCols: _*)
   }
 
-  /** Score candidates `pc + (t0 + … + t_{m-1})` (left-associated, the
-    * oracle-replayable float order) and rank per probe. `enc`: (id,
-    * codes, c_id); `pb`: [[pqProbeSide]]'s frame. The join shuffles on
-    * nothing: the probe side broadcasts, candidates stream. */
+  /** The left-associated ADC residual sum `t0 + … + t_{m-1}` — one
+    * lookup per subspace into the probe-side tables, the
+    * oracle-replayable float order shared by the broadcast and bulk
+    * ranking paths. */
+  private def adcResidScore(bk: PqBooks): Column = (0 until bk.m)
+    .map(s => element_at(col(s"__t$s"), element_at(col("codes"), s + 1) + 1))
+    .reduce(_ + _)
+
+  /** Score candidates `pc + (t0 + … + t_{m-1})` and rank per probe.
+    * `enc`: (id, codes, c_id); `pb`: [[pqProbeSide]]'s frame. The join
+    * shuffles on nothing: the probe side broadcasts, candidates
+    * stream. */
   private def adcRank(enc: DataFrame, pb: DataFrame, bk: PqBooks,
                       k: Int): DataFrame = {
-    val residScore = (0 until bk.m)
-      .map(s => element_at(col(s"__t$s"), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
     val wRank = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("id"))
     enc.join(broadcast(pb), "c_id")
       .filter(col("id") =!= col("probe_id"))
-      .withColumn("adc", col("pc") + residScore)
+      .withColumn("adc", col("pc") + adcResidScore(bk))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("adc"))
+  }
+
+  /** BULK probe of a materialized IVF-PQ index — [[ivfTopKBulk]]'s
+    * kNN-JOIN shape on the QUANTIZED ladder: the probe side is a whole
+    * table (corpus self-kNN for semantic dedup, batch re-embedding
+    * joins), so the indexed path's collect-the-probe-side convention
+    * doesn't apply. Probes compute their coarse assignment AND their m
+    * ADC lookup tables map-side (broadcast coarse centroids, literal
+    * codebooks), shuffle ONCE on c_id onto the index's bucket layout,
+    * and the code table is read in place and hash-built per bucket
+    * (shuffle-hash hint, build on the index side — the [[ivfTopKBulk]]
+    * A/B rationale carries: appends keep buckets multi-file, so
+    * sort-merge would re-sort the index every run). What moves per
+    * probe is nprobe copies of (pc + m·kSub table doubles) — 256
+    * doubles at m=16/kSub=16, a small constant multiple of the raw
+    * d=64 vector — while the index side never moves and its candidates
+    * cost 8 code bytes each instead of d doubles: the PQ memory win is
+    * exactly what makes the bulk join's build side small (a bucket of
+    * codes, not vectors). Same √n sizing guard as [[ivfTopKBulk]]
+    * (identical cost model — candidate volume n·nprobe·n/|cells|);
+    * deletes are honored through the same [[liveIndexRows]] read.
+    * Result-identical to [[ivfPqTopKIndexed]] on the same probe set
+    * (IvfIndexSpec pins parity and the single-c_id-Exchange shape).
+    * Returns (probe_id, rank, id, adc). */
+  def ivfPqTopKBulk(table: String, coarse: DataFrame, probes: DataFrame,
+                    bk: PqBooks, k: Int, nprobe: Int,
+                    excludeSelf: Boolean = true,
+                    maxShareFactor: Double = 8.0): DataFrame = {
+    val spark = probes.sparkSession
+    val (nIndex, _) = indexRowCount(spark, table)
+    // one execution of the coarse lineage: sizing guard + broadcast side
+    // (the ivfTopKBulk convention)
+    val coarseRows = coarse.collect()
+    val nCells = coarseRows.length.toLong
+    require(nCells > 0, "ivfPqTopKBulk: empty centroid set")
+    require(nCells >= math.sqrt(nIndex.toDouble) / maxShareFactor,
+      s"ivfPqTopKBulk: $nCells coarse cells over a $nIndex-row index — " +
+        f"average per-bucket candidate share ${nIndex.toDouble / nCells}%.0f " +
+        f"exceeds $maxShareFactor× the sqrt(n) sizing rule " +
+        f"(${math.sqrt(nIndex.toDouble)}%.0f); retrain with more cells " +
+        "(|coarse| ∝ sqrt(n)) or pass a larger maxShareFactor to " +
+        "knowingly probe the mis-sized regime")
+    val coarseLocal = spark.createDataFrame(
+      java.util.Arrays.asList(coarseRows: _*), coarse.schema)
+    val pb = pqProbeSide(probes, coarseLocal, bk, nprobe)
+    val wRank = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("id"))
+    val cand0 = liveIndexRows(spark, table).hint("shuffle_hash")
+      .join(pb, "c_id")
+    val cand = if (excludeSelf) cand0.filter(col("id") =!= col("probe_id"))
+               else cand0
+    cand
+      .withColumn("adc", col("pc") + adcResidScore(bk))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("adc"))

@@ -782,9 +782,12 @@ object SimilarityQueries {
     * position-in-sorted-seed-list c_id — an order-preserving relabel,
     * so Lloyd's ties-to-smaller-c_id breaks identically. `candWhere`
     * (over `cand.*`) restricts the SCORED candidate set — q134c's
-    * tombstone exclusion; TRUE elsewhere. */
+    * tombstone exclusion; TRUE elsewhere. `probeWhere` (over `emb.*`)
+    * picks the probe set — the 20-vector query batch by default,
+    * opened up for the bulk kNN-join gate (q127f). */
   private def ivfPqCtesK(kSub: Int, trainWhere: String = "TRUE",
-      pqSeedWhere: String = "", candWhere: String = "TRUE"): String = {
+      pqSeedWhere: String = "", candWhere: String = "TRUE",
+      probeWhere: String = "emb.vec_id < 20"): String = {
       val seedW = if (pqSeedWhere.nonEmpty) pqSeedWhere else s"vec_id < $kSub"
       val tChain = (0 until 16).map(i => s"max(CASE WHEN s = $i THEN ds END)")
         .mkString(" + ")
@@ -876,7 +879,7 @@ object SimilarityQueries {
                    ORDER BY (list_dot_product(e, c) - 0.5 * list_dot_product(c, c)) DESC,
                             coarse.cc_id) AS rn
           FROM emb CROSS JOIN coarse
-          WHERE emb.vec_id < 20) WHERE rn <= 2),
+          WHERE $probeWhere) WHERE rn <= 2),
       pairs AS (
         SELECT pb.probe_id, cand.vec_id AS id, pb.pc, codes.s,
                list_dot_product(pb.pe[(codes.s*4+1):(codes.s*4+4)], c2.c) AS ds
@@ -1114,6 +1117,44 @@ object SimilarityQueries {
     },
     Some(ivfPqCtesK(16, trainWhere = "vec_id % 2 = 0",
       pqSeedWhere = "vec_id % 2 = 0 AND vec_id < 32") + """
+      SELECT probe_id, rank, id, round(adc, 9) AS adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
+  /** BULK kNN join on the QUANTIZED index
+    * ([[Similarity.ivfPqTopKBulk]]) — q28f's whole-corpus self-kNN
+    * shape moved to the PQ ladder, completing the serve-path symmetry
+    * (every probe is the corpus itself: semantic dedup and batch
+    * re-embedding joins at 8 code bytes per candidate instead of d
+    * doubles). Probes coarse-assign and build their m ADC tables
+    * MAP-SIDE, shuffle once on c_id onto the code table's bucket
+    * layout, and the index is read in place and hash-built per bucket
+    * — no driver-side probe collect anywhere (the indexed path's
+    * convention doesn't scale to corpus-sized probe sets). Runs under
+    * the default √n sizing guard (10 trained cells over this corpus
+    * satisfy it at every SF). The oracle is the full IVF-PQ replay
+    * with the probe predicate opened to the whole corpus — a flipped
+    * coarse pick or ADC float for ANY probe breaks the hash.
+    * benchSkip: index write + two training runs in the timed body
+    * (q127c convention). */
+  val q127fAnnIvfPqBulk = QueryDef(
+    "q127f_ann_ivfpq_bulk",
+    (s, d) => {
+      val (corpus, seeds, _) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_bulk_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_bulk_index", dim = 64)
+      val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+      Similarity.ivfPqTopKBulk("graft_ivfpq_bulk_index", coarse, probes, bk,
+          k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfPqCtesK(16, probeWhere = "TRUE") + """
       SELECT probe_id, rank, id, round(adc, 9) AS adc
       FROM ranked WHERE rank <= 3
       ORDER BY probe_id, rank
@@ -1603,6 +1644,38 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** Index HEALTH on the QUANTIZED index — q136's diagnostic proven
+    * over the PQ code table ([[Similarity.indexHealth]] is index-kind
+    * agnostic by design; this gate pins that claim cross-engine): the
+    * q127c flow (trained coarse, writeIvfPqIndex) with every 7th
+    * vector tombstoned, reported per coarse bucket as (n_rows,
+    * n_tombstoned, n_live). The oracle counts the full coarse-TRAINING
+    * replay's assignment (`ca`), so a mis-bucketed code row or a
+    * miscounted tombstone breaks the hash. One columnar pass over
+    * (id, c_id) — code bytes never read. benchSkip: index write +
+    * training in the timed body. */
+  val q136bPqIndexHealth = QueryDef(
+    "q136b_pq_index_health",
+    (s, d) => {
+      val (corpus, seeds, _) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_health_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      Similarity.deleteFromIvfIndex(s, "graft_ivfpq_health_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      Similarity.indexHealth(s, "graft_ivfpq_health_index")
+        .orderBy("c_id")
+    },
+    Some(ivfPqCtesK(16) + """
+      SELECT cc_id AS c_id, count(*) AS n_rows,
+             (sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END))::BIGINT AS n_tombstoned,
+             (count(*) - sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END))::BIGINT AS n_live
+      FROM ca
+      GROUP BY cc_id
+      ORDER BY c_id
+    """),
+    benchSkip = true)
+
   /** BATCH hybrid retrieval ([[Similarity.rrfFuseByProbe]]) — q135's
     * serve shape at production cardinality: ALL 20 probes' legs fused
     * in ONE job instead of a driver-side loop of single-query fuses.
@@ -1671,9 +1744,10 @@ object SimilarityQueries {
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
     q105RandomProjection, q108EmbeddingQuantize, q127AnnPq, q127bAnnIvfPq,
     q127cAnnIvfPqIndexed, q127dAnnIvfPqRerank, q127eAnnIvfPqAppend,
-    q130AnnRecall, q130bPqRecall,
+    q127fAnnIvfPqBulk, q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
     q133eAnnPqPostfilter, q134AnnDelete, q134bAnnDeleteCompact,
-    q134cAnnPqDelete, q135HybridRrf, q135bHybridRrfBatch, q136IndexHealth)
+    q134cAnnPqDelete, q135HybridRrf, q135bHybridRrfBatch, q136IndexHealth,
+    q136bPqIndexHealth)
 }

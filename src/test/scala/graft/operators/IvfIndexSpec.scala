@@ -192,6 +192,59 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ bulk kNN join: parity with the indexed probe path, index read in place") {
+    val (corpus, seeds, probes) = inputs()
+    val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+    try {
+      val bk = Similarity.writeIvfPqIndex(corpus, coarse, "ivfpq_bulk_spec_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      // parity on the same probe set: the bulk join's map-side probe
+      // tables + shuffled-hash join must score identically to the
+      // indexed path's collected probe side + broadcast join
+      val indexed = Similarity.ivfPqTopKIndexed("ivfpq_bulk_spec_index",
+        coarse, probes, bk, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val bulk = Similarity.ivfPqTopKBulk("ivfpq_bulk_spec_index", coarse,
+        probes, bk, k = 3, nprobe = 2)
+      val got = bulk.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == indexed, "PQ bulk join must reproduce the indexed probe results")
+      // plan shape: shuffled-hash join BUILDING ON THE INDEX side, code
+      // table read in place (Bucketed: true), the only c_id exchange is
+      // the probe side moving to the bucket layout
+      val plan = bulk.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("ShuffledHashJoin") && plan.contains("BuildLeft"),
+        s"join not a shuffled-hash building on the index side:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"code-table scan lost its bucket layout:\n$plan")
+      val nExch = "Exchange hashpartitioning\\(c_id".r.findAllIn(plan).size
+      assert(nExch == 1,
+        s"expected exactly the probe-side c_id exchange, found $nExch:\n$plan")
+      // whole-corpus probe side (the self-kNN shape) also runs, and
+      // deletes are honored through the same liveIndexRows read
+      val self = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+      Similarity.deleteFromIvfIndex(spark, "ivfpq_bulk_spec_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      val served = Similarity.ivfPqTopKBulk("ivfpq_bulk_spec_index", coarse,
+        self, bk, k = 3, nprobe = 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(served.nonEmpty && served.forall(_ % 7 != 3),
+        "PQ bulk path served a deleted id")
+      // the sizing guard carries over from the vector bulk path
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKBulk("ivfpq_bulk_spec_index", coarse, self, bk,
+          k = 3, nprobe = 2, maxShareFactor = 0.01)
+      }
+      assert(ex.getMessage.contains("sizing rule"), ex.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_bulk_spec_index")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_bulk_spec_index_books")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_bulk_spec_index__tombstones")
+    }
+  }
+
   test("indexed range search: identical to in-plan range search, pruned buckets") {
     val (corpus, centroids, probes) = inputs()
     try {
