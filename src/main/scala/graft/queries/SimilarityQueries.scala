@@ -1562,6 +1562,42 @@ object SimilarityQueries {
     """),
     benchSkip = true)
 
+  /** COMPACTION on the QUANTIZED index — q134b's contract proven for
+    * the PQ code table ([[Similarity.compactIvfIndex]] is index-kind
+    * agnostic: c_id-bucketed with an id column, `_books` untouched —
+    * this gate pins the claim cross-engine): q134c's exact flow with
+    * [[Similarity.compactIvfIndex]] folding the tombstones into the
+    * staged bucketed rewrite + live-at-every-instant catalog swap
+    * before the probe, which then runs the PLAIN path (nothing left to
+    * anti-join). Shares q134c's oracle verbatim, so merge-on-read
+    * serve and post-compaction serve cannot diverge on the quantized
+    * ladder — the same equivalence pin q134/q134b give the vector
+    * ladder. benchSkip: two index writes + training in the timed
+    * body. */
+  val q134dAnnPqDeleteCompact = QueryDef(
+    "q134d_ann_pq_delete_compact",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_delc_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_delc_index", dim = 64)
+      Similarity.deleteFromIvfIndex(s, "graft_ivfpq_delc_index",
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      Similarity.compactIvfIndex(s, "graft_ivfpq_delc_index")
+      Similarity.ivfPqTopKIndexed("graft_ivfpq_delc_index", coarse, probes,
+          bk, k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("adc"), 9).as("adc"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfPqCtesK(16, candWhere = "cand.vec_id % 7 <> 3") + """
+      SELECT probe_id, rank, id, round(adc, 9) AS adc
+      FROM ranked WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   /** Index HEALTH report ([[Similarity.indexHealth]]) with
     * merge-on-read debt in place: build the IVF index, tombstone every
     * 7th vector, and report per-bucket (n_rows, n_tombstoned, n_live)
@@ -1748,6 +1784,6 @@ object SimilarityQueries {
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
     q133eAnnPqPostfilter, q134AnnDelete, q134bAnnDeleteCompact,
-    q134cAnnPqDelete, q135HybridRrf, q135bHybridRrfBatch, q136IndexHealth,
-    q136bPqIndexHealth)
+    q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
+    q135bHybridRrfBatch, q136IndexHealth, q136bPqIndexHealth)
 }
