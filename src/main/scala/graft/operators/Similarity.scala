@@ -433,8 +433,8 @@ object Similarity {
     * Every delete batch re-ANALYZEs the side table (one count-class job
     * over a deletes-since-compaction-sized table — noise next to the
     * write), so [[liveIndexRows]]' tombstone-debt guard reads the count
-    * job-free from catalog statistics (with CBO on) on every probe
-    * instead of paying a count() there. */
+    * job-free from the CATALOG statistics on every probe — in any
+    * session, CBO on or off — instead of paying a count() there. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          table: String, ids: DataFrame): Unit = {
     val ts = tombstoneTable(table)
@@ -469,12 +469,17 @@ object Similarity {
     * `graft.ann.maxTombstoneRows` (default 10M rows — ~1 GB hashed,
     * comfortably inside executor broadcast budgets) and raises past it,
     * naming [[compactIvfIndex]] as the debt payment. The count is
-    * stats-first via [[indexRowCount]] — [[deleteFromIvfIndex]]
-    * re-ANALYZEs the side table on every batch, so with CBO on the
-    * check is job-free; un-analyzed side tables (out-of-band writers)
-    * pay one footer-metadata count(). [[compactIvfIndex]] itself reads
-    * with `guardDebt = false`: the compaction job is the cure and must
-    * stay runnable at any debt size. */
+    * stats-first via [[tombstoneRowCount]], which reads the CATALOG
+    * entry's statistics directly — [[deleteFromIvfIndex]] owns the
+    * side table and re-ANALYZEs it on every batch, so the check is
+    * job-free in ANY session, including the (default) CBO-off ones
+    * where optimizer-plan stats hide rowCount ([[indexRowCount]]'s
+    * read, which deliberately pins the predicate the CBO plan itself
+    * uses, stays the bulk-guard idiom). Un-analyzed side tables
+    * (out-of-band writers) pay one footer-metadata count().
+    * [[compactIvfIndex]] itself reads with `guardDebt = false`: the
+    * compaction job is the cure and must stay runnable at any debt
+    * size. */
   private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
                             table: String,
                             guardDebt: Boolean = true): DataFrame = {
@@ -483,7 +488,7 @@ object Similarity {
     if (spark.catalog.tableExists(ts)) {
       if (guardDebt) {
         val bound = spark.conf.get("graft.ann.maxTombstoneRows", "10000000").toLong
-        val (nTs, _) = indexRowCount(spark, ts)
+        val nTs = tombstoneRowCount(spark, ts)
         require(nTs <= bound,
           s"liveIndexRows: `$ts` carries $nTs tombstones, past the " +
             s"broadcast-comfort bound of $bound — merge-on-read debt has " +
@@ -493,6 +498,26 @@ object Similarity {
       }
       base.join(broadcast(spark.table(ts)), Seq("id"), "left_anti")
     } else base
+  }
+
+  /** Tombstone-table row count for the debt guard: the CATALOG entry's
+    * ANALYZE statistics when present (zero jobs, no dependency on the
+    * optional CBO/planStats confs — unlike optimizer-plan stats, the
+    * catalog read is visible in a default session, and
+    * [[deleteFromIvfIndex]] refreshes it on every batch), else one
+    * count() over the small side table. A stats row count of 0 is
+    * trusted here (unlike [[indexRowCount]]'s zero-disarms-the-guard
+    * case): zero tombstones can only pass a ≤-bound check, never relax
+    * it. Staleness can only come from a writer that bypassed both the
+    * delete API and the catalog; the bound is a comfort margin, not an
+    * exact budget, so a stats-lag row or two cannot flip the verdict
+    * materially. */
+  private def tombstoneRowCount(spark: org.apache.spark.sql.SparkSession,
+                                ts: String): Long = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(ts))
+    meta.stats.flatMap(_.rowCount).map(_.toLong)
+      .getOrElse(spark.table(ts).count())
   }
 
   /** COMPACT a deleted index: rewrite the bucketed table without its
@@ -514,7 +539,13 @@ object Similarity {
     * recovery, and the only instant with no table under the live name
     * is the metadata-only gap between the two renames (manual recovery,
     * if ever needed mid-gap: `ALTER TABLE <table>__compact RENAME TO
-    * <table>`). Stats keep-alive mirrors [[appendIvfIndex]]: an
+    * <table>`). Recovery is CATALOG-keyed, so surviving a process
+    * crash (vs an in-session failure) requires the persistent
+    * metastore any cross-session index deployment already runs — under
+    * the default in-memory catalog no table outlives the JVM at all,
+    * and the post-crash path is the same [[writeIvfIndex]] rebuild the
+    * orphan-directory hygiene everywhere else exists for.
+    * Stats keep-alive mirrors [[appendIvfIndex]]: an
     * ANALYZE'd index is re-ANALYZE'd after the swap so the
     * [[ivfTopKBulk]] guard stays job-free. No-op without a tombstone
     * table (after any pending swap recovery). */

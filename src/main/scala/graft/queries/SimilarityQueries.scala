@@ -1132,9 +1132,15 @@ object SimilarityQueries {
     * MAP-SIDE, shuffle once on c_id onto the code table's bucket
     * layout, and the index is read in place and hash-built per bucket
     * — no driver-side probe collect anywhere (the indexed path's
-    * convention doesn't scale to corpus-sized probe sets). Runs under
-    * the default √n sizing guard (10 trained cells over this corpus
-    * satisfy it at every SF). The oracle is the full IVF-PQ replay
+    * convention doesn't scale to corpus-sized probe sets). Like q28f,
+    * this runs the label-seeded 10-cell coarse set at EVERY SF — the
+    * fixed-centroid regime the sizing guard exists to reject once the
+    * corpus outgrows it (√20000/8 ≈ 18 cells at sf1) — so it passes
+    * maxShareFactor = ∞ loudly at the call site; the guard's active
+    * form is spec-pinned in IvfIndexSpec's PQ bulk case, and q28g is
+    * the corrected-√n-sizing demonstration (vector ladder — the dial
+    * is the coarse set, which the two ladders share). The oracle is
+    * the full IVF-PQ replay
     * with the probe predicate opened to the whole corpus — a flipped
     * coarse pick or ADC float for ANY probe breaks the hash.
     * benchSkip: index write + two training runs in the timed body
@@ -1148,8 +1154,11 @@ object SimilarityQueries {
         m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
       val bk = Similarity.readPqBooks(s, "graft_ivfpq_bulk_index", dim = 64)
       val probes = corpus.select(col("id").as("probe_id"), col("e").as("p"))
+      // maxShareFactor = ∞: the 10 label-seeded cells are fixed at every
+      // SF while the corpus grows — the mis-sizing regime the guard
+      // rejects from sf1 up (see the scaladoc above; q28f's convention)
       Similarity.ivfPqTopKBulk("graft_ivfpq_bulk_index", coarse, probes, bk,
-          k = 3, nprobe = 2)
+          k = 3, nprobe = 2, maxShareFactor = Double.PositiveInfinity)
         .select(col("probe_id"), col("rank"), col("id"),
           round(col("adc"), 9).as("adc"))
         .orderBy("probe_id", "rank")

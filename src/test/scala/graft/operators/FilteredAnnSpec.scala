@@ -229,6 +229,14 @@ class FilteredAnnSpec extends SparkSpec {
         plain.filter(col("id") % 5 === 0).select("id"))
       val nDel = plain.filter(col("id") % 5 === 0).count()
       assert(nDel > 4, s"fixture too small to exceed the injected bound: $nDel")
+      // the job-free mechanism: the delete left fresh CATALOG stats on
+      // the side table, readable in this default (CBO-off) session —
+      // the guard's count comes from here, not a per-probe count() job
+      val tsMeta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("fann_debt_index__tombstones"))
+      assert(tsMeta.stats.flatMap(_.rowCount).contains(BigInt(nDel)),
+        s"delete must leave fresh catalog stats on the side table " +
+          s"(got ${tsMeta.stats})")
       // under the (generous) default bound the serve path is untouched
       assert(Similarity.ivfTopKIndexed("fann_debt_index", centroids, probes,
         k = 3, nprobe = 2).collect().nonEmpty)
