@@ -654,10 +654,27 @@ object Similarity {
     * [[postFilterTopK]]), and the predicate lands in the parquet scan's
     * `PushedFilters` under the bucket pruning (FilteredAnnSpec pins
     * both). Deleted ids ([[deleteFromIvfIndex]]) are excluded the same
-    * way — before ranking. */
+    * way — before ranking.
+    *
+    * `probePayload` + `pairFilter`: PER-PROBE predicates — the serve
+    * shape `indexFilter` (one predicate for the whole batch) cannot
+    * express: hard-negative mining for contrastive training ("top-k
+    * nearest with a DIFFERENT label than this probe's"), seen-set
+    * exclusion, same-author suppression. `probePayload` names probe
+    * frame columns carried through the assignment onto every candidate
+    * pair; `pairFilter` may reference them alongside the index's
+    * stored columns and runs BEFORE ranking, so top-k backfills from
+    * the passing pool (the inline-filter recall property, per probe).
+    * Cost shape: the predicate evaluates on the bucket-pruned
+    * candidate stream — it cannot push to parquet (it depends on the
+    * probe row), but that stream is already |probes|·nprobe·
+    * bucket-share rows, and the payload rides the broadcast probe side
+    * (metadata-sized by the probe-batch convention). */
   def ivfTopKIndexed(table: String, centroids: DataFrame, probes: DataFrame,
                      k: Int, nprobe: Int,
-                     indexFilter: Column = lit(true)): DataFrame = {
+                     indexFilter: Column = lit(true),
+                     probePayload: Seq[String] = Nil,
+                     pairFilter: Column = lit(true)): DataFrame = {
     val spark = probes.sparkSession
     val ucent = unitized(centroids, "c", "uc")
     // ONE execution of the probe-assignment subplan: the collected rows
@@ -665,7 +682,8 @@ object Similarity {
     // scoring join — probeClusters referenced lazily twice would run its
     // window+assignment job twice (broadcast-sized by convention)
     val (probeClusters, clusterIds) = materializeProbeSide(
-      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe))
+      assignUnit(unitized(probes, "p", "up"), ucent, "probe_id", "up", nprobe,
+        extra = probePayload))
     guardEmptyAssignment(clusterIds, centroids, "ivfTopKIndexed")
     val index = liveIndexRows(spark, table)
       .filter(col("c_id").isin(clusterIds: _*))
@@ -673,6 +691,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     broadcast(probeClusters).join(index, "c_id")
       .filter(col("id") =!= col("probe_id"))
+      .filter(pairFilter)
       .withColumn("cos", dot(col("up"), col("ue")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -353,15 +353,17 @@ object SimilarityQueries {
           FROM u CROSS JOIN cent)
         WHERE rn = 1),
       probes AS (
-        SELECT probe_id, up, c_id FROM (
+        SELECT probe_id, up, c_id, plabel FROM (
           SELECT u.vec_id AS probe_id, u.ue AS up, cent.c_id,
+                 u.label AS plabel,
                  row_number() OVER (PARTITION BY u.vec_id
                    ORDER BY list_dot_product(ue, uc) DESC, cent.c_id) AS rn
           FROM u CROSS JOIN cent
           WHERE $probeWhere)
         WHERE rn <= 2),
       scored AS (
-        SELECT p.probe_id, a.id, a.label, list_dot_product(p.up, a.ue) AS cos,
+        SELECT p.probe_id, p.plabel, a.id, a.label,
+               list_dot_product(p.up, a.ue) AS cos,
                row_number() OVER (PARTITION BY p.probe_id
                  ORDER BY list_dot_product(p.up, a.ue) DESC, a.id) AS rank
         FROM probes p JOIN assigned a ON a.c_id = p.c_id
@@ -1784,6 +1786,51 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** HARD-NEGATIVE MINING ([[Similarity.ivfTopKIndexed]]'s per-probe
+    * `pairFilter`) — the contrastive-training data generator every
+    * retrieval-model pipeline runs at corpus scale: for each probe,
+    * the top-k nearest candidates whose label DIFFERS from the
+    * probe's own ("near but not the same class" = the hard negatives;
+    * same-class neighbors are the positives, excluded per probe). A
+    * GLOBAL predicate (q133b's `indexFilter`) cannot express this —
+    * the excluded class varies per probe — so the probe frame carries
+    * its label as payload through the assignment and the pair
+    * predicate runs on the bucket-pruned candidate stream BEFORE
+    * ranking: top-k backfills from passing candidates, per probe.
+    * The oracle replays the per-probe ranking over label-mismatched
+    * candidates from the shared IVF chain. benchSkip: the timed body
+    * would be the index write (q28b convention). */
+  val q137HardNegatives = QueryDef(
+    "q137_hard_negatives",
+    (s, d) => {
+      val e = emb(s, d)
+      val (_, centroids, _) = ivfInputs(s, d)
+      val corpus = e.select(col("vec_id").as("id"), col("e"), col("label"))
+      Similarity.writeIvfIndex(corpus, centroids, "graft_ivf_hneg_index",
+        numBuckets = 8, payload = Seq("label"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"),
+          col("label").as("plabel"))
+      Similarity.ivfTopKIndexed("graft_ivf_hneg_index", centroids, probes,
+          k = 5, nprobe = 2,
+          probePayload = Seq("plabel"),
+          pairFilter = col("label") =!= col("plabel"))
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfCtes("u.vec_id < 20") + """,
+      hneg AS (
+        SELECT probe_id, id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS rnk
+        FROM scored WHERE label <> plabel)
+      SELECT probe_id, rnk AS rank, id, round(cos, 9) AS cos
+      FROM hneg WHERE rnk <= 5
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
@@ -1794,5 +1841,6 @@ object SimilarityQueries {
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
     q133eAnnPqPostfilter, q134AnnDelete, q134bAnnDeleteCompact,
     q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
-    q135bHybridRrfBatch, q136IndexHealth, q136bPqIndexHealth)
+    q135bHybridRrfBatch, q136IndexHealth, q136bPqIndexHealth,
+    q137HardNegatives)
 }

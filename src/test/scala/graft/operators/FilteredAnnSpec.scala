@@ -90,6 +90,57 @@ class FilteredAnnSpec extends SparkSpec {
     }
   }
 
+  test("per-probe pairFilter: hard negatives exclude the probe's own class, rank over the passing pool") {
+    val (corpus, centroids, _) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "fann_pp_index",
+        numBuckets = 8, payload = Seq("label"))
+      val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"),
+          col("label").as("plabel"))
+      val probeLabels = emb.filter(col("vec_id") < 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val corpusLabels = corpus.select("id", "label")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val hneg = Similarity.ivfTopKIndexed("fann_pp_index", centroids, probes,
+        k = 5, nprobe = 2,
+        probePayload = Seq("plabel"),
+        pairFilter = col("label") =!= col("plabel"))
+      val rows = hneg.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      // 1. no emitted candidate shares its probe's class
+      rows.foreach { case (p, _, id) =>
+        assert(corpusLabels(id) != probeLabels(p),
+          s"probe $p (label ${probeLabels(p)}) got same-class negative $id")
+      }
+      // 2. ranking happened AFTER the per-probe filter: the result is
+      // the label-mismatched subsequence of the UNFILTERED candidate
+      // pool, re-ranked — pin it against an exhaustive unfiltered fetch
+      val n = corpus.count().toInt
+      val all = Similarity.ivfTopKIndexed("fann_pp_index", centroids,
+        probes.select("probe_id", "p"), k = n, nprobe = 2)
+        .select("probe_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val want = all.groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+        cs.sortBy(_._2).map(_._3)
+          .filter(id => corpusLabels(id) != probeLabels(p))
+          .take(5).zipWithIndex.map { case (id, i) => (p, i + 1, id) }
+      }.toSet
+      assert(rows.toSet == want,
+        "per-probe filtered ranking differs from filter-then-rerank of the unfiltered pool")
+      // 3. ranks are contiguous from 1 per probe (backfilled, not gapped)
+      rows.groupBy(_._1).foreach { case (p, rs) =>
+        assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq,
+          s"probe $p has gapped ranks: ${rs.map(_._2).sorted.toSeq}")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_pp_index")
+    }
+  }
+
   test("post-filter: short probes are real; exhaustive over-fetch == exact filtered") {
     val (corpus, centroids, probes) = inputs()
     val plain = corpus.select("id", "e")
