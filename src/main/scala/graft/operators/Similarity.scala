@@ -676,6 +676,22 @@ object Similarity {
                      probePayload: Seq[String] = Nil,
                      pairFilter: Column = lit(true)): DataFrame = {
     val spark = probes.sparkSession
+    // a payload name colliding with the index's stored columns would
+    // surface as a deep ambiguous-reference AnalysisException from
+    // inside the join — fail loudly at the API boundary instead, naming
+    // the fix (alias the probe column, the q137 plabel convention).
+    // Guarded on nonEmpty so the default path touches nothing eagerly
+    // (the probe-side guards keep their contract ordering: empty
+    // centroids fail on THEIR require, not on a table lookup)
+    if (probePayload.nonEmpty) {
+      val indexCols = spark.table(table).columns.toSet
+      val clash = probePayload.filter(indexCols)
+      require(clash.isEmpty,
+        s"ivfTopKIndexed: probePayload ${clash.mkString("(", ", ", ")")} " +
+          s"collides with `$table`'s stored columns — alias the probe-side " +
+          "column (e.g. label AS plabel) so pairFilter can reference both " +
+          "sides unambiguously")
+    }
     val ucent = unitized(centroids, "c", "uc")
     // ONE execution of the probe-assignment subplan: the collected rows
     // feed both the bucket-pruning IN-literal and (as a local frame) the

@@ -136,6 +136,15 @@ class FilteredAnnSpec extends SparkSpec {
         assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq,
           s"probe $p has gapped ranks: ${rs.map(_._2).sorted.toSeq}")
       }
+      // 4. a payload name colliding with a stored index column fails at
+      // the API boundary with the aliasing fix named, not as a deep
+      // ambiguous-reference AnalysisException
+      val exClash = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKIndexed("fann_pp_index", centroids,
+          probes.withColumnRenamed("plabel", "label"), k = 5, nprobe = 2,
+          probePayload = Seq("label"))
+      }
+      assert(exClash.getMessage.contains("collides"), exClash.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS fann_pp_index")
     }

@@ -17,17 +17,25 @@ import graft.operators.Similarity
 class AnnServeSpec extends SparkSpec {
   import spark.implicits._
 
-  test("streamed probes against the static IVF index == batch answers") {
+  /** (emb, per-label-first seed centroids, corpus, vec_id<20 probes) —
+    * the one fixture every serve test shares (the FilteredAnnSpec
+    * convention; a fixture change applies once, not per test). */
+  private def inputs() = {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("label").orderBy("vec_id")
-    val centroids = emb
+    val seeds = emb
       .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
       .select(col("label").as("c_id"), col("e").as("c"))
     val corpus = emb.select(col("vec_id").as("id"), col("e"))
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    (emb, seeds, corpus, probes)
+  }
+
+  test("streamed probes against the static IVF index == batch answers") {
+    val (_, centroids, corpus, probes) = inputs()
 
     try {
       Similarity.writeIvfIndex(corpus, centroids, "ann_serve_index", numBuckets = 8)
@@ -46,7 +54,7 @@ class AnnServeSpec extends SparkSpec {
             .write.mode("append").parquet(s"$dir/out")
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s (loaded host?)")
 
       val got = spark.read.parquet(s"$dir/out")
         .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
@@ -63,16 +71,7 @@ class AnnServeSpec extends SparkSpec {
     // codebooks persisted alongside — here served to a probe STREAM,
     // with the per-micro-batch plan proving the bucket pruning survives
     // (SelectedBucketsCount < total inside every foreachBatch plan)
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
-    val seeds = emb
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = emb.select(col("vec_id").as("id"), col("e"))
-    val probes = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (_, seeds, corpus, probes) = inputs()
 
     try {
       val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
@@ -98,7 +97,7 @@ class AnnServeSpec extends SparkSpec {
           res.write.mode("append").parquet(s"$dir/out")
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s (loaded host?)")
 
       val got = spark.read.parquet(s"$dir/out")
         .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
@@ -127,16 +126,7 @@ class AnnServeSpec extends SparkSpec {
     // across micro-batches and fusion is per-probe, so the streamed
     // union must equal the one-shot batch answer EXACTLY — proven here
     // across a 2-file (2-micro-batch) split.
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
-    val seeds = emb
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = emb.select(col("vec_id").as("id"), col("e"))
-    val probes = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (_, seeds, corpus, probes) = inputs()
     // a deterministic static prior leg (recency/popularity stand-in):
     // top-20 ids by an arbitrary fixed ordering
     val priorLeg = corpus.select(col("id"))
@@ -175,7 +165,7 @@ class AnnServeSpec extends SparkSpec {
           serve(batch).write.mode("append").parquet(s"$dir/out")
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120 s (loaded host?)")
 
       val got = spark.read.parquet(s"$dir/out")
         .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
