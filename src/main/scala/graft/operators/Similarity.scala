@@ -152,6 +152,39 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))
   }
 
+  /** PER-PROBE EXCLUSION over an over-fetched shortlist — the external
+    * twin of [[ivfTopKIndexed]]'s `pairFilter` for sets the index does
+    * NOT carry and that vary per probe (the canonical serve case:
+    * "exclude the docs this user already saw"). `exclude`: (probe_id,
+    * id) pairs — a seen-log, an impression history, a per-request
+    * blocklist; surviving shortlist rows re-rank and the top-k emit.
+    * Short probes come back short ([[postFilterTopK]]'s honest
+    * contract — the over-fetch dial prices the recall trade the same
+    * way).
+    *
+    * Scale shape: the exclusion log can be CORPUS-scale × users — it
+    * must never shuffle on a serve call. Two broadcast joins arrange
+    * that: (1) the log SEMI-joins the broadcast shortlist pairs, so
+    * only exclusions that could matter survive (≤ |probes|·R rows —
+    * the log streams through map-side); (2) the shortlist ANTI-joins
+    * that tiny broadcast intersection. Spark's left-anti builds on the
+    * right side only, so anti-joining the raw log directly would
+    * broadcast (or shuffle) the LOG — the semi-first composition is
+    * what keeps the big side streaming. FilteredAnnSpec pins the
+    * semantics and the no-log-Exchange plan shape. */
+  def excludePairsTopK(shortlist: DataFrame, exclude: DataFrame,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
+    val sl = shortlist.select("probe_id", "id", "cos")
+    val hits = exclude.select(col("probe_id"), col("id"))
+      .join(broadcast(sl.select("probe_id", "id")),
+        Seq("probe_id", "id"), "left_semi")
+    sl.join(broadcast(hits), Seq("probe_id", "id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("id"), col("cos"))
+  }
+
   /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher '09) — the
     * standard hybrid-retrieval combiner: each leg is a ranked list
     * (id, rank) from an independent retrieval mode (BM25 lexical, ANN

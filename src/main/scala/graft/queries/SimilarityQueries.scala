@@ -1484,6 +1484,45 @@ object SimilarityQueries {
     """),
     benchSkip = true)
 
+  /** PER-PROBE EXCLUSION serve ([[Similarity.excludePairsTopK]]) — the
+    * "docs this user already saw" case: exclusion sets that are both
+    * EXTERNAL to the index (q133c's axis) and PER-PROBE (q137's axis).
+    * A synthetic seen-log — every (probe, id) pair with
+    * (probe_id + id) % 4 = 0, i.e. a quarter of each probe's world —
+    * is excluded from a 3× over-fetched IVF shortlist; survivors
+    * re-rank, top-3 emit, short probes stay honest. The log side is
+    * |probes|·|corpus|-scale by construction and STREAMS through the
+    * semi-then-anti broadcast composition (the operator's scaladoc;
+    * FilteredAnnSpec pins the no-log-Exchange plan). The oracle
+    * replays shortlist, exclusion, and re-rank from the shared IVF
+    * chain. */
+  val q133fAnnSeenExclusion = QueryDef(
+    "q133f_ann_seen_exclusion",
+    (s, d) => {
+      val (corpus, centroids, probes) = ivfInputs(s, d)
+      val seenLog = probes.select(col("probe_id"))
+        .crossJoin(corpus.select(col("id")))
+        .filter(pmod(col("probe_id") + col("id"), lit(4)) === 0)
+      val shortlist = Similarity.ivfTopK(corpus, centroids, probes,
+        k = 9, nprobe = 2)
+      Similarity.excludePairsTopK(shortlist, seenLog, 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfCtes("u.vec_id < 20") + """,
+      pf AS (
+        SELECT probe_id, id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS prank
+        FROM scored
+        WHERE rank <= 9 AND (probe_id + id) % 4 <> 0)
+      SELECT probe_id, prank AS rank, id, round(cos, 9) AS cos
+      FROM pf WHERE prank <= 3
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
   /** DELETE from a persisted index ([[Similarity.deleteFromIvfIndex]])
     * — the right-to-be-forgotten leg of the lifecycle, merge-on-read:
     * ids (every 7th vector) tombstone into a side table, and the
@@ -1839,7 +1878,8 @@ object SimilarityQueries {
     q127fAnnIvfPqBulk, q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
-    q133eAnnPqPostfilter, q134AnnDelete, q134bAnnDeleteCompact,
+    q133eAnnPqPostfilter, q133fAnnSeenExclusion, q134AnnDelete,
+    q134bAnnDeleteCompact,
     q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
     q135bHybridRrfBatch, q136IndexHealth, q136bPqIndexHealth,
     q137HardNegatives)

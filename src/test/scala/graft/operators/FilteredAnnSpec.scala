@@ -150,6 +150,46 @@ class FilteredAnnSpec extends SparkSpec {
     }
   }
 
+  test("excludePairsTopK: per-probe exclusion, filter-then-rerank, log never shuffles") {
+    val (corpus, centroids, probes) = inputs()
+    val plain = corpus.select("id", "e")
+    val shortlist = Similarity.ivfTopK(plain, centroids, probes, k = 5, nprobe = 2)
+    val seenLog = probes.select(col("probe_id"))
+      .crossJoin(plain.select(col("id")))
+      .filter(pmod(col("probe_id") + col("id"), lit(3)) === 0)
+    val out = Similarity.excludePairsTopK(shortlist, seenLog, 3)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // 1. no excluded pair is ever emitted
+    rows.foreach { case (p, _, id, _) =>
+      assert((p + id) % 3 != 0, s"excluded pair ($p, $id) served")
+    }
+    // 2. filter-then-rerank semantics against the collected shortlist
+    val sl = shortlist.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val want = sl.groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+      cs.filter { case (_, id, _) => (p + id) % 3 != 0 }
+        .sortBy { case (_, id, cos) => (-cos, id) }
+        .take(3).zipWithIndex
+        .map { case ((_, id, cos), i) => (p, i + 1, id, cos) }
+    }.toSet
+    assert(rows.toSet == want,
+      "exclusion result differs from filter-then-rerank of the shortlist")
+    // 3. the (corpus×probes-scale) log side streams: both exclusion
+    // joins are broadcast-hash — a sort-merge or shuffled-hash semi/anti
+    // would mean the log was shuffled on a serve call
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"semi leg not broadcast:\n$plan")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"anti leg not broadcast:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin) [^\\n]*Left(Semi|Anti)".r
+      .findFirstIn(plan).isEmpty,
+      s"exclusion leg shuffled the log:\n$plan")
+  }
+
   test("post-filter: short probes are real; exhaustive over-fetch == exact filtered") {
     val (corpus, centroids, probes) = inputs()
     val plain = corpus.select("id", "e")
