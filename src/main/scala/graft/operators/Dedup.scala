@@ -147,7 +147,13 @@ object Dedup {
     * `checkpointDir` is set — blocks go to that fault-tolerant path
     * (HDFS/S3) via `checkpoint()`, which is what a multi-hour 100 TB
     * run on a real cluster should use. Setting `checkpointDir` updates
-    * the SparkContext's checkpoint dir (a context-global setting). Storage note for the reliable path: each
+    * the SparkContext's checkpoint dir (a context-global setting) — and
+    * RE-ASSERTS it before every cut in the loop, because an interleaved
+    * conf'd [[Barrier.cut]] (another query in the session; Dedup's own
+    * overflow cuts) deliberately re-points that global at the conf'd
+    * path — without the re-assertion, later iterations would silently
+    * checkpoint under the conf dir instead of the explicitly requested
+    * one. Storage note for the reliable path: each
     * round snapshots the LABELS frame — skinny (id, comp) pairs, one per
     * node, so ≤ maxIter small snapshots plus one edge snapshot, bounded
     * and tiny next to the corpus — but Spark does not delete them
@@ -156,11 +162,17 @@ object Dedup {
     * result; set one of the two on long-running clusters. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    // the explicit parameter wins; otherwise the shared barrier applies
-    // (and with it the session-wide graft.barrier.checkpointDir opt-in)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else Barrier.cut(df)
+    // the explicit parameter wins FOR THE DURATION OF THIS LOOP; it is
+    // re-asserted per cut because the context checkpoint dir is global
+    // mutable state a conf'd Barrier.cut re-points on every use (see the
+    // scaladoc). Otherwise the shared barrier applies (and with it the
+    // session-wide graft.barrier.checkpointDir opt-in).
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => Barrier.cut(df)
+    }
     val edges = cut(pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct())

@@ -171,11 +171,21 @@ object Similarity {
     * right side only, so anti-joining the raw log directly would
     * broadcast (or shuffle) the LOG — the semi-first composition is
     * what keeps the big side streaming. FilteredAnnSpec pins the
-    * semantics and the no-log-Exchange plan shape. */
+    * semantics and the no-log-Exchange plan shape.
+    *
+    * The shortlist executes ONCE: it feeds BOTH exclusion joins, with
+    * DIFFERENT projections (pairs into the semi build side, the full
+    * frame into the anti's probe side), so ReuseExchange cannot dedupe
+    * the two consumers — referenced lazily, a full IVF window+join
+    * ranking would run twice per serve call. It is |probes|·R rows,
+    * broadcast-sized by contract, so it collects to a local frame (the
+    * materializeProbeSide convention). */
   def excludePairsTopK(shortlist: DataFrame, exclude: DataFrame,
                        k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
-    val sl = shortlist.select("probe_id", "id", "cos")
+    val sl0 = shortlist.select("probe_id", "id", "cos")
+    val sl = sl0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sl0.collect(): _*), sl0.schema)
     val hits = exclude.select(col("probe_id"), col("id"))
       .join(broadcast(sl.select("probe_id", "id")),
         Seq("probe_id", "id"), "left_semi")

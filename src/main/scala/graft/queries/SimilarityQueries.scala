@@ -1617,8 +1617,9 @@ object SimilarityQueries {
     * agnostic: c_id-bucketed with an id column, `_books` untouched —
     * this gate pins the claim cross-engine): q134c's exact flow with
     * [[Similarity.compactIvfIndex]] folding the tombstones into the
-    * staged bucketed rewrite + live-at-every-instant catalog swap
-    * before the probe, which then runs the PLAIN path (nothing left to
+    * staged bucketed rewrite + self-healing two-rename catalog swap
+    * (metadata-only gap between the renames — the operator's own
+    * contract) before the probe, which then runs the PLAIN path (nothing left to
     * anti-join). Shares q134c's oracle verbatim, so merge-on-read
     * serve and post-compaction serve cannot diverge on the quantized
     * ladder — the same equivalence pin q134/q134b give the vector

@@ -299,19 +299,23 @@ object CorpusStreams {
     // still fails on an invalid arrival. (A raise riding the doc_id
     // output column — the previous form — died to column pruning under
     // exactly those consumers, silently emitting the null-keyed row
-    // raise mode exists to forbid.) And.eval short-circuits left to
-    // right, so the raise only evaluates on a row that already passed
-    // `__dead && band = 0` — valid arrivals never touch it; isnull()
-    // over the never-returning raise keeps the predicate boolean-typed.
+    // raise mode exists to forbid.) The raise sits in a when() BRANCH
+    // guarded by `__dead && band = 0` — when/otherwise branch laziness
+    // is CONTRACTUAL (CaseWhen evaluates only the matching branch),
+    // unlike And conjunct ordering, which Spark may legally reorder in
+    // a future optimizer/codegen change — so valid arrivals can never
+    // evaluate the raise; isnull() over the never-returning raise keeps
+    // the branch boolean-typed.
     val deadEmit =
       if (!raiseOnInvalidArrival) col("__dead") && col("band") === 0
-      else col("__dead") && col("band") === 0 &&
+      else when(col("__dead") && col("band") === 0,
         isnull(raise_error(format_string(
           s"nearDupGuard: arrival doc %s fingerprinted to null or a width " +
             s"other than bits=$bits (null/undecodable text?) — it would " +
             "silently bypass the guard; scrub or route null-text arrivals " +
             "before the guard, or pass raiseOnInvalidArrival = false to " +
-            "receive dead-letter rows", col("doc_id").cast("string"))))
+            "receive dead-letter rows", col("doc_id").cast("string")))))
+        .otherwise(lit(false))
     val emitted = arrivals.join(protect, Seq("band", "bv"), "left_outer")
       .withColumn("hamming", hamming)
       .filter((col("band") === firstMatch && col("hamming") <= maxHamming)

@@ -41,8 +41,14 @@ class BarrierSpec extends SparkSpec {
         s"no reliable checkpoint files under $dir")
     } finally {
       spark.conf.unset(Barrier.ConfKey)
-      // context checkpoint dir stays set (context-global by design);
-      // clear the files so the suite leaves no temp residue
+      // the context checkpoint dir stays set (context-global by design)
+      // but must not dangle at the temp dir this block deletes: any
+      // later same-session code relying on the context dir would fail
+      // or write into a recreated stale path — re-point it at a
+      // surviving scratch dir first, then clear the temp files
+      val scratch = java.nio.file.Paths.get("target", "barrier-spec-ckpt")
+      java.nio.file.Files.createDirectories(scratch)
+      spark.sparkContext.setCheckpointDir(scratch.toString)
       val p = java.nio.file.Paths.get(dir)
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
