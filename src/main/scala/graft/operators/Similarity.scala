@@ -271,13 +271,34 @@ object Similarity {
     * raise. Scale shape: |probes|·|legs|·R input rows; the fuse groups
     * on (probe_id, id) and the top-k window partitions on probe_id
     * over ≤ |legs|·R rows per probe — metadata-cheap at any corpus
-    * size, no unpartitioned window anywhere. */
-  def rrfFuseByProbe(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    * size, no unpartitioned window anywhere.
+    *
+    * `weights`: WEIGHTED RRF (w_i/(c + rank)) — the standard
+    * production dial when one leg is a weak prior (a popularity or
+    * recency leg that should nudge, not dominate). One positive
+    * multiplier per leg, in leg order; empty (default) = classic RRF,
+    * all legs at 1.0 — and the 1.0 addend is float-identical to the
+    * unweighted form (RrfSpec pins the equivalence). Each addend is
+    * ONE double division w/(c+rank) — IEEE-identical in any engine —
+    * and the decimal-exact accumulation carries unchanged, so the
+    * cross-engine determinism contract survives the weight verbatim. */
+  def rrfFuseByProbe(legs: Seq[DataFrame], k: Int, c: Int = 60,
+                     weights: Seq[Double] = Nil): DataFrame = {
     require(legs.nonEmpty, "rrfFuseByProbe: no ranked legs")
     require(k >= 1, "rrfFuseByProbe needs k >= 1")
+    require(weights.isEmpty || weights.length == legs.length,
+      s"rrfFuseByProbe: ${weights.length} weights for ${legs.length} legs — " +
+        "pass one positive weight per leg (in leg order), or none for " +
+        "classic RRF")
+    require(weights.forall(_ > 0),
+      s"rrfFuseByProbe: non-positive weight in ${weights.mkString("(", ", ", ")")} " +
+        "— a zero weight silently erases its leg, a negative one inverts " +
+        "it; drop the leg instead")
+    val ws = if (weights.isEmpty) Seq.fill(legs.length)(1.0) else weights
     val tagged = legs.zipWithIndex
       .map { case (l, i) =>
-        l.select(lit(i).as("__leg"), col("probe_id"), col("id"), col("rank"))
+        l.select(lit(i).as("__leg"), lit(ws(i)).as("__w"),
+          col("probe_id"), col("id"), col("rank"))
       }
       .reduce(_ union _)
     // one struct max so the reported (count, leg, probe, id) quadruple
@@ -291,7 +312,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("id"))
     tagged
       .groupBy("probe_id", "id")
-      .agg(sum((lit(1.0) / (lit(c) + col("rank"))).cast("decimal(28,12)"))
+      .agg(sum((col("__w") / (lit(c) + col("rank"))).cast("decimal(28,12)"))
         .cast("double").as("__rrf0"))
       .crossJoin(broadcast(dupMax))
       .withColumn("rrf",
@@ -1676,15 +1697,50 @@ object Similarity {
     * IVF index, [[writeIvfIndex]]). Deleted ids
     * ([[deleteFromIvfIndex]]) never reach the shortlist — the ADC scan
     * reads through the same tombstone-aware path as every serve
-    * operator. */
+    * operator.
+    *
+    * `probePayload` + `pairFilter`: PER-PROBE ATTRIBUTE predicates on
+    * the QUANTIZED ladder — [[ivfTopKIndexed]]'s hard-negative-mining
+    * serve shape ("top-k nearest with a DIFFERENT label than this
+    * probe's") on the index kind a memory-bound 100 TB deployment
+    * actually serves from. The code table stores no attributes, so the
+    * predicate cannot run pre-ranking inside the ADC scan (the vector
+    * path's inline property); it runs POST-ADC on the re-rank
+    * candidate fetch — the stage that already touches the corpus
+    * (attribute columns ride the corpus frame for free) and the
+    * broadcast probe side (`probePayload` names the probe columns the
+    * predicate references; they must not collide with a corpus column
+    * — alias them, the q137 plabel convention, enforced loudly here).
+    * The filter applies BEFORE the final rank window, so top-k
+    * backfills gap-free from the PASSING rows — but only within the
+    * rerank-sized shortlist: recall decays with predicate selectivity,
+    * bounded by R (the over-fetch dial prices the trade, the
+    * [[postFilterTopK]] contract — size rerank ≈ k/selectivity and
+    * short probes come back short, never padded). FilteredAnnSpec pins
+    * filter-then-rank semantics, the backfill, and the collision
+    * reject; q137b gates the ranking cross-engine. */
   def ivfPqTopKRerankIndexed(table: String, coarse: DataFrame,
                              probes: DataFrame, corpus: DataFrame,
                              bk: PqBooks, k: Int, nprobe: Int,
-                             rerank: Int): DataFrame = {
+                             rerank: Int,
+                             probePayload: Seq[String] = Nil,
+                             pairFilter: Column = lit(true)): DataFrame = {
     require(rerank >= k,
       s"ivfPqTopKRerankIndexed: rerank=$rerank < k=$k — the shortlist " +
         "cannot be smaller than the answer; use ivfPqTopKIndexed for " +
         "plain ADC ranking")
+    // same boundary guard as ivfTopKIndexed: a payload name colliding
+    // with a corpus column would surface as a deep ambiguous-reference
+    // AnalysisException from inside the re-rank join
+    if (probePayload.nonEmpty) {
+      val corpusCols = corpus.columns.toSet
+      val clash = probePayload.filter(corpusCols)
+      require(clash.isEmpty,
+        s"ivfPqTopKRerankIndexed: probePayload ${clash.mkString("(", ", ", ")")} " +
+          "collides with the corpus frame's columns — alias the probe-side " +
+          "column (e.g. label AS plabel) so pairFilter can reference both " +
+          "sides unambiguously")
+    }
     val cand = ivfPqTopKIndexed(table, coarse, probes, bk, rerank, nprobe)
       .select(col("probe_id"), col("id"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
@@ -1692,6 +1748,7 @@ object Similarity {
       .join(broadcast(cand), "id")
       .join(broadcast(unitized(probes, "p", "up")), "probe_id")
       .withColumn("cos", dot(col("up"), col("ue")))
+      .filter(pairFilter)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("cos"))

@@ -1826,6 +1826,62 @@ object SimilarityQueries {
     """),
     bench = true)
 
+  /** WEIGHTED batch fusion ([[Similarity.rrfFuseByProbe]] with
+    * per-leg weights — wRRF, w_i/(c + rank)) — the production dial
+    * q135b's scaladoc names: the replicated BM25 prior is demoted to a
+    * WEAK prior (w = 0.25) under the per-probe vector leg (w = 1.0),
+    * so lexical agreement nudges the fused ranking instead of
+    * competing at parity. Same legs, same decimal-exact arithmetic as
+    * q135b — the only change is the per-leg multiplier on each
+    * reciprocal addend, computed as ONE double division (IEEE-identical
+    * cross-engine) before the decimal cast, so the oracle replays the
+    * weight verbatim in the shared fusion shape. */
+  val q135cHybridRrfWeighted = QueryDef(
+    "q135c_hybrid_rrf_weighted",
+    (s, d) => {
+      val (corpus, centroids, probes0) = ivfInputs(s, d)
+      val vecLeg = Similarity.ivfTopK(corpus, centroids, probes0,
+          k = 20, nprobe = 2)
+        .select(col("probe_id"), col("id"), col("rank"))
+      val lexTop = graft.operators.Windows.topKRank(
+          TextAnalytics.bm25Scored(s, d).filter(col("score") > 0), 20,
+          "rank", col("score").desc, col("doc_id"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val lexLeg = probes0.select(col("probe_id")).crossJoin(lexTop)
+      Similarity.rrfFuseByProbe(Seq(lexLeg, vecLeg), k = 10,
+          weights = Seq(0.25, 1.0))
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfCtes("u.vec_id < 20") + "," + TextAnalytics.bm25Ctes("lex") + """,
+      vec AS (SELECT probe_id, id, rank FROM scored WHERE rank <= 20),
+      lextop AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM (SELECT doc_id, score FROM lexscored WHERE score > 0
+              ORDER BY score DESC, doc_id LIMIT 20)),
+      probeids AS (SELECT DISTINCT vec_id AS probe_id FROM emb WHERE vec_id < 20),
+      unioned AS (
+        SELECT p.probe_id, l.id, l.rank, 0.25::DOUBLE AS w
+        FROM probeids p CROSS JOIN lextop l
+        UNION ALL
+        SELECT probe_id, id, rank, 1.0::DOUBLE AS w FROM vec),
+      fused AS (
+        SELECT probe_id, id,
+               (sum((w / (60 + rank))::DECIMAL(28,12)))::DOUBLE AS rrf
+        FROM unioned GROUP BY probe_id, id),
+      rankd AS (
+        SELECT probe_id, id, rrf,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY rrf DESC, id) AS rank
+        FROM fused)
+      SELECT probe_id, rank, id, round(rrf, 9) AS rrf
+      FROM rankd WHERE rank <= 10
+      ORDER BY probe_id, rank
+    """),
+    bench = true)
+
   /** HARD-NEGATIVE MINING ([[Similarity.ivfTopKIndexed]]'s per-probe
     * `pairFilter`) — the contrastive-training data generator every
     * retrieval-model pipeline runs at corpus scale: for each probe,
@@ -1871,6 +1927,59 @@ object SimilarityQueries {
     """),
     benchSkip = true)
 
+  /** HARD-NEGATIVE MINING on the QUANTIZED ladder
+    * ([[Similarity.ivfPqTopKRerankIndexed]]'s per-probe
+    * `pairFilter`) — q137's contrastive-training serve shape on the
+    * index kind a memory-bound 100 TB deployment actually serves from,
+    * closing the filtered-serve matrix on BOTH index kinds. The code
+    * table stores no attributes, so the label predicate runs POST-ADC
+    * on the re-rank candidate fetch (the stage that already touches
+    * the corpus — the probe's label rides the broadcast probe side as
+    * `plabel` payload), then the top-3 backfills gap-free from the
+    * passing rows of the 32-candidate shortlist — the over-fetch dial
+    * prices the recall trade (the q133c/q133e contract), unlike the
+    * vector path's inline filter. The oracle replays label-mismatch
+    * ranking over the shared [[pqRerankCtes]] chain (coarse training,
+    * residual codes, ADC top-32, exact re-rank), so a candidate swap,
+    * a re-rank float, or a mis-filtered pair anywhere breaks the
+    * hash. benchSkip: index write + training in the timed body
+    * (q127c convention). */
+  val q137bPqHardNegatives = QueryDef(
+    "q137b_pq_hard_negatives",
+    (s, d) => {
+      val e = emb(s, d)
+      val (corpus, seeds, _) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_hneg_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_hneg_index", dim = 64)
+      val attrCorpus = e.select(col("vec_id").as("id"), col("e"), col("label"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"),
+          col("label").as("plabel"))
+      Similarity.ivfPqTopKRerankIndexed("graft_ivfpq_hneg_index", coarse,
+          probes, attrCorpus, bk, k = 3, nprobe = 2, rerank = 32,
+          probePayload = Seq("plabel"),
+          pairFilter = col("label") =!= col("plabel"))
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(pqRerankCtes + """,
+      hneg AS (
+        SELECT rr.probe_id, rr.id, rr.cos,
+               row_number() OVER (PARTITION BY rr.probe_id
+                 ORDER BY rr.cos DESC, rr.id) AS rnk
+        FROM rr
+        JOIN emb ce ON ce.vec_id = rr.id
+        JOIN emb pe ON pe.vec_id = rr.probe_id
+        WHERE ce.label <> pe.label)
+      SELECT probe_id, rnk AS rank, id, round(cos, 9) AS cos
+      FROM hneg WHERE rnk <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
@@ -1882,6 +1991,6 @@ object SimilarityQueries {
     q133eAnnPqPostfilter, q133fAnnSeenExclusion, q134AnnDelete,
     q134bAnnDeleteCompact,
     q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
-    q135bHybridRrfBatch, q136IndexHealth, q136bPqIndexHealth,
-    q137HardNegatives)
+    q135bHybridRrfBatch, q135cHybridRrfWeighted, q136IndexHealth,
+    q136bPqIndexHealth, q137HardNegatives, q137bPqHardNegatives)
 }

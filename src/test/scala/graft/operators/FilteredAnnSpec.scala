@@ -150,6 +150,70 @@ class FilteredAnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ ladder per-probe pairFilter: hard negatives post-ADC, backfilled within the shortlist") {
+    val (corpus, seeds, _) = inputs()
+    val plain = corpus.select("id", "e")
+    try {
+      val coarse = Similarity.kmeansTrainL2(plain, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(plain, coarse, "fann_pq_pp_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(spark, "fann_pq_pp_index", dim = 64)
+      val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"),
+          col("label").as("plabel"))
+      val probeLabels = emb.filter(col("vec_id") < 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val corpusLabels = corpus.select("id", "label")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val hneg = Similarity.ivfPqTopKRerankIndexed("fann_pq_pp_index", coarse,
+        probes, corpus, bk, k = 3, nprobe = 2, rerank = 32,
+        probePayload = Seq("plabel"),
+        pairFilter = col("label") =!= col("plabel"))
+      val rows = hneg.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      // 1. no emitted candidate shares its probe's class
+      rows.foreach { case (p, _, id) =>
+        assert(corpusLabels(id) != probeLabels(p),
+          s"probe $p (label ${probeLabels(p)}) got same-class negative $id")
+      }
+      // 2. filter-then-rank WITHIN the shortlist: the result is the
+      // label-mismatched subsequence of the unfiltered re-scored
+      // 32-candidate shortlist, re-ranked — NOT of the whole bucket
+      // pool (the post-ADC recall contract the scaladoc prices)
+      val shortlist = Similarity.ivfPqTopKRerankIndexed("fann_pq_pp_index",
+        coarse, probes.select("probe_id", "p"), corpus, bk,
+        k = 32, nprobe = 2, rerank = 32)
+        .select("probe_id", "rank", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val want = shortlist.groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+        cs.sortBy(_._2).map(_._3)
+          .filter(id => corpusLabels(id) != probeLabels(p))
+          .take(3).zipWithIndex.map { case (id, i) => (p, i + 1, id) }
+      }.toSet
+      assert(rows.toSet == want,
+        "per-probe PQ filtered ranking differs from filter-then-rerank of the shortlist")
+      // 3. ranks are contiguous from 1 per probe (backfilled, not gapped)
+      rows.groupBy(_._1).foreach { case (p, rs) =>
+        assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq,
+          s"probe $p has gapped ranks: ${rs.map(_._2).sorted.toSeq}")
+      }
+      // 4. a payload name colliding with a corpus column fails at the
+      // API boundary with the aliasing fix named
+      val exClash = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKRerankIndexed("fann_pq_pp_index", coarse,
+          probes.withColumnRenamed("plabel", "label"), corpus, bk,
+          k = 3, nprobe = 2, rerank = 32, probePayload = Seq("label"))
+      }
+      assert(exClash.getMessage.contains("collides"), exClash.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fann_pq_pp_index")
+      spark.sql("DROP TABLE IF EXISTS fann_pq_pp_index_books")
+    }
+  }
+
   test("excludePairsTopK: per-probe exclusion, filter-then-rerank, log never shuffles") {
     val (corpus, centroids, probes) = inputs()
     val plain = corpus.select("id", "e")

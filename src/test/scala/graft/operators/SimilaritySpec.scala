@@ -365,6 +365,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("weighted rrfFuseByProbe: all-1.0 == unweighted exactly; wRRF == definition; loud weight guards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val probeIds = (1L to 4L).toSeq
+    def leg(): Seq[(Long, Long, Int)] = probeIds.flatMap { p =>
+      rnd.shuffle((1L to 20L).toList).take(3 + rnd.nextInt(6))
+        .zipWithIndex.map { case (id, i) => (p, id, i + 1) }
+    }
+    val legs = Seq(leg(), leg(), leg())
+    val dfs = legs.map(_.toDF("probe_id", "id", "rank"))
+    // the 1.0 addend is float-identical to the unweighted form — the
+    // default path and an explicit all-ones weighting cannot diverge
+    val unweighted = Similarity.rrfFuseByProbe(dfs, k = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ones = Similarity.rrfFuseByProbe(dfs, k = 4,
+      weights = Seq(1.0, 1.0, 1.0))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ones == unweighted, "all-1.0 weights diverged from classic RRF")
+    // wRRF against a plain restatement: score = Σ_legs w_i/(c + rank),
+    // addends divided in double then summed exactly (order-free)
+    val ws = Seq(0.25, 1.0, 2.0)
+    val got = Similarity.rrfFuseByProbe(dfs, k = 4, weights = ws)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val addends = legs.zip(ws).flatMap { case (l, w) =>
+      l.map { case (p, id, r) => (p, id, w / (60 + r)) }
+    }
+    val want = addends.groupBy { case (p, id, _) => (p, id) }.toSeq
+      .map { case ((p, id), rows) =>
+        (p, id, rows.map(r => BigDecimal(r._3)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+        cs.sortBy { case (_, id, s) => (-s, id) }.take(4)
+          .zipWithIndex.map { case ((_, id, s), i) => (p, i + 1, id, s) }
+      }.toSet
+    assert(got == want, "wRRF diverged from the scan-the-definition reference")
+    // guards: count mismatch and non-positive weights reject loudly
+    val eN = intercept[IllegalArgumentException] {
+      Similarity.rrfFuseByProbe(dfs, k = 4, weights = Seq(1.0))
+    }
+    assert(eN.getMessage.contains("weight"), eN.getMessage)
+    val eZ = intercept[IllegalArgumentException] {
+      Similarity.rrfFuseByProbe(dfs, k = 4, weights = Seq(1.0, 0.0, 1.0))
+    }
+    assert(eZ.getMessage.contains("non-positive"), eZ.getMessage)
+  }
+
   test("rrfFuseByProbe guard is per (leg, probe, id): cross-probe repeats pass, in-probe dups raise") {
     import spark.implicits._
     // the same id ranked by the same leg for two DIFFERENT probes is
