@@ -34,6 +34,11 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val benched = SparkEntry.registry.filterNot(_.benchSkip)
+    // Build-once-serve-many: persisted-index serve queries build their
+    // index HERE, outside the timed body, so every timed sample measures
+    // the probe path production re-runs (their fns are build-if-absent,
+    // so round 1 would otherwise silently absorb an index build).
+    benched.foreach(q => q.benchSetup.foreach(f => f(spark, sfDir)))
     // Interleave rounds (all queries once, then again) rather than running
     // each query back-to-back: back-to-back repeats share a hot page cache
     // and JIT state the first run lacks, skewing medians optimistic.

@@ -390,8 +390,8 @@ object Similarity {
     * instead of a java.nio walk that would silently no-op off the
     * local filesystem and quietly degrade rebuild idempotency to plain
     * DROP TABLE. */
-  private def dropTableAndDir(spark: org.apache.spark.sql.SparkSession,
-                              table: String): Unit = {
+  private[graft] def dropTableAndDir(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val dir = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)

@@ -19,4 +19,9 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = false,
-    benchSkip: Boolean = false) // fixture-scale queries that ignore sfDir
+    benchSkip: Boolean = false, // fixture-scale queries that ignore sfDir
+    // Build-once-serve-many hook: Bench runs this UNTIMED before the
+    // timed rounds (persisted-index builds), so the samples measure only
+    // the recurring probe path. The query's fn must stay self-contained
+    // (build-if-absent) so Verify needs no setup pass.
+    benchSetup: Option[(SparkSession, String) => Unit] = None)

@@ -1496,6 +1496,25 @@ object SimilarityQueries {
     * FilteredAnnSpec pins the no-log-Exchange plan). The oracle
     * replays shortlist, exclusion, and re-rank from the shared IVF
     * chain. */
+  /** The seen-log exclusion oracle (shortlist rank ≤ 9, (probe+id)%4
+    * pairs excluded, survivors re-ranked to top-3) — ONE definition
+    * shared by q133f (in-plan IVF shortlist) and q138c (the same serve
+    * stack over the persisted index; ivfTopKIndexed ≡ ivfTopK on the
+    * same inputs, the q28/q28b oracle-sharing precedent), so the two
+    * gates cannot pin different exclusion arithmetic. */
+  private lazy val seenExclusionOracleSql: String =
+    ivfCtes("u.vec_id < 20") + """,
+      pf AS (
+        SELECT probe_id, id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS prank
+        FROM scored
+        WHERE rank <= 9 AND (probe_id + id) % 4 <> 0)
+      SELECT probe_id, prank AS rank, id, round(cos, 9) AS cos
+      FROM pf WHERE prank <= 3
+      ORDER BY probe_id, rank
+    """
+
   val q133fAnnSeenExclusion = QueryDef(
     "q133f_ann_seen_exclusion",
     (s, d) => {
@@ -1510,17 +1529,7 @@ object SimilarityQueries {
           round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "rank")
     },
-    Some(ivfCtes("u.vec_id < 20") + """,
-      pf AS (
-        SELECT probe_id, id, cos,
-               row_number() OVER (PARTITION BY probe_id
-                 ORDER BY cos DESC, id) AS prank
-        FROM scored
-        WHERE rank <= 9 AND (probe_id + id) % 4 <> 0)
-      SELECT probe_id, prank AS rank, id, round(cos, 9) AS cos
-      FROM pf WHERE prank <= 3
-      ORDER BY probe_id, rank
-    """),
+    Some(seenExclusionOracleSql),
     bench = true)
 
   /** DELETE from a persisted index ([[Similarity.deleteFromIvfIndex]])
@@ -1980,6 +1989,137 @@ object SimilarityQueries {
     """),
     benchSkip = true)
 
+  // ------------------------------------------------------- serve bench
+  // Build-once-serve-many gates: 21 of the indexed gates above are
+  // benchSkip because index build + training dominate their timed body
+  // (the q127c convention) — correct for correctness gating, but it
+  // left the HOTTEST production path (the recurring probe) with zero
+  // timed bench coverage: a serve regression in ivfTopKIndexed /
+  // ivfPqTopKRerankIndexed / the debt-guard read / the exclusion stack
+  // was invisible to BENCH and diff_bench. These three gates persist
+  // their index ONCE (QueryDef.benchSetup, untimed; the fn re-checks
+  // with one driver-side catalog call) and time ONLY the probe batch.
+
+  /** Build-if-absent guard for the persisted serve indexes: keyed on
+    * the table AND the data dir, so sessions at different SFs can never
+    * serve each other's index; within one session the re-check is one
+    * driver-side catalog call (no job). Across JVMs the in-memory
+    * catalog starts empty and the builds' dropTableAndDir hygiene
+    * clears any orphaned warehouse directories. */
+  private def ensureServeIndex(s: SparkSession, d: String, table: String)
+      (build: => Unit): Unit = {
+    val key = s"graft.serve.builtDir.$table"
+    if (!s.catalog.tableExists(table) || !s.conf.getOption(key).contains(d)) {
+      build
+      s.conf.set(key, d)
+    }
+  }
+
+  /** The persisted vector serve index (q28b's construction) plus its
+    * centroids as a side table — production serves from STORED
+    * centroids, not a per-call window over the corpus, so the timed
+    * probe body must too. */
+  private def ensureServeIvf(s: SparkSession, d: String): Unit =
+    ensureServeIndex(s, d, "graft_serve_ivf_index") {
+      val (corpus, centroids, _) = ivfInputs(s, d)
+      Similarity.writeIvfIndex(corpus, centroids, "graft_serve_ivf_index",
+        numBuckets = 8)
+      Similarity.dropTableAndDir(s, "graft_serve_ivf_index_cent")
+      centroids.write.format("parquet")
+        .saveAsTable("graft_serve_ivf_index_cent")
+    }
+
+  /** The persisted quantized serve index (q127c/q127d's construction:
+    * trained coarse, writeIvfPqIndex) with the coarse centroids stored
+    * alongside the codebooks — the self-contained later-session serve
+    * entry point. */
+  private def ensureServePq(s: SparkSession, d: String): Unit =
+    ensureServeIndex(s, d, "graft_serve_pq_index") {
+      val (corpus, seeds, _) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_serve_pq_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      Similarity.dropTableAndDir(s, "graft_serve_pq_index_coarse")
+      coarse.write.format("parquet")
+        .saveAsTable("graft_serve_pq_index_coarse")
+    }
+
+  /** TIMED vector-index serve ([[Similarity.ivfTopKIndexed]]) — the
+    * probe batch against the PERSISTED index, index build excluded
+    * (benchSetup): what the timed body measures is exactly what
+    * production re-runs per request batch — load the stored centroids,
+    * assign the 20 probes (broadcast), bucket-pruned scan, rank.
+    * Result-identical to q28/q28b (same oracle). */
+  val q138ServeIvfIndexed = QueryDef(
+    "q138_serve_ivf_indexed",
+    (s, d) => {
+      ensureServeIvf(s, d)
+      val (_, _, probes) = ivfInputs(s, d)
+      val cent = s.table("graft_serve_ivf_index_cent")
+      Similarity.ivfTopKIndexed("graft_serve_ivf_index", cent, probes,
+          k = 3, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(ivfOracleSql),
+    bench = true,
+    benchSetup = Some(ensureServeIvf))
+
+  /** TIMED quantized serve ([[Similarity.ivfPqTopKRerankIndexed]]) —
+    * the ADC + exact-re-rank probe batch against the PERSISTED IVF-PQ
+    * index, training and build excluded: stored coarse centroids and
+    * codebooks load (bounded driver metadata), the code table is
+    * bucket-pruned and ADC-ranked, the 32-candidate shortlist fetches
+    * its vectors for the exact re-rank. Result-identical to q127d
+    * (same oracle). */
+  val q138bServePqRerank = QueryDef(
+    "q138b_serve_pq_rerank",
+    (s, d) => {
+      ensureServePq(s, d)
+      val (corpus, _, probes) = ivfInputs(s, d)
+      val coarse = s.table("graft_serve_pq_index_coarse")
+      val bk = Similarity.readPqBooks(s, "graft_serve_pq_index", dim = 64)
+      Similarity.ivfPqTopKRerankIndexed("graft_serve_pq_index", coarse,
+          probes, corpus, bk, k = 3, nprobe = 2, rerank = 32)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(pqRerankCtes + """
+      SELECT probe_id, rank, id, round(cos, 9) AS cos
+      FROM rr WHERE rank <= 3
+      ORDER BY probe_id, rank
+    """),
+    bench = true,
+    benchSetup = Some(ensureServePq))
+
+  /** TIMED filtered-serve stack (q133f's shape over the PERSISTED
+    * index): 3× over-fetched [[Similarity.ivfTopKIndexed]] shortlist,
+    * per-probe seen-log exclusion through the semi-then-anti broadcast
+    * composition, survivors re-ranked to top-3 — the full
+    * recommendation-serve request path, index build excluded. Shares
+    * q133f's oracle (one exclusion-arithmetic definition). */
+  val q138cServeSeenExclusion = QueryDef(
+    "q138c_serve_seen_exclusion",
+    (s, d) => {
+      ensureServeIvf(s, d)
+      val (corpus, _, probes) = ivfInputs(s, d)
+      val cent = s.table("graft_serve_ivf_index_cent")
+      val seenLog = probes.select(col("probe_id"))
+        .crossJoin(corpus.select(col("id")))
+        .filter(pmod(col("probe_id") + col("id"), lit(4)) === 0)
+      val shortlist = Similarity.ivfTopKIndexed("graft_serve_ivf_index",
+        cent, probes, k = 9, nprobe = 2)
+      Similarity.excludePairsTopK(shortlist, seenLog, 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(seenExclusionOracleSql),
+    bench = true,
+    benchSetup = Some(ensureServeIvf))
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
@@ -1992,5 +2132,6 @@ object SimilarityQueries {
     q134bAnnDeleteCompact,
     q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
     q135bHybridRrfBatch, q135cHybridRrfWeighted, q136IndexHealth,
-    q136bPqIndexHealth, q137HardNegatives, q137bPqHardNegatives)
+    q136bPqIndexHealth, q137HardNegatives, q137bPqHardNegatives,
+    q138ServeIvfIndexed, q138bServePqRerank, q138cServeSeenExclusion)
 }
