@@ -415,29 +415,52 @@ object Similarity {
     * [[Compaction]] of accumulated small per-append files is the
     * companion maintenance task.
     *
-    * STATS KEEP-ALIVE: if the table carried optimizer-visible
-    * statistics going into the append (an earlier `ANALYZE`), the
-    * append re-ANALYZEs it afterwards. Spark itself CLEARS catalog
-    * stats on any catalog-routed insert (so the "stale analyzed
-    * rowCount under-enforces the [[ivfTopKBulk]] guard" failure cannot
-    * arise through this path) — but clearing silently DOWNGRADES an
-    * analyzed index to the count()-per-probe fallback on its first
-    * append; the refresh preserves the job-free guard path the ANALYZE
-    * opted into. Detection uses the SAME predicate [[indexRowCount]]
-    * reads through (optimizer-exposed rowCount), so the two can't
-    * disagree about what "has stats" means; a never-analyzed index
-    * pays nothing here. Cost: one count-class job per append batch —
-    * noise next to the insert, bought back by every guarded probe.
+    * STATS KEEP-ALIVE: if the table carried ANALYZE statistics going
+    * into the append, the append re-ANALYZEs it afterwards. Spark
+    * itself CLEARS catalog stats on any catalog-routed insert (so the
+    * "stale analyzed rowCount under-enforces the [[ivfTopKBulk]]
+    * guard" failure cannot arise through this path) — but clearing
+    * silently DOWNGRADES an analyzed index to the count()-per-probe
+    * fallback on its first append; the refresh preserves the job-free
+    * guard path the ANALYZE opted into. Detection reads the CATALOG
+    * entry's statistics ([[hasCatalogRowCount]] — the
+    * [[tombstoneRowCount]] convention), NOT optimizer-plan stats:
+    * plan-level rowCount is CBO-gated and a streaming writer's
+    * foreachBatch session runs with CBO forced OFF, so plan-read
+    * detection silently killed the keep-alive under exactly the
+    * continuous-ingest shape that needs it (AnnServeSpec pins the
+    * streamed case). Catalog-first detection can only re-ANALYZE MORE
+    * often than the plan read would (plan stats derive from the
+    * catalog), so [[indexRowCount]]'s guard never loses a count it
+    * would have had; a never-analyzed index pays nothing here. Cost:
+    * one count-class job per append batch — noise next to the insert,
+    * bought back by every guarded probe.
     * (Writers that bypass the catalog entirely — files dropped into
     * the directory — leave stats both stale AND un-cleared on ANY
     * engine: after such an append, REFRESH + re-ANALYZE the table; the
     * guard's 8× drift allowance plus [[indexRowCount]]'s zero-count
-    * fallback bound the damage until then.) */
+    * fallback bound the damage until then.)
+    *
+    * STREAMING INGEST (the continuously-growing-corpus shape): call
+    * this from a `foreachBatch` body — the append is a plain batch
+    * insert, so its ORDERING CONTRACT is the micro-batch boundary:
+    * rows appended in micro-batch N are visible to any serve call
+    * issued after batch N completes (foreachBatch bodies run
+    * sequentially), never mid-batch, and the stats keep-alive and
+    * positional column check run per batch exactly as in one-shot use.
+    * Visibility is automatic through the WRITING session (the insert
+    * invalidates its relation cache); a SEPARATE serving session — the
+    * production shape, and what foreachBatch's cloned session already
+    * makes of the enclosing one — sees the new files after its next
+    * `REFRESH TABLE`, standard Spark cross-session semantics (a cached
+    * file listing is per-session; refresh once per serve boundary, not
+    * per probe). AnnServeSpec pins serve-after-append parity across a
+    * streamed 2-batch ingest against the one-shot build, with the
+    * prober on the other side of the session boundary. */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
                      table: String, payload: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
-    val hadStats =
-      spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
+    val hadStats = hasCatalogRowCount(spark, table)
     // insertInto is POSITIONAL: `payload` must list the same columns in
     // the same order the index was written with, or values land in the
     // wrong stored columns silently — one driver-side name comparison
@@ -584,6 +607,19 @@ object Similarity {
       .getOrElse(spark.table(ts).count())
   }
 
+  /** "Was this table ANALYZE'd?" for the append/compaction stats
+    * keep-alives — a CATALOG metadata read (driver-side, no job),
+    * deliberately NOT the optimizer-plan read: plan-level rowCount is
+    * CBO-gated, and the sessions that run appends are not always the
+    * sessions that opted into CBO (a streaming foreachBatch clone runs
+    * with CBO forced off), while the catalog entry is the same in
+    * every session. */
+  private def hasCatalogRowCount(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Boolean =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .stats.flatMap(_.rowCount).isDefined
+
   /** COMPACT a deleted index: rewrite the bucketed table without its
     * tombstoned rows (same bucket count/key, payload columns intact),
     * then drop the tombstone side table — the merge-on-read debt
@@ -618,8 +654,7 @@ object Similarity {
     recoverCompactionSwap(spark, table)
     val ts = tombstoneTable(table)
     if (!spark.catalog.tableExists(ts)) return
-    val hadStats =
-      spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
+    val hadStats = hasCatalogRowCount(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
@@ -1591,12 +1626,15 @@ object Similarity {
     * while bucket occupancy ([[occupancyPsi]]) still looks flat —
     * watch the q130b-style recall gate on a probe sample across
     * appends, and rebuild ([[writeIvfPqIndex]]) when it sags; q127e
-    * gates this append flow end-to-end cross-engine. */
+    * gates this append flow end-to-end cross-engine. Streaming ingest
+    * carries [[appendIvfIndex]]'s ordering contract verbatim: from a
+    * `foreachBatch` body, appended code rows are visible to serve
+    * calls at micro-batch boundaries, never mid-batch (AnnServeSpec
+    * pins the streamed-ingest parity on both index kinds). */
   def appendIvfPqIndex(newVectors: DataFrame, coarse: DataFrame,
                        table: String, bk: PqBooks): Unit = {
     val spark = newVectors.sparkSession
-    val hadStats =
-      spark.table(table).queryExecution.optimizedPlan.stats.rowCount.isDefined
+    val hadStats = hasCatalogRowCount(spark, table)
     val assigned = coarseResiduals(newVectors, coarse)
     val batch = pqEncode(assigned.select(col("id"), col("r").as("e")), bk)
       .select(col("id"), col("codes"))

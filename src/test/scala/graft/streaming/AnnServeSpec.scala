@@ -117,6 +117,172 @@ class AnnServeSpec extends SparkSpec {
     }
   }
 
+  test("streamed ingest: foreachBatch appendIvfIndex — arrivals serve at the next batch boundary, stats keep alive") {
+    // the WRITE side of a continuously-ingesting corpus (the serve side
+    // is the three tests around this one): new vectors arrive as a
+    // stream, each micro-batch appends into the persisted index via the
+    // batch operator verbatim, and the ordering contract is the
+    // micro-batch boundary — a probe batch issued after ingest batch N
+    // must see exactly evens ∪ arrivals-so-far, never a mid-batch
+    // prefix, never a future arrival
+    val (_, centroids, corpus, probes) = inputs()
+    // deliberately NO CBO here: stats keep-alive detection is
+    // catalog-first (hasCatalogRowCount), so it must survive a default
+    // CBO-off session — and the streaming foreachBatch clone runs with
+    // CBO forced off regardless, which is exactly the writer this test
+    // exists for (plan-stats detection silently died here)
+    try {
+      val evens = corpus.filter(col("id") % 2 === 0)
+      Similarity.writeIvfIndex(evens, centroids, "ann_ingest_index", numBuckets = 8)
+      spark.sql("ANALYZE TABLE ann_ingest_index COMPUTE STATISTICS")
+
+      val dir = Files.createTempDirectory("ann-ingest").toString
+      // two files -> two ingest micro-batches under AvailableNow
+      corpus.filter(col("id") % 4 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      corpus.filter(col("id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val steps = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Set[Long], Set[(Long, Int, Long)])]()
+      val appended = scala.collection.mutable.Set[Long]()
+      val q = spark.readStream
+        .schema("id BIGINT, e ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.appendIvfIndex(batch, centroids, "ann_ingest_index")
+          appended ++= batch.select("id").collect().map(_.getLong(0))
+          // the probe batch AFTER the ingest batch — the serve side of
+          // the ordering contract. The prober here is a DIFFERENT
+          // session from the writer (foreachBatch bodies run under a
+          // cloned session), the production shape — so it refreshes
+          // its relation cache at the boundary, the standard Spark
+          // cross-session visibility rule the operator scaladoc states
+          spark.catalog.refreshTable("ann_ingest_index")
+          val served = Similarity.ivfTopKIndexed("ann_ingest_index",
+            centroids, probes, k = 3, nprobe = 2)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          steps.add((appended.toSet, served))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "stream did not finish in 180 s (loaded host?)")
+
+      import scala.jdk.CollectionConverters._
+      val recorded = steps.asScala.toSeq
+      assert(recorded.size == 2, s"expected 2 ingest micro-batches, got ${recorded.size}")
+      // serve-after-append parity at EVERY boundary: evens ∪ so-far,
+      // exactly (ivfTopKIndexed ≡ ivfTopK parity is pinned in
+      // IvfIndexSpec, so the in-plan form is the cheap ground truth)
+      recorded.foreach { case (ids, served) =>
+        val visible = corpus.filter(
+          col("id") % 2 === 0 || col("id").isin(ids.toSeq: _*))
+        val want = Similarity.ivfTopK(visible, centroids, probes, k = 3, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(served == want,
+          s"serve after ingesting ${ids.size} arrivals diverged from the batch answer")
+      }
+      // the last boundary saw the whole corpus — streamed ingest
+      // converged to the one-shot build-whole answer
+      assert(recorded.map(_._1.size).max == corpus.count() - evens.count())
+      // stats keep-alive survived the STREAMING writer: the ANALYZE'd
+      // index still carries fresh catalog stats after two appends
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ann_ingest_index"))
+      assert(meta.stats.flatMap(_.rowCount).contains(BigInt(corpus.count())),
+        s"streamed appends lost the analyzed stats (got ${meta.stats})")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_ingest_index")
+    }
+  }
+
+  test("streamed ingest: foreachBatch appendIvfPqIndex — per-boundary serve == one-shot reference, on the quantized ladder") {
+    // the PQ twin (q127e's frozen-centroids/frozen-codebooks shape fed
+    // by a stream): training is deterministic, so an identically-built
+    // REFERENCE index with ONE one-shot append is the ground truth —
+    // final streamed serve must equal it exactly, and each intermediate
+    // boundary must equal the reference with the not-yet-arrived ids
+    // tombstoned (liveIndexRows excludes them before ADC ranking — the
+    // delete path doubling as the candidate restriction)
+    val (emb, _, _, probes) = inputs()
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val seedsE = evens
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpusE = evens.select(col("vec_id").as("id"), col("e"))
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"), col("e"))
+    try {
+      val coarse = Similarity.kmeansTrainL2(corpusE, seedsE, iters = 2)
+      def build(table: String) =
+        Similarity.writeIvfPqIndex(corpusE, coarse, table,
+          m = 16, dim = 64, seedIds = 0L until 32L by 2, iters = 2,
+          numBuckets = 8)
+      build("ann_ingest_pq_index")
+      val bk = Similarity.readPqBooks(spark, "ann_ingest_pq_index", dim = 64)
+
+      val dir = Files.createTempDirectory("ann-ingest-pq").toString
+      odds.filter(col("id") % 4 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      odds.filter(col("id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(dir)
+      val steps = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Set[Long], Set[(Long, Int, Long)])]()
+      val appended = scala.collection.mutable.Set[Long]()
+      val q = spark.readStream
+        .schema("id BIGINT, e ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.appendIvfPqIndex(batch, coarse, "ann_ingest_pq_index", bk)
+          appended ++= batch.select("id").collect().map(_.getLong(0))
+          // cross-session prober refreshes at the boundary (see the
+          // vector twin above)
+          spark.catalog.refreshTable("ann_ingest_pq_index")
+          val served = Similarity.ivfPqTopKIndexed("ann_ingest_pq_index",
+            coarse, probes, bk, k = 3, nprobe = 2)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          steps.add((appended.toSet, served))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "stream did not finish in 180 s (loaded host?)")
+
+      import scala.jdk.CollectionConverters._
+      val recorded = steps.asScala.toSeq
+      assert(recorded.size == 2, s"expected 2 ingest micro-batches, got ${recorded.size}")
+      // reference: same deterministic training, ONE one-shot append
+      build("ann_ingest_pq_ref")
+      Similarity.appendIvfPqIndex(odds, coarse, "ann_ingest_pq_ref", bk)
+      def serveRef() = Similarity.ivfPqTopKIndexed("ann_ingest_pq_ref",
+        coarse, probes, bk, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val allOdds = odds.select("id").collect().map(_.getLong(0)).toSet
+      import spark.implicits._
+      // walk the boundaries newest-first so the reference's tombstone
+      // set only ever GROWS (deleteFromIvfIndex appends)
+      val tombstoned = scala.collection.mutable.Set[Long]()
+      recorded.sortBy(-_._1.size).foreach { case (ids, served) =>
+        val notYet = allOdds -- ids -- tombstoned
+        if (notYet.nonEmpty) {
+          Similarity.deleteFromIvfIndex(spark, "ann_ingest_pq_ref",
+            notYet.toSeq.toDF("id"))
+          tombstoned ++= notYet
+        }
+        assert(served == serveRef(),
+          s"streamed PQ serve after ${ids.size} arrivals diverged from the " +
+            "one-shot reference")
+      }
+    } finally {
+      Seq("ann_ingest_pq_index", "ann_ingest_pq_index_books",
+        "ann_ingest_pq_ref", "ann_ingest_pq_ref_books",
+        "ann_ingest_pq_ref__tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("streamed HYBRID serve: PQ re-rank + per-probe RRF per micro-batch == batch, across batch splits") {
     // the full production serve stack on a probe stream: each
     // micro-batch runs ivfPqTopKRerankIndexed (quantized shortlist,
