@@ -38,7 +38,15 @@ object Bench {
     // index HERE, outside the timed body, so every timed sample measures
     // the probe path production re-runs (their fns are build-if-absent,
     // so round 1 would otherwise silently absorb an index build).
-    benched.foreach(q => q.benchSetup.foreach(f => f(spark, sfDir)))
+    // a failing setup must not kill the whole run (the timeOnce
+    // convention): the query's build-if-absent fn will retry it in the
+    // timed body and, failing again, land in "failed" like any crash
+    benched.foreach(q => q.benchSetup.foreach { f =>
+      try f(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] setup for ${q.name} failed " +
+          s"(its fn will retry inside the timed body): $e") }
+    })
     // Interleave rounds (all queries once, then again) rather than running
     // each query back-to-back: back-to-back repeats share a hot page cache
     // and JIT state the first run lacks, skewing medians optimistic.

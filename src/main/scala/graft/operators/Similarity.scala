@@ -179,16 +179,25 @@ object Similarity {
     * the two consumers — referenced lazily, a full IVF window+join
     * ranking would run twice per serve call. It is |probes|·R rows,
     * broadcast-sized by contract, so it collects to a local frame (the
-    * materializeProbeSide convention). */
+    * materializeProbeSide convention) — which makes this operator
+    * EAGER: the shortlist lineage runs at call time, like every
+    * indexed probe path. */
   def excludePairsTopK(shortlist: DataFrame, exclude: DataFrame,
                        k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     val sl0 = shortlist.select("probe_id", "id", "cos")
     val sl = sl0.sparkSession.createDataFrame(
       java.util.Arrays.asList(sl0.collect(): _*), sl0.schema)
+    // the semi preserves every matching LOG row, and a real seen-log
+    // repeats impressions of the same (probe, id) pair — distinct()
+    // restores the documented ≤ |probes|·R bound on the broadcast
+    // build side (an anti join is duplicate-insensitive semantically;
+    // this is about broadcast SIZE). The distinct shuffles only the
+    // intersection, never the log.
     val hits = exclude.select(col("probe_id"), col("id"))
       .join(broadcast(sl.select("probe_id", "id")),
         Seq("probe_id", "id"), "left_semi")
+      .distinct()
     sl.join(broadcast(hits), Seq("probe_id", "id"), "left_anti")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -263,7 +272,7 @@ object Similarity {
     * the caller before fusing — q135b does exactly that with the BM25
     * prior. Same arithmetic as [[rrfFuse]] row for row (decimal-exact
     * sum, c = 60, ties on ascending id), so fusing a batch equals
-    * fusing each probe alone — RrfSpec pins the equivalence.
+    * fusing each probe alone — SimilaritySpec pins the equivalence.
     *
     * The duplicate-id guard generalizes to (leg, probe_id, id): one
     * row per id PER PROBE per leg — the same id ranked by the same leg
@@ -278,7 +287,7 @@ object Similarity {
     * recency leg that should nudge, not dominate). One positive
     * multiplier per leg, in leg order; empty (default) = classic RRF,
     * all legs at 1.0 — and the 1.0 addend is float-identical to the
-    * unweighted form (RrfSpec pins the equivalence). Each addend is
+    * unweighted form (SimilaritySpec pins the equivalence). Each addend is
     * ONE double division w/(c+rank) — IEEE-identical in any engine —
     * and the decimal-exact accumulation carries unchanged, so the
     * cross-engine determinism contract survives the weight verbatim. */
@@ -783,11 +792,18 @@ object Similarity {
     // (the probe-side guards keep their contract ordering: empty
     // centroids fail on THEIR require, not on a table lookup)
     if (probePayload.nonEmpty) {
-      val indexCols = spark.table(table).columns.toSet
-      val clash = probePayload.filter(indexCols)
+      // stored columns AND the names this operator generates or uses
+      // internally: a payload named "cos"/"rank" would be silently
+      // OVERWRITTEN by the scoring withColumns (pairFilter would then
+      // filter the computed value, wrong rows with no error), and the
+      // assignment's internals would mis-bind — same loud reject
+      val reserved = spark.table(table).columns.toSet ++
+        Set("cos", "rank", "up", "cos_c", "rn")
+      val clash = probePayload.filter(reserved)
       require(clash.isEmpty,
         s"ivfTopKIndexed: probePayload ${clash.mkString("(", ", ", ")")} " +
-          s"collides with `$table`'s stored columns — alias the probe-side " +
+          s"collides with `$table`'s stored columns or this operator's " +
+          "generated columns (cos, rank, up) — alias the probe-side " +
           "column (e.g. label AS plabel) so pairFilter can reference both " +
           "sides unambiguously")
     }
@@ -1768,16 +1784,21 @@ object Similarity {
         "cannot be smaller than the answer; use ivfPqTopKIndexed for " +
         "plain ADC ranking")
     // same boundary guard as ivfTopKIndexed: a payload name colliding
-    // with a corpus column would surface as a deep ambiguous-reference
-    // AnalysisException from inside the re-rank join
+    // with a corpus column (or the coarse frame inside pqProbeSide)
+    // would surface as a deep ambiguous-reference AnalysisException,
+    // and one colliding with a generated column (cos, rank) would be
+    // silently OVERWRITTEN by the scoring withColumns — both reject
+    // loudly here instead
     if (probePayload.nonEmpty) {
-      val corpusCols = corpus.columns.toSet
-      val clash = probePayload.filter(corpusCols)
+      val reserved = corpus.columns.toSet ++
+        Set("cos", "rank", "ue", "up", "c_id", "c", "pc", "__sc", "__rn")
+      val clash = probePayload.filter(reserved)
       require(clash.isEmpty,
         s"ivfPqTopKRerankIndexed: probePayload ${clash.mkString("(", ", ", ")")} " +
-          "collides with the corpus frame's columns — alias the probe-side " +
-          "column (e.g. label AS plabel) so pairFilter can reference both " +
-          "sides unambiguously")
+          "collides with the corpus frame's columns, the coarse frame's " +
+          "(c_id, c), or this operator's generated columns (cos, rank) — " +
+          "alias the probe-side column (e.g. label AS plabel) so " +
+          "pairFilter can reference both sides unambiguously")
     }
     val cand = ivfPqTopKIndexed(table, coarse, probes, bk, rerank, nprobe)
       .select(col("probe_id"), col("id"))

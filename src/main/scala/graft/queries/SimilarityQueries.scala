@@ -1496,6 +1496,16 @@ object SimilarityQueries {
     * FilteredAnnSpec pins the no-log-Exchange plan). The oracle
     * replays shortlist, exclusion, and re-rank from the shared IVF
     * chain. */
+  /** The synthetic per-probe seen-log the exclusion gates share —
+    * every (probe, id) pair with (probe_id + id) % 4 = 0, a quarter of
+    * each probe's world. ONE definition for q133f and q138c, matching
+    * the shared oracle below (the Spark side must not be able to drift
+    * either). */
+  private def seenLog(probes: DataFrame, corpus: DataFrame): DataFrame =
+    probes.select(col("probe_id"))
+      .crossJoin(corpus.select(col("id")))
+      .filter(pmod(col("probe_id") + col("id"), lit(4)) === 0)
+
   /** The seen-log exclusion oracle (shortlist rank ≤ 9, (probe+id)%4
     * pairs excluded, survivors re-ranked to top-3) — ONE definition
     * shared by q133f (in-plan IVF shortlist) and q138c (the same serve
@@ -1519,12 +1529,9 @@ object SimilarityQueries {
     "q133f_ann_seen_exclusion",
     (s, d) => {
       val (corpus, centroids, probes) = ivfInputs(s, d)
-      val seenLog = probes.select(col("probe_id"))
-        .crossJoin(corpus.select(col("id")))
-        .filter(pmod(col("probe_id") + col("id"), lit(4)) === 0)
       val shortlist = Similarity.ivfTopK(corpus, centroids, probes,
         k = 9, nprobe = 2)
-      Similarity.excludePairsTopK(shortlist, seenLog, 3)
+      Similarity.excludePairsTopK(shortlist, seenLog(probes, corpus), 3)
         .select(col("probe_id"), col("rank"), col("id"),
           round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "rank")
@@ -1782,7 +1789,7 @@ object SimilarityQueries {
     * replicated across the probe batch — the global-prior fusion shape
     * (popularity/recency/keyword context shared by a request batch).
     * Per-probe top-10 emitted; fusing the batch equals fusing each
-    * probe alone (RrfSpec pins the equivalence against [[rrfFuse]]).
+    * probe alone (SimilaritySpec pins the equivalence against [[rrfFuse]]).
     * The oracle replays both legs end-to-end plus the per-probe
     * decimal-exact fusion, so a rank flip in either leg for ANY probe
     * breaks the hash. Scale shape: |probes|·|legs|·R fused rows, the
@@ -2106,12 +2113,9 @@ object SimilarityQueries {
       ensureServeIvf(s, d)
       val (corpus, _, probes) = ivfInputs(s, d)
       val cent = s.table("graft_serve_ivf_index_cent")
-      val seenLog = probes.select(col("probe_id"))
-        .crossJoin(corpus.select(col("id")))
-        .filter(pmod(col("probe_id") + col("id"), lit(4)) === 0)
       val shortlist = Similarity.ivfTopKIndexed("graft_serve_ivf_index",
         cent, probes, k = 9, nprobe = 2)
-      Similarity.excludePairsTopK(shortlist, seenLog, 3)
+      Similarity.excludePairsTopK(shortlist, seenLog(probes, corpus), 3)
         .select(col("probe_id"), col("rank"), col("id"),
           round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "rank")
