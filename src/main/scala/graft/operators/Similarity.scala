@@ -544,6 +544,16 @@ object Similarity {
       dropTableAndDir(spark, ts)
       frame.write.format("parquet").saveAsTable(ts)
     }
+    // `spark` and `ids` may belong to DIFFERENT sessions — the
+    // foreachBatch shape, where the batch frame is bound to the
+    // stream's cloned session while the caller holds the serving one.
+    // The write above refreshed the WRITING session's relation cache;
+    // without this refresh, `spark`'s ANALYZE would count through its
+    // own stale cached listing and persist a wrong (old) rowCount into
+    // the shared catalog — the debt guard's job-free count would then
+    // under-read real debt (AnnServeSpec's streamed-delete test pins
+    // the fresh count).
+    spark.catalog.refreshTable(ts)
     spark.sql(s"ANALYZE TABLE `$ts` COMPUTE STATISTICS")
   }
 

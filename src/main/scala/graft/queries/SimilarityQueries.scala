@@ -1539,6 +1539,53 @@ object SimilarityQueries {
     Some(seenExclusionOracleSql),
     bench = true)
 
+  /** PER-PROBE EXTERNAL EXCLUSION on the QUANTIZED ladder — the
+    * fourth filtered-serve quadrant (external × per-probe, q133f's
+    * "docs this user already saw") composed over the PQ re-rank
+    * shortlist, so the matrix is now EXPLICITLY gated on both index
+    * kinds along both axes: global×inline (q133b), global×external
+    * (q133c vector / q133e PQ), per-probe×attribute (q137 vector /
+    * q137b PQ), per-probe×external (q133f vector / THIS gate PQ).
+    * [[Similarity.ivfPqTopKRerankIndexed]] fetches a 3× over-fetched
+    * exact-cosine shortlist (k = 9 from the rerank = 32 ADC
+    * candidates) and [[Similarity.excludePairsTopK]] streams the
+    * seen-log through the semi-then-anti broadcast composition —
+    * exactly q133f's serve stack with the shortlist produced by the
+    * quantized index. The oracle replays the exclusion and re-rank
+    * over the shared [[pqRerankCtes]] chain's rank ≤ 9 rows, so a
+    * candidate swap in the ADC shortlist, a re-rank float, or a
+    * mis-excluded pair anywhere breaks the hash. benchSkip: index
+    * write + training in the timed body (q127c convention; the TIMED
+    * exclusion serve is q138c). */
+  val q133gPqSeenExclusion = QueryDef(
+    "q133g_pq_seen_exclusion",
+    (s, d) => {
+      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+      Similarity.writeIvfPqIndex(corpus, coarse, "graft_ivfpq_seen_index",
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      val bk = Similarity.readPqBooks(s, "graft_ivfpq_seen_index", dim = 64)
+      val shortlist = Similarity.ivfPqTopKRerankIndexed(
+        "graft_ivfpq_seen_index", coarse, probes, corpus, bk,
+        k = 9, nprobe = 2, rerank = 32)
+      Similarity.excludePairsTopK(shortlist, seenLog(probes, corpus), 3)
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(pqRerankCtes + """,
+      pf AS (
+        SELECT probe_id, id, cos,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos DESC, id) AS prank
+        FROM rr
+        WHERE rank <= 9 AND (probe_id + id) % 4 <> 0)
+      SELECT probe_id, prank AS rank, id, round(cos, 9) AS cos
+      FROM pf WHERE prank <= 3
+      ORDER BY probe_id, rank
+    """),
+    benchSkip = true)
+
   /** DELETE from a persisted index ([[Similarity.deleteFromIvfIndex]])
     * — the right-to-be-forgotten leg of the lifecycle, merge-on-read:
     * ids (every 7th vector) tombstone into a side table, and the
@@ -2132,7 +2179,8 @@ object SimilarityQueries {
     q127fAnnIvfPqBulk, q130AnnRecall, q130bPqRecall,
     q130cPqRerankRecall, q130dPqRecallKsub64, q133AnnFiltered,
     q133bAnnFilteredIvf, q133cAnnPostfilter, q133dFilteredRecall,
-    q133eAnnPqPostfilter, q133fAnnSeenExclusion, q134AnnDelete,
+    q133eAnnPqPostfilter, q133fAnnSeenExclusion, q133gPqSeenExclusion,
+    q134AnnDelete,
     q134bAnnDeleteCompact,
     q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
     q135bHybridRrfBatch, q135cHybridRrfWeighted, q136IndexHealth,

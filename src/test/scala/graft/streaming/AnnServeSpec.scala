@@ -283,6 +283,74 @@ class AnnServeSpec extends SparkSpec {
     }
   }
 
+  test("streamed ingest: foreachBatch deleteFromIvfIndex — tombstones take effect at batch boundaries, debt stats stay fresh") {
+    // the DELETE leg of streamed maintenance (append is the two tests
+    // above; compaction is an offline job by design): right-to-be-
+    // forgotten requests arrive as a stream, each micro-batch appends
+    // tombstones via the batch operator verbatim, and a probe batch
+    // issued after delete batch N must exclude exactly the ids
+    // tombstoned so far — merge-on-read at the boundary, no rewrite
+    val (_, centroids, corpus, probes) = inputs()
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, "ann_del_stream_index",
+        numBuckets = 8)
+      val dels = corpus.filter(col("id") % 8 === 1).select("id")
+        .unionByName(corpus.filter(col("id") % 8 === 5).select("id"))
+
+      val dir = Files.createTempDirectory("ann-del-stream").toString
+      corpus.filter(col("id") % 8 === 1).select("id").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      corpus.filter(col("id") % 8 === 5).select("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+      val steps = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Set[Long], Set[(Long, Int, Long)])]()
+      val deleted = scala.collection.mutable.Set[Long]()
+      val q = spark.readStream
+        .schema("id BIGINT")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Similarity.deleteFromIvfIndex(spark, "ann_del_stream_index", batch)
+          deleted ++= batch.select("id").collect().map(_.getLong(0))
+          // cross-session prober refreshes the SIDE table too — the
+          // anti-join's build side is what must not go stale
+          spark.catalog.refreshTable("ann_del_stream_index__tombstones")
+          val served = Similarity.ivfTopKIndexed("ann_del_stream_index",
+            centroids, probes, k = 3, nprobe = 2)
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          steps.add((deleted.toSet, served))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(180000), "stream did not finish in 180 s (loaded host?)")
+
+      import scala.jdk.CollectionConverters._
+      val recorded = steps.asScala.toSeq
+      assert(recorded.size == 2, s"expected 2 delete micro-batches, got ${recorded.size}")
+      // serve-after-delete parity at every boundary: exactly the
+      // corpus minus tombstones-so-far (merge-on-read backfills each
+      // deleted id's slot with the next-best live candidate)
+      recorded.foreach { case (ids, served) =>
+        val live = corpus.filter(!col("id").isin(ids.toSeq: _*))
+        val want = Similarity.ivfTopK(live, centroids, probes, k = 3, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(served == want,
+          s"serve after ${ids.size} streamed deletes diverged from the batch answer")
+      }
+      // the debt guard's job-free path survived the streaming writer:
+      // every delete batch re-ANALYZEd the side table, so its CATALOG
+      // stats carry the full tombstone count
+      val tsMeta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "ann_del_stream_index__tombstones"))
+      assert(tsMeta.stats.flatMap(_.rowCount).contains(BigInt(dels.count())),
+        s"streamed deletes left stale side-table stats (got ${tsMeta.stats})")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_del_stream_index")
+      spark.sql("DROP TABLE IF EXISTS ann_del_stream_index__tombstones")
+    }
+  }
+
   test("streamed HYBRID serve: PQ re-rank + per-probe RRF per micro-batch == batch, across batch splits") {
     // the full production serve stack on a probe stream: each
     // micro-batch runs ivfPqTopKRerankIndexed (quantized shortlist,
