@@ -1990,6 +1990,25 @@ object SimilarityQueries {
     """),
     benchSkip = true)
 
+  /** The PQ hard-negative oracle: label-mismatch ranking over the
+    * shared [[pqRerankCtes]] chain's re-scored top-32, top-3 emitted —
+    * ONE definition shared by q137b (in-body index build) and q138d
+    * (the same serve over the persisted q138b index; identical
+    * deterministic construction, the q28/q28b precedent). */
+  private lazy val pqHardNegOracleSql: String = pqRerankCtes + """,
+      hneg AS (
+        SELECT rr.probe_id, rr.id, rr.cos,
+               row_number() OVER (PARTITION BY rr.probe_id
+                 ORDER BY rr.cos DESC, rr.id) AS rnk
+        FROM rr
+        JOIN emb ce ON ce.vec_id = rr.id
+        JOIN emb pe ON pe.vec_id = rr.probe_id
+        WHERE ce.label <> pe.label)
+      SELECT probe_id, rnk AS rank, id, round(cos, 9) AS cos
+      FROM hneg WHERE rnk <= 3
+      ORDER BY probe_id, rank
+    """
+
   /** HARD-NEGATIVE MINING on the QUANTIZED ladder
     * ([[Similarity.ivfPqTopKRerankIndexed]]'s per-probe
     * `pairFilter`) — q137's contrastive-training serve shape on the
@@ -2028,19 +2047,7 @@ object SimilarityQueries {
           round(col("cos"), 9).as("cos"))
         .orderBy("probe_id", "rank")
     },
-    Some(pqRerankCtes + """,
-      hneg AS (
-        SELECT rr.probe_id, rr.id, rr.cos,
-               row_number() OVER (PARTITION BY rr.probe_id
-                 ORDER BY rr.cos DESC, rr.id) AS rnk
-        FROM rr
-        JOIN emb ce ON ce.vec_id = rr.id
-        JOIN emb pe ON pe.vec_id = rr.probe_id
-        WHERE ce.label <> pe.label)
-      SELECT probe_id, rnk AS rank, id, round(cos, 9) AS cos
-      FROM hneg WHERE rnk <= 3
-      ORDER BY probe_id, rank
-    """),
+    Some(pqHardNegOracleSql),
     benchSkip = true)
 
   // ------------------------------------------------------- serve bench
@@ -2171,6 +2178,39 @@ object SimilarityQueries {
     bench = true,
     benchSetup = Some(ensureServeIvf))
 
+  /** TIMED hard-negative serve on the quantized ladder (q137b's shape
+    * over the PERSISTED q138b index, build and training excluded) —
+    * the newest serve feature made a measured one: the per-probe
+    * label predicate runs post-ADC on the re-rank candidate fetch, so
+    * a regression in the predicate's placement (e.g. it stops
+    * filtering BEFORE the final rank, or the payload broadcast shape
+    * degrades) shows up as a diff_bench row here instead of hiding
+    * behind q137b's benchSkip. Shares q137b's oracle (one
+    * label-mismatch-ranking definition; the persisted index is the
+    * same deterministic construction). */
+  val q138dServePqHardNeg = QueryDef(
+    "q138d_serve_pq_hardneg",
+    (s, d) => {
+      ensureServePq(s, d)
+      val e = emb(s, d)
+      val coarse = s.table("graft_serve_pq_index_coarse")
+      val bk = Similarity.readPqBooks(s, "graft_serve_pq_index", dim = 64)
+      val attrCorpus = e.select(col("vec_id").as("id"), col("e"), col("label"))
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("e").as("p"),
+          col("label").as("plabel"))
+      Similarity.ivfPqTopKRerankIndexed("graft_serve_pq_index", coarse,
+          probes, attrCorpus, bk, k = 3, nprobe = 2, rerank = 32,
+          probePayload = Seq("plabel"),
+          pairFilter = col("label") =!= col("plabel"))
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("cos"), 9).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(pqHardNegOracleSql),
+    bench = true,
+    benchSetup = Some(ensureServePq))
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
@@ -2185,5 +2225,6 @@ object SimilarityQueries {
     q134cAnnPqDelete, q134dAnnPqDeleteCompact, q135HybridRrf,
     q135bHybridRrfBatch, q135cHybridRrfWeighted, q136IndexHealth,
     q136bPqIndexHealth, q137HardNegatives, q137bPqHardNegatives,
-    q138ServeIvfIndexed, q138bServePqRerank, q138cServeSeenExclusion)
+    q138ServeIvfIndexed, q138bServePqRerank, q138cServeSeenExclusion,
+    q138dServePqHardNeg)
 }
