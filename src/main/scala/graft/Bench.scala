@@ -24,12 +24,16 @@ object Bench {
     // Catalyst prune the projections being benchmarked) without write I/O.
     // A failed run must NEVER read as a (fast) score: record it as a
     // failure, not its fail-fast wall time — round 6's 7 broken queries
-    // showed as 0.05 s "wins" before this.
+    // showed as 0.05 s "wins" before this. NonFatal only: an
+    // OutOfMemoryError/StackOverflowError leaves a corrupted JVM whose
+    // remaining samples are garbage — better no artifact than a
+    // poisoned one; query-level bugs (the round-6 class) are all
+    // NonFatal and still record as failures.
     def timeOnce(q: QueryDef): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ${q.name} failed: $e"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
@@ -40,10 +44,12 @@ object Bench {
     // so round 1 would otherwise silently absorb an index build).
     // a failing setup must not kill the whole run (the timeOnce
     // convention): the query's build-if-absent fn will retry it in the
-    // timed body and, failing again, land in "failed" like any crash
+    // timed body and, failing again, land in "failed" like any crash.
+    // NonFatal only — a fatal JVM error here must propagate, not leak
+    // into the timed rounds as silently skewed samples
     benched.foreach(q => q.benchSetup.foreach { f =>
       try f(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] setup for ${q.name} failed " +
           s"(its fn will retry inside the timed body): $e") }
     })

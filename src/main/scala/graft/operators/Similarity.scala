@@ -181,13 +181,31 @@ object Similarity {
     * broadcast-sized by contract, so it collects to a local frame (the
     * materializeProbeSide convention) — which makes this operator
     * EAGER: the shortlist lineage runs at call time, like every
-    * indexed probe path. */
+    * indexed probe path. The contract is GUARDED: the collect is
+    * bounded by `graft.ann.maxShortlistRows` (default 2M — ~hundreds
+    * of MB of driver rows) and raises past it naming the bound, so a
+    * caller passing an unbounded frame gets an actionable error, not
+    * a silent driver OOM (FilteredAnnSpec pins the raise). */
   def excludePairsTopK(shortlist: DataFrame, exclude: DataFrame,
                        k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     val sl0 = shortlist.select("probe_id", "id", "cos")
+    // limit(bound + 1) rides the single execution: under the bound it
+    // returns every row; at bound + 1 the extra row is proof enough to
+    // raise without materializing the rest of a runaway frame
+    val bound = sl0.sparkSession.conf
+      .get("graft.ann.maxShortlistRows", "2000000").toLong
+    val capped = (bound.min(Int.MaxValue - 2L) + 1L).toInt
+    val rows = sl0.limit(capped).collect()
+    require(rows.length < capped,
+      s"excludePairsTopK: shortlist reached $capped rows, past the " +
+        s"driver-comfort bound of $bound (graft.ann.maxShortlistRows) — " +
+        "the contract is |probes|·R rows (one probe batch's over-fetched " +
+        "candidates), collected once to the driver to avoid re-executing " +
+        "the ranking lineage; shrink the probe batch / over-fetch, or " +
+        "raise the bound knowingly")
     val sl = sl0.sparkSession.createDataFrame(
-      java.util.Arrays.asList(sl0.collect(): _*), sl0.schema)
+      java.util.Arrays.asList(rows: _*), sl0.schema)
     // the semi preserves every matching LOG row, and a real seen-log
     // repeats impressions of the same (probe, id) pair — distinct()
     // restores the documented ≤ |probes|·R bound on the broadcast
@@ -241,9 +259,9 @@ object Similarity {
     // one struct max so the reported (count, leg, id) triple is the same
     // winning row (the recallAtK convention)
     val dupMax = tagged.groupBy("__leg", "id").agg(count(lit(1)).as("__n"))
-      .agg(max(struct(col("__n"), col("__leg"), col("id"))).as("__w"))
-      .select(col("__w.__n").as("__max_n"), col("__w.__leg").as("__max_leg"),
-        col("__w.id").as("__max_id"))
+      .agg(max(struct(col("__n"), col("__leg"), col("id"))).as("__dup"))
+      .select(col("__dup.__n").as("__max_n"), col("__dup.__leg").as("__max_leg"),
+        col("__dup.id").as("__max_id"))
     val fused = tagged
       .groupBy("id")
       .agg(sum((lit(1.0) / (lit(c) + col("rank"))).cast("decimal(28,12)"))
@@ -311,13 +329,17 @@ object Similarity {
       }
       .reduce(_ union _)
     // one struct max so the reported (count, leg, probe, id) quadruple
-    // is the same winning row (the rrfFuse/recallAtK convention)
+    // is the same winning row (the rrfFuse/recallAtK convention). The
+    // struct alias is "__dup", NOT "__w": "__w" is the per-leg weight
+    // column in `tagged`, and although the groupBy above drops it
+    // before this frame is consumed, shadowing the name would let a
+    // future edit silently mis-bind one for the other
     val dupMax = tagged.groupBy("__leg", "probe_id", "id")
       .agg(count(lit(1)).as("__n"))
       .agg(max(struct(col("__n"), col("__leg"), col("probe_id"), col("id")))
-        .as("__w"))
-      .select(col("__w.__n").as("__max_n"), col("__w.__leg").as("__max_leg"),
-        col("__w.probe_id").as("__max_probe"), col("__w.id").as("__max_id"))
+        .as("__dup"))
+      .select(col("__dup.__n").as("__max_n"), col("__dup.__leg").as("__max_leg"),
+        col("__dup.probe_id").as("__max_probe"), col("__dup.id").as("__max_id"))
     val w = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("id"))
     tagged
       .groupBy("probe_id", "id")
@@ -463,9 +485,17 @@ object Similarity {
     * makes of the enclosing one — sees the new files after its next
     * `REFRESH TABLE`, standard Spark cross-session semantics (a cached
     * file listing is per-session; refresh once per serve boundary, not
-    * per probe). AnnServeSpec pins serve-after-append parity across a
-    * streamed 2-batch ingest against the one-shot build, with the
-    * prober on the other side of the session boundary. */
+    * per probe). The "never mid-batch" half is SNAPSHOT-AT-LISTING: a
+    * serve scan captures the table's file listing when its first job
+    * runs and ranks only over those files, so a reader in flight when
+    * an append commits sees NONE of the batch — committed files enter
+    * only through a later listing. (A reader that LISTS concurrently
+    * with the commit is outside the boundary contract — serve at
+    * boundaries, as above.) AnnServeSpec pins both halves:
+    * serve-after-append parity across a streamed 2-batch ingest
+    * against the one-shot build (with the prober on the other side of
+    * the session boundary), and the in-flight reader's
+    * snapshot-at-listing isolation. */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
                      table: String, payload: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
@@ -667,7 +697,23 @@ object Similarity {
     * Stats keep-alive mirrors [[appendIvfIndex]]: an
     * ANALYZE'd index is re-ANALYZE'd after the swap so the
     * [[ivfTopKBulk]] guard stays job-free. No-op without a tombstone
-    * table (after any pending swap recovery). */
+    * table (after any pending swap recovery).
+    *
+    * CONCURRENT READERS (the proven contract — ConcurrentServeSpec
+    * drives a serve loop through repeated live compactions and audits
+    * every outcome): compaction NEVER changes a serve answer — it
+    * folds exactly the rows the tombstone anti-join already hides, so
+    * pre- and post-compaction answers are the same set — therefore a
+    * concurrent serve that succeeds returns THE correct answer, and
+    * one that catches the swap instead fails CATCHABLY: an
+    * AnalysisException when it resolves inside the metadata-only gap
+    * (or its side-table read races the drop), or a
+    * FileNotFoundException-caused job failure when its frozen file
+    * listing points at the pre-swap directory the swap moved/dropped.
+    * Readers should retry on those two classes — a plain retry
+    * succeeds once the swap completes (same answer, by the first
+    * property). Deployments whose serve path cannot retry should run
+    * compaction in a maintenance window; nothing here requires one. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       table: String): Unit = {
     recoverCompactionSwap(spark, table)

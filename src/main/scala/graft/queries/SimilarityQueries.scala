@@ -1899,25 +1899,17 @@ object SimilarityQueries {
     * reciprocal addend, computed as ONE double division (IEEE-identical
     * cross-engine) before the decimal cast, so the oracle replays the
     * weight verbatim in the shared fusion shape. */
-  val q135cHybridRrfWeighted = QueryDef(
-    "q135c_hybrid_rrf_weighted",
-    (s, d) => {
-      val (corpus, centroids, probes0) = ivfInputs(s, d)
-      val vecLeg = Similarity.ivfTopK(corpus, centroids, probes0,
-          k = 20, nprobe = 2)
-        .select(col("probe_id"), col("id"), col("rank"))
-      val lexTop = graft.operators.Windows.topKRank(
-          TextAnalytics.bm25Scored(s, d).filter(col("score") > 0), 20,
-          "rank", col("score").desc, col("doc_id"))
-        .select(col("doc_id").as("id"), col("rank"))
-      val lexLeg = probes0.select(col("probe_id")).crossJoin(lexTop)
-      Similarity.rrfFuseByProbe(Seq(lexLeg, vecLeg), k = 10,
-          weights = Seq(0.25, 1.0))
-        .select(col("probe_id"), col("rank"), col("id"),
-          round(col("rrf"), 9).as("rrf"))
-        .orderBy("probe_id", "rank")
-    },
-    Some(ivfCtes("u.vec_id < 20") + "," + TextAnalytics.bm25Ctes("lex") + """,
+  /** The weighted-hybrid oracle: both legs replayed end-to-end (the
+    * shared IVF chain at top-20 per probe, the BM25 prior top-20
+    * replicated across the batch) and wRRF-fused per probe at weights
+    * (0.25, 1.0) — ONE definition shared by q135c (in-plan vector leg)
+    * and q138e (the same fusion over the persisted serve index;
+    * [[Similarity.ivfTopKIndexed]] is result-identical to
+    * [[Similarity.ivfTopK]] on the same construction — the q28/q28b
+    * precedent — so the fused request path shares the arithmetic
+    * verbatim). */
+  private lazy val weightedHybridOracleSql: String =
+    ivfCtes("u.vec_id < 20") + "," + TextAnalytics.bm25Ctes("lex") + """,
       vec AS (SELECT probe_id, id, rank FROM scored WHERE rank <= 20),
       lextop AS (
         SELECT doc_id AS id,
@@ -1942,7 +1934,27 @@ object SimilarityQueries {
       SELECT probe_id, rank, id, round(rrf, 9) AS rrf
       FROM rankd WHERE rank <= 10
       ORDER BY probe_id, rank
-    """),
+    """
+
+  val q135cHybridRrfWeighted = QueryDef(
+    "q135c_hybrid_rrf_weighted",
+    (s, d) => {
+      val (corpus, centroids, probes0) = ivfInputs(s, d)
+      val vecLeg = Similarity.ivfTopK(corpus, centroids, probes0,
+          k = 20, nprobe = 2)
+        .select(col("probe_id"), col("id"), col("rank"))
+      val lexTop = graft.operators.Windows.topKRank(
+          TextAnalytics.bm25Scored(s, d).filter(col("score") > 0), 20,
+          "rank", col("score").desc, col("doc_id"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val lexLeg = probes0.select(col("probe_id")).crossJoin(lexTop)
+      Similarity.rrfFuseByProbe(Seq(lexLeg, vecLeg), k = 10,
+          weights = Seq(0.25, 1.0))
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(weightedHybridOracleSql),
     bench = true)
 
   /** HARD-NEGATIVE MINING ([[Similarity.ivfTopKIndexed]]'s per-probe
@@ -2064,13 +2076,27 @@ object SimilarityQueries {
   /** Build-if-absent guard for the persisted serve indexes: keyed on
     * the table AND the data dir, so sessions at different SFs can never
     * serve each other's index; within one session the re-check is one
-    * driver-side catalog call (no job). Across JVMs the in-memory
-    * catalog starts empty and the builds' dropTableAndDir hygiene
-    * clears any orphaned warehouse directories. */
-  private def ensureServeIndex(s: SparkSession, d: String, table: String)
-      (build: => Unit): Unit = {
+    * driver-side catalog call per table (no job). Across JVMs the
+    * in-memory catalog starts empty and the builds' dropTableAndDir
+    * hygiene clears any orphaned warehouse directories.
+    *
+    * `sideTables`: the companion tables the serve path reads (stored
+    * centroids / coarse frame / codebooks) — checked alongside the
+    * index itself, so an out-of-band DROP of EITHER piece routes back
+    * through the build instead of the serve failing on the missing
+    * companion while the conf still claims built.
+    *
+    * ASSUMPTION (stated, not fingerprinted): the parquet under `d` is
+    * immutable for the JVM's lifetime — the driver-testdata contract
+    * every gate relies on. A dataset REGENERATED in place under the
+    * same dir would serve the stale index until a new JVM; soak
+    * tooling that rebuilds data writes to a FRESH dir instead
+    * (tools/make_soak_sf.py), which this key distinguishes. */
+  private def ensureServeIndex(s: SparkSession, d: String, table: String,
+                               sideTables: String*)(build: => Unit): Unit = {
     val key = s"graft.serve.builtDir.$table"
-    if (!s.catalog.tableExists(table) || !s.conf.getOption(key).contains(d)) {
+    val allThere = (table +: sideTables).forall(s.catalog.tableExists)
+    if (!allThere || !s.conf.getOption(key).contains(d)) {
       build
       s.conf.set(key, d)
     }
@@ -2081,7 +2107,8 @@ object SimilarityQueries {
     * centroids, not a per-call window over the corpus, so the timed
     * probe body must too. */
   private def ensureServeIvf(s: SparkSession, d: String): Unit =
-    ensureServeIndex(s, d, "graft_serve_ivf_index") {
+    ensureServeIndex(s, d, "graft_serve_ivf_index",
+        "graft_serve_ivf_index_cent") {
       val (corpus, centroids, _) = ivfInputs(s, d)
       Similarity.writeIvfIndex(corpus, centroids, "graft_serve_ivf_index",
         numBuckets = 8)
@@ -2095,7 +2122,8 @@ object SimilarityQueries {
     * alongside the codebooks — the self-contained later-session serve
     * entry point. */
   private def ensureServePq(s: SparkSession, d: String): Unit =
-    ensureServeIndex(s, d, "graft_serve_pq_index") {
+    ensureServeIndex(s, d, "graft_serve_pq_index",
+        "graft_serve_pq_index_coarse", "graft_serve_pq_index_books") {
       val (corpus, seeds, _) = ivfInputs(s, d)
       val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
       Similarity.writeIvfPqIndex(corpus, coarse, "graft_serve_pq_index",
@@ -2211,6 +2239,46 @@ object SimilarityQueries {
     bench = true,
     benchSetup = Some(ensureServePq))
 
+  /** TIMED hybrid serve (q135c's weighted-fusion stack over the
+    * PERSISTED vector index, build excluded) — the one
+    * production-shaped query a recommendation deployment serves per
+    * request batch, completing serve-bench coverage of every
+    * production query shape: the vector leg is
+    * [[Similarity.ivfTopKIndexed]] top-20 against
+    * `graft_serve_ivf_index` (stored centroids, bucket-pruned scan),
+    * the lexical leg is the replicated BM25 prior demoted to w = 0.25,
+    * fused per probe by [[Similarity.rrfFuseByProbe]]. Shares q135c's
+    * oracle (one weighted-fusion-arithmetic definition; the indexed
+    * probe path is result-identical to the in-plan one — the q28/q28b
+    * precedent, so a regression in EITHER the serve read or the fusion
+    * breaks this gate's hash and its diff_bench row). The BM25 leg
+    * stays in the timed body deliberately: the prior is request-scoped
+    * in q135c's shape, and what this gate times is the full fused
+    * request path, not the vector probe alone (that is q138). */
+  val q138eServeHybridWeighted = QueryDef(
+    "q138e_serve_hybrid_weighted",
+    (s, d) => {
+      ensureServeIvf(s, d)
+      val (_, _, probes) = ivfInputs(s, d)
+      val cent = s.table("graft_serve_ivf_index_cent")
+      val vecLeg = Similarity.ivfTopKIndexed("graft_serve_ivf_index", cent,
+          probes, k = 20, nprobe = 2)
+        .select(col("probe_id"), col("id"), col("rank"))
+      val lexTop = graft.operators.Windows.topKRank(
+          TextAnalytics.bm25Scored(s, d).filter(col("score") > 0), 20,
+          "rank", col("score").desc, col("doc_id"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val lexLeg = probes.select(col("probe_id")).crossJoin(lexTop)
+      Similarity.rrfFuseByProbe(Seq(lexLeg, vecLeg), k = 10,
+          weights = Seq(0.25, 1.0))
+        .select(col("probe_id"), col("rank"), col("id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy("probe_id", "rank")
+    },
+    Some(weightedHybridOracleSql),
+    bench = true,
+    benchSetup = Some(ensureServeIvf))
+
   val all: Seq[QueryDef] = Seq(q27AnnBruteForce, q28AnnIvf, q28bAnnIvfIndexed,
     q28cAnnIvfTrained, q28dAnnIvfAppend, q28eAnnIvfDriftRebuild,
     q28fAnnIvfBulk, q28gAnnIvfBulkCells, q65KmeansTrain, q72AnnLsh,
@@ -2226,5 +2294,5 @@ object SimilarityQueries {
     q135bHybridRrfBatch, q135cHybridRrfWeighted, q136IndexHealth,
     q136bPqIndexHealth, q137HardNegatives, q137bPqHardNegatives,
     q138ServeIvfIndexed, q138bServePqRerank, q138cServeSeenExclusion,
-    q138dServePqHardNeg)
+    q138dServePqHardNeg, q138eServeHybridWeighted)
 }

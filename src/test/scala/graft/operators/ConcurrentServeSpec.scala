@@ -1,0 +1,175 @@
+package graft.operators
+
+import java.io.FileNotFoundException
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The concurrency frontier of the index lifecycle: what a serve call
+  * experiences while maintenance runs CONCURRENTLY — at 100 TB with a
+  * live serving fleet, compaction never gets a quiet point, so the
+  * reader-side contract must be proven, not implied. The contract
+  * these tests pin (and [[Similarity.compactIvfIndex]]'s scaladoc now
+  * states):
+  *
+  *  - compaction NEVER changes a serve answer: it folds rows the
+  *    tombstone anti-join already hides, so pre- and post-compaction
+  *    answers are the SAME set — a concurrent reader that succeeds
+  *    must return exactly that one answer;
+  *  - a reader that catches the swap's metadata-only gap (or a scan
+  *    whose frozen file listing points at the dropped pre-swap
+  *    directory) fails with a CATCHABLE error — an AnalysisException
+  *    at resolution or a FileNotFoundException-caused job failure —
+  *    never a wrong answer, and a plain retry succeeds once the swap
+  *    completes.
+  *
+  * Two legs: a deterministic one that serves INSIDE the gap state
+  * (live name absent between the two renames), and a racy one that
+  * hammers serves from a second thread across repeated
+  * delete-then-compact cycles and audits every outcome against the
+  * contract. */
+class ConcurrentServeSpec extends SparkSpec {
+
+  private def inputs() = {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy("vec_id")
+    val centroids = emb
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("label").as("c_id"), col("e").as("c"))
+    val corpus = emb.select(col("vec_id").as("id"), col("e"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    (corpus, centroids, probes)
+  }
+
+  private def keySet(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  /** The retryable failure classes the contract allows a concurrent
+    * reader to see: resolution inside the metadata-only gap
+    * (AnalysisException — table-not-found, or the side table dropped
+    * between its existence check and its read) and a scan whose frozen
+    * file listing points at files the swap's directory moves/drops
+    * removed (FileNotFoundException, usually as a job failure's
+    * cause). Anything else — above all a WRONG ANSWER — fails the
+    * test. */
+  private def retryable(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: AnalysisException    => true
+      case _: FileNotFoundException => true
+      case _                        => false
+    }
+
+  test("mid-swap gap: a serve inside the gap fails catchably; a retry after heal returns the one answer") {
+    val (corpus, centroids, probes) = inputs()
+    val idx = "cserve_gap_index"
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, idx, numBuckets = 8)
+      val want = keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2))
+      // tombstone ids that appear in NO probe's top-3, so the one
+      // correct answer never changes across delete or compaction
+      val answerIds = want.map(_._3)
+      val delIds = corpus.select("id").collect().map(_.getLong(0))
+        .filterNot(answerIds).take(20)
+      import spark.implicits._
+      Similarity.deleteFromIvfIndex(spark, idx, delIds.toSeq.toDF("id"))
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == want,
+        "fixture broke: deleting non-answer ids changed the serve answer")
+      // the exact state between compactIvfIndex's two renames: nothing
+      // answers under the live name — a serve here must fail with a
+      // CATCHABLE resolution error, not hang or fabricate an answer
+      spark.sql(s"ALTER TABLE `$idx` RENAME TO `${idx}__old`")
+      val ex = intercept[AnalysisException] {
+        Similarity.ivfTopKIndexed(idx, centroids, probes, k = 3, nprobe = 2)
+      }
+      assert(retryable(ex))
+      // the retry path: the next compaction call heals the gap state
+      // (restores the live name) and finishes folding the tombstones —
+      // the reader's retry then gets the unchanged answer
+      Similarity.compactIvfIndex(spark, idx)
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == want, "retry after heal diverged")
+      assert(!spark.catalog.tableExists(s"${idx}__tombstones"))
+    } finally {
+      Seq(idx, s"${idx}__tombstones", s"${idx}__compact", s"${idx}__old")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("serve loop concurrent with repeated compactions: every outcome is the one answer or a retryable error") {
+    val (corpus, centroids, probes) = inputs()
+    val idx = "cserve_race_index"
+    try {
+      Similarity.writeIvfIndex(corpus, centroids, idx, numBuckets = 8)
+      val want = keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2))
+      val answerIds = want.map(_._3)
+      val delIds = corpus.select("id").collect().map(_.getLong(0))
+        .filterNot(answerIds).take(60)
+      assert(delIds.length == 60, "fixture needs 60 non-answer ids")
+
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Set[(Long, Int, Long)]]]()
+      val server = new Thread(() => {
+        while (!stop.get()) {
+          try outcomes.add(Right(keySet(
+            Similarity.ivfTopKIndexed(idx, centroids, probes,
+              k = 3, nprobe = 2))))
+          catch { case e: Throwable => outcomes.add(Left(e)) }
+        }
+      }, "cserve-race-server")
+      server.setDaemon(true)
+      server.start()
+      try {
+        // three full maintenance cycles, each a fresh tombstone batch
+        // folded by a swap, with the serve loop in flight throughout
+        import spark.implicits._
+        delIds.grouped(20).foreach { batch =>
+          Similarity.deleteFromIvfIndex(spark, idx, batch.toSeq.toDF("id"))
+          Similarity.compactIvfIndex(spark, idx)
+        }
+      } finally {
+        stop.set(true)
+        server.join(120000)
+      }
+      assert(!server.isAlive, "serve thread did not stop in 120 s")
+
+      import scala.jdk.CollectionConverters._
+      val all = outcomes.asScala.toSeq
+      val served = all.collect { case Right(s) => s }
+      val failed = all.collect { case Left(e) => e }
+      assert(served.nonEmpty, "serve loop never completed a call")
+      // compaction never changes serve results (it folds rows the
+      // anti-join already hides), so EVERY successful concurrent serve
+      // must equal the single expected answer
+      served.zipWithIndex.foreach { case (s, i) =>
+        assert(s == want, s"concurrent serve #$i returned a wrong answer " +
+          s"(missing ${want -- s}, extra ${s -- want})")
+      }
+      // and every failure must be in the documented retryable class
+      failed.foreach { e =>
+        assert(retryable(e),
+          s"concurrent serve failed OUTSIDE the retryable contract: $e " +
+            s"(cause chain: ${Iterator.iterate(e)(_.getCause)
+              .takeWhile(_ != null).take(10).map(_.getClass.getName)
+              .mkString(" <- ")})")
+      }
+      // the quiet-point retry after all maintenance: same answer, debt paid
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) == want)
+      assert(!spark.catalog.tableExists(s"${idx}__tombstones"))
+    } finally {
+      Seq(idx, s"${idx}__tombstones", s"${idx}__compact", s"${idx}__old")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+}

@@ -254,6 +254,29 @@ class FilteredAnnSpec extends SparkSpec {
       s"exclusion leg shuffled the log:\n$plan")
   }
 
+  test("excludePairsTopK: shortlist past the driver bound raises loudly instead of collecting") {
+    // the operator's eager materialization is contractually |probes|·R
+    // rows; a caller violating that must get an actionable raise naming
+    // the bound and the contract — never a silent driver OOM
+    val shortlist = spark.range(10).select(
+      (col("id") % 2).as("probe_id"), col("id"),
+      (col("id") * 0.1).as("cos"))
+    val noExclusions = spark.range(0)
+      .select(col("id").as("probe_id"), col("id"))
+    spark.conf.set("graft.ann.maxShortlistRows", "5")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.excludePairsTopK(shortlist, noExclusions, 3)
+      }
+      assert(ex.getMessage.contains("maxShortlistRows") &&
+        ex.getMessage.contains("|probes|"), ex.getMessage)
+      // at the bound exactly, the operator works unchanged
+      spark.conf.set("graft.ann.maxShortlistRows", "10")
+      assert(Similarity.excludePairsTopK(shortlist, noExclusions, 3)
+        .count() == 6) // 2 probes x top-3
+    } finally spark.conf.unset("graft.ann.maxShortlistRows")
+  }
+
   test("post-filter: short probes are real; exhaustive over-fetch == exact filtered") {
     val (corpus, centroids, probes) = inputs()
     val plain = corpus.select("id", "e")

@@ -351,6 +351,48 @@ class AnnServeSpec extends SparkSpec {
     }
   }
 
+  test("append visibility is snapshot-at-listing: a scan that listed before the append never sees the batch") {
+    // the "never mid-batch" half of the ordering contract (the four
+    // tests around this one prove the boundary half): a reader's scan
+    // captures the table's file LISTING when its first job runs (the
+    // scan's partition list is lazy — NOT frozen at resolution or
+    // planning), and from then on ranks only over those files. So a
+    // reader in flight when an append commits sees NONE of the batch —
+    // committed files can only enter through a listing, and its
+    // listing already happened — proven here by re-driving the same
+    // executed plan after the commit: still the pre-append answer
+    val (_, centroids, corpus, probes) = inputs()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    try {
+      val evens = corpus.filter(col("id") % 2 === 0)
+      Similarity.writeIvfIndex(evens, centroids, "ann_snap_index", numBuckets = 8)
+      val preWant = Similarity.ivfTopK(evens, centroids, probes, k = 3, nprobe = 2)
+        .collect().map(key).toSet
+      // the in-flight reader: its scan has LISTED (first execution) —
+      // everything a mid-scan reader has done by the time a concurrent
+      // append commits
+      val inFlight = Similarity.ivfTopKIndexed("ann_snap_index", centroids,
+        probes, k = 3, nprobe = 2)
+      assert(inFlight.collect().map(key).toSet == preWant)
+      Similarity.appendIvfIndex(corpus.filter(col("id") % 2 === 1),
+        centroids, "ann_snap_index")
+      assert(inFlight.collect().map(key).toSet == preWant,
+        "a scan whose listing predates the append saw rows from it — " +
+          "snapshot-at-listing broken, an in-flight reader could observe " +
+          "a partial batch")
+      // and a NEWLY resolved scan sees the whole appended batch at once
+      val post = Similarity.ivfTopKIndexed("ann_snap_index", centroids,
+        probes, k = 3, nprobe = 2).collect().map(key).toSet
+      val postWant = Similarity.ivfTopK(corpus, centroids, probes,
+        k = 3, nprobe = 2).collect().map(key).toSet
+      assert(post == postWant,
+        "a scan resolved after the append missed part of the batch")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_snap_index")
+    }
+  }
+
   test("streamed HYBRID serve: PQ re-rank + per-probe RRF per micro-batch == batch, across batch splits") {
     // the full production serve stack on a probe stream: each
     // micro-batch runs ivfPqTopKRerankIndexed (quantized shortlist,
