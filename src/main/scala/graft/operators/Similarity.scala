@@ -195,6 +195,9 @@ object Similarity {
     // raise without materializing the rest of a runaway frame
     val bound = sl0.sparkSession.conf
       .get("graft.ann.maxShortlistRows", "2000000").toLong
+    require(bound >= 1,
+      s"excludePairsTopK: graft.ann.maxShortlistRows is $bound — the " +
+        "driver-comfort bound on the shortlist collect must be >= 1")
     val capped = (bound.min(Int.MaxValue - 2L) + 1L).toInt
     val rows = sl0.limit(capped).collect()
     require(rows.length < capped,
@@ -712,8 +715,18 @@ object Similarity {
     * listing points at the pre-swap directory the swap moved/dropped.
     * Readers should retry on those two classes — a plain retry
     * succeeds once the swap completes (same answer, by the first
-    * property). Deployments whose serve path cannot retry should run
-    * compaction in a maintenance window; nothing here requires one. */
+    * property). ONE SILENT CASE remains (pinned deterministically in
+    * the spec): a reader that RESOLVES the live name just before the
+    * first rename and runs its file LISTING inside the gap gets an
+    * EMPTY listing — Spark's root-path listing swallows the
+    * missing-directory FileNotFoundException (HadoopFSUtils
+    * .listLeafFiles, regardless of ignoreMissingFiles) — and so an
+    * EMPTY result with no error. A fleet serving a known-non-empty
+    * index must treat an empty serve answer during maintenance as the
+    * same retry signal as the two error classes; deployments whose
+    * serve path can do neither should run compaction in a maintenance
+    * window — nothing here requires one, but the empty-answer case is
+    * why a fleet that cannot retry needs one. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       table: String): Unit = {
     recoverCompactionSwap(spark, table)

@@ -22,8 +22,13 @@ import graft.SparkSpec
   *    whose frozen file listing points at the dropped pre-swap
   *    directory) fails with a CATCHABLE error — an AnalysisException
   *    at resolution or a FileNotFoundException-caused job failure —
-  *    never a wrong answer, and a plain retry succeeds once the swap
-  *    completes.
+  *    and a plain retry succeeds once the swap completes;
+  *  - ONE silent case: a reader that RESOLVED the live name before
+  *    the swap but runs its file LISTING inside the gap gets an EMPTY
+  *    result with no error (Spark's root-path listing swallows the
+  *    missing-directory FileNotFoundException), never a non-empty
+  *    wrong answer — so a fleet serving a known-non-empty index
+  *    treats empty-during-maintenance as the same retry signal.
   *
   * Two legs: a deterministic one that serves INSIDE the gap state
   * (live name absent between the two renames), and a racy one that
@@ -33,17 +38,7 @@ import graft.SparkSpec
 class ConcurrentServeSpec extends SparkSpec {
 
   private def inputs() = {
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("e"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
-    val centroids = emb
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = emb.select(col("vec_id").as("id"), col("e"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (_, centroids, corpus, probes) = annFixture(probeCutoff = 10)
     (corpus, centroids, probes)
   }
 
@@ -59,8 +54,11 @@ class ConcurrentServeSpec extends SparkSpec {
     * removed (FileNotFoundException, usually as a job failure's
     * cause). Anything else — above all a WRONG ANSWER — fails the
     * test. */
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   private def retryable(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+    causeChain(e).exists {
       case _: AnalysisException    => true
       case _: FileNotFoundException => true
       case _                        => false
@@ -73,6 +71,33 @@ class ConcurrentServeSpec extends SparkSpec {
       Similarity.writeIvfIndex(corpus, centroids, idx, numBuckets = 8)
       val want = keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
         k = 3, nprobe = 2))
+
+      // the contract's one SILENT case, pinned deterministically by
+      // simulating the instant INSIDE a managed-table RENAME where the
+      // catalog still answers but the directory has already moved: a
+      // reader resolving here lists the missing root, Spark swallows
+      // the FileNotFoundException (HadoopFSUtils.listLeafFiles on a
+      // root path), and the serve returns EMPTY — no error, and never
+      // a non-empty wrong answer: the retry signal a known-non-empty
+      // fleet watches for
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(idx)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val aside = new org.apache.hadoop.fs.Path(loc.getParent, s"${idx}__aside")
+      spark.catalog.refreshTable(idx) // drop the already-listed relation
+      assert(fs.rename(loc, aside), "fixture: could not move the index dir")
+      try {
+        assert(Similarity.ivfTopKIndexed(idx, centroids, probes,
+          k = 3, nprobe = 2).collect().isEmpty,
+          "a reader that listed while the directory was moved away " +
+            "returned rows — the documented empty-listing semantics " +
+            "changed; re-audit compactIvfIndex's concurrent-reader contract")
+      } finally {
+        assert(fs.rename(aside, loc), "fixture: could not restore the dir")
+      }
+      spark.catalog.refreshTable(idx)
+
       // tombstone ids that appear in NO probe's top-3, so the one
       // correct answer never changes across delete or compaction
       val answerIds = want.map(_._3)
@@ -83,14 +108,29 @@ class ConcurrentServeSpec extends SparkSpec {
       assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
         k = 3, nprobe = 2)) == want,
         "fixture broke: deleting non-answer ids changed the serve answer")
+      // a reader RESOLVED (and so LISTED — a fresh relation lists at
+      // resolution) before the swap: its frozen listing names files the
+      // swap is about to move away
+      spark.catalog.refreshTable(idx)
+      val resolvedPreGap =
+        Similarity.ivfTopKIndexed(idx, centroids, probes, k = 3, nprobe = 2)
       // the exact state between compactIvfIndex's two renames: nothing
-      // answers under the live name — a serve here must fail with a
-      // CATCHABLE resolution error, not hang or fabricate an answer
+      // answers under the live name — a serve RESOLVING here must fail
+      // with a CATCHABLE resolution error, not hang or fabricate an
+      // answer
       spark.sql(s"ALTER TABLE `$idx` RENAME TO `${idx}__old`")
       val ex = intercept[AnalysisException] {
         Similarity.ivfTopKIndexed(idx, centroids, probes, k = 3, nprobe = 2)
       }
       assert(retryable(ex))
+      // ... and the pre-gap reader EXECUTING here fails catchably too:
+      // its frozen listing points at the moved-away files
+      // (FileNotFoundException in the job failure's cause chain)
+      val exFrozen = intercept[Throwable] { resolvedPreGap.collect() }
+      assert(retryable(exFrozen),
+        s"frozen-listing serve failed OUTSIDE the retryable contract: " +
+          s"$exFrozen (cause chain: ${causeChain(exFrozen)
+            .map(_.getClass.getName).mkString(" <- ")})")
       // the retry path: the next compaction call heals the gap state
       // (restores the live name) and finishes folding the tombstones —
       // the reader's retry then gets the unchanged answer
@@ -147,20 +187,24 @@ class ConcurrentServeSpec extends SparkSpec {
       val all = outcomes.asScala.toSeq
       val served = all.collect { case Right(s) => s }
       val failed = all.collect { case Left(e) => e }
-      assert(served.nonEmpty, "serve loop never completed a call")
+      assert(served.exists(_.nonEmpty),
+        "serve loop never completed a non-empty call")
       // compaction never changes serve results (it folds rows the
-      // anti-join already hides), so EVERY successful concurrent serve
-      // must equal the single expected answer
+      // anti-join already hides), so every successful concurrent serve
+      // is either the single expected answer or EMPTY (the documented
+      // silent case: resolved pre-swap, listed inside the gap — the
+      // root-path FileNotFoundException swallow) — NEVER a non-empty
+      // wrong answer
       served.zipWithIndex.foreach { case (s, i) =>
-        assert(s == want, s"concurrent serve #$i returned a wrong answer " +
-          s"(missing ${want -- s}, extra ${s -- want})")
+        assert(s.isEmpty || s == want,
+          s"concurrent serve #$i returned a non-empty WRONG answer " +
+            s"(missing ${want -- s}, extra ${s -- want})")
       }
       // and every failure must be in the documented retryable class
       failed.foreach { e =>
         assert(retryable(e),
           s"concurrent serve failed OUTSIDE the retryable contract: $e " +
-            s"(cause chain: ${Iterator.iterate(e)(_.getCause)
-              .takeWhile(_ != null).take(10).map(_.getClass.getName)
+            s"(cause chain: ${causeChain(e).map(_.getClass.getName)
               .mkString(" <- ")})")
       }
       // the quiet-point retry after all maintenance: same answer, debt paid

@@ -21,16 +21,8 @@ import graft.SparkSpec
 class FilteredAnnSpec extends SparkSpec {
 
   private def inputs() = {
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
-    val centroids = emb
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = emb.select(col("vec_id").as("id"), col("e"), col("label"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (_, centroids, corpus, probes) =
+      annFixture(probeCutoff = 10, corpusPayload = Seq("label"))
     (corpus, centroids, probes)
   }
 
@@ -274,6 +266,13 @@ class FilteredAnnSpec extends SparkSpec {
       spark.conf.set("graft.ann.maxShortlistRows", "10")
       assert(Similarity.excludePairsTopK(shortlist, noExclusions, 3)
         .count() == 6) // 2 probes x top-3
+      // a mis-set bound (<= 0) raises naming the conf, not a bogus
+      // past-the-bound message (or a planner error from limit(<0))
+      spark.conf.set("graft.ann.maxShortlistRows", "-1")
+      val exNeg = intercept[IllegalArgumentException] {
+        Similarity.excludePairsTopK(shortlist, noExclusions, 3)
+      }
+      assert(exNeg.getMessage.contains("must be >= 1"), exNeg.getMessage)
     } finally spark.conf.unset("graft.ann.maxShortlistRows")
   }
 

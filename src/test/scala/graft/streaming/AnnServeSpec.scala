@@ -21,16 +21,7 @@ class AnnServeSpec extends SparkSpec {
     * the one fixture every serve test shares (the FilteredAnnSpec
     * convention; a fixture change applies once, not per test). */
   private def inputs() = {
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
-    val seeds = emb
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = emb.select(col("vec_id").as("id"), col("e"))
-    val probes = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (emb, seeds, corpus, probes) = annFixture(probeCutoff = 20)
     (emb, seeds, corpus, probes)
   }
 
