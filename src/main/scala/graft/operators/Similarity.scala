@@ -498,7 +498,11 @@ object Similarity {
     * serve-after-append parity across a streamed 2-batch ingest
     * against the one-shot build (with the prober on the other side of
     * the session boundary), and the in-flight reader's
-    * snapshot-at-listing isolation. */
+    * snapshot-at-listing isolation; ConcurrentServeSpec races a serve
+    * loop against live batch appends and audits every answer as the
+    * operator's own ranking over base plus whatever committed appends
+    * its listing caught (appends never error a reader — files appear
+    * atomically at their commit move). */
   def appendIvfIndex(newVectors: DataFrame, centroids: DataFrame,
                      table: String, payload: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession

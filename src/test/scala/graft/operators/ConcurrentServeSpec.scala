@@ -30,11 +30,12 @@ import graft.SparkSpec
   *    wrong answer — so a fleet serving a known-non-empty index
   *    treats empty-during-maintenance as the same retry signal.
   *
-  * Two legs: a deterministic one that serves INSIDE the gap state
-  * (live name absent between the two renames), and a racy one that
-  * hammers serves from a second thread across repeated
-  * delete-then-compact cycles and audits every outcome against the
-  * contract. */
+  * Three legs: a deterministic one that serves INSIDE the gap state
+  * (live name absent between the two renames, plus the
+  * catalog-present/directory-moved instant and the frozen-listing
+  * read), a racy one that hammers serves across repeated
+  * delete-then-compact cycles, and a racy one across batch APPENDS —
+  * each auditing every outcome against the contract. */
 class ConcurrentServeSpec extends SparkSpec {
 
   private def inputs() = {
@@ -141,6 +142,90 @@ class ConcurrentServeSpec extends SparkSpec {
     } finally {
       Seq(idx, s"${idx}__tombstones", s"${idx}__compact", s"${idx}__old")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("serve loop concurrent with batch appends: every answer is the operator's own ranking over base plus the appends it surfaced") {
+    // the append leg of the concurrency matrix (compaction is the test
+    // below): appends only ADD files, and a file becomes visible
+    // atomically at its commit move, so a concurrent reader's listing
+    // sees base plus SOME subset of appended files — never an error,
+    // never a torn file. The deterministic invariant (no timing
+    // assumptions): whatever subset V of appended ids a serve answer
+    // surfaces, the answer must equal ivfTopK over base ∪ V on the
+    // SAME construction — ids in the true visible set that beat no
+    // probe's cutoff cannot change that ranking, so the check is exact
+    // for every possible interleaving. Fabricated ids, wrong cosines,
+    // dropped base rows, or rank inversions all fail it.
+    val (corpus, centroids, probes) = inputs()
+    val idx = "cserve_append_race"
+    val base = corpus.filter(col("id") % 2 === 0)
+    val appendSrc = corpus.filter(col("id") % 2 === 1)
+    try {
+      Similarity.writeIvfIndex(base, centroids, idx, numBuckets = 8)
+      val appendIds = appendSrc.select("id").collect().map(_.getLong(0))
+
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Set[(Long, Int, Long)]]]()
+      val server = new Thread(() => {
+        while (!stop.get()) {
+          try outcomes.add(Right(keySet(
+            Similarity.ivfTopKIndexed(idx, centroids, probes,
+              k = 3, nprobe = 2))))
+          catch { case e: Throwable => outcomes.add(Left(e)) }
+        }
+      }, "cserve-append-server")
+      server.setDaemon(true)
+      server.start()
+      try {
+        // three committed batches with the serve loop in flight
+        appendIds.grouped((appendIds.length + 2) / 3).foreach { batch =>
+          Similarity.appendIvfIndex(
+            appendSrc.filter(col("id").isin(batch.toSeq: _*)),
+            centroids, idx)
+        }
+      } finally {
+        stop.set(true)
+        server.join(120000)
+      }
+      assert(!server.isAlive, "serve thread did not stop in 120 s")
+
+      import scala.jdk.CollectionConverters._
+      val all = outcomes.asScala.toSeq
+      val served = all.collect { case Right(s) => s }
+      val failed = all.collect { case Left(e) => e }
+      assert(served.nonEmpty, "serve loop never completed a call")
+      // appends never move or remove a file, so a failing read has no
+      // missing-file cause; allow only the documented retryable class
+      // (a listing racing the commit's cache invalidation), never
+      // anything else
+      failed.foreach { e =>
+        assert(retryable(e),
+          s"concurrent serve during APPEND failed outside the retryable " +
+            s"contract: $e (cause chain: ${causeChain(e)
+              .map(_.getClass.getName).mkString(" <- ")})")
+      }
+      val appendedSet = appendIds.toSet
+      served.toSet[Set[(Long, Int, Long)]].foreach { s =>
+        val visible = s.map(_._3).intersect(appendedSet)
+        val expected = keySet(Similarity.ivfTopK(
+          base.union(appendSrc.filter(col("id").isin(visible.toSeq: _*))),
+          centroids, probes, k = 3, nprobe = 2))
+        assert(s == expected,
+          s"a concurrent serve answer is NOT the operator's ranking over " +
+            s"base + its own surfaced appends ${visible.toSeq.sorted} " +
+            s"(missing ${expected -- s}, extra ${s -- expected})")
+      }
+      // the quiet point after all appends: the full-corpus answer
+      spark.catalog.refreshTable(idx)
+      assert(keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+        k = 3, nprobe = 2)) ==
+        keySet(Similarity.ivfTopK(corpus, centroids, probes,
+          k = 3, nprobe = 2)),
+        "post-append quiet-point serve diverged from the full corpus")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$idx`")
     }
   }
 
