@@ -719,7 +719,10 @@ object Similarity {
     * listing points at the pre-swap directory the swap moved/dropped.
     * Readers should retry on those two classes — a plain retry
     * succeeds once the swap completes (same answer, by the first
-    * property). ONE SILENT CASE remains (pinned deterministically in
+    * property); the retry ships as [[serveWithRetry]] and the
+    * classifier as [[isMaintenanceRetryable]], so a fleet and the
+    * spec share one definition. ONE SILENT CASE remains (pinned
+    * deterministically in
     * the spec): a reader that RESOLVES the live name just before the
     * first rename and runs its file LISTING inside the gap gets an
     * EMPTY listing — Spark's root-path listing swallows the
@@ -776,6 +779,52 @@ object Similarity {
       else if (spark.catalog.tableExists(backup))
         spark.sql(s"ALTER TABLE `$backup` RENAME TO `$table`")
     }
+
+  /** The [[compactIvfIndex]] concurrent-reader contract's failure
+    * classifier, shipped as API so a serving fleet and the spec share
+    * ONE definition of "retry this": true iff the error (or anything
+    * in its cause chain) is the resolution-inside-the-gap
+    * AnalysisException or the frozen-listing FileNotFoundException —
+    * the two classes a plain retry resolves once the swap completes.
+    * Anything else is a real error the caller must surface. */
+  def isMaintenanceRetryable(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: org.apache.spark.sql.AnalysisException => true
+      case _: java.io.FileNotFoundException          => true
+      case _                                         => false
+    }
+
+  /** The retry the [[compactIvfIndex]] contract prescribes, as a
+    * combinator: run `body` (a serve call that MATERIALIZES its
+    * result — retrying a lazy frame would re-arm the same listing),
+    * retrying up to `attempts` total tries with `backoffMs` between
+    * them while the failure is [[isMaintenanceRetryable]] — or, for
+    * the contract's one silent case, while `retryOnResult` says the
+    * answer is the empty-during-gap signature (a fleet serving a
+    * known-non-empty index passes `_.isEmpty`). A non-retryable error
+    * propagates immediately; exhausting attempts rethrows the last
+    * retryable error, or returns the last result when only
+    * `retryOnResult` kept it looping (the index may legitimately be
+    * empty — the caller asked for retries, not a guarantee). */
+  def serveWithRetry[T](body: () => T, attempts: Int = 4,
+                        backoffMs: Long = 50,
+                        retryOnResult: T => Boolean = (_: T) => false): T = {
+    require(attempts >= 1, s"serveWithRetry: attempts must be >= 1, got $attempts")
+    var tries = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      tries += 1
+      try {
+        val v = body()
+        if (!retryOnResult(v) || tries >= attempts) out = Some(v)
+        else Thread.sleep(backoffMs)
+      } catch {
+        case e: Throwable if isMaintenanceRetryable(e) && tries < attempts =>
+          Thread.sleep(backoffMs)
+      }
+    }
+    out.get
+  }
 
   /** PER-BUCKET HEALTH REPORT of a materialized index — the diagnostic
     * every production index ships an endpoint for, over either index

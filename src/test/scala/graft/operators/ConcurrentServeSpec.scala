@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.io.FileNotFoundException
-
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.functions._
 
@@ -58,12 +56,9 @@ class ConcurrentServeSpec extends SparkSpec {
   private def causeChain(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 
+  // ONE definition of "retry this" — the operator's shipped classifier
   private def retryable(e: Throwable): Boolean =
-    causeChain(e).exists {
-      case _: AnalysisException    => true
-      case _: FileNotFoundException => true
-      case _                        => false
-    }
+    Similarity.isMaintenanceRetryable(e)
 
   test("mid-swap gap: a serve inside the gap fails catchably; a retry after heal returns the one answer") {
     val (corpus, centroids, probes) = inputs()
@@ -300,5 +295,46 @@ class ConcurrentServeSpec extends SparkSpec {
       Seq(idx, s"${idx}__tombstones", s"${idx}__compact", s"${idx}__old")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
+  }
+
+  test("serveWithRetry: retries the documented classes and the empty signature, propagates real errors, bounds attempts") {
+    // a REAL instance of the gap's resolution error, so the classifier
+    // is exercised on what Spark actually throws
+    val gapError = intercept[AnalysisException] {
+      spark.table("cserve_no_such_table").collect()
+    }
+    // retries through transient gap errors, returns the healed answer
+    var calls = 0
+    assert(Similarity.serveWithRetry({ () =>
+      calls += 1
+      if (calls < 3) throw gapError else 42
+    }, backoffMs = 1) == 42 && calls == 3)
+    // the silent empty-during-gap case: retryOnResult keeps it looping
+    // until the answer is non-empty
+    calls = 0
+    assert(Similarity.serveWithRetry({ () =>
+      calls += 1
+      if (calls < 2) Seq.empty[Int] else Seq(1)
+    }, backoffMs = 1, retryOnResult = (r: Seq[Int]) => r.isEmpty) == Seq(1))
+    // exhaustion on a still-empty answer RETURNS it (the index may
+    // legitimately be empty); exhaustion on errors rethrows the last
+    assert(Similarity.serveWithRetry({ () => Seq.empty[Int] },
+      attempts = 2, backoffMs = 1,
+      retryOnResult = (r: Seq[Int]) => r.isEmpty).isEmpty)
+    calls = 0
+    val exhausted = intercept[AnalysisException] {
+      Similarity.serveWithRetry[Int]({ () =>
+        calls += 1; throw gapError
+      }, attempts = 3, backoffMs = 1)
+    }
+    assert((exhausted eq gapError) && calls == 3)
+    // a non-retryable error propagates on the FIRST try
+    calls = 0
+    intercept[IllegalStateException] {
+      Similarity.serveWithRetry[Int]({ () =>
+        calls += 1; throw new IllegalStateException("real bug")
+      }, backoffMs = 1)
+    }
+    assert(calls == 1)
   }
 }
