@@ -12,16 +12,7 @@ class IvfIndexSpec extends SparkSpec {
   import spark.implicits._
 
   private def inputs() = {
-    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
-    val centroids = emb
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
-    val corpus = emb.select(col("vec_id").as("id"), col("e"))
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("e").as("p"))
+    val (_, centroids, corpus, probes) = annFixture(probeCutoff = 10)
     (corpus, centroids, probes)
   }
 
@@ -242,6 +233,46 @@ class IvfIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ivfpq_bulk_spec_index")
       spark.sql("DROP TABLE IF EXISTS ivfpq_bulk_spec_index_books")
       spark.sql("DROP TABLE IF EXISTS ivfpq_bulk_spec_index__tombstones")
+    }
+  }
+
+  test("PQ index compaction: delete then compact preserves serve results and bucket layout, clears tombstones") {
+    // compactIvfIndex's swap machinery is index-kind agnostic (it
+    // rewrites whatever columns the bucketed table stores) — this pins
+    // that claim on the CODE table: the vector-side compaction tests
+    // (FilteredAnnSpec, ConcurrentServeSpec) never touch a PQ index
+    val (corpus, seeds, probes) = inputs()
+    val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
+    val idx = "ivfpq_compact_spec_index"
+    def serveSet(bk: Similarity.PqBooks) =
+      Similarity.ivfPqTopKIndexed(idx, coarse, probes, bk, k = 3, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    try {
+      val bk = Similarity.writeIvfPqIndex(corpus, coarse, idx,
+        m = 16, dim = 64, seedIds = 0L until 16L, iters = 2, numBuckets = 8)
+      Similarity.deleteFromIvfIndex(spark, idx,
+        corpus.filter(col("id") % 7 === 3).select("id"))
+      val preCompact = serveSet(bk)
+      Similarity.compactIvfIndex(spark, idx)
+      // the fold is invisible to serves: same ADC answers, debt gone
+      assert(serveSet(bk) == preCompact,
+        "PQ serve answers changed across compaction")
+      assert(!spark.catalog.tableExists(s"${idx}__tombstones"))
+      assert(spark.table(idx).filter(col("id") % 7 === 3).count() == 0,
+        "compaction left physically-deleted code rows behind")
+      // the rewrite preserved the bucket layout the serve scan prunes on
+      val plan = Similarity.ivfPqTopKIndexed(idx, coarse, probes, bk,
+          k = 3, nprobe = 2)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"),
+        s"compacted PQ index lost its bucket layout:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(c_id"),
+        s"compacted PQ index re-shuffles on c_id at serve time:\n$plan")
+    } finally {
+      Seq(idx, s"${idx}_books", s"${idx}__tombstones", s"${idx}__compact",
+        s"${idx}__old").foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 
