@@ -249,6 +249,26 @@ class ConcurrentServeSpec extends SparkSpec {
       }, "cserve-race-server")
       server.setDaemon(true)
       server.start()
+      // a second serve loop wrapped in the SHIPPED retry — the fleet
+      // shape the contract prescribes. With the gap absorbed by
+      // bounded retries (the swap's danger window is the metadata-only
+      // instant between two renames, far shorter than the retry
+      // budget), every outcome must be exactly the one answer: the
+      // three-outcome raw contract collapses to one
+      val retried = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Set[(Long, Int, Long)]]]()
+      val retryServer = new Thread(() => {
+        while (!stop.get()) {
+          try retried.add(Right(Similarity.serveWithRetry({ () =>
+            keySet(Similarity.ivfTopKIndexed(idx, centroids, probes,
+              k = 3, nprobe = 2))
+          }, attempts = 20, backoffMs = 100,
+            retryOnResult = (s: Set[(Long, Int, Long)]) => s.isEmpty)))
+          catch { case e: Throwable => retried.add(Left(e)) }
+        }
+      }, "cserve-race-retry-server")
+      retryServer.setDaemon(true)
+      retryServer.start()
       try {
         // three full maintenance cycles, each a fresh tombstone batch
         // folded by a swap, with the serve loop in flight throughout
@@ -260,10 +280,26 @@ class ConcurrentServeSpec extends SparkSpec {
       } finally {
         stop.set(true)
         server.join(120000)
+        retryServer.join(120000)
       }
-      assert(!server.isAlive, "serve thread did not stop in 120 s")
+      assert(!server.isAlive && !retryServer.isAlive,
+        "a serve thread did not stop in 120 s")
 
       import scala.jdk.CollectionConverters._
+      // the retry-wrapped fleet: ONE outcome, always — no errors, no
+      // empties, just the answer
+      val retriedAll = retried.asScala.toSeq
+      assert(retriedAll.nonEmpty, "retry-wrapped loop never completed a call")
+      retriedAll.zipWithIndex.foreach {
+        case (Right(s), i) =>
+          assert(s == want,
+            s"serveWithRetry call #$i returned ${if (s.isEmpty) "EMPTY"
+              else "a wrong answer"} (missing ${want -- s}, extra ${s -- want})")
+        case (Left(e), i) =>
+          fail(s"serveWithRetry call #$i threw through the retry budget: $e " +
+            s"(cause chain: ${causeChain(e).map(_.getClass.getName)
+              .mkString(" <- ")})")
+      }
       val all = outcomes.asScala.toSeq
       val served = all.collect { case Right(s) => s }
       val failed = all.collect { case Left(e) => e }
