@@ -586,7 +586,12 @@ object CorpusOps {
         when(pmod(k, lit(2)) === 0, lit("www.")).otherwise(lit("")),
         lit("site"), istr(pmod(k, lit(200))), lit(".example.com/d/"),
         istr(pmod(k, lit(20))), lit("?utm_source=x&id="), istr(pmod(k, lit(10))))
-      val docs = Tables.documents(s, d)
+      // both actions in this body (the vocab-derivation collect and the
+      // stateless hygiene pass) run regex cascades map-side over a
+      // single-row-group input: fan out so they parallelize (guide §2.5;
+      // no-op on a properly-laid-out table)
+      val docs = graft.operators.ScanLayout.fanOut(
+          Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .select(k, col("source"),
           concat(col("text"), when(pmod(k, lit(3)) === 0,
             concat(lit(" contact user"), istr(k), lit("@host.org")))

@@ -686,7 +686,12 @@ object Relational {
   val q121bQuantileSketch = QueryDef(
     "q121b_quantile_sketch",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      // both lineitem passes (sketch build + rank check) hash every row:
+      // fan the single-row-group scan out so the md5 kernel parallelizes
+      // (guide §2.5; no-op on a properly-laid-out table)
+      val li = graft.operators.ScanLayout.fanOut(
+        Tables.lineitem(s, d), s"$d/lineitem.parquet",
+        col("l_orderkey"), col("l_linenumber"))
       val sk0 = graft.operators.Sketches.quantileSketch(
         li, "l_returnflag",
         col("l_orderkey") * 10 + col("l_linenumber"),
@@ -763,7 +768,11 @@ object Relational {
   val q103TableProfile = QueryDef(
     "q103_table_profile",
     (s, d) => {
-      val t = Tables.orders(s, d)
+      // single-row-group input serializes the whole partial pass (the
+      // expand × 6 distinct-agg work) on one core — fan out first
+      // (guide §2.5; no-op on a properly-laid-out table)
+      val t = graft.operators.ScanLayout.fanOut(
+        Tables.orders(s, d), s"$d/orders.parquet", col("o_orderkey"))
       def metrics(c: String, p: String,
           repr: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),

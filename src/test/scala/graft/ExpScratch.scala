@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B experiments for the round-16 optimization pass.
+  * `sbt 'Test/runMain graft.ExpScratch <exp> <sfDir> [runs]'` */
+object ExpScratch {
+  def time(label: String, runs: Int)(f: => DataFrame): Unit =
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"[exp] $label run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val exp = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val minPart = sys.env.getOrElse("EXP_MIN_PARTITION", "1m")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    exp match {
+      case "q103ab" =>
+        // A: as shipped. B: orders fanned out to 32 partitions after read.
+        time("q103 as-shipped", runs)(SparkEntry.queries("q103_table_profile")(spark, dir))
+        val t = Tables.orders(spark, dir).repartition(32, col("o_orderkey"))
+        def metrics(c: String, p: String) = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nl"),
+          countDistinct(col(c)).as(s"${p}_nd"),
+          min(col(c)).cast("string").as(s"${p}_mn"),
+          max(col(c)).cast("string").as(s"${p}_mx"))
+        val a = t.agg(count(lit(1)).as("n"),
+          (metrics("o_orderkey", "ok") ++ metrics("o_custkey", "ck") ++
+            metrics("o_orderstatus", "os") ++ metrics("o_totalprice", "tp") ++
+            metrics("o_orderpriority", "op") ++
+            Seq(sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("od_nl"),
+              countDistinct(col("o_orderdate")).as("od_nd"),
+              min(col("o_orderdate")).cast("date").cast("string").as("od_mn"),
+              max(col("o_orderdate")).cast("date").cast("string").as("od_mx"))): _*)
+        time("q103 fanned-out", runs)(a)
+      case "q121ab" =>
+        time("q121b as-shipped", runs)(SparkEntry.queries("q121b_quantile_sketch")(spark, dir))
+      case "bench1" =>
+        sys.env("EXP_QUERIES").split(',').foreach { q =>
+          time(q, runs)(SparkEntry.queries(q)(spark, dir)) }
+      case other => sys.error(s"unknown exp $other")
+    }
+    spark.stop()
+  }
+}
