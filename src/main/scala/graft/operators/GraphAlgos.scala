@@ -33,27 +33,33 @@ object GraphAlgos {
     * update reproduces the plain form bit-for-bit — the q112 oracle has
     * no dangling term and still hash-matches).
     *
-    * Two execution shapes, picked by `hasSinks` — the caller's
-    * knowledge when supplied (a generator that guarantees out-edges, a
-    * crawl frontier that never does), else a one-time probe of the
-    * static dangling set (`limit 1` on nodes ∖ out-degree keys; one
-    * extra pass over the edge derivation, cheap next to the iteration
-    * shuffles but not free — that is why callers may assert it away).
-    * `Some(false)` on a graph that DOES have sinks silently re-opens
-    * the mass leak — assert only what the edge source guarantees:
-    *  - SINK-FREE graphs run the fully-lazy loop: each step is
-    *    join(ranks ⋈ edges on src) → groupBy(dst) sum, the rank frame
-    *    consumed once, nothing materializes until the caller's action.
-    *  - Graphs WITH sinks consume the rank frame twice per step
-    *    (contributions + the 1-row dangling aggregate), so each step
-    *    eagerly materializes it (`localCheckpoint`) — a lazy
-    *    formulation would double the plan tree per iteration
-    *    (exponential Catalyst traversal). Per-iteration materialization
-    *    of the skinny (node, rank) frame is the GraphX/ALS shape at
-    *    100 TB anyway: constant plan depth, the wide edge table never
-    *    re-shuffles (pre-bucket it by src), and the previous step's
-    *    blocks are freed as soon as the next exists, so live memory
-    *    stays O(one rank frame). */
+    * `hasSinks` is the caller's knowledge when supplied (a generator
+    * that guarantees out-edges, a crawl frontier that never does), else
+    * a one-time probe of the static dangling set (`limit 1` on nodes ∖
+    * out-degree keys; one extra pass over the edge derivation, cheap
+    * next to the iteration shuffles but not free — that is why callers
+    * may assert it away). `Some(false)` on a graph that DOES have sinks
+    * silently re-opens the mass leak — assert only what the edge source
+    * guarantees. On sink-free graphs the dangling term is elided
+    * (exactly 0.0) and the update reproduces the plain form bit-for-bit.
+    *
+    * Execution shape (BOTH cases): an eager per-iteration loop over
+    * once-materialized static frames — the GraphX/ALS discipline.
+    * Each step is join(ranks ⋈ edges⋈deg on src) → groupBy(dst) sum,
+    * with the skinny (node, rank) frame `localCheckpoint`ed between
+    * steps: constant plan depth, the wide edge frame never re-shuffles
+    * (pre-bucket it by src at 100 TB), and the previous step's blocks
+    * are freed as soon as the next exists, so live memory stays O(one
+    * rank frame). The earlier sink-free form built the ten steps as ONE
+    * lazy plan (ReusedExchange sharing the static subtrees) — measured
+    * this round at 0.55 s of task time under a 4.8 s wall: ~90% of the
+    * query was the driver analyzing/optimizing/codegen-compiling the
+    * 10-deep tree, the cost the guide's §7.3 "very large plans" note
+    * warns about, and it grows with iteration count while the eager
+    * loop's per-step planning cost is constant. The out-degree is also
+    * pre-joined onto the edge list ONCE (it never changes between
+    * iterations) instead of re-joining deg inside every step — same
+    * `rank / outdeg` division, one join per step instead of two. */
   def pageRank(edges0: DataFrame, iters: Int, damping: Double,
                hasSinks: Option[Boolean] = None): DataFrame = {
     require(iters >= 1)
@@ -64,39 +70,32 @@ object GraphAlgos {
         .agg(count(lit(1)).cast("double").as("outdeg"))
       (nodes, deg)
     }
-    val (nodes0, deg0) = derive(edges0)
-    val dang0 = nodes0.join(
-      deg0.select(col("src").as("node")), Seq("node"), "left_anti")
-    val hasDangling = hasSinks.getOrElse(!dang0.isEmpty)
-    // The sink-free loop is ONE lazy query: Spark's ReusedExchange makes
-    // the edge/node/degree subtrees compute once. The sinks loop runs an
-    // eager job per iteration (no cross-job exchange reuse), so the
-    // static frames are materialized ONCE up front — the GraphX "cache
-    // the edges" step; MEMORY_AND_DISK, so 100 TB edge frames spill
-    // rather than OOM (or hand pageRank an already-materialized bucketed
-    // edge table).
-    val edges = if (hasDangling) edges0.select(col("src"), col("dst"))
-      .localCheckpoint(true) else edges0
-    val (nodes, deg) =
-      if (hasDangling) {
-        val (n, d) = derive(edges)
-        (n.localCheckpoint(true), d.localCheckpoint(true))
-      } else (nodes0, deg0)
+    val hasDangling = hasSinks.getOrElse {
+      val (nodes0, deg0) = derive(edges0)
+      !nodes0.join(deg0.select(col("src").as("node")), Seq("node"), "left_anti")
+        .isEmpty
+    }
+    // Static frames materialize ONCE up front — the GraphX "cache the
+    // edges" step; MEMORY_AND_DISK, so 100 TB edge frames spill rather
+    // than OOM (or hand pageRank an already-materialized bucketed edge
+    // table). `ew` carries the sender's out-degree on every edge row.
+    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    val (nodesL, deg) = derive(edges)
+    val nodes = nodesL.localCheckpoint(true)
+    val ew = edges.join(deg, "src").localCheckpoint(true)
     val dang = if (hasDangling) nodes.join(
       deg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true) else dang0
+      .localCheckpoint(true) else null
     val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+      .localCheckpoint(true)
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { _ =>
-      if (hasDangling) {
-        ranks = ranks.localCheckpoint(true)
-        prevRdd.foreach(_.unpersist(false))
-        prevRdd = Some(ranks.queryExecution.toRdd)
-      }
-      val contrib = ranks.join(edges, col("node") === col("src"))
-        .join(deg, "src")
+      ranks = ranks.localCheckpoint(true)
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(ranks.queryExecution.toRdd)
+      val contrib = ranks.join(ew, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))
       // Σ rank over sink nodes: semi-join against the broadcast static
