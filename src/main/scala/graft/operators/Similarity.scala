@@ -1464,12 +1464,23 @@ object Similarity {
     val subs = corpus.select(col("id"),
       posexplode(array((0 until m).map(s =>
         slice(col("e"), s * w + 1, w)): _*)).as(Seq("sub", "x")))
-    val seedIdx = seedIds.sorted.zipWithIndex
-      .map { case (id, i) => (id, i) }.toDF("id", "c_id")
-    val seeds0 = subs.join(broadcast(seedIdx), "id")
-      .select(col("sub"), col("c_id"), col("x").as("c"))
-    var cent = spark.createDataFrame(
-      java.util.Arrays.asList(seeds0.collect(): _*), seeds0.schema)
+    // Seed gather: fetch ONLY the seed vectors (an IN filter the scan
+    // can push down — ≤ kSub rows cross to the driver) and slice the
+    // subvectors driver-side; the previous form exploded the WHOLE
+    // corpus and broadcast-joined the seed index just to collect the
+    // same ≤ m·kSub rows — a full-pass job before training even starts.
+    // Same values by construction (the identical element slices), same
+    // c_id = position in the sorted seed list.
+    val seedIdx = seedIds.sorted.zipWithIndex.toMap
+    // (a seed id absent from the corpus simply contributes no centroid,
+    // exactly as the join-based gather behaved)
+    val seedRows = corpus.filter(col("id").isin(seedIds: _*))
+      .select(col("id"), col("e")).collect()
+    var cent = seedRows.toSeq.flatMap { r =>
+      val cid = seedIdx(r.getLong(0))
+      val e = r.getSeq[Double](1)
+      (0 until m).map(s => (s, cid, e.slice(s * w, s * w + w)))
+    }.toDF("sub", "c_id", "c")
     for (_ <- 1 to iters) {
       // same partial-aggregable argmax as kmeansTrainL2 (see there)
       val means = subs.join(broadcast(cent), "sub")
@@ -1582,15 +1593,20 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, coarse: DataFrame, probes: DataFrame,
                 m: Int, dim: Int, seedIds: Seq[Long], iters: Int,
                 k: Int, nprobe: Int): DataFrame = {
-    // The assigned frame is consumed by residual training, encoding, and
-    // the code/bucket join, so its linear assignment pass re-runs per
-    // action here; a production deployment materializes the ENCODED
-    // corpus to a bucketed table instead ([[writeIvfPqIndex]] — train +
-    // encode is a one-off index build, probing is the recurring query),
-    // which removes every recompute at once. (An eager localCheckpoint
-    // was measured SLOWER at bench scale: the extra materialization job
-    // costs more than the pipelined 500-row recomputes it saves.)
-    val assigned = coarseResiduals(corpus, coarse)
+    // The assigned frame is consumed by residual training (whose Lloyd
+    // rounds are separate collect-driven jobs: seed gather + one per
+    // iteration), encoding, and the code/bucket join — five actions that
+    // would each re-run the linear assignment pass. Cut it once
+    // (Barrier.cut: localCheckpoint, or a reliable checkpoint under
+    // graft.barrier.checkpointDir); a production deployment goes
+    // further and materializes the ENCODED corpus to a bucketed table
+    // ([[writeIvfPqIndex]] — train + encode is a one-off index build,
+    // probing is the recurring query). Re-measured round 16 (6-run
+    // interleaved A/B): warm medians 8.4 → 6.7 s, mins 6.35 → 6.08 s at
+    // sf0.1 (an earlier round measured the opposite on a pre-round-10
+    // plan shape and left it lazy; the stage profile since showed 4
+    // reads of the assignment exchange per timed run).
+    val assigned = Barrier.cut(coarseResiduals(corpus, coarse))
     val resid = assigned.select(col("id"), col("r").as("e"))
     val bk = pqTrain(resid, m, dim, seedIds, iters)
     val enc = pqEncode(resid, bk)
