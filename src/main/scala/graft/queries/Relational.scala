@@ -1022,7 +1022,10 @@ object Relational {
   val q109bZorderN = QueryDef(
     "q109b_zorder_nd",
     (s, d) =>
-      Tables.orders(s, d)
+      // the 60-term interleave runs map-side (twice: range-sampling pass
+      // + sort pass) over a single-row-group input: fan out (guide §2.5)
+      graft.operators.ScanLayout.fanOut(
+          Tables.orders(s, d), s"$d/orders.parquet", col("o_orderkey"))
         .select(col("o_orderkey"),
           (col("o_custkey") % (1L << 20)).as("zx"),
           datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("zy"),
@@ -1150,7 +1153,13 @@ object Relational {
       def rowHash(cols: org.apache.spark.sql.Column*) =
         conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
           .cast("long")
-      val li = Tables.lineitem(s, d)
+      // per-row md5 canonicalization is the whole cost and runs map-side
+      // over single-row-group inputs: fan out (guide §2.5; no-op on a
+      // properly-laid-out table). bit_xor/count are order-independent,
+      // so the digest is partitioning-proof by construction.
+      val li = graft.operators.ScanLayout.fanOut(
+          Tables.lineitem(s, d), s"$d/lineitem.parquet",
+          col("l_orderkey"), col("l_linenumber"))
         .withColumn("h", rowHash(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"),
           round(col("l_quantity") * 100, 0).cast("long"),
@@ -1158,7 +1167,8 @@ object Relational {
           col("l_returnflag")))
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
         .select(lit("lineitem").as("table_name"), col("n"), col("digest"))
-      val docs = Tables.documents(s, d)
+      val docs = graft.operators.ScanLayout.fanOut(
+          Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .withColumn("h", rowHash(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), md5(col("text"))))
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))

@@ -158,7 +158,11 @@ object TextAnalytics {
     (s, d) => {
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       val fps = column(graft.expressions.WinnowingExpr(expression(col("text")), 8, 4))
-      Tables.documents(s, d)
+      // the rolling-hash kernel (one md5 per character position) runs
+      // map-side over a single-row-group input: fan out so it
+      // parallelizes (guide §2.5; no-op on a properly-laid-out table)
+      graft.operators.ScanLayout.fanOut(
+          Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .select(col("doc_id"), fps.as("fps"))
         .filter(size(col("fps")) > 0) // docs shorter than k+w-1, like oracle
         .select(col("doc_id"),
