@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -1407,30 +1407,59 @@ object Similarity {
   def kmeansTrainL2(corpus: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val spark = corpus.sparkSession
-    var cent = seeds
-    for (_ <- 1 to iters) {
-      // argmax as a partial-aggregable max(struct(score, -c_id, e)):
-      // the struct compares lexicographically, so higher score wins and
-      // exact ties go to the SMALLER c_id — identical picks to a
-      // row_number window, without its full sort-shuffle (the hash agg
-      // combines map-side; at 100 TB the exchange carries one row per
-      // corpus vector, not one per (vector, centroid) pair)
-      val means = corpus.join(broadcast(cent))
-        .withColumn("__sc", l2Score(col("e"), col("c")))
-        .groupBy("id")
-        .agg(max(struct(col("__sc"), (-col("c_id")).as("n"), col("e").as("v")))
-          .as("w"))
-        .select((-col("w.n")).as("c_id"), posexplode(col("w.v")).as(Seq("j", "x")))
-        .groupBy("c_id", "j")
-        .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy("c_id")
-        .agg(transform(sort_array(collect_list(struct(col("j"), col("m")))),
-          s => s.getField("m")).as("c"))
-      cent = spark.createDataFrame(
-        java.util.Arrays.asList(means.collect(): _*), means.schema)
+    // Centroids were ALREADY driver-held between rounds (each round
+    // collected the means); holding them BEFORE the round too turns the
+    // assignment into pure literal column algebra — the [[pqEncode]]
+    // shape — so each Lloyd round is ONE map+aggregate job: no broadcast
+    // join materializing |corpus|·k score rows, no per-vector argmax
+    // exchange, no posexplode-to-(c_id, j) ladder. The shuffle carries k
+    // partially-aggregated groups per map partition instead of one row
+    // per corpus vector. Float identity with the join form: dot over a
+    // literal array is the same left-to-right kernel, ½·c·c folds on the
+    // driver by the same accumulation order ([[dotLocal]] — the
+    // equivalence [[pqEncode]] has always relied on), and 0.5·x is exact
+    // in IEEE; the argmax is the same lexicographic struct max with
+    // ties to the smaller c_id; the means are the same decimal(28,12)
+    // sums over the same addend multisets, divided by the same counts.
+    val cidField = seeds.schema("c_id")
+    def ordKey(v: Any): Long = v match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => sys.error(
+        s"kmeansTrainL2 needs an integral c_id, got $other")
     }
-    cent
+    var cent: Seq[(Any, Seq[Double])] =
+      seeds.select(col("c_id"), col("c")).collect()
+        .map(r => (r.get(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cent.nonEmpty, "kmeansTrainL2 needs at least one seed centroid")
+    val dim = cent.head._2.length
+    for (_ <- 1 to iters) {
+      // ascending-c_id order makes the kernel's ties-to-smaller-INDEX
+      // exactly the join form's ties-to-smaller-c_id
+      val ordered = cent.sortBy(p => ordKey(p._1)).toIndexedSeq
+      import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+      val idx = column(graft.expressions.NearestCentroidIndexExpr(
+        expression(col("e")), ordered.map(_._2), 0))
+      val sums = (0 until dim).map(j =>
+        (sum(element_at(col("e"), j + 1).cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as(s"m$j"))
+      val rows = corpus
+        .select(idx.as("ci"), col("e"))
+        .groupBy("ci")
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+      cent = rows.toSeq.map(r =>
+        (ordered(r.getInt(0))._1,
+          (0 until dim).map(j => r.getDouble(j + 1)).toSeq))
+    }
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val outSchema = StructType(Seq(
+      cidField.copy(name = "c_id"),
+      StructField("c", ArrayType(DoubleType, containsNull = true))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(cent.map(p => Row(p._1, p._2)): _*), outSchema)
   }
 
   /** One trained PQ codebook set held as driver metadata: for each of
@@ -1459,11 +1488,6 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     require(iters >= 1)
     val w = dim / m
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val subs = corpus.select(col("id"),
-      posexplode(array((0 until m).map(s =>
-        slice(col("e"), s * w + 1, w)): _*)).as(Seq("sub", "x")))
     // Seed gather: fetch ONLY the seed vectors (an IN filter the scan
     // can push down — ≤ kSub rows cross to the driver) and slice the
     // subvectors driver-side; the previous form exploded the WHOLE
@@ -1476,36 +1500,52 @@ object Similarity {
     // exactly as the join-based gather behaved)
     val seedRows = corpus.filter(col("id").isin(seedIds: _*))
       .select(col("id"), col("e")).collect()
-    var cent = seedRows.toSeq.flatMap { r =>
-      val cid = seedIdx(r.getLong(0))
-      val e = r.getSeq[Double](1)
-      (0 until m).map(s => (s, cid, e.slice(s * w, s * w + w)))
-    }.toDF("sub", "c_id", "c")
+    // no seed present in the corpus → no centroids to train (the join
+    // form degenerated to the same empty books)
+    if (seedRows.isEmpty) return PqBooks(m, dim, (0 until m).map(_ => Seq.empty))
+    // Codebooks live on the driver across rounds (they always did —
+    // every round collected its means), so each Lloyd round assigns by
+    // the SAME literal-codebook argmax the encoder uses ([[pqEncode]],
+    // and see [[kmeansTrainL2]] for the float-identity argument): one
+    // map+aggregate job per round over m·|corpus| exploded (sub, c_id,
+    // x) rows — no broadcast join materializing m·kSub score rows per
+    // vector, no per-(id, sub) argmax exchange, no second explode to
+    // (sub, c_id, j). The shuffle carries ≤ m·kSub partially-aggregated
+    // groups per map partition.
+    var books: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      seedRows.toSeq.map { r =>
+        (seedIdx(r.getLong(0)), r.getSeq[Double](1).slice(s * w, s * w + w).toSeq)
+      }.sortBy(_._1)
+    }
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     for (_ <- 1 to iters) {
-      // same partial-aggregable argmax as kmeansTrainL2 (see there)
-      val means = subs.join(broadcast(cent), "sub")
-        .withColumn("__sc", l2Score(col("x"), col("c")))
-        .groupBy("id", "sub")
-        .agg(max(struct(col("__sc"), (-col("c_id")).as("n"), col("x").as("v")))
-          .as("w"))
-        .select(col("sub"), (-col("w.n")).as("c_id"),
-          posexplode(col("w.v")).as(Seq("j", "v")))
-        .groupBy("sub", "c_id", "j")
-        .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))).as("mv"))
-        .groupBy("sub", "c_id")
-        .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
-          s => s.getField("mv")).as("c"))
-      cent = spark.createDataFrame(
-        java.util.Arrays.asList(means.collect(): _*), means.schema)
+      // books are kept ascending by c_id, so the kernel's ties-to-
+      // smaller-INDEX is the join form's ties-to-smaller-c_id; the
+      // means aggregate keys on (sub, index) and indexes map back to
+      // c_ids on the driver
+      val subStructs = (0 until m).map { s =>
+        val idx = column(graft.expressions.NearestCentroidIndexExpr(
+          expression(col("e")), books(s).map(_._2), s * w))
+        struct(idx.as("ci"), slice(col("e"), s * w + 1, w).as("x"))
+      }
+      val sums = (0 until w).map(j =>
+        (sum(element_at(col("x"), j + 1).cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as(s"m$j"))
+      val rows = corpus
+        .select(posexplode(array(subStructs: _*)).as(Seq("sub", "a")))
+        .select(col("sub"), col("a.ci").as("ci"), col("a.x").as("x"))
+        .groupBy("sub", "ci")
+        .agg(sums.head, sums.tail: _*)
+        .collect()
+      val prev = books
+      books = (0 until m).map { s =>
+        rows.toSeq.filter(_.getInt(0) == s)
+          .map(r => (prev(s)(r.getInt(1))._1,
+            (0 until w).map(j => r.getDouble(j + 2)).toSeq))
+          .sortBy(_._1)
+      }
     }
-    val bySub = cent.collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("c_id"), r.getSeq[Double](2).toSeq))
-      .groupBy(_._1)
-    val books = (0 until m).map { s =>
-      bySub.getOrElse(s, Array.empty).sortBy(_._2).map(_._3).toSeq
-    }
-    PqBooks(m, dim, books)
+    PqBooks(m, dim, books.map(_.map(_._2)))
   }
 
   private def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
@@ -1521,23 +1561,24 @@ object Similarity {
     * (score, −code) structs, map-only. Adds `codes` (array<int>,
     * length m).
     *
-    * Codegen ceiling, known and graceful: the m·kSub unrolled dot
-    * terms (256 at m=16/kSub=16, 1024 at kSub=64) overflow Janino's
-    * 64 KB method limit for the FUSED whole-stage method, so Spark
-    * disables stage fusion for this one map stage (a logged WARN) and
-    * compiles the projection per-operator instead — where
-    * projection-level expression splitting puts each subspace's argmax
-    * in its own method and succeeds. Cost: one virtual call per row
-    * between scan and project on the one-off encode job; the serve
-    * path (ADC, m table lookups) is unaffected and stays fused. */
+    * The argmax per subspace is the [[graft.expressions.NearestCentroidIndexExpr]]
+    * kernel: one allocation-free loop over the literal codebook (riding
+    * the codegen `references` array, so differently-trained books share
+    * one compiled class). The previous `array_max(array(struct(…)))`
+    * column form allocated a struct per (row, code) and its m·kSub
+    * unrolled dot terms overflowed Janino's 64 KB fused-method limit,
+    * forcing the scan stage out of whole-stage fusion — both gone. */
   def pqEncode(corpus: DataFrame, bk: PqBooks): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val codeCols = (0 until bk.m).map { s =>
-      val xs = slice(col("e"), s * bk.w + 1, bk.w)
-      val entries = bk.books(s).zipWithIndex.map { case (c, cid) =>
-        struct((dot(xs, typedLit(c)) - lit(0.5 * dotLocal(c, c))).as("sc"),
-          lit(-cid).as("n"))
-      }
-      (-array_max(array(entries: _*)).getField("n")).as(s"__c$s")
+      // the kernel's ties-to-smaller-index IS the old struct form's
+      // ties-to-smaller-code (codes are book positions); one tight
+      // reference-table loop replaces m·kSub unrolled dot terms that
+      // both allocated per (row, code) and overflowed Janino's fused-
+      // method limit (the codegen ceiling the previous scaladoc
+      // documented — gone with the kernel, the scan stage fuses again)
+      column(graft.expressions.NearestCentroidIndexExpr(
+        expression(col("e")), bk.books(s), s * bk.w)).as(s"__c$s")
     }
     corpus.withColumn("codes", array(codeCols: _*))
   }
@@ -1564,7 +1605,18 @@ object Similarity {
       .map(s => element_at(col(s"__t$s"), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("id"))
-    encoded.join(broadcast(pr))
+    // Cut the skinny (id, codes) frame before the probe join: the
+    // broadcast nested-loop join's whole-stage codegen defers stream-side
+    // projection variables into the per-build-row loop, so a lazily-
+    // planned encode re-runs the m-subspace argmax once per (row, probe)
+    // PAIR instead of per row — measured 80 s of task time at sf0.1 with
+    // 20 probes, the whole ADC win gone. The cut frame is the PQ memory
+    // shape itself (m small ints per vector, the cheapest possible
+    // materialization); the serve-scale paths ([[ivfPqTopKIndexed]] /
+    // [[ivfPqTopKBulk]]) read codes as table data, so only this in-plan
+    // demo/eval path needs the barrier.
+    val enc = Barrier.cut(encoded.select(col("id"), col("codes")))
+    enc.join(broadcast(pr))
       .filter(col("id") =!= col("probe_id"))
       .withColumn("adc", score)
       .withColumn("rank", row_number().over(w))

@@ -19,6 +19,18 @@ object SimilarityQueries {
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
 
+  // fanOut for the PQ TRAINING corpora only (guide §2.5; layout-adaptive
+  // no-op on many-file tables): the literal-codebook Lloyd rounds and the
+  // encode+ADC pipeline run entirely map-side, so a single-row-group
+  // embeddings file serializes them on one core. Applied ONLY where the
+  // timed body trains/encodes (q127/q127b) — a blanket emb()-level fan-out
+  // was A/B-measured and REVERTED: the ivfTopK/recall/hybrid family's
+  // heavy work is already post-exchange parallel, and the extra 51 MB
+  // exchange cost +0.5–1.5 s per query (the q86/q88 precedent). Seed-
+  // gather IN filters still push through the repartition to the scan.
+  private def fanned(df: DataFrame, d: String, key: String): DataFrame =
+    graft.operators.ScanLayout.fanOut(df, s"$d/embeddings.parquet", col(key))
+
   /** Exact ANN baseline: 20 probes × full corpus, top-5 by cosine. */
   val q27AnnBruteForce = QueryDef(
     "q27_ann_bruteforce",
@@ -638,7 +650,7 @@ object SimilarityQueries {
     "q127_ann_pq",
     (s, d) => {
       val e = emb(s, d)
-      val corpus = e.select(col("vec_id").as("id"), col("e"))
+      val corpus = fanned(e, d, "vec_id").select(col("vec_id").as("id"), col("e"))
       val probes = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("probe_id"), col("e").as("p"))
       val bk = Similarity.pqTrain(corpus, m = 16, dim = 64,
@@ -723,7 +735,8 @@ object SimilarityQueries {
   val q127bAnnIvfPq = QueryDef(
     "q127b_ann_ivfpq",
     (s, d) => {
-      val (corpus, seeds, probes) = ivfInputs(s, d)
+      val (corpus0, seeds, probes) = ivfInputs(s, d)
+      val corpus = fanned(corpus0, d, "id")
       val coarse = Similarity.kmeansTrainL2(corpus, seeds, iters = 2)
       Similarity.ivfPqTopK(corpus, coarse, probes, m = 16, dim = 64,
         seedIds = 0L until 16L, iters = 2, k = 3, nprobe = 2)

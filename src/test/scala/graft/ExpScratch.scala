@@ -50,6 +50,24 @@ object ExpScratch {
       case "bench1" =>
         sys.env("EXP_QUERIES").split(',').foreach { q =>
           time(q, runs)(SparkEntry.queries(q)(spark, dir)) }
+      case "pqphases2" =>
+        import graft.operators.Similarity
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+        val corpus = e.select(col("vec_id").as("id"), col("e"))
+          .repartition(32, col("vec_id"))
+        val probes = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("probe_id"), col("e").as("p"))
+        (1 to runs).foreach { i =>
+          var t0 = System.nanoTime()
+          val bk = Similarity.pqTrain(corpus, 16, 64, 0L until 16L, 2)
+          println(f"[exp] pqTrain-fan run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+          t0 = System.nanoTime()
+          Similarity.pqTopK(Similarity.pqEncode(corpus, bk), probes, bk, 3)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[exp] encode+topk-fan run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+        }
       case "pqphases" =>
         import graft.operators.Similarity
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
