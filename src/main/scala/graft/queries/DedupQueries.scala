@@ -1101,9 +1101,24 @@ object DedupQueries {
           "fp", 1, col("doc_id").asc)
         .drop("fp")
       val bands = Dedup.minhashBands(corpus, col("text"), col("doc_id"))
+      // the verify stage is CPU-bound at ~KB of input (candidate-pair
+      // ids), so AQE's byte-proxy coalescing runs the banded DP on 1-2
+      // cores even under the 64k floor; an EXPLICIT partition count pins
+      // the exchange open (guide §2.2 — per-pair cost is ~0.2 ms, so one
+      // partition per core stays right up to millions of pairs per core),
+      // and broadcasting the text sides keeps the verify map-side with no
+      // further exchange to re-coalesce
+      // key order (id_b, id_a) ON PURPOSE: the pair list's own distinct
+      // already partitions by (id_a, id_b), so a same-keyed repartition
+      // is removed as a redundant exchange and the DP inherits the
+      // AQE-coalesced 2-task read; the swapped order is kept and, being
+      // REPARTITION_BY_NUM, never coalesced
       val pairs = Dedup.lshCandidatePairs(bands)
-      val ta = corpus.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val tb = corpus.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        .repartition(s.sparkContext.defaultParallelism, col("id_b"), col("id_a"))
+      val ta = broadcast(
+        corpus.select(col("doc_id").as("id_a"), col("text").as("text_a")))
+      val tb = broadcast(
+        corpus.select(col("doc_id").as("id_b"), col("text").as("text_b")))
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       pairs.join(ta, "id_a").join(tb, "id_b")
         // cheap length prefilter BEFORE the banded DP
