@@ -180,18 +180,32 @@ object Dedup {
       .withColumn("comp", col("id"))
     var changed = 1L
     var iter = 0
+    // Two propagation rounds per cut+count: each round's frame feeds the
+    // next ONCE (linear chain, so the lazy batch stays a bounded-depth
+    // plan — the pageRank cadence argument), and convergence checked on
+    // the BATCH'S LAST round is still exact (a round with zero changes
+    // is a fixpoint; at worst one no-op round runs before the check
+    // sees it). Halves the loop's driver actions — the dominant cost on
+    // skinny label frames, where a round is job overhead, not data.
+    val cutEvery = 2
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(col("a").as("id2")).agg(min(col("comp")).as("n_comp"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"),
-          (col("n_comp") < col("comp")).as("chg"))
+      val k = math.min(cutEvery, maxIter - iter)
+      var updated: DataFrame = null
+      var cur = labels
+      (1 to k).foreach { _ =>
+        val neighborMin = edges
+          .join(cur, edges("b") === cur("id"))
+          .groupBy(col("a").as("id2")).agg(min(col("comp")).as("n_comp"))
+        updated = cur.join(neighborMin, cur("id") === col("id2"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"),
+            (col("n_comp") < col("comp")).as("chg"))
+        cur = updated.select("id", "comp")
+      }
       val materialized = cut(updated)
       changed = materialized.filter(col("chg")).count()
       labels = materialized.select("id", "comp")
-      iter += 1
+      iter += k
     }
     labels
   }

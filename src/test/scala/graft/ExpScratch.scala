@@ -50,6 +50,45 @@ object ExpScratch {
       case "bench1" =>
         sys.env("EXP_QUERIES").split(',').foreach { q =>
           time(q, runs)(SparkEntry.queries(q)(spark, dir)) }
+      case "prbatch" =>
+        // q112 shape (sink-free PageRank) with the lineage cut every
+        // `batch` iterations instead of every iteration: fewer jobs,
+        // deeper (but bounded) per-job plans.
+        val edges0 = {
+          val docs = spark.read.parquet(s"$dir/documents.parquet")
+          docs.select((col("doc_id") % 500).as("src"),
+              ((col("doc_id") * 31 + 7) % 500).as("dst"))
+            .filter(col("src") % 17 =!= 0)
+        }
+        Seq(1, 2, 3, 5).foreach { batch =>
+          (1 to runs).foreach { i =>
+            val t0 = System.nanoTime()
+            val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+            val nodes = edges.select(col("src").as("node"))
+              .union(edges.select(col("dst").as("node"))).distinct()
+              .localCheckpoint(true)
+            val deg = edges.groupBy("src")
+              .agg(count(lit(1)).cast("double").as("outdeg"))
+            val ew = edges.join(deg, "src").localCheckpoint(true)
+            val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+              .localCheckpoint(true)
+            var ranks = nodes.crossJoin(broadcast(nDf))
+              .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+            (1 to 10).foreach { it =>
+              if ((it - 1) % batch == 0) ranks = ranks.localCheckpoint(true)
+              val contrib = ranks.join(ew, col("node") === col("src"))
+                .groupBy(col("dst"))
+                .agg(sum(col("rank") / col("outdeg")).as("c"))
+              ranks = nodes.crossJoin(broadcast(nDf))
+                .join(contrib, col("node") === col("dst"), "left")
+                .select(col("node"),
+                  (lit(0.15) / col("n") + lit(0.85) *
+                    coalesce(col("c"), lit(0.0))).as("rank"))
+            }
+            ranks.write.format("noop").mode("overwrite").save()
+            println(f"[exp] prbatch=$batch run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        }
       case "pqphases2" =>
         import graft.operators.Similarity
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
