@@ -970,7 +970,11 @@ object TextAnalytics {
   val q129LmPerplexity = QueryDef(
     "q129_lm_perplexity",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      // tokenize+shingle runs map-side over a single-row-group scan
+      // (StageProbe: 100% of task time in 1-task stages) - fan out
+      // (guide 2.5; no-op on a properly-laid-out table)
+      val toks = graft.operators.ScanLayout.fanOut(
+          Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("ws"))
       val pairs = toks
         .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("g"))
@@ -1032,7 +1036,9 @@ object TextAnalytics {
   val q129bLmPerplexityPruned = QueryDef(
     "q129b_lm_perplexity_pruned",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      // same 1-task tokenize profile as q129 - fan out the scan
+      val toks = graft.operators.ScanLayout.fanOut(
+          Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("ws"))
       val pairs = toks
         .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("g"))
