@@ -1670,13 +1670,44 @@ object Similarity {
   /** Coarse L2 assignment with residuals: (id, c_id, r = x − c) via the
     * partial-aggregable argmax (see [[kmeansTrainL2]] — one row per
     * vector crosses the exchange, not one per (vector, centroid)). */
-  private def coarseResiduals(corpus: DataFrame, coarse: DataFrame): DataFrame =
-    corpus.join(broadcast(coarse))
-      .withColumn("__sc", l2Score(col("e"), col("c")))
-      .groupBy("id")
-      .agg(max(struct(col("__sc"), (-col("c_id")).as("n"),
-        zip_with(col("e"), col("c"), (a, b) => a - b).as("v"))).as("w"))
-      .select(col("id"), (-col("w.n")).as("c_id"), col("w.v").as("r"))
+  private def coarseResiduals(corpus: DataFrame, coarse: DataFrame): DataFrame = {
+    // Coarse centroids are bounded driver metadata (the kmeansTrain
+    // convention — every producer either collected them or reads a
+    // ≤|cells| side table), so the assignment literalizes like the
+    // Lloyd rounds: the [[graft.expressions.NearestCentroidIndexExpr]]
+    // kernel picks the bucket map-side and the residual subtracts the
+    // looked-up literal centroid — no broadcast join materializing
+    // |corpus|·k score rows, no per-vector argmax exchange. Same floats:
+    // same argmax tie/NaN semantics (ascending-c_id order ≡ ties to
+    // smaller c_id), same per-element subtraction values.
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def ordKey(v: Any): Long = v match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => sys.error(s"coarseResiduals needs an integral c_id, got $other")
+    }
+    val rows = coarse.select(col("c_id"), col("c")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
+      .sortBy(p => ordKey(p._1)).toIndexedSeq
+    require(rows.nonEmpty, "coarseResiduals needs at least one coarse centroid")
+    val idx = column(graft.expressions.NearestCentroidIndexExpr(
+      expression(col("e")), rows.map(_._2), 0))
+    val cidLit = rows.head._1 match {
+      case _: Int => typedLit(rows.map(_._1.asInstanceOf[Int]))
+      case _: Long => typedLit(rows.map(_._1.asInstanceOf[Long]))
+      case _: Short => typedLit(rows.map(_._1.asInstanceOf[Short]))
+      case _ => typedLit(rows.map(p => ordKey(p._1)))
+    }
+    val centsLit = typedLit(rows.map(_._2))
+    corpus
+      .withColumn("__ci", idx)
+      .select(col("id"),
+        element_at(cidLit, col("__ci") + 1).as("c_id"),
+        zip_with(col("e"), element_at(centsLit, col("__ci") + 1),
+          (a, b) => a - b).as("r"))
+  }
 
   /** Probe side of IVF-PQ: each probe's `nprobe` nearest coarse buckets
     * by the same L2 score, with its coarse dot term `pc` and the m ADC
