@@ -458,7 +458,10 @@ object WebIngest {
       val out = scratchDir("compact_out")
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
-        .repartition(16) // fragment: up to 16 small files per year dir
+        // fragment: up to 16 small files per year dir. HASH keys, not
+        // round-robin: repartition(16) pays the sort-before-repartition
+        // pass over the full rows (SPARK-23207) just to build a fixture
+        .repartition(16, pmod(col("o_orderkey"), lit(16)))
         .write.partitionBy("o_year").mode("overwrite").parquet(in)
       graft.operators.Compaction.compact(s, in, out,
         partitionCols = Seq("o_year"), binKey = "o_orderkey",
@@ -501,7 +504,7 @@ object WebIngest {
       val out = scratchDir("compactz_out")
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
-        .repartition(16)
+        .repartition(16, pmod(col("o_orderkey"), lit(16))) // see q124
         .write.partitionBy("o_year").mode("overwrite").parquet(in)
       val zkey = graft.operators.Bucketing.zOrderKey(
         pmod(col("o_custkey"), lit(1024L)),
