@@ -68,11 +68,16 @@ object SimilarityQueries {
   private[graft] def ivfInputs(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val e = emb(s, d)
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("label").orderBy("vec_id")
+    // first-vector-per-label as a partial-aggregable min(struct): the
+    // same row the previous row_number window picked (vec_id is unique,
+    // so the struct ordering never reaches the vector), without the
+    // window's sort — the agg combines map-side and the exchange
+    // carries one row per label per partition (guide §2.3 "aggregate
+    // before you shuffle"); this subplan fronts ~30 ANN gates
     val centroids = e
-      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
-      .select(col("label").as("c_id"), col("e").as("c"))
+      .groupBy(col("label"))
+      .agg(min(struct(col("vec_id"), col("e"))).as("__w"))
+      .select(col("label").as("c_id"), col("__w.e").as("c"))
     val corpus = e.select(col("vec_id").as("id"), col("e"))
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("e").as("p"))
