@@ -46,6 +46,18 @@ case class NearestCentroidIndexExpr(child: Expression,
     0.5 * s
   }
 
+  // x.getDouble on UnsafeArrayData is an UNCHECKED Platform read: a
+  // vector shorter than offset + width would silently read out-of-bounds
+  // memory and return an arbitrary index. Fail loudly instead (the old
+  // slice()+dot form truncated, which silently mis-assigned short rows —
+  // a malformed vector is corrupt input either way, and an error is the
+  // one surface a 100 TB run can act on).
+  private lazy val requiredLen: Int = offset + cents.map(_.length).max
+
+  private def boundsError(n: Int): Nothing = throw new IllegalArgumentException(
+    s"nearest_centroid: input vector has $n elements, needs >= $requiredLen " +
+      s"(offset=$offset + centroid width ${requiredLen - offset})")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -61,6 +73,7 @@ case class NearestCentroidIndexExpr(child: Expression,
   // (smaller) index — exactly max(struct(sc, -c_id))
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    if (x.numElements() < requiredLen) boundsError(x.numElements())
     var bestIdx = 0
     var bestSc = Double.NegativeInfinity
     var ci = 0
@@ -92,6 +105,12 @@ case class NearestCentroidIndexExpr(child: Expression,
       val bestSc = ctx.freshName("bestSc")
       val gt = ctx.freshName("gt")
       s"""
+         |if ($x.numElements() < $requiredLen) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: input vector has " + $x.numElements() +
+         |    " elements, needs >= $requiredLen (offset=$offset + centroid" +
+         |    " width ${requiredLen - offset})");
+         |}
          |int $bestIdx = 0;
          |double $bestSc = Double.NEGATIVE_INFINITY;
          |for (int $ci = 0; $ci < $cRef.length; $ci++) {

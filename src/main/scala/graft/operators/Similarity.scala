@@ -1435,7 +1435,13 @@ object Similarity {
         .map(r => (r.get(0), r.getSeq[Double](1).toSeq)).toSeq
     require(cent.nonEmpty, "kmeansTrainL2 needs at least one seed centroid")
     val dim = cent.head._2.length
-    for (_ <- 1 to iters) {
+    // Graceful degeneration (matching the old join form, which these
+    // guards replace behavior-for-behavior): a NULL vector contributed
+    // no assignment (filtered before the aggregate — the kernel would
+    // emit a null ci group and NPE the driver decode), and an EMPTY
+    // corpus empties cent after round 1 and ends training (constructing
+    // the kernel with zero centroids would throw instead).
+    for (_ <- 1 to iters if cent.nonEmpty) {
       // ascending-c_id order makes the kernel's ties-to-smaller-INDEX
       // exactly the join form's ties-to-smaller-c_id
       val ordered = cent.sortBy(p => ordKey(p._1)).toIndexedSeq
@@ -1446,6 +1452,7 @@ object Similarity {
         (sum(element_at(col("e"), j + 1).cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as(s"m$j"))
       val rows = corpus
+        .filter(col("e").isNotNull)
         .select(idx.as("ci"), col("e"))
         .groupBy("ci")
         .agg(sums.head, sums.tail: _*)
@@ -1485,9 +1492,6 @@ object Similarity {
     * learned books — and the SQL oracle — are unchanged. */
   def pqTrain(corpus: DataFrame, m: Int, dim: Int, seedIds: Seq[Long],
               iters: Int): PqBooks = {
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    require(iters >= 1)
-    val w = dim / m
     // Seed gather: fetch ONLY the seed vectors (an IN filter the scan
     // can push down — ≤ kSub rows cross to the driver) and slice the
     // subvectors driver-side; the previous form exploded the WHOLE
@@ -1495,11 +1499,27 @@ object Similarity {
     // same ≤ m·kSub rows — a full-pass job before training even starts.
     // Same values by construction (the identical element slices), same
     // c_id = position in the sorted seed list.
-    val seedIdx = seedIds.sorted.zipWithIndex.toMap
     // (a seed id absent from the corpus simply contributes no centroid,
     // exactly as the join-based gather behaved)
     val seedRows = corpus.filter(col("id").isin(seedIds: _*))
       .select(col("id"), col("e")).collect()
+      .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    pqTrainSeeded(corpus, m, dim, seedIds, seedRows, iters)
+  }
+
+  /** [[pqTrain]] with the seed (id, vector) rows ALREADY on the driver —
+    * the entry for callers that piggyback the gather on another action
+    * ([[ivfPqTopK]] rides it on the residual barrier's materialization
+    * as observed metrics: one driver round-trip saved, identical rows by
+    * construction). `seedRows` must be the corpus rows whose id ∈
+    * `seedIds` (order irrelevant; c_id = position in the sorted
+    * `seedIds` list, exactly the gather-based wrapper's convention). */
+  def pqTrainSeeded(corpus: DataFrame, m: Int, dim: Int, seedIds: Seq[Long],
+                    seedRows: Seq[(Long, Seq[Double])], iters: Int): PqBooks = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(iters >= 1)
+    val w = dim / m
+    val seedIdx = seedIds.sorted.zipWithIndex.toMap
     // no seed present in the corpus → no centroids to train (the join
     // form degenerated to the same empty books)
     if (seedRows.isEmpty) return PqBooks(m, dim, (0 until m).map(_ => Seq.empty))
@@ -1513,12 +1533,12 @@ object Similarity {
     // (sub, c_id, j). The shuffle carries ≤ m·kSub partially-aggregated
     // groups per map partition.
     var books: IndexedSeq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
-      seedRows.toSeq.map { r =>
-        (seedIdx(r.getLong(0)), r.getSeq[Double](1).slice(s * w, s * w + w).toSeq)
+      seedRows.map { case (id, e) =>
+        (seedIdx(id), e.slice(s * w, s * w + w))
       }.sortBy(_._1)
     }
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to iters if books.exists(_.nonEmpty)) {
       // books are kept ascending by c_id, so the kernel's ties-to-
       // smaller-INDEX is the join form's ties-to-smaller-c_id; the
       // means aggregate keys on (sub, index) and indexes map back to
@@ -1532,6 +1552,10 @@ object Similarity {
         (sum(element_at(col("x"), j + 1).cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as(s"m$j"))
       val rows = corpus
+        // null vectors contribute no assignment (the old join form's
+        // behavior; the kernel would emit null ci groups that NPE the
+        // driver decode below)
+        .filter(col("e").isNotNull)
         .select(posexplode(array(subStructs: _*)).as(Seq("sub", "a")))
         .select(col("sub"), col("a.ci").as("ci"), col("a.x").as("x"))
         .groupBy("sub", "ci")
@@ -1645,25 +1669,62 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, coarse: DataFrame, probes: DataFrame,
                 m: Int, dim: Int, seedIds: Seq[Long], iters: Int,
                 k: Int, nprobe: Int): DataFrame = {
-    // The assigned frame is consumed by residual training (whose Lloyd
-    // rounds are separate collect-driven jobs: seed gather + one per
-    // iteration), encoding, and the code/bucket join — five actions that
-    // would each re-run the linear assignment pass. Cut it once
-    // (Barrier.cut: localCheckpoint, or a reliable checkpoint under
-    // graft.barrier.checkpointDir); a production deployment goes
-    // further and materializes the ENCODED corpus to a bucketed table
-    // ([[writeIvfPqIndex]] — train + encode is a one-off index build,
-    // probing is the recurring query). Re-measured round 16 (6-run
-    // interleaved A/B): warm medians 8.4 → 6.7 s, mins 6.35 → 6.08 s at
-    // sf0.1 (an earlier round measured the opposite on a pre-round-10
-    // plan shape and left it lazy; the stage profile since showed 4
-    // reads of the assignment exchange per timed run).
-    val assigned = Barrier.cut(coarseResiduals(corpus, coarse))
+    // The assigned frame is consumed by residual training (one
+    // collect-driven job per Lloyd round), encoding, and the final
+    // ranking job — actions that would each re-run the linear
+    // assignment pass. Cut it once (Barrier.cut: localCheckpoint, or a
+    // reliable checkpoint under graft.barrier.checkpointDir); a
+    // production deployment goes further and materializes the ENCODED
+    // corpus to a bucketed table ([[writeIvfPqIndex]] — train + encode
+    // is a one-off index build, probing is the recurring query).
+    // Re-measured round 16 (6-run interleaved A/B): warm medians
+    // 8.4 → 6.7 s at sf0.1.
+    //
+    // The PQ SEED GATHER rides the cut's materialization job as an
+    // observed metric (collect_list over the ≤ kSub seed rows) instead
+    // of running as its own driver action afterwards — the query is
+    // job-count-bound at bench scale (~8 sequential driver round-trips
+    // before this change), and the observed rows are the exact rows the
+    // gather job re-read from the checkpoint (collect_list skips the
+    // null non-seed entries; order is irrelevant — seeded training maps
+    // rows by id). Metrics ride the action that materializes the cut
+    // (Dataset.checkpoint runs under withAction for both the local and
+    // reliable paths), with a bounded wait + explicit re-read fallback
+    // so a metrics regression can never hang or break the query.
+    val obs = org.apache.spark.sql.Observation()
+    val assigned = Barrier.cut(
+      coarseResiduals(corpus, coarse).observe(obs,
+        collect_list(when(col("id").isin(seedIds: _*),
+          struct(col("id"), col("r")))).as("seed_rows")))
+    val seedRows: Seq[(Long, Seq[Double])] =
+      scala.util.Try(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "s")))
+        .toOption match {
+        case Some(row) =>
+          row.getSeq[Row](0).map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        case None => // fallback: one cheap scan of the checkpointed blocks
+          assigned.filter(col("id").isin(seedIds: _*))
+            .select(col("id"), col("r")).collect()
+            .toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      }
     val resid = assigned.select(col("id"), col("r").as("e"))
-    val bk = pqTrain(resid, m, dim, seedIds, iters)
-    val enc = pqEncode(resid, bk)
-      .select(col("id"), col("codes"))
-      .join(assigned.select(col("id"), col("c_id")), "id")
+    val bk = pqTrainSeeded(resid, m, dim, seedIds, seedRows, iters)
+    // c_id travels THROUGH the encode projection instead of being
+    // re-attached by a corpus-wide self-join on id (two exchanges + a
+    // sort-merge join + a second read of the checkpoint, all removed —
+    // guide §2.4; pqEncode only appends the codes column, so the rows
+    // are identical by construction). The explicit repartition keeps
+    // the encode argmax evaluated ONCE per row: the broadcast-hash
+    // probe join defers stream-side projection variables into its
+    // per-match loop (the round-16 pqTopK trap — the id-join's exchange
+    // was what protected this path), and the exchange write is where
+    // the codes now materialize. Keyed by c_id — the index's bucket
+    // layout, exactly what [[writeIvfPqIndex]] clusters by at scale.
+    val enc = pqEncode(
+        assigned.select(col("id"), col("c_id"), col("r").as("e")), bk)
+      .select(col("id"), col("c_id"), col("codes"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("c_id"))
     adcRank(enc, pqProbeSide(probes, coarse, bk, nprobe), bk, k)
   }
 

@@ -96,6 +96,28 @@ class NearestCentroidSpec extends SparkSpec {
     assert(got == want && got == Seq(1))
   }
 
+  test("short input vector fails loudly in both eval paths") {
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    // interpreted: numElements() < offset + width must raise, not read
+    // out-of-bounds memory (UnsafeArrayData.getDouble is unchecked)
+    val expr = NearestCentroidIndexExpr(expression(col("e")), cents, 2)
+    val ex = intercept[IllegalArgumentException] {
+      expr.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array(1.0, 2.0, 3.0))) // needs >= 2 + 3 = 5 elements
+    }
+    assert(ex.getMessage.contains("needs >= 5"))
+    // codegen: same guard compiled in (the task fails, Spark wraps it)
+    val thrown = intercept[Throwable] { run(Seq(Seq(1.0, 2.0, 3.0)), cents, 2) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(thrown).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("needs >= 5")))
+    // exactly at the bound: fine
+    assert(run(Seq(Seq(9.0, 9.0, 1.0, 0.0, 0.0)), cents, 2) == Seq(0))
+  }
+
   test("interpreted eval agrees with codegen") {
     val cents = (0 until 16).map(i => Seq(i * 0.1, 1.0 - i * 0.05, 0.3, -0.2))
     val rows = (0 until 97).map(i =>

@@ -264,6 +264,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpqRecall >= 0.2, f"IVF-PQ recall@3 $ivfpqRecall%.3f below floor")
   }
 
+  test("trainers degrade gracefully: null vectors ignored, empty corpus empties out; seeded pqTrain ≡ gathered") {
+    import spark.implicits._
+    val clean = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 1.0)), (1L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 1.1, 0.1, 0.0)), (3L, Seq(0.1, 0.0, 0.9, 1.2)))
+    val corpus = clean.toDF("id", "e")
+    val withNull = corpus.unionByName(
+      Seq((9L, null.asInstanceOf[Seq[Double]])).toDF("id", "e"))
+    val seeds = Seq((0, Seq(1.0, 1.0, 0.0, 0.0)), (1, Seq(0.0, 0.0, 1.0, 1.0)))
+      .toDF("c_id", "c")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("c_id").collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    // a NULL vector contributes no assignment (the old join form's
+    // behavior) instead of NPE-ing the driver decode
+    assert(cents(Similarity.kmeansTrainL2(withNull, seeds, 2)) ==
+      cents(Similarity.kmeansTrainL2(corpus, seeds, 2)))
+    val bkNull = Similarity.pqTrain(withNull, m = 2, dim = 4, Seq(0L, 1L), 2)
+    val bkClean = Similarity.pqTrain(corpus, m = 2, dim = 4, Seq(0L, 1L), 2)
+    assert(bkNull.books == bkClean.books)
+    // an EMPTY corpus ends training with empty output (the old join
+    // form's degeneration) instead of constructing a zero-centroid kernel
+    val empty = corpus.filter(lit(false))
+    assert(Similarity.kmeansTrainL2(empty, seeds, 2).isEmpty)
+    assert(Similarity.pqTrain(empty, m = 2, dim = 4, Seq(0L, 1L), 2)
+      .books.forall(_.isEmpty))
+    // pre-gathered seed rows (the ivfPqTopK observe path) train the
+    // exact books the gather-based wrapper trains
+    val seedRows = clean.filter(p => p._1 == 0L || p._1 == 1L)
+    assert(Similarity.pqTrainSeeded(
+      corpus, m = 2, dim = 4, Seq(0L, 1L), seedRows, 2).books == bkClean.books)
+  }
+
   test("property: recallAtK == scan-the-definition reference on random top-k frames (3 seeds)") {
     // the metric q130/q130b gate everything through, fuzzed against a
     // plain-Scala restatement of its contract: per exact-side probe,
