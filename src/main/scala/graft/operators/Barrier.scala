@@ -7,9 +7,10 @@ import org.apache.spark.sql.DataFrame
   * BM25 stats frames, DedupQueries' leaked-id audit, the banded-guard
   * aggregates and iterative lineage cuts in [[Dedup]]) — so the
   * local-vs-durable choice is a DEPLOYMENT setting, not an edit to
-  * query code. ([[GraphAlgos]] keeps its own eager localCheckpoint
-  * loop: it pairs each cut with explicit previous-block unpersists,
-  * block management a generic helper must not own.)
+  * query code. ([[GraphAlgos]]' eager loops route their cuts through
+  * here too, so the conf upgrades them like everything else; the
+  * explicit previous-block unpersist pairing stays owned there — block
+  * management a generic helper must not have.)
   *
   * Default: `localCheckpoint()` — executor-local blocks, the right
   * trade on a stable-executor cluster and in every local/bench run

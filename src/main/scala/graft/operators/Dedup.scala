@@ -202,8 +202,22 @@ object Dedup {
             (col("n_comp") < col("comp")).as("chg"))
         cur = updated.select("id", "comp")
       }
-      val materialized = cut(updated)
-      changed = materialized.filter(col("chg")).count()
+      // convergence rides the cut's materialization job as an observed
+      // metric (the q127b seed-gather pattern) instead of a separate
+      // count job per batch — the loop is job-count-bound on skinny
+      // label frames. Identical value: sum(when(chg, 1)) over the batch
+      // ≡ filter(chg).count() (null chg → 0, exactly what the filter
+      // dropped). Bounded wait + count fallback so a metrics regression
+      // can never hang or change the loop's decisions.
+      val obs = org.apache.spark.sql.Observation()
+      val materialized = cut(updated.observe(obs,
+        coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)).as("n_chg")))
+      changed = scala.util.Try(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "s")))
+        .toOption match {
+        case Some(row) => row.getLong(0)
+        case None => materialized.filter(col("chg")).count()
+      }
       labels = materialized.select("id", "comp")
       iter += k
     }

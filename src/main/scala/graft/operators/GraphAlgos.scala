@@ -79,15 +79,22 @@ object GraphAlgos {
     // edges" step; MEMORY_AND_DISK, so 100 TB edge frames spill rather
     // than OOM (or hand pageRank an already-materialized bucketed edge
     // table). `ew` carries the sender's out-degree on every edge row.
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    // Every cut routes through [[Barrier.cut]] so the session-wide
+    // `graft.barrier.checkpointDir` opt-in upgrades a multi-hour
+    // PageRank to RELIABLE checkpoints (executor-local blocks die with
+    // their executors under dynamic allocation / spot kills) exactly
+    // like every other barrier site; the explicit previous-block
+    // unpersist pairing below stays owned HERE (block management a
+    // generic helper must not have — a no-op on the reliable path,
+    // where files outlive the RDD handle).
+    val edges = Barrier.cut(edges0.select(col("src"), col("dst")))
     val (nodesL, deg) = derive(edges)
-    val nodes = nodesL.localCheckpoint(true)
-    val ew = edges.join(deg, "src").localCheckpoint(true)
-    val dang = if (hasDangling) nodes.join(
-      deg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true) else null
-    val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
-      .localCheckpoint(true)
+    val nodes = Barrier.cut(nodesL)
+    val ew = Barrier.cut(edges.join(deg, "src"))
+    val dang = if (hasDangling) Barrier.cut(nodes.join(
+      deg.select(col("src").as("node")), Seq("node"), "left_anti"))
+      else null
+    val nDf = Barrier.cut(nodes.agg(count(lit(1)).cast("double").as("n")))
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -102,7 +109,7 @@ object GraphAlgos {
     val cutEvery = if (hasDangling) 1 else 5
     (1 to iters).foreach { it =>
       if ((it - 1) % cutEvery == 0) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = Barrier.cut(ranks)
         prevRdd.foreach(_.unpersist(false))
         prevRdd = Some(ranks.queryExecution.toRdd)
       }
@@ -155,18 +162,17 @@ object GraphAlgos {
   def bfsDistances(edges0: DataFrame, sources: DataFrame,
                    maxIters: Int): DataFrame = {
     require(maxIters >= 0)
-    val edges = edges0.select(col("src"), col("dst")).localCheckpoint(true)
-    var frontier = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    val edges = Barrier.cut(edges0.select(col("src"), col("dst")))
+    var frontier = Barrier.cut(sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)))
     var dist = frontier
     var i = 0
     var done = frontier.isEmpty
     while (!done && i < maxIters) {
-      val next = frontier.join(edges, col("node") === col("src"))
+      val next = Barrier.cut(frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
-        .withColumn("dist", lit(i + 1L))
-        .localCheckpoint(true)
+        .withColumn("dist", lit(i + 1L)))
       if (next.isEmpty) done = true
       else {
         dist = dist.unionByName(next)

@@ -1115,9 +1115,24 @@ object DedupQueries {
       // REPARTITION_BY_NUM, never coalesced
       val pairs = Dedup.lshCandidatePairs(bands)
         .repartition(s.sparkContext.defaultParallelism, col("id_b"), col("id_a"))
-      val ta = broadcast(
+      // broadcast of the text sides is SIZE-GATED, not unconditional:
+      // corpus text is the biggest thing in the system at scale, and an
+      // unconditional hint is a driver/executor OOM (8 GB broadcast hard
+      // cap), not a plan fallback. Under the gate (optimizer size
+      // estimate ≤ graft.broadcastTextMaxBytes, default 64 MB — several
+      // times the auto threshold because the estimate is known-inflated
+      // for derived text frames, and ~11 MB real at sf0.1) the verify
+      // keeps its measured BroadcastHashJoin shape; over it the hint is
+      // withheld and the planner shuffle-joins — the REPARTITION_BY_NUM
+      // exchange above keeps the DP parallel either way.
+      val bcastMax = BigInt(s.conf.get(
+        "graft.broadcastTextMaxBytes", (64L << 20).toString))
+      def gated(df: org.apache.spark.sql.DataFrame) =
+        if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= bcastMax)
+          broadcast(df) else df
+      val ta = gated(
         corpus.select(col("doc_id").as("id_a"), col("text").as("text_a")))
-      val tb = broadcast(
+      val tb = gated(
         corpus.select(col("doc_id").as("id_b"), col("text").as("text_b")))
       import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
       pairs.join(ta, "id_a").join(tb, "id_b")

@@ -68,6 +68,29 @@ class GraphAlgosSpec extends SparkSpec {
     assert(cycAsserted == cycProbe)
   }
 
+  test("pageRank honors graft.barrier.checkpointDir: reliable cuts, same ranks") {
+    // the session-wide durable-barrier opt-in must flow through the
+    // eager loop's cuts (executor-local blocks die with their executors
+    // on a spot/dynamic-allocation cluster — a multi-hour PageRank must
+    // be upgradeable by conf, not by editing the loop)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val plain = GraphAlgos.pageRank(g, iters = 5, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+    try {
+      spark.conf.set(Barrier.ConfKey, dir.toString)
+      val durable = GraphAlgos.pageRank(g, iters = 5, damping = 0.85)
+        .as[(Long, Double)].collect().toMap
+      assert(durable == plain, s"conf'd ranks drifted: $durable vs $plain")
+      // reliable checkpoints actually landed in the conf'd directory
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.unset(Barrier.ConfKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("bfsDistances: multi-source min-hop, unreachable absent, cap and early-exit") {
     // directed graph: 1→2→3→4→5 chain, 10→3 shortcut, 6→7 an island,
     // 8 isolated (unreachable from any source)
