@@ -312,11 +312,12 @@ object Dedup {
       posexplode(shingleHash(
         column(graft.expressions.OrderedShinglesExpr(expression(text), spanTokens))))
         .as(Seq("pos", "gram_h")))
-    val dup = grams.groupBy("gram_h").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= minOccur)
-      .select("gram_h")
+    val wg = Window.partitionBy("gram_h")
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, "gram_h")
+    grams
+      .withColumn("n_occ", count(lit(1)).over(wg))
+      .filter(col("n_occ") >= minOccur)
+      .drop("n_occ")
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(w) <= spanTokens, 0L).otherwise(1L))
       .withColumn("island",
@@ -356,12 +357,18 @@ object Dedup {
       posexplode(shingleHash(
         column(graft.expressions.OrderedShinglesExpr(expression(text), spanTokens))))
         .as(Seq("pos", "gram_h")))
-    val dup = grams.groupBy("gram_h")
-      .agg(count(lit(1)).as("n_occ"),
-        min(struct(col("doc_id"), col("pos"))).as("__first"))
+    // occurrence count and corpus-wide first occurrence as PER-GRAM
+    // window aggregates instead of an aggregate + join-back on gram_h:
+    // the gram frame (the expensive fused-kernel tokenize+hash pass) is
+    // built ONCE and crosses the gram_h exchange once, where the join
+    // form re-built it for the stream side (guide §2.4; the
+    // duplicateSpans rationale — identical rows by construction)
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy("gram_h")
+    val cuts = grams
+      .withColumn("n_occ", count(lit(1)).over(wg))
+      .withColumn("__first", min(struct(col("doc_id"), col("pos"))).over(wg))
       .filter(col("n_occ") >= minOccur)
-      .select("gram_h", "__first")
-    val cuts = grams.join(dup, "gram_h")
       .filter(col("doc_id") =!= col("__first.doc_id") ||
         col("pos") =!= col("__first.pos"))
       .groupBy("doc_id")

@@ -289,10 +289,18 @@ object OmimPipeline {
     * table (for self-ref detection: the phenotype MIM reappears as a gene
     * MIM with an empty-p_mim association, J12); `types` maps mim→type. */
   def reviewCases(tagged: DataFrame, allAssocs: DataFrame, types: DataFrame): DataFrame = {
-    val causal = tagged.filter(col("branch") === BranchCausal)
+    // The causal sliver feeds SIX report branches below (digenic,
+    // somatic, the self-ref join, the distinct-rank numbering, and the
+    // two typed branches): left lazy, each branch re-reads the tagging
+    // window's exchange (measured: the 10.6 MB per-mim count exchange
+    // read twice and re-aggregated per consumer at sf0.1). The filter
+    // makes it a bounded sliver — exactly the multi-consumer shape
+    // [[graft.operators.Barrier.cut]] exists for (the q86 precedent).
+    val causal = graft.operators.Barrier.cut(
+      tagged.filter(col("branch") === BranchCausal)
       .withColumn("basic", concat(
         lit("(Phenotype: "), col("p_mim"), lit(" "), col("p_label"),
-        lit("), (Map key: "), col("map_key"), lit("), (Gene: "), col("gene_mim"), lit(")")))
+        lit("), (Map key: "), col("map_key"), lit("), (Gene: "), col("gene_mim"), lit(")"))))
 
     val digenic = causal.filter(lower(col("p_label")).contains("digenic"))
       .select(lit(1).as("classCode"), col("basic").as("value"))

@@ -624,10 +624,13 @@ object OmimQueries {
       val emptyProt = assocs.select(col("p_mim"), col("gene_mim"))
         .filter(lit(false))
         .withColumn("hgnc_id", lit("")).withColumn("prot_orcid", lit(""))
-      // reviewCases fans its input into six report branches; measured
-      // here, re-evaluating the codegen'd synthesis per branch beats
-      // caching (columnar cache materialization costs more than the
-      // rescans, and ReuseExchange already shares the count window)
+      // reviewCases fans its input into six report branches; it
+      // Barrier.cuts the causal sliver internally (round 17 — the
+      // branches were re-reading the tagging window's exchange), so the
+      // synthesis below stays lazy here. (An earlier round measured
+      // COLUMNAR caching losing to the rescans; the cheap
+      // localCheckpoint of the post-filter sliver is the shape that
+      // wins.)
       val tagged = graft.pipeline.OmimPipeline
         .tagAssociations(assocs, emptyExcl, emptyProt)
       val m = col("mim").cast("long") % 7

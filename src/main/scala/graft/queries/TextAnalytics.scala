@@ -873,18 +873,31 @@ object TextAnalytics {
     "q98_inverted_index",
     (s, d) => {
       val shards = 4
+      // (fanOut of the single-row-group scan was A/B'd here and reverted:
+      // the raw-text exchange costs what the parallel tokenize saves at
+      // this scale — the tokenize stage is ~0.46 s of 1.9 s task time)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "token")))
         .select(col("doc_id"), col("token"), (col("p0") + 1).as("pos"),
           pmod(graft.operators.Sampling.hashBucket(col("doc_id"), "ix"),
             lit(shards.toLong)).as("shard"))
+      // df derives from the postings the group already collects
+      // (doc_id is non-null, so count(DISTINCT doc_id) ≡ the number of
+      // distinct doc_ids in the list): a countDistinct alongside a
+      // collect_list planned as TWO aggregate ladders — partial keyed on
+      // (token, shard, doc_id), exchange, merge, re-key to (token,
+      // shard), a SECOND exchange — with the posting buffers carried
+      // through both shuffles. One aggregate, one exchange, postings
+      // shuffled once (guide §2.3/§2.4).
       toks.groupBy("token", "shard")
         .agg(
           count(lit(1)).as("cf"),
-          countDistinct(col("doc_id")).as("df"),
+          collect_list(struct(col("doc_id"), col("pos"))).as("plist"))
+        .select(col("token"), col("shard"), col("cf"),
+          size(array_distinct(transform(col("plist"), e => e("doc_id"))))
+            .cast("long").as("df"),
           md5(concat_ws(",",
-            transform(
-              sort_array(collect_list(struct(col("doc_id"), col("pos")))),
+            transform(sort_array(col("plist")),
               e => concat(e("doc_id"), lit(":"), e("pos"))))).as("postings_md5"))
         .orderBy("token", "shard")
     },
