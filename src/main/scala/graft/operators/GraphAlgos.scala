@@ -89,14 +89,28 @@ object GraphAlgos {
     // where files outlive the RDD handle).
     val edges = Barrier.cut(edges0.select(col("src"), col("dst")))
     val (nodesL, deg) = derive(edges)
-    val nodes = Barrier.cut(nodesL)
+    // the node count rides the nodes cut's materialization job as an
+    // observed metric (the ivfPqTopK seed-gather pattern) instead of a
+    // separate count/checkpoint action — same count of the same
+    // materialized frame, one driver round-trip fewer; n then enters
+    // the update as a driver literal (1/n, (1−d)/n and dm/n divide the
+    // same IEEE operands wherever the division runs, so every rank
+    // float is unchanged — the oracle replays the same formula).
+    // Bounded wait + count fallback (the Observation convention).
+    val obs = org.apache.spark.sql.Observation()
+    val nodes = Barrier.cut(nodesL.observe(obs, count(lit(1)).as("n")))
     val ew = Barrier.cut(edges.join(deg, "src"))
     val dang = if (hasDangling) Barrier.cut(nodes.join(
       deg.select(col("src").as("node")), Seq("node"), "left_anti"))
       else null
-    val nDf = Barrier.cut(nodes.agg(count(lit(1)).cast("double").as("n")))
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    val n: Double =
+      scala.util.Try(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "s")))
+        .toOption match {
+        case Some(row) => row.getLong(0).toDouble
+        case None => nodes.count().toDouble
+      }
+    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     // Cut cadence: on the sink-free shape each rank frame feeds the next
     // step ONCE (a linear chain), so the cut can amortize over several
@@ -126,16 +140,15 @@ object GraphAlgos {
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
           Some(broadcast(dm))
         } else None
-      val base = nodes.crossJoin(broadcast(nDf))
-      val withDm = danglingTerm.map(base.crossJoin).getOrElse(base)
+      val withDm = danglingTerm.map(nodes.crossJoin).getOrElse(nodes)
       val collected =
         if (danglingTerm.isDefined)
-          coalesce(col("c"), lit(0.0)) + col("dm") / col("n")
+          coalesce(col("c"), lit(0.0)) + col("dm") / lit(n)
         else coalesce(col("c"), lit(0.0))
       ranks = withDm
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(1.0 - damping) / col("n") +
+          (lit(1.0 - damping) / lit(n) +
             lit(damping) * collected).as("rank"))
     }
     ranks
