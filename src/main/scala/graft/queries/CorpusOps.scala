@@ -610,7 +610,15 @@ object CorpusOps {
       // previous form collected every distinct token (driver-unbounded
       // at sf10+). The oracle replays the same top-K cut.
       val VocabK = 4096
-      val weights = graft.operators.PiiScrub.scrub(docs, col("text"))
+      // the distinct-source set rides the vocab job as an observed
+      // metric (every doc row flows through the scrub subtree anyway)
+      // instead of a second collect re-running the fan-out exchange —
+      // one driver action fewer. Bounded wait + explicit fallback (the
+      // Observation convention).
+      val obs = org.apache.spark.sql.Observation()
+      val weights = graft.operators.PiiScrub.scrub(
+          docs.observe(obs, collect_set(col("source").cast("string"))
+            .as("sources")), col("text"))
         .select(col("doc_id"), explode(
           graft.functions.TextFunctions.tokens(col("scrubbed"))).as("t"))
         .distinct()
@@ -621,8 +629,15 @@ object CorpusOps {
         .map { t => val h = h15("w8", t)
           t -> (if (h % 3 == 0) 0L else (h % 17) - 8) }
         .filter(_._2 != 0L).toMap
-      val thresholds = docs.select(col("source").cast("string")).distinct()
-        .collect().iterator.map(_.getString(0))
+      val sources: Seq[String] =
+        scala.util.Try(scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(30, "s")))
+          .toOption match {
+          case Some(row) => row.getSeq[String](0)
+          case None => docs.select(col("source").cast("string")).distinct()
+            .collect().iterator.map(_.getString(0)).toSeq
+        }
+      val thresholds = sources
         .map(src => src -> (400000L + h15("th", src) % 400000L)).toMap
       graft.streaming.CorpusStreams.hygieneStateless(docs, col("url"),
         weights, thresholds, seed = "hp")

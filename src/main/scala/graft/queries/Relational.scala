@@ -689,9 +689,16 @@ object Relational {
       // both lineitem passes (sketch build + rank check) hash every row:
       // fan the single-row-group scan out so the md5 kernel parallelizes
       // (guide §2.5; no-op on a properly-laid-out table)
-      val li = graft.operators.ScanLayout.fanOut(
-        Tables.lineitem(s, d), s"$d/lineitem.parquet",
-        col("l_orderkey"), col("l_linenumber"))
+      // the two passes are two ACTIONS (the sketch collects), so the
+      // fan-out exchange was paid twice — cut the projected frame once
+      // and both passes read the blocks (project first: the sketch and
+      // the rank check together touch 4 of lineitem's 16 columns)
+      val li = graft.operators.Barrier.cut(
+        graft.operators.ScanLayout.fanOut(
+          Tables.lineitem(s, d), s"$d/lineitem.parquet",
+          col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")))
       val sk0 = graft.operators.Sketches.quantileSketch(
         li, "l_returnflag",
         col("l_orderkey") * 10 + col("l_linenumber"),

@@ -989,6 +989,11 @@ object TextAnalytics {
       val toks = graft.operators.ScanLayout.fanOut(
           Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("ws"))
+      // (Barrier.cut of this frame was A/B'd in round 17 and REVERTED:
+      // the three consumers do re-run tokenize+shingle+split per
+      // consumer, but checkpointing 1.5M exploded string pairs measured
+      // WORSE - task-time 19 -> 30 s, wall 1.5 -> 2.2 s - the fused
+      // kernel recompute is cheaper than block serialization + reread)
       val pairs = toks
         .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("g"))
         .select(col("doc_id"),
@@ -1053,6 +1058,11 @@ object TextAnalytics {
       val toks = graft.operators.ScanLayout.fanOut(
           Tables.documents(s, d), s"$d/documents.parquet", col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("ws"))
+      // (Barrier.cut of this frame was A/B'd in round 17 and REVERTED:
+      // the three consumers do re-run tokenize+shingle+split per
+      // consumer, but checkpointing 1.5M exploded string pairs measured
+      // WORSE - task-time 19 -> 30 s, wall 1.5 -> 2.2 s - the fused
+      // kernel recompute is cheaper than block serialization + reread)
       val pairs = toks
         .select(col("doc_id"), explode(shingles(col("ws"), 2)).as("g"))
         .select(col("doc_id"),
