@@ -1281,18 +1281,31 @@ object Similarity {
     def signature(v: Column): Column =
       concat(planes.map(p =>
         when(dot(v, typedLit(p)) >= 0, "1").otherwise("0")): _*)
+    // the banded frames carry KEYS ONLY (id, band, chunk — ~20 bytes):
+    // candidate generation and its dedup decide WHICH pairs exist, so
+    // the unit vectors must not ride along (the earlier form shuffled
+    // BOTH 64-double vectors per band row and again per pair through
+    // the distinct — ~1 KB/pair of payload moved to compare 2-bit
+    // chunks; guide §2.3/§8 "shuffle keys and metadata instead of
+    // payloads"). The vectors re-attach AFTER the distinct, by id — one
+    // id-keyed move of each vector at most (broadcast here; a sort-merge
+    // of the unit frame at scale), for the exact cosine re-rank.
     def banded(df: DataFrame, idc: String, vc: String): DataFrame =
       df.withColumn("__sig", signature(col(vc)))
-        .select(col(idc), col(vc),
+        .select(col(idc),
           posexplode(array((0 until bands).map(b =>
             substring(col("__sig"), b * w + 1, w)): _*)).as(Seq("__band", "__chunk")))
-    val c = banded(unitized(corpus, "e", "ue"), "id", "ue")
-    val p = banded(unitized(probes, "p", "up"), "probe_id", "up")
+    val cu = unitized(corpus, "e", "ue")
+    val pu = unitized(probes, "p", "up")
+    val c = banded(cu, "id", "ue")
+    val p = banded(pu, "probe_id", "up")
       .withColumnRenamed("__band", "__band_p").withColumnRenamed("__chunk", "__chunk_p")
     val wnd = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("id"))
     p.join(c, col("__band_p") === col("__band") && col("__chunk_p") === col("__chunk"))
       .filter(col("id") =!= col("probe_id"))
-      .select("probe_id", "up", "id", "ue").distinct() // a pair may share several bands
+      .select("probe_id", "id").distinct() // a pair may share several bands
+      .join(cu.select(col("id"), col("ue")), "id")
+      .join(pu.select(col("probe_id"), col("up")), "probe_id")
       .withColumn("cos", dot(col("up"), col("ue")))
       .withColumn("rank", row_number().over(wnd))
       .filter(col("rank") <= k)
