@@ -154,15 +154,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q80: dup-gram join and island windows never go cartesian or global") {
+  test("q80: one gram build, keyed windows only, no join") {
     val p = plan("q80_substring_dedup")
-    assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
-    // the island merge must be a PER-DOC window, not a global one: every
-    // windowspec in the plan partitions by doc_id
+    assert(!p.contains("CartesianProduct"), s"gram plan degenerated:\n$p")
+    // round 17: the dup-gram count is a PER-GRAM window over the single
+    // gram build (no join-back, no second tokenize pass) — exactly one
+    // Generate in the plan, and every windowspec is keyed (per-gram
+    // occurrence count or per-doc island merge), never global
+    assert("Generate ".r.findAllIn(p).size == 1,
+      s"gram build evaluated more than once:\n$p")
+    assert(!p.contains("Join"), s"join-back returned:\n$p")
     val specs = "windowspecdefinition\\(([^,]*)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")),
-      s"island window lost its doc partition ($specs):\n$p")
+    assert(specs.nonEmpty &&
+      specs.forall(s => s.startsWith("doc_id") || s.startsWith("gram_h")),
+      s"window lost its partition key ($specs):\n$p")
   }
 
   test("q82: frame-keyed banded join stays an equi-join, no cartesian") {
