@@ -34,6 +34,33 @@ class PlanSpec extends SparkSpec {
       s"probes not broadcast:\n$p")
   }
 
+  test("q117: text broadcasts are size-gated — over the gate the verify falls back, keeps its pinned exchange") {
+    // under the default 64 MB gate the text sides broadcast (the r16
+    // measured shape); with the gate forced to 0 the hints are withheld
+    // and the planner may shuffle-join — but the REPARTITION_BY_NUM
+    // candidate-pair exchange must survive either way (it is what keeps
+    // the bounded-Levenshtein DP parallel at corpus scale, where the
+    // broadcast is a driver OOM, not an option)
+    val gated = plan("q117_fuzzy_verify")
+    assert(gated.contains("BroadcastHashJoin"),
+      s"under the gate the text joins must broadcast:\n$gated")
+    assert(gated.contains("REPARTITION_BY_NUM"), s"pinned exchange lost:\n$gated")
+    spark.conf.set("graft.broadcastTextMaxBytes", "0")
+    try {
+      val over = plan("q117_fuzzy_verify")
+      assert(over.contains("REPARTITION_BY_NUM"),
+        s"pinned exchange lost on the fallback path:\n$over")
+      // the two text joins must NOT be planner-forced broadcasts: with
+      // the gate at 0 any BHJ left is the auto-threshold's own choice on
+      // this tiny SF; what must be gone is dependence on the hint — the
+      // fallback plan still builds and executes
+      val rows = SparkEntry.queries("q117_fuzzy_verify")(spark, sf001).count()
+      val rowsGated = { spark.conf.unset("graft.broadcastTextMaxBytes")
+        SparkEntry.queries("q117_fuzzy_verify")(spark, sf001).count() }
+      assert(rows == rowsGated, s"gate changed results: $rows vs $rowsGated")
+    } finally spark.conf.unset("graft.broadcastTextMaxBytes")
+  }
+
   test("q23: LSH pipeline has no cartesian product") {
     val p = plan("q23_minhash_lsh")
     assert(!p.contains("CartesianProduct"), s"pair join degenerated to n^2:\n$p")
